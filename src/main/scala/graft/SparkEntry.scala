@@ -18,6 +18,10 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing_summary" -> (analytics.Relational.q1PricingSummary _),
+    "pa_items_snapshot" -> ((s, d) =>
+      store.DerivedItems.items(s, d).orderBy("itemID")),
+    "pa_nested_tasks" -> ((s, d) =>
+      store.DerivedItems.nestedTaskRows(s, d).orderBy("itemID", "taskKey")),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -25,5 +29,10 @@ object SparkEntry {
     */
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" -> analytics.Relational.q1Sql,
+    "pa_items_snapshot" ->
+      (store.DerivedItems.itemsCte + "\nSELECT * FROM items ORDER BY itemID"),
+    "pa_nested_tasks" ->
+      (store.DerivedItems.nestedTaskRowsCte +
+        "\nSELECT * FROM ntasks ORDER BY itemID, taskKey"),
   )
 }

@@ -1,0 +1,187 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic work-item table derived from the driver testdata
+  * (orders × lineitem), used to oracle-check every reference-surface
+  * operator: the driver's DuckDB gate can only see the sfDir parquet tables,
+  * so the item store is *derived* — identically in Spark (here) and in SQL
+  * ([[itemsCte]]) — rather than imported from fixture files.
+  *
+  * Mapping: one order = one work item; its lineitems = the nested task map
+  * (reference `TaskScript` map shape, `code/manager.py:326-349`). States
+  * come from `o_orderstatus` (F→done, P→locked, O→todo) with every 53rd
+  * order Wall_Time_Exceeded; every order with `o_orderkey % 3 == 0` is a
+  * single-task item (the reference's string-typed `TaskScript` shape).
+  * Task status: done items have all tasks done; locked/WTE items have
+  * exactly the `l_returnflag = 'R'` tasks done (partial completion);
+  * todo items none — so `logLength == count(done tasks)` holds by
+  * construction, the invariant `code/modifier.py:240-249` maintains with
+  * its atomic ADD counter.
+  */
+object DerivedItems {
+
+  /** Flat item columns (no maps) — the shape most queries consume. */
+  def items(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    // one shuffle (groupBy l_orderkey), then a broadcast-free join on the
+    // same key; at scale both sides are huge but co-partitioned by the join
+    // key, so AQE plans a single exchange each.
+    val nt = li.groupBy(col("l_orderkey")).agg(
+      count(lit(1)).as("n_tasks"),
+      count(when(col("l_returnflag") === "R", 1)).as("n_r_tasks"))
+    val j = o.join(nt, o("o_orderkey") === nt("l_orderkey"), "left")
+    val state = when(col("o_orderkey") % 53 === 0, "Wall_Time_Exceeded")
+      .when(col("o_orderstatus") === "F", "done")
+      .when(col("o_orderstatus") === "P", "locked")
+      .otherwise("todo")
+    val isNested = col("o_orderkey") % 3 =!= 0 && coalesce(col("n_tasks"), lit(0L)) > 0
+    val nTasks = coalesce(col("n_tasks"), lit(0L))
+    j.select(
+        concat(lit("item_"), col("o_orderkey").cast("string")).as("itemID"),
+        concat(lit("grp_"), (col("o_custkey") % 100).cast("string")).as("taskID"),
+        state.as("itemState"),
+        when(!isNested, concat(lit("seq "), (col("o_orderkey") % 10).cast("string")))
+          .as("taskScript"),
+        when(state =!= "todo", concat(lit("lock_"), col("o_orderkey").cast("string")))
+          .as("lockID"),
+        when(state =!= "todo",
+          concat(lit("jq-"), (col("o_custkey") % 5).cast("string"),
+            lit("-"), (col("o_orderkey") % 97).cast("string"))).as("instanceID"),
+        when(state =!= "todo", col("o_orderdate")).as("lockDate"),
+        when(state.isin("done", "Wall_Time_Exceeded"),
+          col("o_orderdate") + expr("INTERVAL 1 DAY")).as("doneDate"),
+        (state === "Wall_Time_Exceeded").as("errorDate"),
+        when(!isNested,
+            when(state === "done", col("o_orderkey") % 10).otherwise(lit(0L)))
+          .otherwise(
+            when(state === "done", nTasks)
+              .when(state === "todo", lit(0L))
+              .otherwise(coalesce(col("n_r_tasks"), lit(0L))))
+          .cast("long").as("logLength"),
+        when(isNested, nTasks).as("nestedTaskCount"))
+  }
+
+  /** DuckDB CTE producing exactly [[items]]; prepend to oracle SQL. */
+  val itemsCte: String =
+    """WITH nt AS (
+      |  SELECT l_orderkey, COUNT(*) AS n_tasks,
+      |         COUNT(*) FILTER (WHERE l_returnflag = 'R') AS n_r_tasks
+      |  FROM lineitem GROUP BY l_orderkey
+      |), items AS (
+      |  SELECT
+      |    'item_' || CAST(o_orderkey AS VARCHAR) AS itemID,
+      |    'grp_' || CAST(o_custkey % 100 AS VARCHAR) AS taskID,
+      |    CASE WHEN o_orderkey % 53 = 0 THEN 'Wall_Time_Exceeded'
+      |         WHEN o_orderstatus = 'F' THEN 'done'
+      |         WHEN o_orderstatus = 'P' THEN 'locked'
+      |         ELSE 'todo' END AS itemState,
+      |    CASE WHEN NOT (o_orderkey % 3 <> 0 AND COALESCE(n_tasks, 0) > 0)
+      |         THEN 'seq ' || CAST(o_orderkey % 10 AS VARCHAR) END AS taskScript,
+      |    CASE WHEN (CASE WHEN o_orderkey % 53 = 0 THEN 'Wall_Time_Exceeded'
+      |                    WHEN o_orderstatus = 'F' THEN 'done'
+      |                    WHEN o_orderstatus = 'P' THEN 'locked'
+      |                    ELSE 'todo' END) <> 'todo'
+      |         THEN 'lock_' || CAST(o_orderkey AS VARCHAR) END AS lockID,
+      |    CASE WHEN (CASE WHEN o_orderkey % 53 = 0 THEN 'Wall_Time_Exceeded'
+      |                    WHEN o_orderstatus = 'F' THEN 'done'
+      |                    WHEN o_orderstatus = 'P' THEN 'locked'
+      |                    ELSE 'todo' END) <> 'todo'
+      |         THEN 'jq-' || CAST(o_custkey % 5 AS VARCHAR) || '-' || CAST(o_orderkey % 97 AS VARCHAR)
+      |         END AS instanceID,
+      |    CASE WHEN (CASE WHEN o_orderkey % 53 = 0 THEN 'Wall_Time_Exceeded'
+      |                    WHEN o_orderstatus = 'F' THEN 'done'
+      |                    WHEN o_orderstatus = 'P' THEN 'locked'
+      |                    ELSE 'todo' END) <> 'todo'
+      |         THEN o_orderdate END AS lockDate,
+      |    CASE WHEN (CASE WHEN o_orderkey % 53 = 0 THEN 'Wall_Time_Exceeded'
+      |                    WHEN o_orderstatus = 'F' THEN 'done'
+      |                    WHEN o_orderstatus = 'P' THEN 'locked'
+      |                    ELSE 'todo' END) IN ('done', 'Wall_Time_Exceeded')
+      |         THEN o_orderdate + INTERVAL 1 DAY END AS doneDate,
+      |    (o_orderkey % 53 = 0) AS errorDate,
+      |    CAST(CASE WHEN NOT (o_orderkey % 3 <> 0 AND COALESCE(n_tasks, 0) > 0)
+      |         THEN (CASE WHEN o_orderkey % 53 <> 0 AND o_orderstatus = 'F'
+      |                    THEN o_orderkey % 10 ELSE 0 END)
+      |         ELSE (CASE WHEN o_orderkey % 53 = 0 THEN COALESCE(n_r_tasks, 0)
+      |                    WHEN o_orderstatus = 'F' THEN n_tasks
+      |                    WHEN o_orderstatus = 'P' THEN COALESCE(n_r_tasks, 0)
+      |                    ELSE 0 END)
+      |         END AS BIGINT) AS logLength,
+      |    CASE WHEN o_orderkey % 3 <> 0 AND COALESCE(n_tasks, 0) > 0
+      |         THEN n_tasks END AS nestedTaskCount
+      |  FROM orders LEFT JOIN nt ON o_orderkey = l_orderkey
+      |)""".stripMargin
+
+  /** Nested task rows: `(itemID, taskKey, status, script)` — the exploded
+    * view of the reference's `TaskScript` map for nested items. Keys are
+    * `Task_0..Task_{n-1}` in deterministic `(l_linenumber, l_partkey,
+    * l_suppkey)` order (unique within an order in this data).
+    */
+  def nestedTaskRows(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    val li = Tables.lineitem(spark, sfDir)
+    val w = Window.partitionBy(col("l_orderkey"))
+      .orderBy(col("l_linenumber"), col("l_partkey"), col("l_suppkey"))
+    val state = when(col("o_orderkey") % 53 === 0, "Wall_Time_Exceeded")
+      .when(col("o_orderstatus") === "F", "done")
+      .when(col("o_orderstatus") === "P", "locked")
+      .otherwise("todo")
+    li.join(o.filter(col("o_orderkey") % 3 =!= 0),
+        li("l_orderkey") === o("o_orderkey"), "inner")
+      .withColumn("task_idx", row_number().over(w) - 1)
+      .select(
+        concat(lit("item_"), col("o_orderkey").cast("string")).as("itemID"),
+        concat(lit("Task_"), col("task_idx").cast("string")).as("taskKey"),
+        when(state === "done", "done")
+          .when(state === "todo", "todo")
+          .otherwise(when(col("l_returnflag") === "R", "done").otherwise("todo"))
+          .as("status"),
+        concat(lit("seq "), col("l_quantity").cast("int").cast("string")).as("script"))
+  }
+
+  /** DuckDB CTE producing exactly [[nestedTaskRows]] (view name `ntasks`). */
+  val nestedTaskRowsCte: String =
+    """WITH ntasks AS (
+      |  SELECT
+      |    'item_' || CAST(o_orderkey AS VARCHAR) AS itemID,
+      |    'Task_' || CAST(ROW_NUMBER() OVER (PARTITION BY l_orderkey
+      |        ORDER BY l_linenumber, l_partkey, l_suppkey) - 1 AS VARCHAR) AS taskKey,
+      |    CASE WHEN o_orderkey % 53 <> 0 AND o_orderstatus = 'F' THEN 'done'
+      |         WHEN o_orderkey % 53 <> 0 AND o_orderstatus NOT IN ('F','P') THEN 'todo'
+      |         WHEN l_returnflag = 'R' THEN 'done'
+      |         ELSE 'todo' END AS status,
+      |    'seq ' || CAST(CAST(l_quantity AS INT) AS VARCHAR) AS script
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  WHERE o_orderkey % 3 <> 0
+      |)""".stripMargin
+
+  /** The nested map shape itself (`nestedTasks: map<string, struct>`), built
+    * with one `collect_list` per item then `map_from_entries` — the Spark
+    * rewrite of the reference's per-key map (SURVEY.md §1.2). Used by the
+    * map-mutation operators (M1-M10); oracle checks go through the exploded
+    * row view instead since DuckDB compares rows, not Spark maps.
+    */
+  def nestedItems(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = nestedTaskRows(spark, sfDir)
+    // sort_array over (idx,entry) keeps map insertion order deterministic
+    val entries = rows
+      .withColumn("idx",
+        substring_index(col("taskKey"), "_", -1).cast("int"))
+      .groupBy(col("itemID"))
+      .agg(map_from_entries(
+        transform(
+          array_sort(collect_list(struct(col("idx").as("i"),
+            struct(col("taskKey").as("key"),
+              struct(col("status"), col("script")).as("value")).as("e")))),
+          x => x.getField("e"))).as("nestedTasks"))
+    items(spark, sfDir).filter(col("nestedTaskCount").isNotNull)
+      .drop("taskScript")
+      .join(entries, Seq("itemID"), "inner")
+  }
+}

@@ -1,0 +1,55 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.model.WorkItem
+
+/** Persistence for the work-item table (SURVEY.md §2 S1/S8/S11).
+  *
+  * The reference's store is a DynamoDB table whose four GSIs all hash on
+  * `ItemState` (`code/workflow-gsi-index.json`) — every hot query is a state
+  * equality. The Spark-native analog: a parquet table **partitioned by
+  * `itemState`** so those same queries are partition-pruned at the file
+  * level (the moral equivalent of the GSI, with no per-query capacity
+  * units). At 100 TB the state partition count stays 4, and pruning means a
+  * `todo` poll touches only the todo files. A DynamoDB connector would slot
+  * in behind this same interface (driver constraint: no extra deps, so
+  * parquet is the concrete store here).
+  */
+object ItemStore {
+
+  /** DDL analog of `create_workflow_table` (`code/manager.py:134-183`):
+    * materialize an empty partitioned table with the canonical schema.
+    * No GSIs to declare — partitioning by state plays that role.
+    */
+  def create(spark: SparkSession, path: String): Unit =
+    save(spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], WorkItem.schema), path)
+
+  /** `delete_workflow_table` analog (`code/manager.py:187-205`). */
+  def drop(spark: SparkSession, path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    ()
+  }
+
+  /** `check_table` analog (`code/manager.py:87-109`). */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def save(items: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    items.write
+      .mode(mode)
+      .partitionBy("itemState")
+      .parquet(path)
+
+  /** Append newly imported items (`put_item` sink, batched — S8). */
+  def append(items: DataFrame, path: String): Unit = save(items, path, SaveMode.Append)
+
+  def load(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(WorkItem.schema).parquet(path)
+}
