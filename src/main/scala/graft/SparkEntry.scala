@@ -2,6 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
+import graft.queries.ReferenceSurface
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
   * Every implemented operator from SURVEY.md §2 registers here: a named
@@ -16,13 +18,14 @@ object SparkEntry {
     analytics.Relational.q1PricingSummary(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     "q1_pricing_summary" -> (analytics.Relational.q1PricingSummary _),
     "pa_items_snapshot" -> ((s, d) =>
       store.DerivedItems.items(s, d).orderBy("itemID")),
     "pa_nested_tasks" -> ((s, d) =>
       store.DerivedItems.nestedTaskRows(s, d).orderBy("itemID", "taskKey")),
-  )
+  ) ++ ReferenceSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -34,5 +37,5 @@ object SparkEntry {
     "pa_nested_tasks" ->
       (store.DerivedItems.nestedTaskRowsCte +
         "\nSELECT * FROM ntasks ORDER BY itemID, taskKey"),
-  )
+  ) ++ ReferenceSurface.oracles
 }

@@ -161,6 +161,38 @@ object DerivedItems {
       |  WHERE o_orderkey % 3 <> 0
       |)""".stripMargin
 
+  /** Derived compute-backend job table for the J1 enrichment join: one row
+    * per distinct jobID among locked items, with a deterministic status;
+    * every `(q+r) % 5 == 4` job is *absent* so the join's ERROR_FETCHING
+    * path (missing job) is exercised. Mirrors the AWS Batch `describe_jobs`
+    * result the reference fetches per item (`code/manager.py:971-983`).
+    */
+  def batchJobs(spark: SparkSession, sfDir: String): DataFrame = {
+    val o = Tables.orders(spark, sfDir)
+    o.filter(col("o_orderstatus") === "P" && col("o_orderkey") % 53 =!= 0)
+      .select((col("o_custkey") % 5).as("q"), (col("o_orderkey") % 97).as("r"))
+      .distinct()
+      .filter((col("q") + col("r")) % 5 =!= 4)
+      .select(
+        concat(lit("jq-"), col("q").cast("string"), lit(":"), col("r").cast("string"))
+          .as("jobID"),
+        when((col("q") + col("r")) % 5 === 0, "SUCCEEDED")
+          .when((col("q") + col("r")) % 5 === 1, "FAILED")
+          .when((col("q") + col("r")) % 5 === 2, "RUNNING")
+          .otherwise("PENDING").as("job_status"))
+  }
+
+  /** DuckDB CTE producing exactly [[batchJobs]] (view name `jobs`). */
+  val batchJobsCte: String =
+    """jobs AS (
+      |  SELECT 'jq-' || CAST(q AS VARCHAR) || ':' || CAST(r AS VARCHAR) AS jobID,
+      |         CASE (q + r) % 5 WHEN 0 THEN 'SUCCEEDED' WHEN 1 THEN 'FAILED'
+      |              WHEN 2 THEN 'RUNNING' ELSE 'PENDING' END AS job_status
+      |  FROM (SELECT DISTINCT o_custkey % 5 AS q, o_orderkey % 97 AS r
+      |        FROM orders WHERE o_orderstatus = 'P' AND o_orderkey % 53 <> 0)
+      |  WHERE (q + r) % 5 <> 4
+      |)""".stripMargin
+
   /** The nested map shape itself (`nestedTasks: map<string, struct>`), built
     * with one `collect_list` per item then `map_from_entries` — the Spark
     * rewrite of the reference's per-key map (SURVEY.md §1.2). Used by the
