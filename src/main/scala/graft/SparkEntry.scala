@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.ReferenceSurface
+import graft.queries.{MutationSurface, ReferenceSurface}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,10 +22,10 @@ object SparkEntry {
     Map[String, (SparkSession, String) => DataFrame](
     "q1_pricing_summary" -> (analytics.Relational.q1PricingSummary _),
     "pa_items_snapshot" -> ((s, d) =>
-      store.DerivedItems.items(s, d).orderBy("itemID")),
+      store.DerivedItems.items(s, d).drop("log").orderBy("itemID")),
     "pa_nested_tasks" -> ((s, d) =>
       store.DerivedItems.nestedTaskRows(s, d).orderBy("itemID", "taskKey")),
-  ) ++ ReferenceSurface.queries
+  ) ++ ReferenceSurface.queries ++ MutationSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +37,5 @@ object SparkEntry {
     "pa_nested_tasks" ->
       (store.DerivedItems.nestedTaskRowsCte +
         "\nSELECT * FROM ntasks ORDER BY itemID, taskKey"),
-  ) ++ ReferenceSurface.oracles
+  ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles
 }

@@ -1,0 +1,167 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's mutation surface M1-M10 (SURVEY.md §2.8) as pure,
+  * whole-table Dataset transforms.
+  *
+  * The reference mutates one DynamoDB key at a time with hand-built
+  * `UpdateExpression` strings (`SET TaskScript.#key.Status = ...`,
+  * `REMOVE Log.#key`, `ADD Log_Length 1`) — one network round trip per item
+  * per key (`code/manager.py:465-837`, `code/modifier.py:219-249`). Spark is
+  * functional: each verb re-emits the whole map column via the higher-order
+  * map functions (`transform_values`, `map_filter`, `map_concat`) in ONE
+  * codegen'd pass over the table — no per-key round trips, and `reset_AllNests`
+  * (which the reference does as query-keys-then-N-updates, M9) collapses into
+  * the same single pass. Persisting a mutation = overwrite/MERGE of the
+  * affected `itemState` partitions ([[graft.store.ItemStore]]).
+  *
+  * All verbs take a row predicate instead of the reference's Python id
+  * lists; [[idPredicate]] builds the `isin` form, and for huge id sets use
+  * the DataFrame-join forms (e.g. [[deleteItemsJoin]]) — an `isin` with
+  * millions of literals doesn't scale, a broadcast anti-join does.
+  */
+object Mutations {
+
+  private val initialFields: Map[String, Column] = Map(
+    "lockID" -> lit(null).cast("string"),
+    "instanceID" -> lit(null).cast("string"),
+    "lockDate" -> lit(null).cast("timestamp"),
+    "doneDate" -> lit(null).cast("timestamp"),
+    "errorDate" -> lit(false),
+    "log" -> map_from_entries(array().cast(
+      "array<struct<key:string,value:struct<status:string,stdout:string,stderr:string>>>")),
+    "logLength" -> lit(0L))
+
+  def idPredicate(ids: Seq[String]): Column = col("itemID").isin(ids: _*)
+
+  /** Apply column updates to rows matching `pred`, evaluating `pred` against
+    * the PRE-mutation row: the predicate is materialized once before any
+    * column is overwritten (else `pred = itemState === 'locked'` would stop
+    * matching as soon as the fold rewrites `itemState`).
+    */
+  private def applyWhen(items: DataFrame, pred: Column, updates: Map[String, Column]): DataFrame =
+    updates.foldLeft(items.withColumn("__pred", pred)) { case (df, (name, value)) =>
+      df.withColumn(name, when(col("__pred"), value).otherwise(col(name)))
+    }.drop("__pred")
+
+  /** M7 `reset_itemState` (`code/manager.py:465-549`): re-initialize matching
+    * items to `toState` — lock fields nulled, log emptied, counter zeroed.
+    * With `resetTasks` also M9 `reset_AllNests` (`code/manager.py:650-686`):
+    * every nested task back to `todo`.
+    */
+  def resetItems(items: DataFrame, pred: Column, toState: String = "todo",
+      resetTasks: Boolean = false): DataFrame = {
+    val withTasks =
+      if (!resetTasks) items.withColumn("__pred", pred)
+      else items.withColumn("__pred", pred).withColumn("nestedTasks",
+        when(col("__pred") && col("nestedTasks").isNotNull,
+          transform_values(col("nestedTasks"),
+            (_, v) => struct(lit("todo").as("status"), v.getField("script").as("script"))))
+          .otherwise(col("nestedTasks")))
+    applyWhen(withTasks, col("__pred"),
+      initialFields + ("itemState" -> lit(toState))).drop("__pred")
+  }
+
+  /** M8 `updateItemStates` (`code/manager.py:248-274`): bulk state flip only. */
+  def updateItemStates(items: DataFrame, pred: Column, toState: String): DataFrame =
+    applyWhen(items, pred, Map("itemState" -> lit(toState)))
+
+  /** M1 `updateNestedItemState` (`code/manager.py:553-598`): one task key back
+    * to `todo` + item unlocked; M2: its log entry removed.
+    */
+  def resetNestedTask(items: DataFrame, pred: Column, taskKey: String): DataFrame = {
+    val marked = items.withColumn("__p", pred)
+    val reset = applyWhen(marked, col("__p"),
+      initialFields - "log" - "logLength" + ("itemState" -> lit("todo")))
+    reset
+      .withColumn("nestedTasks",
+        when(col("__p") && col("nestedTasks").isNotNull,
+          transform_values(col("nestedTasks"),
+            (k, v) => when(k === taskKey,
+              struct(lit("todo").as("status"), v.getField("script").as("script")))
+              .otherwise(v)))
+          .otherwise(col("nestedTasks")))
+      // M2 REMOVE Log.#taskKey (`code/manager.py:587-594`)
+      .withColumn("log",
+        when(col("__p") && col("log").isNotNull,
+          map_filter(col("log"), (k, _) => k =!= taskKey))
+          .otherwise(col("log")))
+      // keep the Log_Length ≡ done-task-count invariant (modifier.py:240-249)
+      .withColumn("logLength",
+        when(col("__p") && col("nestedTasks").isNotNull,
+          size(map_filter(col("nestedTasks"), (_, v) => v.getField("status") === "done"))
+            .cast("long"))
+          .otherwise(col("logLength")))
+      .drop("__p")
+  }
+
+  /** M3 `delete_nestedTasks` (`code/manager.py:727-793`): drop the named task
+    * keys; an EMPTY key list drops every task — the reference's destructive
+    * default, preserved deliberately.
+    */
+  def deleteNestedTasks(items: DataFrame, pred: Column, taskKeys: Seq[String]): DataFrame = {
+    val keep: (Column, Column) => Column =
+      if (taskKeys.isEmpty) (_, _) => lit(false)
+      else (k, _) => !k.isin(taskKeys: _*)
+    items.withColumn("nestedTasks",
+      when(pred && col("nestedTasks").isNotNull, map_filter(col("nestedTasks"), keep))
+        .otherwise(col("nestedTasks")))
+      .withColumn("log",
+        when(pred && col("log").isNotNull, map_filter(col("log"), keep))
+          .otherwise(col("log")))
+  }
+
+  /** M4 `updateNestedItem(itemImport)` (`code/modifier.py:219-249`): record a
+    * finished task — status done, log entry written, `Log_Length` += 1 (the
+    * reference's atomic ADD). Only applies where the key exists and is still
+    * `todo`, matching the executor's skip-done replay guard (`runner.py:101-105`).
+    */
+  def recordTaskResult(items: DataFrame, pred: Column, taskKey: String,
+      stdout: Column, stderr: Column): DataFrame = {
+    val hasTodoKey = col("nestedTasks").isNotNull &&
+      element_at(col("nestedTasks"), taskKey).isNotNull &&
+      element_at(col("nestedTasks"), taskKey).getField("status") === "todo"
+    // materialized BEFORE nestedTasks is rewritten — the logLength update
+    // below must see the pre-mutation todo status
+    items
+      .withColumn("__p", pred && hasTodoKey)
+      .withColumn("log",
+        when(col("__p"), map_concat(
+          map_filter(col("log"), (k, _) => k =!= taskKey),
+          map(lit(taskKey),
+            struct(lit("Done").as("status"), stdout.as("stdout"), stderr.as("stderr")))))
+          .otherwise(col("log")))
+      .withColumn("nestedTasks",
+        when(col("__p"), transform_values(col("nestedTasks"),
+          (k, v) => when(k === taskKey,
+            struct(lit("done").as("status"), v.getField("script").as("script")))
+            .otherwise(v)))
+          .otherwise(col("nestedTasks")))
+      .withColumn("logLength",
+        when(col("__p"), col("logLength") + 1L).otherwise(col("logLength")))
+      .drop("__p")
+  }
+
+  /** M5 `map_keys` listing (`code/manager.py:675,745`). */
+  def listTaskKeys(items: DataFrame): DataFrame =
+    items.filter(col("nestedTasks").isNotNull)
+      .select(col("itemID"), explode(map_keys(col("nestedTasks"))).as("taskKey"))
+
+  /** M10 `delete_singleItem` / list variant (`code/manager.py:690-723`). */
+  def deleteItems(items: DataFrame, pred: Column): DataFrame = items.filter(!pred)
+
+  /** M10 at scale: ids as a DataFrame (column `itemID`), broadcast anti-join. */
+  def deleteItemsJoin(items: DataFrame, ids: DataFrame): DataFrame =
+    items.join(broadcast(ids), Seq("itemID"), "left_anti")
+
+  /** Exploded post-mutation task view (for oracle checks and exports). */
+  def explodeTasks(items: DataFrame): DataFrame =
+    items.filter(col("nestedTasks").isNotNull)
+      .select(col("itemID"), col("logLength"),
+        explode(col("nestedTasks")).as(Seq("taskKey", "task")))
+      .select(col("itemID"), col("taskKey"),
+        col("task.status").as("status"), col("task.script").as("script"),
+        col("logLength"))
+}

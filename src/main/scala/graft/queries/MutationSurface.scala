@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.ops.Mutations
+import graft.store.DerivedItems
+
+/** Driver-facing bundle of the mutation surface (M1-M10): each verb applied
+  * to the derived item table, result exploded to rows, oracle-checked
+  * against the equivalent CASE-rewrite in DuckDB.
+  */
+object MutationSurface {
+
+  private def flat(s: SparkSession, d: String) = DerivedItems.items(s, d)
+  private def nested(s: SparkSession, d: String) = DerivedItems.nestedItems(s, d)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // M7: bulk reset of locked items back to todo
+    "pa_mut_reset_locked" -> ((s, d) =>
+      Mutations.resetItems(flat(s, d), col("itemState") === "locked")
+        .select(col("itemID"), col("itemState"), col("lockID"), col("instanceID"),
+          col("lockDate"), col("doneDate"), col("errorDate"), col("logLength"))
+        .orderBy("itemID")),
+    // M8: bulk state flip by id predicate
+    "pa_mut_update_states" -> ((s, d) =>
+      Mutations.updateItemStates(flat(s, d),
+        col("itemID").endsWith("00"), "locked")
+        .select(col("itemID"), col("itemState"))
+        .orderBy("itemID")),
+    // M9 (via M7 resetTasks): Wall_Time_Exceeded items fully re-queued
+    "pa_mut_nested_reset" -> ((s, d) =>
+      Mutations.explodeTasks(
+        Mutations.resetItems(nested(s, d),
+          col("itemState") === "Wall_Time_Exceeded", resetTasks = true))
+        .orderBy("itemID", "taskKey")),
+    // M3: drop Task_0/Task_2 from items whose id ends in 5
+    "pa_mut_delete_tasks" -> ((s, d) =>
+      Mutations.explodeTasks(
+        Mutations.deleteNestedTasks(nested(s, d),
+          col("itemID").endsWith("5"), Seq("Task_0", "Task_2")))
+        .select("itemID", "taskKey", "status", "script")
+        .orderBy("itemID", "taskKey")),
+    // M4: record a finished Task_1 on every locked item still holding it
+    "pa_mut_record_result" -> ((s, d) =>
+      Mutations.explodeTasks(
+        Mutations.recordTaskResult(nested(s, d), col("itemState") === "locked",
+          "Task_1", lit("1\n2\n3"), lit("")))
+        .orderBy("itemID", "taskKey")),
+    // M10 + A1: delete a task group, recount states
+    "pa_mut_delete_items" -> ((s, d) =>
+      StateQueries.itemCounter(
+        Mutations.deleteItems(flat(s, d), col("taskID") === "grp_7"))),
+    // M5: task-key listing
+    "pa_mut_task_keys" -> ((s, d) =>
+      Mutations.listTaskKeys(nested(s, d)).orderBy("itemID", "taskKey")),
+  )
+
+  private val items = DerivedItems.itemsCte
+  private val ntasksSel = DerivedItems.nestedTaskRowsCte.replaceFirst("^WITH ", ", ")
+
+  val oracles: Map[String, String] = Map(
+    "pa_mut_reset_locked" -> (items +
+      """
+        |SELECT itemID,
+        |  CASE WHEN itemState = 'locked' THEN 'todo' ELSE itemState END AS itemState,
+        |  CASE WHEN itemState = 'locked' THEN NULL ELSE lockID END AS lockID,
+        |  CASE WHEN itemState = 'locked' THEN NULL ELSE instanceID END AS instanceID,
+        |  CASE WHEN itemState = 'locked' THEN NULL ELSE lockDate END AS lockDate,
+        |  CASE WHEN itemState = 'locked' THEN NULL ELSE doneDate END AS doneDate,
+        |  CASE WHEN itemState = 'locked' THEN FALSE ELSE errorDate END AS errorDate,
+        |  CASE WHEN itemState = 'locked' THEN 0 ELSE logLength END AS logLength
+        |FROM items ORDER BY itemID""".stripMargin),
+    "pa_mut_update_states" -> (items +
+      """
+        |SELECT itemID,
+        |  CASE WHEN itemID LIKE '%00' THEN 'locked' ELSE itemState END AS itemState
+        |FROM items ORDER BY itemID""".stripMargin),
+    "pa_mut_nested_reset" -> (items + ntasksSel +
+      """
+        |SELECT t.itemID, t.taskKey,
+        |  CASE WHEN i.itemState = 'Wall_Time_Exceeded' THEN 'todo' ELSE t.status END AS status,
+        |  t.script,
+        |  CASE WHEN i.itemState = 'Wall_Time_Exceeded' THEN 0 ELSE i.logLength END AS logLength
+        |FROM ntasks t JOIN items i USING (itemID)
+        |ORDER BY itemID, taskKey""".stripMargin),
+    "pa_mut_delete_tasks" -> (items + ntasksSel +
+      """
+        |SELECT itemID, taskKey, status, script FROM ntasks
+        |WHERE NOT (itemID LIKE '%5' AND taskKey IN ('Task_0', 'Task_2'))
+        |ORDER BY itemID, taskKey""".stripMargin),
+    "pa_mut_record_result" -> (items + ntasksSel +
+      """
+        |, hit AS (
+        |  SELECT t.itemID FROM ntasks t JOIN items i USING (itemID)
+        |  WHERE i.itemState = 'locked' AND t.taskKey = 'Task_1' AND t.status = 'todo'
+        |)
+        |SELECT t.itemID, t.taskKey,
+        |  CASE WHEN t.itemID IN (SELECT itemID FROM hit) AND t.taskKey = 'Task_1'
+        |       THEN 'done' ELSE t.status END AS status,
+        |  t.script,
+        |  i.logLength + CASE WHEN t.itemID IN (SELECT itemID FROM hit) THEN 1 ELSE 0 END AS logLength
+        |FROM ntasks t JOIN items i USING (itemID)
+        |ORDER BY itemID, taskKey""".stripMargin),
+    "pa_mut_delete_items" -> (items +
+      """
+        |SELECT itemState, COUNT(*) AS n, COUNT(nestedTaskCount) AS n_nested,
+        |       MIN(itemID) AS min_item, MAX(itemID) AS max_item
+        |FROM items WHERE taskID <> 'grp_7'
+        |GROUP BY itemState ORDER BY itemState""".stripMargin),
+    "pa_mut_task_keys" -> (items + ntasksSel +
+      """
+        |SELECT itemID, taskKey FROM ntasks ORDER BY itemID, taskKey""".stripMargin),
+  )
+}

@@ -65,7 +65,15 @@ object DerivedItems {
               .otherwise(coalesce(col("n_r_tasks"), lit(0L))))
           .cast("long").as("logLength"),
         when(isNested, nTasks).as("nestedTaskCount"))
+      .withColumn("log", typedEmptyLog)
   }
+
+  /** Typed empty `log` map (canonical schema slot; the populated form lives
+    * on [[nestedItems]]).
+    */
+  private def typedEmptyLog =
+    map_from_entries(array().cast(
+      "array<struct<key:string,value:struct<status:string,stdout:string,stderr:string>>>"))
 
   /** DuckDB CTE producing exactly [[items]]; prepend to oracle SQL. */
   val itemsCte: String =
@@ -201,19 +209,28 @@ object DerivedItems {
     */
   def nestedItems(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = nestedTaskRows(spark, sfDir)
-    // sort_array over (idx,entry) keeps map insertion order deterministic
+    // array_sort over (idx, entry) keeps map insertion order deterministic
     val entries = rows
       .withColumn("idx",
         substring_index(col("taskKey"), "_", -1).cast("int"))
       .groupBy(col("itemID"))
-      .agg(map_from_entries(
-        transform(
-          array_sort(collect_list(struct(col("idx").as("i"),
-            struct(col("taskKey").as("key"),
-              struct(col("status"), col("script")).as("value")).as("e")))),
-          x => x.getField("e"))).as("nestedTasks"))
+      .agg(array_sort(collect_list(struct(col("idx").as("i"),
+        struct(col("taskKey").as("key"),
+          struct(col("status"), col("script")).as("value")).as("e")))).as("arr"))
+      .select(
+        col("itemID"),
+        map_from_entries(transform(col("arr"), x => x.getField("e"))).as("nestedTasks"),
+        // log holds one entry per done task (Log_Length ≡ size(log) invariant)
+        map_from_entries(transform(
+          filter(col("arr"), x => x.getField("e").getField("value").getField("status") === "done"),
+          x => struct(
+            x.getField("e").getField("key").as("key"),
+            struct(lit("Done").as("status"),
+              concat(lit("out:"), x.getField("e").getField("value").getField("script"))
+                .as("stdout"),
+              lit("").as("stderr")).as("value")))).as("log"))
     items(spark, sfDir).filter(col("nestedTaskCount").isNotNull)
-      .drop("taskScript")
+      .drop("taskScript").drop("log")
       .join(entries, Seq("itemID"), "inner")
   }
 }
