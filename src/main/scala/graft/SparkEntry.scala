@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.queries.{MutationSurface, ReferenceSurface}
+import graft.queries.{ExecutionSurface, MutationSurface, ReferenceSurface}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -25,7 +25,7 @@ object SparkEntry {
       store.DerivedItems.items(s, d).drop("log").orderBy("itemID")),
     "pa_nested_tasks" -> ((s, d) =>
       store.DerivedItems.nestedTaskRows(s, d).orderBy("itemID", "taskKey")),
-  ) ++ ReferenceSurface.queries ++ MutationSurface.queries
+  ) ++ ReferenceSurface.queries ++ MutationSurface.queries ++ ExecutionSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +37,5 @@ object SparkEntry {
     "pa_nested_tasks" ->
       (store.DerivedItems.nestedTaskRowsCte +
         "\nSELECT * FROM ntasks ORDER BY itemID, taskKey"),
-  ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles
+  ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles ++ ExecutionSurface.oracles
 }

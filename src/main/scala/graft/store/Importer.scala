@@ -81,11 +81,20 @@ object Importer {
     }
     raw
       .filter(col("itemID").isNotNull && trim(col("itemID")) =!= "") // blank-line filter (manager.py:419)
+      // nestedTasks FIRST, in its own projection: the map-synthesis lambda
+      // captures col("taskScript"), and building it in the same select that
+      // re-aliases taskScript would resolve the capture against the new
+      // (nulled) alias instead of the input column
+      .withColumn("nestedTasks", when(isNested, nested))
+      .withColumn("nestedTaskCount",
+        when(isNested, size(split(col("taskArgs"),
+          java.util.regex.Pattern.quote(nestedDelim.getOrElse(",")))).cast("long")))
+      .withColumn("taskScript", when(!isNested, col("taskScript")))
       .select(
         col("itemID"),
         col("taskID"),
-        when(!isNested, col("taskScript")).as("taskScript"),
-        when(isNested, nested).as("nestedTasks"),
+        col("taskScript"),
+        col("nestedTasks"),
         lit("todo").as("itemState"),
         lit(null).cast("string").as("lockID"),
         lit(null).cast("string").as("instanceID"),
@@ -95,8 +104,6 @@ object Importer {
         map_from_entries(array().cast("array<struct<key:string,value:struct<status:string,stdout:string,stderr:string>>>"))
           .as("log"),
         lit(0L).as("logLength"),
-        when(isNested, size(split(col("taskArgs"),
-          java.util.regex.Pattern.quote(nestedDelim.getOrElse(",")))).cast("long"))
-          .as("nestedTaskCount"))
+        col("nestedTaskCount"))
   }
 }
