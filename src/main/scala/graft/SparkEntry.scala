@@ -20,22 +20,22 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
-    "q1_pricing_summary" -> (analytics.Relational.q1PricingSummary _),
     "pa_items_snapshot" -> ((s, d) =>
       store.DerivedItems.items(s, d).drop("log").orderBy("itemID")),
     "pa_nested_tasks" -> ((s, d) =>
       store.DerivedItems.nestedTaskRows(s, d).orderBy("itemID", "taskKey")),
-  ) ++ ReferenceSurface.queries ++ MutationSurface.queries ++ ExecutionSurface.queries
+  ) ++ ReferenceSurface.queries ++ MutationSurface.queries ++
+    ExecutionSurface.queries ++ analytics.Relational.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
   def oracleSql: Map[String, String] = Map(
-    "q1_pricing_summary" -> analytics.Relational.q1Sql,
     "pa_items_snapshot" ->
       (store.DerivedItems.itemsCte + "\nSELECT * FROM items ORDER BY itemID"),
     "pa_nested_tasks" ->
       (store.DerivedItems.nestedTaskRowsCte +
         "\nSELECT * FROM ntasks ORDER BY itemID, taskKey"),
-  ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles ++ ExecutionSurface.oracles
+  ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles ++
+    ExecutionSurface.oracles ++ analytics.Relational.oracles
 }

@@ -61,4 +61,286 @@ object Relational {
       |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  private def revenue = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    .cast("decimal(24,6)")
+
+  /** TPC-H Q3 analog: top-10 open orders by revenue. Small dims broadcast
+    * (customer segment filter first, so the broadcast is the *filtered*
+    * side); the only shuffle is the final groupBy on o_orderkey.
+    */
+  def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q3Sql: String =
+    """SELECT o_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY o_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q5 analog: revenue by nation through a 6-table join. Dimension
+    * chain (region→nation→customer/supplier) broadcasts; fact tables join
+    * on their natural keys. The co-membership condition (customer and
+    * supplier in the same nation) is the classic Q5 twist.
+    */
+  def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        supp("s_nationkey") === cust("c_nationkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5Sql: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM lineitem
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey AND s_nationkey = c_nationkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Window ranking: top-3 parts by revenue within each brand (the ORDER
+    * BY/LIMIT + ranking window category the reference lacks, SURVEY §2.5/2.6).
+    */
+  def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_name")
+    val perPart = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"), col("p_partkey"), col("p_name"))
+      .agg(sum(revenue).cast("double").as("revenue"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("p_brand"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+    perPart.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 3)
+      .orderBy(col("p_brand"), col("rnk"))
+  }
+
+  val topPartsSql: String =
+    """SELECT p_brand, p_partkey, p_name, revenue, rnk FROM (
+      |  SELECT p_brand, p_partkey, p_name,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |    ROW_NUMBER() OVER (PARTITION BY p_brand
+      |      ORDER BY CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) DESC,
+      |               p_partkey) AS rnk
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY p_brand, p_partkey, p_name)
+      |WHERE rnk <= 3 ORDER BY p_brand, rnk""".stripMargin
+
+  /** Set ops (absent in the reference — SURVEY §2.7): customers that bought
+    * in both halves of the order history (INTERSECT), only early (EXCEPT),
+    * and the disjoint union tagged.
+    */
+  def setOpsCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir)
+    val early = ord.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val late = ord.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp"))
+      .select(col("o_custkey"))
+    val both = early.intersect(late).withColumn("cohort", lit("both"))
+    val earlyOnly = early.except(late).withColumn("cohort", lit("early_only"))
+    val lateOnly = late.except(early).withColumn("cohort", lit("late_only"))
+    both.unionByName(earlyOnly).unionByName(lateOnly)
+      .orderBy(col("cohort"), col("o_custkey"))
+  }
+
+  val setOpsSql: String =
+    """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1998-01-01 00:00:00'),
+      |late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00')
+      |SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM early INTERSECT SELECT * FROM late)
+      |UNION ALL
+      |SELECT o_custkey, 'early_only' FROM (SELECT * FROM early EXCEPT SELECT * FROM late)
+      |UNION ALL
+      |SELECT o_custkey, 'late_only' FROM (SELECT * FROM late EXCEPT SELECT * FROM early)
+      |ORDER BY cohort, o_custkey""".stripMargin
+
+  /** ROLLUP grouping sets (absent in reference — SURVEY §2.4): counts and
+    * exact sums at (flag, status), (flag), and grand-total levels.
+    */
+  def rollupSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val rollupSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
+  /** As-of join (absent in reference; Spark lacks it natively): for every
+    * purchase event, the user's most recent click at-or-before it. Built the
+    * scalable way — union both sides, one window pass per key — rather than
+    * an inequality join that explodes to |purchases|×|clicks| per user.
+    * Oracle uses DuckDB's native ASOF JOIN, so the semantics are checked
+    * against a reference implementation.
+    */
+  def asofPurchaseClick(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(1).as("is_q"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"), col("event_id"), lit(0).as("is_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id"))
+      // clicks sort before purchases at identical ts => ASOF's >= semantics
+      .orderBy(col("ts"), col("is_q"), col("event_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    purchases.unionByName(clicks)
+      .withColumn("click_event_id",
+        last(when(col("is_q") === 0, col("event_id")), ignoreNulls = true).over(w))
+      .filter(col("is_q") === 1)
+      .select(col("event_id"), col("user_id"), col("click_event_id"))
+      .orderBy(col("event_id"))
+  }
+
+  val asofSql: String =
+    """SELECT p.event_id, p.user_id, c.event_id AS click_event_id
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+
+  /** Range join: events bucketed into value bands derived from the region
+    * table. Small side broadcasts → BroadcastNestedLoopJoin, the right plan
+    * when one side is tiny; at scale with two big sides this becomes a
+    * bucketed band join (see SURVEY §2.3 absent-joins note).
+    */
+  def rangeJoinValueBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val bands = Tables.region(spark, sfDir)
+      .select(col("r_regionkey").as("band"),
+        (col("r_regionkey") * 100.0).as("lo"),
+        ((col("r_regionkey") + 1) * 100.0).as("hi"))
+    Tables.events(spark, sfDir)
+      .join(broadcast(bands), col("value") >= col("lo") && col("value") < col("hi"), "inner")
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .orderBy(col("band"))
+  }
+
+  val rangeJoinSql: String =
+    """WITH bands AS (SELECT r_regionkey AS band, r_regionkey * 100.0 AS lo,
+      |                      (r_regionkey + 1) * 100.0 AS hi FROM region)
+      |SELECT band, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM events JOIN bands ON value >= lo AND value < hi
+      |GROUP BY band ORDER BY band""".stripMargin
+
+  /** Skew-safe two-phase aggregation: salt the hot key-space, partial-agg,
+    * then merge — result provably identical to the plain aggregation (the
+    * oracle checks exactly that). Decimal partials re-aggregate losslessly.
+    */
+  def saltedRevenueByPriority(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .withColumn("salt", pmod(col("l_orderkey"), lit(16)))
+      .groupBy(col("o_orderpriority"), col("salt"))
+      .agg(sum(revenue).as("partial_rev"), count(lit(1)).as("partial_n"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("partial_rev")).cast("double").as("revenue"),
+        sum(col("partial_n")).as("n"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  val saltedRevenueSql: String =
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** Distinct aggregation (absent in reference): exact distinct customers
+    * and orders per priority.
+    */
+  def distinctCustomers(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("n_cust"),
+        count(lit(1)).as("n_orders"))
+      .orderBy(col("o_orderpriority"))
+
+  val distinctCustomersSql: String =
+    """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** approx_count_distinct (HLL++) — approximate by design, so no DuckDB
+    * oracle (driver records the weaker rows-only check); the exact variant
+    * above is the correctness anchor.
+    */
+  def approxDistinctParts(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_shipping_priority" -> (q3ShippingPriority _),
+    "q5_local_supplier" -> (q5LocalSupplier _),
+    "q_top_parts_per_brand" -> (topPartsPerBrand _),
+    "q_setops_customers" -> (setOpsCustomers _),
+    "q_rollup_summary" -> (rollupSummary _),
+    "q_asof_purchase_click" -> (asofPurchaseClick _),
+    "q_range_join_bands" -> (rangeJoinValueBands _),
+    "q_salted_revenue" -> (saltedRevenueByPriority _),
+    "q_distinct_customers" -> (distinctCustomers _),
+    "q_approx_distinct_parts" -> (approxDistinctParts _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q1_pricing_summary" -> q1Sql,
+    "q3_shipping_priority" -> q3Sql,
+    "q5_local_supplier" -> q5Sql,
+    "q_top_parts_per_brand" -> topPartsSql,
+    "q_setops_customers" -> setOpsSql,
+    "q_rollup_summary" -> rollupSql,
+    "q_asof_purchase_click" -> asofSql,
+    "q_range_join_bands" -> rangeJoinSql,
+    "q_salted_revenue" -> saltedRevenueSql,
+    "q_distinct_customers" -> distinctCustomersSql,
+  )
 }
