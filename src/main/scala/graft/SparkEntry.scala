@@ -25,7 +25,8 @@ object SparkEntry {
     "pa_nested_tasks" -> ((s, d) =>
       store.DerivedItems.nestedTaskRows(s, d).orderBy("itemID", "taskKey")),
   ) ++ ReferenceSurface.queries ++ MutationSurface.queries ++
-    ExecutionSurface.queries ++ analytics.Relational.queries
+    ExecutionSurface.queries ++ analytics.Relational.queries ++
+    text.TextSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -37,5 +38,6 @@ object SparkEntry {
       (store.DerivedItems.nestedTaskRowsCte +
         "\nSELECT * FROM ntasks ORDER BY itemID, taskKey"),
   ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles ++
-    ExecutionSurface.oracles ++ analytics.Relational.oracles
+    ExecutionSurface.oracles ++ analytics.Relational.oracles ++
+    text.TextSurface.oracles
 }
