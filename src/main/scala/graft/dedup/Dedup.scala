@@ -1,0 +1,158 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextAnalysis
+
+/** Deduplication operators for the LLM-data-pipeline surface: exact,
+  * n-gram Jaccard, MinHash+LSH, SimHash, embedding-cosine near-dup.
+  *
+  * Design notes for 100 TB:
+  *  - Exact dedup is a hash-groupBy — one shuffle on the fingerprint.
+  *  - Pairwise ops (Jaccard/SimHash) NEVER run all-pairs globally: they take
+  *    a blocking column (language here; at scale add a length band and/or an
+  *    LSH band) so the self-join key-space bounds the quadratic term.
+  *  - MinHash+LSH is the scale path: signatures are per-row projections, the
+  *    band join is an equi-join on band keys, and candidate verification is
+  *    a second narrow join — no all-pairs anywhere.
+  *  - Every hash is engine-portable (md5 strings, polynomial char hashes) so
+  *    the DuckDB oracle reproduces results bit-for-bit; swapping in
+  *    xxhash64 is a one-line change where oracle parity isn't needed.
+  */
+object Dedup {
+
+  /** Word n-grams (space-joined) over the normalized token array; docs with
+    * fewer than n tokens contribute the whole normalized text as one gram.
+    */
+  def ngrams(text: Column, n: Int): Column = {
+    val tokens = split(TextAnalysis.normalized(text), " ")
+    when(size(tokens) >= n,
+      transform(sequence(lit(1), size(tokens) - (n - 1)),
+        i => array_join(slice(tokens, i, lit(n)), " ")))
+      .otherwise(array(TextAnalysis.normalized(text)))
+  }
+
+  /** Exact dedup groups: normalized-text fingerprint → group size + survivor
+    * (min id). One shuffle; survivors join back by fingerprint if the full
+    * surviving rows are needed.
+    */
+  def exactGroups(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(md5(TextAnalysis.normalized(col(textCol))).as("fp"))
+      .agg(count(lit(1)).as("n"), min(col(idCol)).as("survivor_id"))
+
+  /** Pairwise token-3-gram Jaccard within a blocking key. Quadratic in the
+    * block size by construction — callers at scale must block (or use
+    * [[lshCandidates]] first and verify only candidates).
+    */
+  def jaccardPairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      threshold: Double): DataFrame = {
+    val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      array_distinct(ngrams(col(textCol), 3)).as("grams"))
+    val a = g.alias("a")
+    val b = g.alias("b")
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("a.grams"), col("b.grams"))) /
+          size(array_union(col("a.grams"), col("b.grams"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signature value k: the minimum salted-md5 over the doc's
+    * shingles. A string-ordered min under a salted hash is a valid random
+    * permutation minimum, and is reproducible in any engine with md5.
+    */
+  def minhashSig(grams: Column, k: Int): Column =
+    array_min(transform(grams, s => md5(concat(lit(s"$k:"), s))))
+
+  /** LSH band keys: `bands` bands × `rowsPerBand` signature rows, band index
+    * baked into the key hash so a plain equi-join on the key is the bucket
+    * join.
+    */
+  def bandKeys(grams: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { j =>
+      md5(concat((lit(s"$j|") +:
+        (0 until rowsPerBand).map(r => minhashSig(grams, j * rowsPerBand + r))): _*))
+    }: _*)
+
+  /** Candidate pairs sharing ≥1 LSH band: explode band keys, equi-join,
+    * distinct. THE scale path for near-dedup: no quadratic blow-up; shuffle
+    * keys are the band hashes (uniform), join fan-out bounded by bucket
+    * sizes.
+    */
+  def lshCandidates(
+      docs: DataFrame, idCol: String, textCol: String,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val withBands = docs.select(col(idCol).as("id"),
+      explode(bandKeys(array_distinct(ngrams(col(textCol), 3)), bands, rowsPerBand)).as("bk"))
+    val a = withBands.alias("a")
+    val b = withBands.alias("b")
+    a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+  }
+
+  val HashMod = 2147483647L // 2^31 - 1
+
+  /** Portable token hash: left fold (acc*31 + codepoint) % (2^31-1). */
+  def tokenHash(token: Column): Column =
+    aggregate(transform(split(token, ""), c => ascii(c)),
+      lit(0L), (acc, x) => (acc * 31 + x) % HashMod)
+
+  /** 16-bit SimHash: per-bit majority vote over token hashes. Bits are
+    * extracted arithmetically (floor-div + mod) for engine portability.
+    * Production note: one explode+groupBy pass computes all bits in a
+    * single aggregation; the 16 array folds here keep it shuffle-free and
+    * oracle-parallel.
+    */
+  def simhash16(text: Column): Column = {
+    val tokens = array_distinct(split(TextAnalysis.normalized(text), " "))
+    (0 until 16).map { bit =>
+      // shiftright = floor-div by 2^bit on the nonnegative hash (== the
+      // oracle's integer `//`)
+      val vote = aggregate(tokens, lit(0L),
+        (acc, t) => acc + shiftright(tokenHash(t), bit) % 2 * 2 - 1)
+      when(vote > 0, lit(1L << bit)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** SimHash near-dup pairs within a block: hamming(simhash) ≤ maxDist. */
+  def simhashPairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      maxDist: Int): DataFrame = {
+    val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      simhash16(col(textCol)).as("sh"))
+    val a = g.alias("a")
+    val b = g.alias("b")
+    val hamming = (0 until 16).map { bit =>
+      abs(shiftright(col("a.sh"), bit) % 2 - shiftright(col("b.sh"), bit) % 2)
+    }.reduce(_ + _)
+    a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("hamming", hamming)
+      .filter(col("hamming") <= maxDist)
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("hamming"))
+  }
+
+  /** Left-fold dot product — the exact fold the DuckDB oracle uses. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+
+  /** Embedding cosine near-dup pairs (brute force; blocking/ANN variants in
+    * [[graft.sim.Similarity]] are the scale path).
+    */
+  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val a = v.alias("a")
+    val b = v.alias("b")
+    a.join(b, col("a.id") < col("b.id"))
+      .withColumn("cos", cosine(col("a.v"), col("b.v")))
+      .filter(col("cos") >= threshold)
+      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cos"))
+  }
+}

@@ -1,0 +1,153 @@
+package graft.dedup
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Driver-facing dedup bundle. The testdata ships with no duplicates (every
+  * normalized text and embedding is unique), so each query runs over a
+  * deterministically *augmented* corpus — exact copies of every 10th doc,
+  * tail-perturbed copies of every doc ending in 5, scaled copies of every
+  * 10th embedding — derived identically here and in the DuckDB CTEs, so the
+  * dedup operators have real positives to find and the oracle checks they
+  * find exactly those.
+  */
+object DedupSurface {
+
+  /** documents ∪ exact copies (id+100000) ∪ near copies (id+200000). */
+  def corpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    docs
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" duplicated tail marker")).as("text"), col("lang")))
+  }
+
+  val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' duplicated tail marker', lang
+      |  FROM documents WHERE doc_id % 10 = 5
+      |)""".stripMargin
+
+  /** embeddings (as double) ∪ 1.001-scaled copies of every 10th vector. */
+  def vecs(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    e.unionByName(
+      Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
+        .select((col("vec_id") + 100000).as("vec_id"),
+          transform(col("embedding"), x => x.cast("double") * 1.001).as("v")))
+  }
+
+  val vecsCte: String =
+    """vecs AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+      |  FROM embeddings WHERE vec_id % 10 = 0
+      |)""".stripMargin
+
+  // ---- generated DuckDB fragments mirroring Dedup's expressions ----
+
+  private val ntext = """trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"""
+
+  private val gramsExpr =
+    s"""CASE WHEN len(string_split($ntext, ' ')) >= 3
+       |     THEN list_transform(range(1, len(string_split($ntext, ' ')) - 1),
+       |            i -> array_to_string(list_slice(string_split($ntext, ' '), i, i + 2), ' '))
+       |     ELSE [$ntext] END""".stripMargin
+
+  private def sigSql(k: Int): String =
+    s"list_min(list_transform(grams, s -> md5('$k:' || s)))"
+
+  private def bandKeySql(j: Int, rowsPerBand: Int): String = {
+    val sigs = (0 until rowsPerBand).map(r => sigSql(j * rowsPerBand + r)).mkString(" || ")
+    s"md5('$j|' || $sigs)"
+  }
+
+  private val tokenHashSql =
+    """list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |  list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
+      |  (hacc, hx) -> (hacc * 31 + hx) % 2147483647)""".stripMargin
+
+  private def simhashSql: String = {
+    val bits = (0 until 16).map { b =>
+      val pow = 1L << b
+      s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |  list_transform(tokens, t -> (($tokenHashSql // $pow) % 2) * 2 - 1)),
+         |  (vacc, vx) -> vacc + vx) > 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
+    }
+    bits.mkString("(", " + ", ")")
+  }
+
+  private def hammingSql(a: String, b: String): String =
+    (0 until 16).map { bit =>
+      val pow = 1L << bit
+      s"abs(($a // $pow) % 2 - ($b // $pow) % 2)"
+    }.mkString("(", " + ", ")")
+
+  private def dotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |  i -> $a[i] * $b[i])), (da, dx) -> da + dx)""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact_groups" -> ((s, d) =>
+      Dedup.exactGroups(corpus(s, d), "doc_id", "text").orderBy("fp")),
+    "dedup_jaccard_pairs" -> ((s, d) =>
+      Dedup.jaccardPairs(corpus(s, d), "doc_id", "text", "lang", 0.5)
+        .orderBy("doc_a", "doc_b")),
+    "dedup_lsh_candidates" -> ((s, d) =>
+      Dedup.lshCandidates(corpus(s, d), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+    "dedup_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashPairs(corpus(s, d), "doc_id", "text", "lang", 1)
+        .orderBy("doc_a", "doc_b")),
+    "dedup_cosine_pairs" -> ((s, d) =>
+      Dedup.cosinePairs(vecs(s, d), "vec_id", "v", 0.999)
+        .orderBy("vec_a", "vec_b")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "dedup_exact_groups" -> s"""WITH $corpusCte
+      |SELECT md5($ntext) AS fp, COUNT(*) AS n, MIN(doc_id) AS survivor_id
+      |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_jaccard_pairs" -> s"""WITH $corpusCte,
+      |g AS (SELECT doc_id AS id, lang AS blk, list_distinct($gramsExpr) AS grams FROM corpus)
+      |SELECT a.id AS doc_a, b.id AS doc_b,
+      |  len(list_intersect(a.grams, b.grams)) /
+      |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
+      |FROM g a JOIN g b ON a.blk = b.blk AND a.id < b.id
+      |WHERE len(list_intersect(a.grams, b.grams)) /
+      |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_lsh_candidates" -> s"""WITH $corpusCte,
+      |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
+      |bands AS (SELECT id, unnest([${(0 until 6).map(bandKeySql(_, 2)).mkString(", ")}]) AS bk FROM g)
+      |SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      |FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_simhash_pairs" -> s"""WITH $corpusCte,
+      |sh AS (SELECT doc_id AS id, lang AS blk, $simhashSql AS sh
+      |       FROM (SELECT doc_id, lang, list_distinct(string_split($ntext, ' ')) AS tokens
+      |             FROM corpus))
+      |SELECT a.id AS doc_a, b.id AS doc_b, ${hammingSql("a.sh", "b.sh")} AS hamming
+      |FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
+      |WHERE ${hammingSql("a.sh", "b.sh")} <= 1
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_cosine_pairs" -> s"""WITH $vecsCte
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+      |  ${dotSql("a.v", "b.v")} /
+      |    (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS cos
+      |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
+      |WHERE ${dotSql("a.v", "b.v")} /
+      |    (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) >= 0.999
+      |ORDER BY vec_a, vec_b""".stripMargin,
+  )
+}
