@@ -26,7 +26,8 @@ object SparkEntry {
       store.DerivedItems.nestedTaskRows(s, d).orderBy("itemID", "taskKey")),
   ) ++ ReferenceSurface.queries ++ MutationSurface.queries ++
     ExecutionSurface.queries ++ analytics.Relational.queries ++
-    text.TextSurface.queries ++ dedup.DedupSurface.queries
+    text.TextSurface.queries ++ dedup.DedupSurface.queries ++
+    sim.SimSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -39,5 +40,6 @@ object SparkEntry {
         "\nSELECT * FROM ntasks ORDER BY itemID, taskKey"),
   ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles ++
     ExecutionSurface.oracles ++ analytics.Relational.oracles ++
-    text.TextSurface.oracles ++ dedup.DedupSurface.oracles
+    text.TextSurface.oracles ++ dedup.DedupSurface.oracles ++
+    sim.SimSurface.oracles
 }

