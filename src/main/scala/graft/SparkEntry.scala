@@ -27,7 +27,7 @@ object SparkEntry {
   ) ++ ReferenceSurface.queries ++ MutationSurface.queries ++
     ExecutionSurface.queries ++ analytics.Relational.queries ++
     text.TextSurface.queries ++ dedup.DedupSurface.queries ++
-    sim.SimSurface.queries
+    sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +41,5 @@ object SparkEntry {
   ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles ++
     ExecutionSurface.oracles ++ analytics.Relational.oracles ++
     text.TextSurface.oracles ++ dedup.DedupSurface.oracles ++
-    sim.SimSurface.oracles
+    sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles
 }

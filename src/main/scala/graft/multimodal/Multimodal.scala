@@ -1,0 +1,86 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling for the LLM-data-pipeline surface: media as
+  * opaque `binary` payloads + typed metadata, with decode / feature-extract
+  * / frame-sample operators.
+  *
+  * The Spark-side plumbing is real — schema, batch shape, partition-wise
+  * iteration (the Scala analog of `mapInPandas` batches), pushdown-friendly
+  * metadata columns. The *decoder itself* is a clearly marked deterministic
+  * STUB (`fakeDecode`): the actual image/audio libraries are not in this
+  * environment, so it derives features arithmetically from the bytes. Swap
+  * `fakeDecode` for a JNI/ffmpeg/ImageIO call and nothing else changes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, sampleRate: Int, durationMs: Int)
+  final case class MediaRow(mediaId: Long, kind: String, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      mediaId: Long, kind: String, byteLen: Long, checksum: Long, meanByte: Double)
+
+  /** Derive a media table from `documents` (text bytes as stand-in payloads;
+    * kind/meta synthesized deterministically from doc_id).
+    */
+  def deriveMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id").as("mediaId"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"),
+      col("text").cast("binary").as("payload"),
+      struct(
+        (col("doc_id") % 640 + 1).cast("int").as("width"),
+        (col("doc_id") % 480 + 1).cast("int").as("height"),
+        when(col("doc_id") % 3 === 1, 16000).otherwise(0).cast("int").as("sampleRate"),
+        (col("doc_id") % 10000).cast("int").as("durationMs")).as("meta"))
+
+  /** STUB decoder — replace with a real codec. Deterministic features from
+    * raw bytes: length, polynomial checksum, mean byte value.
+    */
+  def fakeDecode(payload: Array[Byte]): (Long, Double) = {
+    var acc = 0L
+    var sum = 0L
+    var i = 0
+    while (i < payload.length) {
+      val b = payload(i) & 0xff
+      acc = (acc * 31 + b) % 2147483647L
+      sum += b
+      i += 1
+    }
+    (acc, if (payload.length == 0) 0.0 else sum.toDouble / payload.length)
+  }
+
+  /** Feature extraction over partition-wise batches — the Scala shape of a
+    * `mapInPandas` decode stage: one iterator per partition, library init
+    * amortized per partition (where a real decoder would open its context).
+    */
+  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("mediaId"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // real decoder: initialize codec context here, once per partition
+        it.map { case (id, kind, payload) =>
+          val (checksum, meanByte) = fakeDecode(payload)
+          MediaFeatures(id, kind, payload.length.toLong, checksum, meanByte)
+        }
+      }
+  }
+
+  /** Frame sampling for video payloads: take every `stride`-th byte-block as
+    * a "frame" (stub for keyframe extraction); emits (mediaId, frameIdx,
+    * frame) rows — the exploding shape a real frame sampler produces.
+    */
+  def sampleFrames(media: DataFrame, blockSize: Int = 64, stride: Int = 4): DataFrame = {
+    val nBlocks = floor(octet_length(col("payload")) / blockSize).cast("int")
+    media.filter(col("kind") === "video")
+      .select(col("mediaId"),
+        posexplode(transform(sequence(lit(0), greatest(nBlocks - 1, lit(0)), lit(stride)),
+          i => substring(col("payload"), i * blockSize + 1, lit(blockSize)))))
+      .withColumnRenamed("pos", "frameIdx")
+      .withColumnRenamed("col", "frame")
+  }
+}

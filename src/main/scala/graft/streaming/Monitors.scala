@@ -1,0 +1,73 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.model.WorkItem
+
+/** Structured Streaming monitors (SURVEY.md §2.9): the reference's
+  * sleep-loop pollers (`monitor_task` `code/manager.py:209-244`,
+  * `monitor_nestedTasks` `code/manager.py:915-939`) become continuous
+  * streaming aggregations — no client loop, no repeated GSI scans; each
+  * micro-batch incrementally updates the same aggregation state.
+  */
+object Monitors {
+
+  /** A2 `monitor_task` as a stream: per-state counts over the item stream,
+    * `outputMode(complete)` — each trigger emits the current snapshot
+    * (exactly the reference's per-iteration `{todo,locked,done}` dict).
+    */
+  def stateCounts(itemsStream: DataFrame): DataFrame =
+    itemsStream.groupBy(col("itemState"))
+      .agg(count(lit(1)).as("n"), count(col("nestedTaskCount")).as("n_nested"))
+
+  /** A4 `monitor_nestedTasks` as a stream: the progress histogram (A3
+    * bucket logic) continuously maintained; counts only, as the reference's
+    * monitor variant drops the id lists.
+    */
+  def progressHistogram(itemsStream: DataFrame): DataFrame =
+    itemsStream
+      .filter(col("nestedTaskCount").isNotNull && col("nestedTaskCount") > 0)
+      .withColumn("pct", expr("logLength * 100 div nestedTaskCount"))
+      .withColumn("bucket",
+        when(col("pct") === 0, "todo")
+          .when(col("pct") <= 25, "Q1")
+          .when(col("pct") <= 50, "Q2")
+          .when(col("pct") <= 75, "Q3")
+          .when(col("pct") <= 99, "Q4")
+          .otherwise("done"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** T5 + the watermark/window semantics the reference lacks: tumbling
+    * 1-hour event windows with 10-minute lateness tolerance, append mode —
+    * state is evicted once the watermark passes, so the monitor runs
+    * indefinitely with bounded memory.
+    */
+  def eventWindowCounts(eventsStream: DataFrame): DataFrame =
+    eventsStream
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
+
+  /** Open the item table as a stream (file source over the store path). */
+  def itemStream(spark: SparkSession, path: String): DataFrame =
+    spark.readStream.schema(WorkItem.schema).parquet(path)
+
+  /** Drive a monitor synchronously into an in-memory table (test/ops
+    * harness): returns the running query after one full pass.
+    */
+  def runToMemory(df: DataFrame, name: String, mode: String): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .format("memory")
+      .queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+}

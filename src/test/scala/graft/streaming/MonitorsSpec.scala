@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.queries.StateQueries
+import graft.store.{DerivedItems, ItemStore}
+
+class MonitorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val storePath = {
+    val p = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    ItemStore.save(DerivedItems.items(spark, sf0001)
+      .withColumn("nestedTasks",
+        lit(null).cast("map<string,struct<status:string,script:string>>"))
+      .select(graft.model.WorkItem.schema.fieldNames.map(col): _*), p)
+    p
+  }
+
+  test("streaming state counts equal the batch itemCounter snapshot (A2)") {
+    val q = Monitors.runToMemory(
+      Monitors.stateCounts(Monitors.itemStream(spark, storePath)),
+      "state_counts", "complete")
+    try {
+      val streamed = spark.table("state_counts")
+        .select($"itemState", $"n").as[(String, Long)].collect().toMap
+      val batch = StateQueries.itemCounter(ItemStore.load(spark, storePath))
+        .select($"itemState", $"n").as[(String, Long)].collect().toMap
+      assert(streamed === batch)
+      assert(streamed.values.sum === 1500L)
+    } finally q.stop()
+  }
+
+  test("streaming progress histogram equals the batch buckets (A4)") {
+    val q = Monitors.runToMemory(
+      Monitors.progressHistogram(Monitors.itemStream(spark, storePath)),
+      "progress_hist", "complete")
+    try {
+      val streamed = spark.table("progress_hist")
+        .select($"bucket", $"n").as[(String, Long)].collect().toMap
+      val batch = StateQueries.progressHistogram(ItemStore.load(spark, storePath))
+        .select($"bucket", $"n").as[(String, Long)].collect().toMap
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("windowed event counts with watermark run append-mode (T5)") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // file stream sources need a directory, not a single file
+    val evDir = java.nio.file.Files.createTempDirectory("graft-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+      .parquet(evDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = Monitors.runToMemory(
+      Monitors.eventWindowCounts(raw), "event_windows", "append")
+    try {
+      // append mode only emits closed windows; with AvailableNow the final
+      // watermark closes all but the last -> compare against batch minus max window
+      val streamed = spark.table("event_windows")
+        .select($"window_start", $"event_type", $"n").as[(java.sql.Timestamp, String, Long)]
+        .collect().map { case (w, t, n) => (w.toString, t) -> n }.toMap
+      val ev = graft.Tables.events(spark, sf0001)
+      val maxWindow = ev.select(date_trunc("hour", max($"ts"))).as[java.sql.Timestamp].head()
+      val batch = ev.filter(date_trunc("hour", $"ts") < maxWindow)
+        .groupBy(date_trunc("hour", $"ts").as("w"), $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .as[(java.sql.Timestamp, String, Long)]
+        .collect().map { case (w, t, n) => (w.toString, t) -> n }.toMap
+      assert(streamed === batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+}
