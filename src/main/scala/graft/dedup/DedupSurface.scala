@@ -100,8 +100,10 @@ object DedupSurface {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(corpus(s, d), "doc_id", "text").orderBy("fp")),
+    // the scale-path pipeline: LSH candidates → exact Jaccard verification
+    // (the all-pairs jaccardPairs form is exercised in DedupSpec on sf0.001)
     "dedup_jaccard_pairs" -> ((s, d) =>
-      Dedup.jaccardPairs(corpus(s, d), "doc_id", "text", "lang", 0.5)
+      Dedup.lshVerifiedPairs(corpus(s, d), "doc_id", "text", 0.5)
         .orderBy("doc_a", "doc_b")),
     "dedup_lsh_candidates" -> ((s, d) =>
       Dedup.lshCandidates(corpus(s, d), "doc_id", "text")
@@ -119,13 +121,16 @@ object DedupSurface {
       |SELECT md5($ntext) AS fp, COUNT(*) AS n, MIN(doc_id) AS survivor_id
       |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
     "dedup_jaccard_pairs" -> s"""WITH $corpusCte,
-      |g AS (SELECT doc_id AS id, lang AS blk, list_distinct($gramsExpr) AS grams FROM corpus)
-      |SELECT a.id AS doc_a, b.id AS doc_b,
-      |  len(list_intersect(a.grams, b.grams)) /
-      |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) AS jaccard
-      |FROM g a JOIN g b ON a.blk = b.blk AND a.id < b.id
-      |WHERE len(list_intersect(a.grams, b.grams)) /
-      |    (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))) >= 0.5
+      |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
+      |bands AS (SELECT id, unnest([${(0 until 6).map(bandKeySql(_, 2)).mkString(", ")}]) AS bk FROM g),
+      |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id)
+      |SELECT doc_a, doc_b,
+      |  len(list_intersect(ga.grams, gb.grams)) /
+      |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+      |FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
+      |WHERE len(list_intersect(ga.grams, gb.grams)) /
+      |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_lsh_candidates" -> s"""WITH $corpusCte,
       |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),

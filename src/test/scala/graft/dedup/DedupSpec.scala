@@ -1,0 +1,49 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val corpus = DedupSurface.corpus(spark, sf0001).cache()
+
+  test("all-pairs jaccard finds exact copies at 1.0 and near copies above threshold") {
+    val pairs = Dedup.jaccardPairs(corpus, "doc_id", "text", "lang", 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard")
+      .as[(Long, Long, Double)].collect()
+    val byPair = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    // every 10th doc has an exact copy at +100000
+    assert(byPair((0L, 100000L)) === 1.0)
+    assert(byPair((10L, 100010L)) === 1.0)
+    // every doc ending in 5 has a tail-perturbed near copy at +200000
+    assert(byPair.contains((5L, 200005L)))
+    assert(byPair((5L, 200005L)) < 1.0 && byPair((5L, 200005L)) >= 0.5)
+  }
+
+  test("LSH-verified pipeline is a subset of all-pairs jaccard and catches exact dups") {
+    // LSH candidates are not language-blocked, so compare against the
+    // unblocked all-pairs ground truth
+    val all = Dedup.jaccardPairs(
+      corpus.withColumn("blk_all", org.apache.spark.sql.functions.lit("x")),
+      "doc_id", "text", "blk_all", 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(all))
+    // identical docs share every band -> guaranteed candidates
+    assert(lsh.contains((0L, 100000L)))
+    assert(lsh.contains((40L, 100040L)))
+    // LSH recall on the planted near-dups should be high
+    val planted = all.filter { case (a, b) => b - a == 200000L }
+    val caught = planted.intersect(lsh)
+    assert(caught.size.toDouble / planted.size >= 0.8, s"recall ${caught.size}/${planted.size}")
+  }
+
+  test("simhash is stable on identical text and near on perturbed text") {
+    val sh = corpus.select($"doc_id", Dedup.simhash16($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(100000L)) // exact copy -> identical simhash
+    val hamming = java.lang.Long.bitCount(sh(5L) ^ sh(200005L))
+    assert(hamming <= 3, s"near copy hamming $hamming")
+  }
+}
