@@ -58,7 +58,9 @@ object Similarity {
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      // native codegen'd expression — bit-identical to Dedup.cosine
+      // (CosineSimilaritySpec), fused single loop inside the join stage
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
@@ -76,7 +78,7 @@ object Similarity {
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos", Dedup.cosine(col("qv"), col("nv")))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("qv"), col("nv")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"), col("cos"))
