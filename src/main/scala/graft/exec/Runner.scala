@@ -51,7 +51,9 @@ object Runner {
   def processItems(items: DataFrame, config: RunConfig = RunConfig()): (DataFrame, Dataset[TaskOutcome]) = {
     val tasks0 = todoTasks(items)
     val tasks = if (config.parallelism > 0) tasks0.repartition(config.parallelism) else tasks0
-    val outcomes = ScriptRunner.run(tasks, config.env, config.budgetSeconds, config.shell)
+    // cache: outcomes feed the merge AND caller inspection — without it any
+    // second action would re-fork every task process (side effects!)
+    val outcomes = ScriptRunner.run(tasks, config.env, config.budgetSeconds, config.shell).cache()
     (mergeOutcomes(items, outcomes.toDF), outcomes)
   }
 

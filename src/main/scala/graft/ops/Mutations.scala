@@ -156,6 +156,15 @@ object Mutations {
   def deleteItemsJoin(items: DataFrame, ids: DataFrame): DataFrame =
     items.join(broadcast(ids), Seq("itemID"), "left_anti")
 
+  /** J2 log↔store reconciliation (`managing-item-logs.py:150-204`): upsert
+    * incoming parsed-log rows into an existing table keyed by `keys`; the
+    * reference's UNIQUE-violation-means-already-loaded becomes an anti-join
+    * (existing rows win). MERGE INTO shape without a transactional store.
+    */
+  def upsertByKey(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
+    existing.unionByName(
+      incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+
   /** Exploded post-mutation task view (for oracle checks and exports). */
   def explodeTasks(items: DataFrame): DataFrame =
     items.filter(col("nestedTasks").isNotNull)

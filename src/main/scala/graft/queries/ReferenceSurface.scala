@@ -60,6 +60,25 @@ object ReferenceSurface {
       LogRouter.route(payload(graft.Tables.documents(s, d)), "payload")
         .select(col("doc_id"), col("route"), col("stored_bytes").cast("long"))
         .orderBy("doc_id")),
+    // S7/F14: JSON parse of the events props payload + aggregation
+    "pa_json_props" -> ((s, d) =>
+      graft.Tables.events(s, d)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
+    // J2: parsed-log reconciliation upsert — existing (done tasks) win,
+    // only genuinely new rows are inserted
+    "pa_log_upsert" -> ((s, d) => {
+      val all = DerivedItems.nestedTaskRows(s, d)
+      val existing = all.filter(col("status") === "done")
+        .select(col("itemID"), col("taskKey"), lit("loaded").as("origin"))
+      val incoming = all
+        .select(col("itemID"), col("taskKey"), lit("incoming").as("origin"))
+      graft.ops.Mutations.upsertByKey(existing, incoming, Seq("itemID", "taskKey"))
+        .orderBy("itemID", "taskKey")
+    }),
   )
 
   private val itemsWith = DerivedItems.itemsCte
@@ -157,5 +176,19 @@ object ReferenceSurface {
         |    END AS salvaged
         |  FROM payloads)
         |ORDER BY doc_id""".stripMargin),
+    "pa_json_props" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "pa_log_upsert" -> (DerivedItems.nestedTaskRowsCte +
+      """
+        |, existing AS (SELECT itemID, taskKey, 'loaded' AS origin FROM ntasks WHERE status = 'done')
+        |SELECT itemID, taskKey, origin FROM existing
+        |UNION ALL
+        |SELECT t.itemID, t.taskKey, 'incoming' AS origin FROM ntasks t
+        |ANTI JOIN existing e ON t.itemID = e.itemID AND t.taskKey = e.taskKey
+        |ORDER BY itemID, taskKey""".stripMargin),
   )
 }
