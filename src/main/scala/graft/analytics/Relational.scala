@@ -317,7 +317,32 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** Semi/anti joins (EXISTS / NOT EXISTS — absent in the reference):
+    * customers with an urgent order, and customers with no orders at all.
+    */
+  def semiAntiCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir).select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+    val urgent = ord.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val hasUrgent = cust.join(urgent, cust("c_custkey") === urgent("o_custkey"), "left_semi")
+      .withColumn("tag", lit("has_urgent"))
+    val noOrders = cust.join(ord.select("o_custkey"),
+      cust("c_custkey") === col("o_custkey"), "left_anti")
+      .withColumn("tag", lit("no_orders"))
+    hasUrgent.unionByName(noOrders).orderBy(col("tag"), col("c_custkey"))
+  }
+
+  val semiAntiSql: String =
+    """SELECT c_custkey, 'has_urgent' AS tag FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+      |UNION ALL
+      |SELECT c_custkey, 'no_orders' FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY tag, c_custkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_semi_anti_customers" -> (semiAntiCustomers _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -332,6 +357,7 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_semi_anti_customers" -> semiAntiSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

@@ -26,6 +26,10 @@ object SimSurface {
     "sim_topk_lsh" -> ((s, d) =>
       Similarity.lshTopK(queriesD(s, d), vecsD(s, d), "vec_id", "v", K, Planes, Dims)
         .orderBy("query_id", "rank")),
+    "sim_topk_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(queriesD(s, d), vecsD(s, d),
+        vecsD(s, d).filter(col("vec_id") % 50 === 0), "vec_id", "v", K)
+        .orderBy("query_id", "rank")),
   )
 
   // ---- DuckDB mirrors ----
@@ -74,6 +78,28 @@ object SimSurface {
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       |  FROM scored)
       |SELECT query_id, neighbor_id, bucket, rank, cos FROM ranked
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_ivf" -> s"""WITH $vecsCte,
+      |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+      |assigned AS (
+      |  SELECT id, cid FROM (
+      |    SELECT v.vec_id AS id, cent.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cosSql("v.v", "cent.cv")} DESC, cent.cid) AS crank
+      |    FROM v CROSS JOIN cent)
+      |  WHERE crank = 1),
+      |q AS (SELECT v.vec_id AS query_id, v.v AS qv, a.cid
+      |      FROM v JOIN assigned a ON a.id = v.vec_id WHERE v.vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, q.cid,
+      |         ${cosSql("q.qv", "c.v")} AS cos
+      |  FROM q JOIN assigned a USING (cid) JOIN v c ON c.vec_id = a.id
+      |  WHERE c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cid, rank, cos FROM ranked
       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -66,6 +66,46 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** IVF assignment: nearest centroid by cosine (ties → lowest centroid id).
+    * Centroids broadcast; assignment is a narrow scan of the corpus.
+    */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = {
+    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
+    vecs.select(col(idCol).as("id"), col(vecCol).as("vv"))
+      .join(broadcast(c))
+      .withColumn("ccos", graft.functions.CosineSimilarity.cosineSim(col("vv"), col("cv")))
+      .withColumn("crank", row_number().over(w))
+      .filter(col("crank") === 1)
+      .select(col("id"), col("cid"))
+  }
+
+  /** IVF top-k: candidates share the query's inverted list (single-probe).
+    * The coarse quantizer here picks every 50th vector as a centroid —
+    * deterministic stand-in for k-means (plug a trained codebook in the same
+    * slot). The scale shape: centroid table broadcast, corpus partitioned by
+    * list id, probe = one partition's worth of candidates.
+    */
+  def ivfTopK(
+      queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String, k: Int): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+      .join(assigned.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(ivfAssign(queries, centroids, idCol, vecCol)
+        .withColumnRenamed("id", "query_id"), Seq("query_id"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("cid"), col("rank"), col("cos"))
+  }
+
   /** ANN top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
