@@ -341,8 +341,67 @@ object Relational {
       |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
       |ORDER BY tag, c_custkey""".stripMargin
 
+  /** TPC-H Q17 analog (correlated scalar subquery): revenue lost to
+    * small-quantity orders — lineitems under half their part's mean
+    * quantity. The correlated subquery decorrelates into an aggregate +
+    * join on `l_partkey` (what Catalyst does to real correlated subqueries).
+    * The avg is built from decimal-exact sum / count so the threshold is
+    * the identical double on both engines.
+    */
+  def q17SmallQuantity(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val perPart = li.groupBy(col("l_partkey").as("pk"))
+      .agg(((sum(col("l_quantity").cast("decimal(18,4)")).cast("double") /
+        count(lit(1))) * lit(0.5)).as("half_avg_qty"))
+    li.join(perPart, li("l_partkey") === col("pk"))
+      .filter(col("l_quantity") < col("half_avg_qty"))
+      .agg((sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double") / lit(7.0))
+        .as("avg_yearly"))
+  }
+
+  val q17Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem JOIN (
+      |  SELECT l_partkey AS pk,
+      |    (CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)) * 0.5 AS half_avg_qty
+      |  FROM lineitem GROUP BY l_partkey) p ON l_partkey = pk
+      |WHERE l_quantity < half_avg_qty""".stripMargin
+
+  /** lag/lead analytic window: days between a customer's consecutive orders. */
+  def orderGaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w))
+          .cast("long").as("gap_days"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val orderGapsSql: String =
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(date_diff('day',
+      |    LAG(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |    o_orderdate) AS BIGINT) AS gap_days
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** CUBE grouping sets over returnflag × linestatus. */
+  def cubeSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val cubeSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+      |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+      |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semi_anti_customers" -> (semiAntiCustomers _),
+    "q17_small_quantity" -> (q17SmallQuantity _),
+    "q_order_gaps" -> (orderGaps _),
+    "q_cube_summary" -> (cubeSummary _),
     "q1_pricing_summary" -> (q1PricingSummary _),
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
@@ -358,6 +417,9 @@ object Relational {
 
   val oracles: Map[String, String] = Map(
     "q_semi_anti_customers" -> semiAntiSql,
+    "q17_small_quantity" -> q17Sql,
+    "q_order_gaps" -> orderGapsSql,
+    "q_cube_summary" -> cubeSql,
     "q1_pricing_summary" -> q1Sql,
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,

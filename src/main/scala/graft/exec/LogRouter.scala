@@ -77,4 +77,26 @@ object LogRouter {
       .text(outDir)
     routed.filter(col("route").isin("dynamo", "dynamo_salvaged"))
   }
+
+  /** The streaming shape of X8 (SURVEY §7 hard-part: "three sinks in one
+    * foreachBatch with per-row routing"): every micro-batch is routed once,
+    * the filed tiers append to the partitioned gzip store, the inline tier
+    * appends to the item-log table — one pass, all sinks, per-row routing.
+    */
+  def streamSink(
+      logsStream: DataFrame,
+      payloadCol: String,
+      filedDir: String,
+      inlineDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    logsStream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val routed = route(batch, payloadCol).cache()
+      try {
+        routed.filter(col("route").isin("cloudwatch", "s3"))
+          .select(col("route"), col(payloadCol))
+          .write.mode("append").partitionBy("route")
+          .option("compression", "gzip").text(filedDir)
+        routed.filter(col("route").isin("dynamo", "dynamo_salvaged"))
+          .write.mode("append").parquet(inlineDir)
+      } finally { routed.unpersist(); () }
+    }
 }

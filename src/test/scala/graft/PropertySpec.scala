@@ -1,0 +1,61 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.dedup.Dedup
+import graft.exec.{ScriptRunner, TimeKeeper}
+import graft.sim.Similarity
+
+/** ScalaCheck properties over the pure kernels (SURVEY §5 property plan). */
+object GraftProps extends Properties("graft") {
+
+  property("charHash stays in [0, 2^31-1) for any string") =
+    forAll { (s: String) =>
+      val h = Dedup.charHashJvm(s)
+      h >= 0L && h < Dedup.HashMod
+    }
+
+  property("charHash agrees with the Similarity plane-seed hash") =
+    forAll { (s: String) => Dedup.charHashJvm(s) == Similarity.charHash(s) }
+
+  property("plane numerators bounded and deterministic") =
+    forAll(Gen.choose(0, 64), Gen.choose(1, 128)) { (p, d) =>
+      val n = Similarity.planeNumerator(p, d)
+      n >= -1000 && n <= 1000 && n == Similarity.planeNumerator(p, d)
+    }
+
+  property("env substitution replaces every ${VAR} occurrence") =
+    forAll(Gen.identifier, Gen.alphaNumStr, Gen.alphaNumStr) { (k, v, tail) =>
+      val script = s"run $${$k}/bin $${$k} $tail"
+      val out = ScriptRunner.substituteEnv(script, Map(k -> v))
+      !out.contains(s"$${$k}") && out == s"run $v/bin $v $tail"
+    }
+
+  property("env substitution is identity without matching vars") =
+    forAll(Gen.alphaNumStr) { s =>
+      ScriptRunner.substituteEnv(s, Map("PYANAMO" -> "/x")) == s
+    }
+
+  property("TimeKeeper window mean uses only the last 15 and sits in [min,max]") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0.0, 100.0))) { durations =>
+      val tk = new TimeKeeper(1e9, clock = () => 0L)
+      durations.foreach(tk.record)
+      val lastW = durations.takeRight(TimeKeeper.DefaultWindow)
+      val avg = tk.avgRecentSeconds
+      Prop(avg >= lastW.min - 1e-9 && avg <= lastW.max + 1e-9) :| s"avg=$avg"
+    }
+
+  property("TimeKeeper forecast ≥ wall, and stop implies forecast or wall over limit") =
+    forAll(Gen.choose(0L, 100L), Gen.listOf(Gen.choose(0.0, 50.0))) { (wallSec, ds) =>
+      val tk = new TimeKeeper(60, clock = {
+        var first = true
+        () => if (first) { first = false; 0L } else wallSec * 1_000_000_000L
+      })
+      ds.foreach(tk.record)
+      val ok = tk.forecastSeconds >= tk.wallSeconds - 1e-9
+      val stopConsistent = !tk.shouldStop ||
+        (tk.wallSeconds > 60 || tk.forecastSeconds > 60)
+      ok && stopConsistent
+    }
+}
