@@ -1,0 +1,161 @@
+package graft.store.connector
+
+import java.util
+
+import scala.collection.JavaConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** DataSource V2 work-queue connector (SURVEY §4: "a custom work-queue
+  * source with claim semantics — DataSource V2 with SupportsPushDownFilters
+  * covers it without a strategy"). This is the slot a DynamoDB connector
+  * plugs into (`spark.read.format(...)`): here backed by state-partitioned
+  * CSV directories (`path/itemState=<s>/` part files) so the pushdown
+  * mechanics —
+  * the moral equivalent of choosing the reference's `ItemStateIndex` GSI
+  * (`code/client.py:74-135`) — are real and testable:
+  *
+  *  - `SupportsPushDownFilters`: an `itemState = 'x'` equality prunes whole
+  *    state directories before any file is opened (partition pruning at the
+  *    source, like a GSI key-condition).
+  *  - `SupportsPushDownRequiredColumns`: only requested columns are parsed
+  *    (the reference's `ProjectionExpression`, P1).
+  *
+  * Usage: `spark.read.format("graft.store.connector.WorkQueueSource")
+  * .option("path", dir).load()`.
+  */
+class WorkQueueSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    WorkQueueSource.schema
+
+  override def getTable(
+      schema: StructType,
+      partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new WorkQueueTable(properties.get("path"))
+}
+
+object WorkQueueSource {
+  /** Flat monitoring subset of the item schema (the queue-poll projection). */
+  val schema: StructType = StructType(Seq(
+    StructField("itemID", StringType),
+    StructField("taskID", StringType),
+    StructField("itemState", StringType),
+    StructField("logLength", LongType),
+    StructField("nestedTaskCount", LongType)))
+
+  /** Write a DataFrame (schema above) into the connector's layout. */
+  def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+    df.write.mode("overwrite").partitionBy("itemState")
+      .option("header", "false").csv(path)
+}
+
+class WorkQueueTable(path: String) extends Table with SupportsRead {
+  override def name(): String = s"workqueue($path)"
+  override def schema(): StructType = WorkQueueSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new WorkQueueScanBuilder(path)
+}
+
+class WorkQueueScanBuilder(path: String)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var stateFilter: Option[String] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = WorkQueueSource.schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("itemState", _: String) => true
+      case _ => false
+    }
+    stateFilter = accepted.collectFirst { case EqualTo(_, v: String) => v }
+    pushed = accepted
+    rejected // everything else evaluates post-scan in Spark
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new WorkQueueScan(path, stateFilter, required)
+}
+
+class WorkQueueScan(path: String, state: Option[String], required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WorkQueueScan(path=$path, pushedState=$state, columns=${required.fieldNames.mkString(",")})"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base = new java.io.File(path)
+    // state equality prunes directories HERE — unselected states are never
+    // listed, the GSI-pushdown analog
+    val stateDirs = Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("itemState="))
+      .filter(f => state.forall(s => f.getName == s"itemState=$s"))
+    stateDirs.flatMap { dir =>
+      val st = dir.getName.stripPrefix("itemState=")
+      Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".csv"))
+        .map(f => WorkQueuePartition(f.getAbsolutePath, st): InputPartition)
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val req = required
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+        new WorkQueueReader(partition.asInstanceOf[WorkQueuePartition], req)
+    }
+  }
+}
+
+final case class WorkQueuePartition(file: String, state: String) extends InputPartition
+
+/** Line-by-line CSV reader emitting only the pruned columns. The data files
+  * hold (itemID, taskID, logLength, nestedTaskCount); itemState comes from
+  * the directory name (a partition value, never stored).
+  */
+class WorkQueueReader(partition: WorkQueuePartition, required: StructType)
+    extends PartitionReader[InternalRow] {
+
+  private val lines = scala.io.Source.fromFile(partition.file)
+  private val it = lines.getLines()
+  private var current: InternalRow = _
+
+  override def next(): Boolean =
+    if (!it.hasNext) false
+    else {
+      val parts = it.next().split(",", -1)
+      val values = required.fields.map { f =>
+        f.name match {
+          case "itemID" => UTF8String.fromString(parts(0))
+          case "taskID" => UTF8String.fromString(parts(1))
+          case "itemState" => UTF8String.fromString(partition.state)
+          case "logLength" => java.lang.Long.valueOf(parts(2).toLong)
+          case "nestedTaskCount" =>
+            if (parts(3).isEmpty) null else java.lang.Long.valueOf(parts(3).toLong)
+          case other => throw new IllegalArgumentException(s"unknown column $other")
+        }
+      }
+      current = InternalRow.fromSeq(values.toSeq)
+      true
+    }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = lines.close()
+}
