@@ -1,0 +1,39 @@
+package graft.exec
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSpec
+import graft.store.{Importer, ItemStore}
+
+class StreamingRunnerSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming dispatcher claims, executes and persists each micro-batch (T1)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srun").toFile
+    val f = new java.io.File(dir, "items.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("itemID|taskID|TaskScript|TaskArgs")
+    w.println("S1|g|seq 2|")
+    w.println("N1|g|seq|3,1")
+    w.close()
+    val store = dir.toPath.resolve("store").toString
+    val results = dir.toPath.resolve("results").toString
+    ItemStore.save(Importer.importFile(spark, f.getAbsolutePath, "|", Some(",")), store)
+
+    val q = StreamingRunner.dispatcher(
+      StreamingRunner.itemStream(spark, store), results)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dir.toPath.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    val out = ItemStore.load(spark, results)
+    val states = out.select($"itemID", $"itemState").as[(String, String)].collect().toMap
+    assert(states === Map("S1" -> "done", "N1" -> "done"))
+    assert(out.filter($"itemID" === "N1").select($"logLength").as[Long].head() === 2L)
+    val stdout = out.filter($"itemID" === "S1")
+      .select(element_at($"log", "single").getField("stdout")).as[String].head()
+    assert(stdout === "1\n2\n")
+  }
+}
