@@ -70,6 +70,33 @@ object Multimodal {
       }
   }
 
+  /** STUB resize for image payloads: nearest-neighbor downsample — keep
+    * every `factor`-th byte and scale the metadata dims accordingly. Real
+    * implementation swaps the byte-slice for an image scaler; the pipeline
+    * shape (payload in → smaller payload + adjusted meta out, no shuffle)
+    * is what's exercised.
+    */
+  def resize(media: DataFrame, factor: Int): DataFrame = {
+    val nBytes = octet_length(col("payload"))
+    media.withColumn("payload",
+        when(col("kind") === "image",
+          // bytes at positions 1, 1+factor, 1+2*factor, ...
+          aggregate(
+            transform(sequence(lit(1), greatest(nBytes, lit(1)), lit(factor)),
+              i => substring(col("payload"), i, lit(1))),
+            lit("").cast("binary"),
+            (acc, b) => concat(acc, b)))
+          .otherwise(col("payload")))
+      .withColumn("meta",
+        when(col("kind") === "image",
+          struct(
+            greatest(col("meta.width") / factor, lit(1)).cast("int").as("width"),
+            greatest(col("meta.height") / factor, lit(1)).cast("int").as("height"),
+            col("meta.sampleRate"),
+            col("meta.durationMs")))
+          .otherwise(col("meta")))
+  }
+
   /** Frame sampling for video payloads: take every `stride`-th byte-block as
     * a "frame" (stub for keyframe extraction); emits (mediaId, frameIdx,
     * frame) rows — the exploding shape a real frame sampler produces.

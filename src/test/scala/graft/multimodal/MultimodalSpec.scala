@@ -35,6 +35,22 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize downsamples image payloads and their metadata only") {
+    val resized = Multimodal.resize(media, factor = 4)
+    val img = resized.filter($"kind" === "image")
+      .join(media.filter($"kind" === "image")
+        .select($"mediaId", octet_length($"payload").as("orig_len"),
+          $"meta.width".as("orig_w")), Seq("mediaId"))
+    // every 4th byte kept (ceil), width scaled down
+    assert(img.filter(octet_length($"payload") =!= ceil($"orig_len" / 4.0)).count() === 0)
+    assert(img.filter($"meta.width" =!= greatest(floor($"orig_w" / 4.0), lit(1)).cast("int"))
+      .count() === 0)
+    // non-image payloads untouched
+    val untouched = resized.filter($"kind" =!= "image")
+      .join(media.select($"mediaId", $"payload".as("orig")), Seq("mediaId"))
+    assert(untouched.filter($"payload" =!= $"orig").count() === 0)
+  }
+
   test("frame sampling explodes video payloads into strided blocks") {
     val frames = Multimodal.sampleFrames(media, blockSize = 16, stride = 2)
     assert(frames.select($"mediaId").distinct().count() ===
