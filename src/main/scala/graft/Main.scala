@@ -22,8 +22,32 @@ import graft.store.{Importer, ItemStore}
   */
 object Main {
 
-  private def parseFlags(args: Seq[String]): Map[String, String] =
-    args.grouped(2).collect { case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v }.toMap
+  private def parseFlags(args: Seq[String]): Map[String, String] = {
+    require(args.length % 2 == 0,
+      s"flags must come in --key value pairs, got: ${args.mkString(" ")}")
+    args.grouped(2).map {
+      case Seq(k, v) if k.startsWith("--") => k.drop(2) -> v
+      case other => sys.error(s"expected --key value, got: ${other.mkString(" ")}")
+    }.toMap
+  }
+
+  /** Atomically-ish replace the table with freshly-written contents: write
+    * to `<table>.next`, then swap via Hadoop FS rename (works on any
+    * FileSystem, checked — an unchecked local rename after dropping the
+    * original would risk silent data loss).
+    */
+  private def rewriteTable(spark: SparkSession, table: String,
+      updated: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = table + ".next"
+    ItemStore.save(updated, tmp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tablePath = new org.apache.hadoop.fs.Path(table)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    val fs = tablePath.getFileSystem(hconf)
+    ItemStore.drop(spark, table)
+    require(fs.rename(tmpPath, tablePath),
+      s"failed to swap $tmp into place at $table — data preserved at $tmp")
+  }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Main <import|run|monitor|reset|delete> --table PATH ...")
@@ -51,7 +75,12 @@ object Main {
         flags.get("nested-delim"),
         flags.get("force").contains("1"))
       if (!ItemStore.exists(spark, table)) ItemStore.create(spark, table)
-      ItemStore.append(items, table)
+      // idempotent re-import: only genuinely new itemIDs are appended (the
+      // reference's per-key put_item is an overwrite; an append of dupes
+      // would double-execute every task)
+      val fresh = items.join(
+        ItemStore.load(spark, table).select("itemID"), Seq("itemID"), "left_anti")
+      ItemStore.append(fresh, table)
       // import tally (A9 — manager.py:376-399)
       println(s"""{"N": ${ItemStore.load(spark, table).count()}}""")
     case "run" =>
@@ -59,33 +88,26 @@ object Main {
         ItemStore.load(spark, table),
         Runner.RunConfig(
           env = flags.get("env").map(_.split(',').map { kv =>
-            val Array(k, v) = kv.split("=", 2); k -> v
+            kv.split("=", 2) match {
+              case Array(k, v) => k -> v
+              case _ => sys.error(s"--env entries must be K=V, got: $kv")
+            }
           }.toMap).getOrElse(Map.empty),
           budgetSeconds = flags.get("budget").map(_.toDouble),
           parallelism = flags.get("parallelism").map(_.toInt).getOrElse(0)))
-      val tmp = table + ".next"
-      ItemStore.save(updated, tmp)
-      ItemStore.drop(spark, table)
-      new java.io.File(tmp).renameTo(new java.io.File(table))
-      println(s"""{"executed": ${outcomes.count()}}""")
+      val executed = outcomes.count() // materialize (cached) before the swap
+      rewriteTable(spark, table, updated)
+      println(s"""{"executed": $executed}""")
     case "monitor" =>
       StateQueries.itemCounter(ItemStore.load(spark, table)).show(truncate = false)
       StateQueries.progressHistogram(ItemStore.load(spark, table)).show(truncate = false)
     case "reset" =>
       val from = flags.getOrElse("state", "Wall_Time_Exceeded")
-      val updated = Mutations.resetItems(ItemStore.load(spark, table),
-        col("itemState") === from, flags.getOrElse("to", "todo"), resetTasks = true)
-      val tmp = table + ".next"
-      ItemStore.save(updated, tmp)
-      ItemStore.drop(spark, table)
-      new java.io.File(tmp).renameTo(new java.io.File(table))
+      rewriteTable(spark, table, Mutations.resetItems(ItemStore.load(spark, table),
+        col("itemState") === from, flags.getOrElse("to", "todo"), resetTasks = true))
     case "delete" =>
-      val updated = Mutations.deleteItems(ItemStore.load(spark, table),
-        col("taskID") === flags.getOrElse("task-group", sys.error("--task-group required")))
-      val tmp = table + ".next"
-      ItemStore.save(updated, tmp)
-      ItemStore.drop(spark, table)
-      new java.io.File(tmp).renameTo(new java.io.File(table))
+      rewriteTable(spark, table, Mutations.deleteItems(ItemStore.load(spark, table),
+        col("taskID") === flags.getOrElse("task-group", sys.error("--task-group required"))))
     case other => sys.error(s"unknown verb: $other")
   }
 }

@@ -96,7 +96,11 @@ object Runner {
       when(isSingle,
         when(col("n_done") + col("n_failed") > 0, lit("done")).otherwise(col("itemState")))
         .otherwise(
-          when(newLogLength === col("nestedTaskCount"), "done")
+          // nested: a fully budget-skipped item (nothing launched) was never
+          // claimed either — keep its state; only a claimed-then-cut-off or
+          // completed item takes the complete-test outcome
+          when(col("n_done") + col("n_failed") === 0 && col("n_wte") > 0, col("itemState"))
+            .when(newLogLength === col("nestedTaskCount"), "done")
             .otherwise("Wall_Time_Exceeded"))
     merged
       // materialize the derived values BEFORE overwriting the columns they

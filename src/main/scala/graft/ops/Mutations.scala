@@ -47,21 +47,40 @@ object Mutations {
     }.drop("__pred")
 
   /** M7 `reset_itemState` (`code/manager.py:465-549`): re-initialize matching
-    * items to `toState` — lock fields nulled, log emptied, counter zeroed.
-    * With `resetTasks` also M9 `reset_AllNests` (`code/manager.py:650-686`):
-    * every nested task back to `todo`.
+    * items to `toState` — lock fields nulled; with `resetTasks` also M9
+    * `reset_AllNests` (`code/manager.py:650-686`): every nested task back to
+    * `todo` plus full log/counter wipe.
+    *
+    * Semantic delta vs the reference, on purpose: the reference's M7 zeroes
+    * `Log_Length` even when nested task statuses stay `done`, which breaks
+    * the `Log_Length ≡ done-task-count` invariant and wedges the item in
+    * `Wall_Time_Exceeded` on replay (skip-done replay adds only the new
+    * completions). Here a partial reset (resetTasks=false) keeps log +
+    * counter for nested items — requeue-the-remainder semantics — and only
+    * a full reset wipes them.
     */
   def resetItems(items: DataFrame, pred: Column, toState: String = "todo",
       resetTasks: Boolean = false): DataFrame = {
+    val hasNestedCol = items.columns.contains("nestedTasks")
+    val marked = items.withColumn("__rp", pred)
     val withTasks =
-      if (!resetTasks) items.withColumn("__pred", pred)
-      else items.withColumn("__pred", pred).withColumn("nestedTasks",
-        when(col("__pred") && col("nestedTasks").isNotNull,
+      if (!resetTasks || !hasNestedCol) marked
+      else marked.withColumn("nestedTasks",
+        when(col("__rp") && col("nestedTasks").isNotNull,
           transform_values(col("nestedTasks"),
             (_, v) => struct(lit("todo").as("status"), v.getField("script").as("script"))))
           .otherwise(col("nestedTasks")))
-    applyWhen(withTasks, col("__pred"),
-      initialFields + ("itemState" -> lit(toState))).drop("__pred")
+    // nested items keep log/logLength on a partial reset (invariant above);
+    // single items (and full resets) get the reference's full wipe
+    val isNested =
+      if (hasNestedCol) col("nestedTasks").isNotNull else lit(false)
+    val wipePred =
+      if (resetTasks) col("__rp") else col("__rp") && !isNested
+    val unlocked = applyWhen(withTasks, col("__rp"),
+      (initialFields -- Seq("log", "logLength")) + ("itemState" -> lit(toState)))
+    applyWhen(unlocked, wipePred,
+      Map("log" -> initialFields("log"), "logLength" -> initialFields("logLength")))
+      .drop("__rp")
   }
 
   /** M8 `updateItemStates` (`code/manager.py:248-274`): bulk state flip only. */

@@ -35,6 +35,9 @@ object Importer {
     if (!forceImport && !raw.columns.map(_.toLowerCase).contains("itemid"))
       throw new IllegalArgumentException(
         s"import header must contain itemID (got ${raw.columns.mkString(",")}); use forceImport to override")
+    if (raw.columns.length < 3)
+      throw new IllegalArgumentException(
+        s"import file needs at least itemID<d>taskID<d>TaskScript columns, got ${raw.columns.length}")
     val cols = raw.columns
     val named = raw
       .withColumnRenamed(cols(0), "itemID")

@@ -74,13 +74,12 @@ class WorkQueueScanBuilder(path: String)
   private var required: StructType = WorkQueueSource.schema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case EqualTo("itemState", _: String) => true
-      case _ => false
-    }
-    stateFilter = accepted.collectFirst { case EqualTo(_, v: String) => v }
-    pushed = accepted
-    rejected // everything else evaluates post-scan in Spark
+    // accept exactly ONE itemState equality; a second (possibly conflicting)
+    // one must stay post-scan or Spark would trust us to have enforced both
+    val firstEq = filters.collectFirst { case f @ EqualTo("itemState", _: String) => f }
+    stateFilter = firstEq.map(_.value.asInstanceOf[String])
+    pushed = firstEq.toArray
+    filters.filterNot(f => firstEq.contains(f))
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -127,7 +126,9 @@ final case class WorkQueuePartition(file: String, state: String) extends InputPa
 
 /** Line-by-line CSV reader emitting only the pruned columns. The data files
   * hold (itemID, taskID, logLength, nestedTaskCount); itemState comes from
-  * the directory name (a partition value, never stored).
+  * the directory name (a partition value, never stored). Fields are parsed
+  * with quote handling (Spark's CSV writer quotes values containing
+  * delimiter/quote chars) and empty strings decode as null.
   */
 class WorkQueueReader(partition: WorkQueuePartition, required: StructType)
     extends PartitionReader[InternalRow] {
@@ -136,18 +137,47 @@ class WorkQueueReader(partition: WorkQueuePartition, required: StructType)
   private val it = lines.getLines()
   private var current: InternalRow = _
 
+  /** Minimal RFC-4180 field splitter: handles quoted fields and doubled
+    * quotes; enough for round-tripping Spark's default CSV writer output.
+    */
+  private[connector] def splitCsv(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQuotes = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.result(); cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.toArray
+  }
+
+  private def longOrNull(s: String): java.lang.Long =
+    if (s.isEmpty) null else java.lang.Long.valueOf(s.toLong)
+
   override def next(): Boolean =
     if (!it.hasNext) false
     else {
-      val parts = it.next().split(",", -1)
+      val parts = splitCsv(it.next())
+      require(parts.length >= 4, s"malformed queue row in ${partition.file}: ${parts.length} fields")
       val values = required.fields.map { f =>
         f.name match {
           case "itemID" => UTF8String.fromString(parts(0))
           case "taskID" => UTF8String.fromString(parts(1))
           case "itemState" => UTF8String.fromString(partition.state)
-          case "logLength" => java.lang.Long.valueOf(parts(2).toLong)
-          case "nestedTaskCount" =>
-            if (parts(3).isEmpty) null else java.lang.Long.valueOf(parts(3).toLong)
+          case "logLength" => longOrNull(parts(2))
+          case "nestedTaskCount" => longOrNull(parts(3))
           case other => throw new IllegalArgumentException(s"unknown column $other")
         }
       }

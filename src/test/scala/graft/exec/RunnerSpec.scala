@@ -104,10 +104,26 @@ class RunnerSpec extends SparkSpec {
       Runner.RunConfig(budgetSeconds = Some(-1.0)))
     assert(outcomes.filter(_.status == "Wall_Time_Exceeded").count() === 5)
     val states = updated.select($"itemID", $"itemState").as[(String, String)].collect().toMap
-    // nested item incomplete -> Wall_Time_Exceeded (modifier.py:193-203)
-    assert(states("Seq_Tests") === "Wall_Time_Exceeded")
-    // never-claimed singles stay todo (runner.py:126-141)
-    assert(states("Seq_Test_1") === "todo")
-    assert(states("Fail_Item") === "todo")
+    // fully budget-skipped items were never claimed — ALL stay todo
+    // (runner.py:126-141: TimeKeeperError raises before the claim)
+    assert(states === Map(
+      "Seq_Tests" -> "todo", "Seq_Test_1" -> "todo", "Fail_Item" -> "todo"))
+  }
+
+  test("mid-item budget cutoff marks a partially-run nested item Wall_Time_Exceeded") {
+    val items = importFixture().filter($"itemID" === "Seq_Tests")
+    // record Task_0 as already done, then run with zero budget: the item ran
+    // before (claimed), its remaining tasks are cut off -> complete-test
+    // keeps counting and the re-run with budget finishes it
+    val partial = graft.ops.Mutations.recordTaskResult(
+      items, lit(true), "Task_0", lit("x"), lit(""))
+    val (updated, _) = Runner.processItems(partial,
+      Runner.RunConfig(budgetSeconds = Some(-1.0)))
+    // nothing launched this run -> state unchanged (todo), progress kept
+    assert(updated.select($"itemState").as[String].head() === "todo")
+    assert(updated.select($"logLength").as[Long].head() === 1L)
+    val (finished, _) = Runner.processItems(updated)
+    assert(finished.select($"itemState").as[String].head() === "done")
+    assert(finished.select($"logLength").as[Long].head() === 3L)
   }
 }
