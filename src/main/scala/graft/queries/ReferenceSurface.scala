@@ -71,7 +71,8 @@ object ReferenceSurface {
     // J2: parsed-log reconciliation upsert — existing (done tasks) win,
     // only genuinely new rows are inserted
     "pa_log_upsert" -> ((s, d) => {
-      val all = DerivedItems.nestedTaskRows(s, d)
+      // one cached build feeds both the existing and incoming branches
+      val all = DerivedItems.nestedTaskRows(s, d).cache()
       val existing = all.filter(col("status") === "done")
         .select(col("itemID"), col("taskKey"), lit("loaded").as("origin"))
       val incoming = all

@@ -207,7 +207,18 @@ object DerivedItems {
     * map-mutation operators (M1-M10); oracle checks go through the exploded
     * row view instead since DuckDB compares rows, not Spark maps.
     */
-  def nestedItems(spark: SparkSession, sfDir: String): DataFrame = {
+  private val nestedMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  /** Memoized + cached per (session, sfDir): six mutation gate queries each
+    * consume this map-shaped table, and the collect_list aggregation that
+    * builds it is the most expensive part of each — one cached build
+    * amortizes across the whole gate/bench run.
+    */
+  def nestedItems(spark: SparkSession, sfDir: String): DataFrame =
+    nestedMemo.getOrElseUpdate((spark, sfDir), buildNestedItems(spark, sfDir).cache())
+
+  private def buildNestedItems(spark: SparkSession, sfDir: String): DataFrame = {
     val rows = nestedTaskRows(spark, sfDir)
     // array_sort over (idx, entry) keeps map insertion order deterministic
     val entries = rows

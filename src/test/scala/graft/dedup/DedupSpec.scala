@@ -39,6 +39,21 @@ class DedupSpec extends SparkSpec {
     assert(caught.size.toDouble / planted.size >= 0.8, s"recall ${caught.size}/${planted.size}")
   }
 
+  test("JVM fast paths are bit-identical to the expression forms") {
+    import org.apache.spark.sql.functions._
+    val sample = corpus.limit(60)
+    val tokens = array_distinct(split(graft.text.TextAnalysis.normalized($"text"), " "))
+    val grams = array_distinct(Dedup.ngrams($"text", 3))
+    val mismatches = sample.select(
+        Dedup.simhash16($"text").as("sh_expr"),
+        Dedup.simhash16Udf(tokens).as("sh_udf"),
+        Dedup.bandKeys(grams, 6, 2).as("bk_expr"),
+        Dedup.bandKeysUdf(6, 2)(grams).as("bk_udf"))
+      .filter($"sh_expr" =!= $"sh_udf" || $"bk_expr" =!= $"bk_udf")
+      .count()
+    assert(mismatches === 0)
+  }
+
   test("simhash is stable on identical text and near on perturbed text") {
     val sh = corpus.select($"doc_id", Dedup.simhash16($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
