@@ -53,6 +53,20 @@ object Monitors {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
+  /** Streaming exact dedup: first-seen-wins on the normalized-text
+    * fingerprint, with watermark-bounded state (fingerprints older than the
+    * lateness horizon are evicted — at 100 TB/day the dedup state would
+    * otherwise grow without bound). The streaming face of
+    * `Dedup.exactGroups`.
+    */
+  def streamingExactDedup(
+      docsStream: DataFrame, tsCol: String, textCol: String,
+      lateness: String = "1 hour"): DataFrame =
+    docsStream
+      .withColumn("fp", md5(graft.text.TextAnalysis.normalized(col(textCol))))
+      .withWatermark(tsCol, lateness)
+      .dropDuplicatesWithinWatermark("fp")
+
   /** Open the item table as a stream (file source over the store path). */
   def itemStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(WorkItem.schema).parquet(path)
