@@ -30,6 +30,11 @@ object SimSurface {
       Similarity.ivfTopK(queriesD(s, d), vecsD(s, d),
         vecsD(s, d).filter(col("vec_id") % 50 === 0), "vec_id", "v", K)
         .orderBy("query_id", "rank")),
+    // bounded-heap partial-aggregate form — result-identical to the window
+    // form, so it shares the brute-force oracle
+    "sim_topk_heap" -> ((s, d) =>
+      Similarity.heapTopK(queriesD(s, d), vecsD(s, d), "vec_id", "v", K)
+        .orderBy("query_id", "rank")),
   )
 
   // ---- DuckDB mirrors ----
@@ -54,7 +59,20 @@ object SimSurface {
       s"(CASE WHEN ${dotSql(v, planeListSql(p))} > 0 THEN ${1L << p} ELSE 0 END)"
     }.mkString("(", " + ", ")")
 
+  private def bruteforceSql: String = s"""WITH $vecsCte,
+      |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, ${cosSql("q.qv", "c.v")} AS cos
+      |  FROM q JOIN v c ON c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, cos FROM ranked
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "sim_topk_heap" -> bruteforceSql,
     "sim_topk_bruteforce" -> s"""WITH $vecsCte,
       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
       |scored AS (

@@ -66,6 +66,33 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 
+  /** Exact top-k via the bounded-heap partial aggregate
+    * ([[graft.functions.TopKAggregator]]) — identical results to
+    * [[bruteForceTopK]]'s window form, but map-side combine keeps ≤ k rows
+    * per group per partition instead of sorting whole groups: the form that
+    * survives groups with billions of candidates.
+    */
+  def heapTopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        graft.functions.CosineSimilarity.cosineSim(col("qv"), col("nv")).as("cos"))
+      .as[(Long, Long, Double)]
+    scored
+      .groupByKey(_._1)
+      .mapValues(r => (r._2, r._3))
+      .agg(new graft.functions.TopKAggregator(k).toColumn)
+      .flatMap { case (qid, top) =>
+        top.zipWithIndex.map { case ((id, s), i) => (qid, id, (i + 1).toLong, s) }
+      }
+      .toDF("query_id", "neighbor_id", "rank", "cos")
+  }
+
   /** IVF assignment: nearest centroid by cosine (ties → lowest centroid id).
     * Centroids broadcast; assignment is a narrow scan of the corpus.
     */
