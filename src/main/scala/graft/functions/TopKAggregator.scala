@@ -22,11 +22,20 @@ import org.apache.spark.sql.expressions.Aggregator
 class TopKAggregator(k: Int)
     extends Aggregator[(Long, Double), mutable.PriorityQueue[(Double, Long)], Seq[(Long, Double)]] {
 
-  // rank order: smaller (-score, id) = better. PriorityQueue.head is the
+  require(k > 0, s"k must be positive, got $k")
+
+  // NaN ranks BEST, matching Spark's sort order (NaN > any double, so
+  // orderBy(desc) puts it first) — keeps this form result-identical to the
+  // window row_number form even on degenerate scores
+  private def rankKey(s: Double): Double =
+    if (s.isNaN) Double.NegativeInfinity else -s
+
+  // rank order: smaller (rankKey, id) = better. PriorityQueue.head is the
   // MAXIMUM under the ordering, i.e. the worst-ranked entry — exactly what
-  // eviction removes.
-  private def heapOrder: Ordering[(Double, Long)] =
-    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (-s, id) }
+  // eviction removes. val, not def: this ordering runs per comparison in
+  // the hot aggregation loop.
+  private val heapOrder: Ordering[(Double, Long)] =
+    Ordering.by[(Double, Long), (Double, Long)] { case (s, id) => (rankKey(s), id) }
 
   override def zero: mutable.PriorityQueue[(Double, Long)] =
     mutable.PriorityQueue.empty(heapOrder)
@@ -52,7 +61,7 @@ class TopKAggregator(k: Int)
 
   /** Best-first output (score desc, id asc). */
   override def finish(b: mutable.PriorityQueue[(Double, Long)]): Seq[(Long, Double)] =
-    b.toSeq.sortBy { case (s, id) => (-s, id) }.map { case (s, id) => (id, s) }
+    b.toSeq.sortBy { case (s, id) => (rankKey(s), id) }.map { case (s, id) => (id, s) }
 
   override def bufferEncoder: Encoder[mutable.PriorityQueue[(Double, Long)]] =
     Encoders.kryo[mutable.PriorityQueue[(Double, Long)]]

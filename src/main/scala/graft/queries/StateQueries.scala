@@ -65,23 +65,31 @@ object StateQueries {
     * (the reference's `int(...)`), bucketed todo/Q1-Q4/done. Integer
     * arithmetic only, so the oracle matches exactly.
     */
-  def progressHistogram(items: DataFrame): DataFrame = {
-    val nested = items.filter(col("nestedTaskCount").isNotNull && col("nestedTaskCount") > 0)
-    val bucket = when(col("pct") === 0, "todo")
-      .when(col("pct") <= 25, "Q1")
-      .when(col("pct") <= 50, "Q2")
-      .when(col("pct") <= 75, "Q3")
-      .when(col("pct") <= 99, "Q4")
-      .otherwise("done")
-    nested
-      .withColumn("pct", expr("logLength * 100 div nestedTaskCount"))
-      .withColumn("bucket", bucket)
+  def progressHistogram(items: DataFrame): DataFrame =
+    progressBucketed(items)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"),
         min(col("itemID")).as("min_item"),
         max(col("itemID")).as("max_item"))
       .orderBy(col("bucket"))
-  }
+
+  /** The shared pct/bucket projection (single source of truth for the
+    * bucket boundaries — the streaming monitor builds on the same
+    * expression). Null-safe: items without a logLength are excluded rather
+    * than falling through the when-chain into "done".
+    */
+  def progressBucketed(items: DataFrame): DataFrame =
+    items
+      .filter(col("nestedTaskCount").isNotNull && col("nestedTaskCount") > 0 &&
+        col("logLength").isNotNull)
+      .withColumn("pct", expr("logLength * 100 div nestedTaskCount"))
+      .withColumn("bucket",
+        when(col("pct") === 0, "todo")
+          .when(col("pct") <= 25, "Q1")
+          .when(col("pct") <= 50, "Q2")
+          .when(col("pct") <= 75, "Q3")
+          .when(col("pct") <= 99, "Q4")
+          .otherwise("done"))
 
   /** A7 completion test (`code/modifier.py:193-203`): recompute the terminal
     * state of in-flight nested items — done iff every nested task logged.

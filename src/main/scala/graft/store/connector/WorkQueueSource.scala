@@ -51,10 +51,30 @@ object WorkQueueSource {
     StructField("logLength", LongType),
     StructField("nestedTaskCount", LongType)))
 
-  /** Write a DataFrame (schema above) into the connector's layout. */
+  /** Write a DataFrame (schema above) into the connector's layout. Columns
+    * are pinned to the schema order — the reader maps fields positionally.
+    * Known demo-connector limits (a production DynamoDB connector replaces
+    * this layer wholesale): values must not embed newlines, and itemState
+    * must not be null.
+    */
   def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
-    df.write.mode("overwrite").partitionBy("itemState")
+    df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
+      .write.mode("overwrite").partitionBy("itemState")
       .option("header", "false").csv(path)
+
+  /** Undo Spark's percent-escaping of partition directory values. */
+  def unescapePartitionValue(s: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { out.append(c); i += 1 }
+    }
+    out.result()
+  }
 }
 
 class WorkQueueTable(path: String) extends Table with SupportsRead {
@@ -104,9 +124,12 @@ class WorkQueueScan(path: String, state: Option[String], required: StructType)
     // listed, the GSI-pushdown analog
     val stateDirs = Option(base.listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("itemState="))
-      .filter(f => state.forall(s => f.getName == s"itemState=$s"))
+      // compare against the UNESCAPED directory value, so pushed filters on
+      // states containing escaped chars still prune correctly
+      .filter(f => state.forall(s =>
+        WorkQueueSource.unescapePartitionValue(f.getName.stripPrefix("itemState=")) == s))
     stateDirs.flatMap { dir =>
-      val st = dir.getName.stripPrefix("itemState=")
+      val st = WorkQueueSource.unescapePartitionValue(dir.getName.stripPrefix("itemState="))
       Option(dir.listFiles()).getOrElse(Array.empty)
         .filter(f => f.isFile && f.getName.endsWith(".csv"))
         .map(f => WorkQueuePartition(f.getAbsolutePath, st): InputPartition)
@@ -133,7 +156,8 @@ final case class WorkQueuePartition(file: String, state: String) extends InputPa
 class WorkQueueReader(partition: WorkQueuePartition, required: StructType)
     extends PartitionReader[InternalRow] {
 
-  private val lines = scala.io.Source.fromFile(partition.file)
+  private val lines =
+    scala.io.Source.fromFile(partition.file)(scala.io.Codec.UTF8) // writer emits UTF-8
   private val it = lines.getLines()
   private var current: InternalRow = _
 

@@ -27,16 +27,7 @@ object Monitors {
     * monitor variant drops the id lists.
     */
   def progressHistogram(itemsStream: DataFrame): DataFrame =
-    itemsStream
-      .filter(col("nestedTaskCount").isNotNull && col("nestedTaskCount") > 0)
-      .withColumn("pct", expr("logLength * 100 div nestedTaskCount"))
-      .withColumn("bucket",
-        when(col("pct") === 0, "todo")
-          .when(col("pct") <= 25, "Q1")
-          .when(col("pct") <= 50, "Q2")
-          .when(col("pct") <= 75, "Q3")
-          .when(col("pct") <= 99, "Q4")
-          .otherwise("done"))
+    graft.queries.StateQueries.progressBucketed(itemsStream)
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n"))
 
