@@ -65,9 +65,11 @@ object Relational {
   private def revenue = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
     .cast("decimal(24,6)")
 
-  /** TPC-H Q3 analog: top-10 open orders by revenue. Small dims broadcast
-    * (customer segment filter first, so the broadcast is the *filtered*
-    * side); the only shuffle is the final groupBy on o_orderkey.
+  /** TPC-H Q3 analog: top-10 open orders by revenue. Only the *filtered*
+    * customer dimension is broadcast; the orders⋈lineitem leg is a shuffle
+    * join on `o_orderkey` (both fact tables grow with sf — broadcasting
+    * either side OOMs the driver at 100×; AQE picks SMJ/shuffled-hash and
+    * handles skew at runtime).
     */
   def q3ShippingPriority(spark: SparkSession, sfDir: String): DataFrame = {
     val cust = Tables.customer(spark, sfDir)
@@ -79,8 +81,8 @@ object Relational {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust),
-        ord("o_custkey") === cust("c_custkey"))),
+    li.join(ord.join(broadcast(cust),
+        ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(sum(revenue).cast("double").as("revenue"))
@@ -100,10 +102,13 @@ object Relational {
       |GROUP BY o_orderkey, o_orderdate, o_orderpriority
       |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin
 
-  /** TPC-H Q5 analog: revenue by nation through a 6-table join. Dimension
-    * chain (region→nation→customer/supplier) broadcasts; fact tables join
-    * on their natural keys. The co-membership condition (customer and
-    * supplier in the same nation) is the classic Q5 twist.
+  /** TPC-H Q5 analog: revenue by nation through a 6-table join. Only the
+    * genuinely fixed-size dims (region: 5 rows, nation: 25 rows) are
+    * broadcast; customer and supplier grow with sf (~15 M / ~1 M rows at
+    * sf100) so their joins are left to AQE — shuffle joins on their natural
+    * keys, runtime-promoted to broadcast only when the side is actually
+    * small. The co-membership condition (customer and supplier in the same
+    * nation) is the classic Q5 twist.
     */
   def q5LocalSupplier(spark: SparkSession, sfDir: String): DataFrame = {
     val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
@@ -114,9 +119,9 @@ object Relational {
       .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
         col("o_orderdate") < lit("1999-01-01").cast("timestamp"))
     val li = Tables.lineitem(spark, sfDir)
-    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+    li.join(supp, li("l_suppkey") === supp("s_suppkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
         supp("s_nationkey") === cust("c_nationkey"))
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
@@ -145,7 +150,9 @@ object Relational {
   def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_name")
-    val perPart = li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+    // part grows with sf (~20 M rows at sf100) — no broadcast hint; AQE
+    // promotes the join to broadcast at runtime only while it actually fits
+    val perPart = li.join(part, li("l_partkey") === part("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"), col("p_name"))
       .agg(sum(revenue).cast("double").as("revenue"))
     val w = org.apache.spark.sql.expressions.Window

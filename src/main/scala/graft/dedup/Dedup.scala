@@ -222,7 +222,18 @@ object Dedup {
       sh
     }
 
-  /** SimHash near-dup pairs within a block: hamming(simhash) ≤ maxDist. */
+  /** Bit-extracted hamming distance between two 16-bit simhash columns —
+    * identical arithmetic (floor-div + mod) to the DuckDB oracle mirror.
+    */
+  private def hamming16(a: Column, b: Column): Column =
+    (0 until 16).map { bit =>
+      abs(shiftright(a, bit) % 2 - shiftright(b, bit) % 2)
+    }.reduce(_ + _)
+
+  /** SimHash near-dup pairs within a block: hamming(simhash) ≤ maxDist.
+    * Quadratic in the block size — unit-test / small-block tool; the scale
+    * path is [[simhashBandPairs]] (identical results by pigeonhole).
+    */
   def simhashPairs(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       maxDist: Int): DataFrame = {
@@ -231,13 +242,56 @@ object Dedup {
         .as("sh")).cache()
     val a = g.alias("a")
     val b = g.alias("b")
-    val hamming = (0 until 16).map { bit =>
-      abs(shiftright(col("a.sh"), bit) % 2 - shiftright(col("b.sh"), bit) % 2)
-    }.reduce(_ + _)
     a.join(b, col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
-      .withColumn("hamming", hamming)
+      .withColumn("hamming", hamming16(col("a.sh"), col("b.sh")))
       .filter(col("hamming") <= maxDist)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("hamming"))
+  }
+
+  /** Scale-path SimHash near-dup: hamming-band bucketing. The 16-bit hash is
+    * split into (maxDist+1) contiguous segments; by pigeonhole any pair
+    * within hamming ≤ maxDist agrees on at least one whole segment, so an
+    * equi-join on (block, segment-index, segment-value) produces a candidate
+    * superset with recall exactly 1.0 — results are identical to
+    * [[simhashPairs]] (spec-asserted), but the join key-space is
+    * blocks × segments × 2^segBits instead of blocks, so no per-block
+    * quadratic blow-up at scale. `blockCol` stays as the *semantic* scope of
+    * the dedup (same-language), not the thing bounding the join.
+    */
+  def simhashBandPairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      maxDist: Int): DataFrame = {
+    val segs = maxDist + 1
+    require(segs <= 16, s"maxDist $maxDist leaves no bits per segment")
+    val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      simhash16Udf(array_distinct(split(TextAnalysis.normalized(col(textCol)), " ")))
+        .as("sh")).cache()
+    // near-equal contiguous bit segments: first (16 % segs) get an extra bit
+    val base = 16 / segs
+    val extra = 16 % segs
+    val bounds = (0 until segs).map { i =>
+      val off = i * base + math.min(i, extra)
+      val width = base + (if (i < extra) 1 else 0)
+      (i, off, width)
+    }
+    val segStructs = bounds.map { case (i, off, width) =>
+      struct(lit(i).as("si"),
+        shiftright(col("sh"), off).bitwiseAND(lit((1L << width) - 1)).as("sv"))
+    }
+    val banded = g.select(col("id"), col("blk"), col("sh"),
+        explode(array(segStructs: _*)).as("seg"))
+      .select(col("id"), col("blk"), col("sh"),
+        col("seg.si").as("si"), col("seg.sv").as("sv"))
+    banded.alias("a")
+      .join(banded.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.si") === col("b.si") &&
+          col("a.sv") === col("b.sv") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        col("a.sh").as("sha"), col("b.sh").as("shb"))
+      .distinct()
+      .withColumn("hamming", hamming16(col("sha"), col("shb")))
+      .filter(col("hamming") <= maxDist)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
   }
 
   /** Left-fold dot product — the exact fold the DuckDB oracle uses. */
@@ -260,26 +314,16 @@ object Dedup {
       acc
     }
 
-  /** Embedding cosine near-dup pairs (brute force; blocking/ANN variants in
-    * [[graft.sim.Similarity]] are the scale path).
+  /** Exact-cosine verification of candidate pairs: a typed mapPartitions
+    * over primitive arrays running the SAME ascending left fold as the
+    * expression/oracle form (bit-identical doubles), ~20× faster than
+    * interpreted HOFs. Input must carry (id_a, id_b, v_a, v_b, nrm_a*nrm_b).
     */
-  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val spark = vecs.sparkSession
+  private def verifyCosine(pairs: DataFrame, threshold: Double): DataFrame = {
+    val spark = pairs.sparkSession
     import spark.implicits._
-    // norms once per row (not per pair); the pair stage runs as a typed
-    // mapPartitions over primitive arrays — the SAME ascending left fold as
-    // the expression/oracle form (bit-identical doubles), ~20× faster than
-    // interpreted HOFs over 10⁶+ pairs
-    val v = vecs.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"),
-      sqrt(dotUdf(col(vecCol), col(vecCol))).as("nrm")).cache()
-    val a = v.alias("a")
-    val b = v.alias("b")
     val thr = threshold
-    a.join(b, col("a.id") < col("b.id"))
-      .select(col("a.id"), col("b.id"), col("a.v"), col("b.v"),
-        (col("a.nrm") * col("b.nrm")).as("nn"))
+    pairs
       .as[(Long, Long, Array[Double], Array[Double], Double)]
       .mapPartitions { it =>
         it.flatMap { case (ia, ib, va, vb, nn) =>
@@ -292,5 +336,49 @@ object Dedup {
         }
       }
       .toDF("vec_a", "vec_b", "cos")
+  }
+
+  /** Embedding cosine near-dup pairs, brute force: O(n²) pair generation —
+    * unit-test / small-block tool and the recall oracle for
+    * [[lshCosinePairs]], which is the form that scales.
+    */
+  def cosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    // norms once per row (not per pair)
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"),
+      sqrt(dotUdf(col(vecCol), col(vecCol))).as("nrm")).cache()
+    val a = v.alias("a")
+    val b = v.alias("b")
+    verifyCosine(
+      a.join(b, col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"), col("a.v"), col("b.v"),
+          (col("a.nrm") * col("b.nrm")).as("nn")),
+      threshold)
+  }
+
+  /** Scale-path embedding near-dup: random-hyperplane LSH bucketing
+    * ([[graft.sim.Similarity.lshBucket]]) → bucket equi-join candidates →
+    * exact cosine verify. The cosine twin of [[lshVerifiedPairs]]: work is
+    * O(n) bucket signatures + O(candidate pairs), never all-pairs, and the
+    * bucket join is a plain equi-join (no BroadcastNestedLoopJoin anywhere).
+    * Positive scaling preserves every sign pattern, so exact/scaled
+    * duplicates are guaranteed co-bucketed; near-dup recall is tuned by
+    * `planes` (fewer planes → bigger buckets → higher recall).
+    */
+  def lshCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int, dims: Int): DataFrame = {
+    val v = vecs.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"),
+      sqrt(dotUdf(col(vecCol), col(vecCol))).as("nrm"),
+      graft.sim.Similarity.lshBucket(col(vecCol), planes, dims).as("bucket"))
+      .cache()
+    val a = v.alias("a")
+    val b = v.alias("b")
+    verifyCosine(
+      a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id"), col("a.v"), col("b.v"),
+          (col("a.nrm") * col("b.nrm")).as("nn")),
+      threshold)
   }
 }

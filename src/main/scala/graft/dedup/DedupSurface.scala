@@ -93,10 +93,6 @@ object DedupSurface {
       s"abs(($a // $pow) % 2 - ($b // $pow) % 2)"
     }.mkString("(", " + ", ")")
 
-  private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
-       |  i -> $a[i] * $b[i])), (da, dx) -> da + dx)""".stripMargin
-
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(corpus(s, d), "doc_id", "text").orderBy("fp")),
@@ -108,11 +104,16 @@ object DedupSurface {
     "dedup_lsh_candidates" -> ((s, d) =>
       Dedup.lshCandidates(corpus(s, d), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+    // hamming-band bucketing (pigeonhole recall 1.0) — result-identical to
+    // the blocked all-pairs form, so the oracle is unchanged
     "dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashPairs(corpus(s, d), "doc_id", "text", "lang", 1)
+      Dedup.simhashBandPairs(corpus(s, d), "doc_id", "text", "lang", 1)
         .orderBy("doc_a", "doc_b")),
+    // hyperplane-LSH bucket candidates + exact verify — the scale path (the
+    // all-pairs cosinePairs form is the recall oracle in DedupSpec)
     "dedup_cosine_pairs" -> ((s, d) =>
-      Dedup.cosinePairs(vecs(s, d), "vec_id", "v", 0.999)
+      Dedup.lshCosinePairs(vecs(s, d), "vec_id", "v", 0.999,
+        graft.sim.SimSurface.Planes, graft.sim.SimSurface.Dims)
         .orderBy("vec_a", "vec_b")),
   )
 
@@ -146,13 +147,14 @@ object DedupSurface {
       |FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
       |WHERE ${hammingSql("a.sh", "b.sh")} <= 1
       |ORDER BY doc_a, doc_b""".stripMargin,
-    "dedup_cosine_pairs" -> s"""WITH $vecsCte
+    "dedup_cosine_pairs" -> s"""WITH $vecsCte,
+      |b AS (SELECT vec_id, v,
+      |        ${graft.sim.SimOracle.bucketSql("v", graft.sim.SimSurface.Planes, graft.sim.SimSurface.Dims)} AS bucket
+      |      FROM vecs)
       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-      |  ${dotSql("a.v", "b.v")} /
-      |    (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS cos
-      |FROM vecs a JOIN vecs b ON a.vec_id < b.vec_id
-      |WHERE ${dotSql("a.v", "b.v")} /
-      |    (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) >= 0.999
+      |  ${graft.sim.SimOracle.cosSql("a.v", "b.v")} AS cos
+      |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE ${graft.sim.SimOracle.cosSql("a.v", "b.v")} >= 0.999
       |ORDER BY vec_a, vec_b""".stripMargin,
   )
 }

@@ -43,21 +43,9 @@ object SimSurface {
     """v AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |     FROM embeddings)""".stripMargin
 
-  private def dotSql(a: String, b: String): String =
-    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
-       |  i -> $a[i] * $b[i])), (da, dx) -> da + dx)""".stripMargin
+  private def cosSql(a: String, b: String): String = SimOracle.cosSql(a, b)
 
-  private def cosSql(a: String, b: String): String =
-    s"${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
-
-  private def planeListSql(p: Int): String =
-    (1 to Dims).map(d => s"${Similarity.planeNumerator(p, d)}/1000.0")
-      .mkString("[", ", ", "]")
-
-  private def bucketSql(v: String): String =
-    (0 until Planes).map { p =>
-      s"(CASE WHEN ${dotSql(v, planeListSql(p))} > 0 THEN ${1L << p} ELSE 0 END)"
-    }.mkString("(", " + ", ")")
+  private def bucketSql(v: String): String = SimOracle.bucketSql(v, Planes, Dims)
 
   private def bruteforceSql: String = s"""WITH $vecsCte,
       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),

@@ -54,6 +54,43 @@ class DedupSpec extends SparkSpec {
     assert(mismatches === 0)
   }
 
+  test("hamming-band simhash pairs are identical to blocked all-pairs (pigeonhole recall 1.0)") {
+    val allPairs = Dedup.simhashPairs(corpus, "doc_id", "text", "lang", 1)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashBandPairs(corpus, "doc_id", "text", "lang", 1)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(banded === allPairs)
+    assert(banded.nonEmpty)
+  }
+
+  test("LSH cosine pairs recall the brute-force near-dups and are a subset of them") {
+    val vecs = DedupSurface.vecs(spark, sf0001).cache()
+    val brute = Dedup.cosinePairs(vecs, "vec_id", "v", 0.999)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.lshCosinePairs(vecs, "vec_id", "v", 0.999,
+        graft.sim.SimSurface.Planes, graft.sim.SimSurface.Dims)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(brute))
+    // positive scaling preserves sign patterns -> planted scaled copies are
+    // guaranteed co-bucketed; recall on the planted set must be 1.0
+    val planted = brute.filter { case (a, b) => b - a == 100000L }
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(lsh))
+    assert(lsh.size.toDouble / brute.size >= 0.8, s"recall ${lsh.size}/${brute.size}")
+  }
+
+  test("scale-path pair generators plan as equi-joins, never nested-loop/cartesian") {
+    val vecs = DedupSurface.vecs(spark, sf0001)
+    for (df <- Seq(
+        Dedup.lshCosinePairs(vecs, "vec_id", "v", 0.999, 8, 64),
+        Dedup.simhashBandPairs(corpus, "doc_id", "text", "lang", 1),
+        Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
+      assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))
+    }
+  }
+
   test("simhash is stable on identical text and near on perturbed text") {
     val sh = corpus.select($"doc_id", Dedup.simhash16($"text").as("sh"))
       .as[(Long, Long)].collect().toMap

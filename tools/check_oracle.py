@@ -58,6 +58,19 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: rows {len(got)} != {len(want)}")
             n_fail += 1
             continue
+        bad_types = [
+            (c, str(got[c].dtype), str(want[c].dtype))
+            for c in got.columns
+            if got[c].dtype.kind != want[c].dtype.kind
+        ]
+        if bad_types:
+            # the driver's hash is dtype-KIND-sensitive: a DuckDB HUGEINT sum
+            # surfaces as float64 and hash-mismatches a Spark BIGINT column
+            # even when pandas == passes (pa_json_props, round 1). Width and
+            # datetime-unit differences (int32/int64, ns/us) hash fine.
+            print(f"FAIL {name}: dtype kind mismatch {bad_types}")
+            n_fail += 1
+            continue
         mismatch = None
         for c in got.columns:
             a, b = got[c], want[c]
