@@ -49,6 +49,29 @@ object Main {
       s"failed to swap $tmp into place at $table — data preserved at $tmp")
   }
 
+  /** Parse a restart manifest with `from_json`: either a bare JSON array of
+    * itemIDs or an object `{"items": [...], "to": "<state>"}`. Returns the
+    * ids as a DataFrame (column `itemID` — stays distributed for join-based
+    * mutation) plus the manifest's optional target state.
+    */
+  private[graft] def readManifest(spark: SparkSession,
+      path: String): (org.apache.spark.sql.DataFrame, Option[String]) = {
+    val objType = org.apache.spark.sql.types.DataType.fromDDL(
+      "STRUCT<items: ARRAY<STRING>, to: STRING>")
+    val arrType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType)
+    val parsed = spark.read.option("wholetext", "true").text(path)
+      .select(
+        coalesce(
+          from_json(col("value"), objType).getField("items"),
+          from_json(col("value"), arrType)).as("ids"),
+        from_json(col("value"), objType).getField("to").as("to"))
+      .cache()
+    val ids = parsed.select(explode(col("ids")).as("itemID"))
+    require(!ids.isEmpty, s"manifest $path holds no item ids")
+    (ids, Option(parsed.select("to").head().getString(0)))
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: graft.Main <import|run|monitor|reset|delete> --table PATH ...")
     val verb = args.head
@@ -101,13 +124,40 @@ object Main {
     case "monitor" =>
       StateQueries.itemCounter(ItemStore.load(spark, table)).show(truncate = false)
       StateQueries.progressHistogram(ItemStore.load(spark, table)).show(truncate = false)
-    case "reset" =>
-      val from = flags.getOrElse("state", "Wall_Time_Exceeded")
-      rewriteTable(spark, table, Mutations.resetItems(ItemStore.load(spark, table),
-        col("itemState") === from, flags.getOrElse("to", "todo"), resetTasks = true))
+    case "reset" => flags.get("manifest") match {
+      case Some(manifest) =>
+        // manifest-driven reset (manager.py:113-119 read_jsonFile →
+        // manager.py:465-549 reset_itemState over the listed ids): the file
+        // is either a bare JSON id array or {"items": [...], "to": "..."}
+        val (ids, manifestTo) = readManifest(spark, manifest)
+        val to = flags.get("to").orElse(manifestTo).getOrElse("todo")
+        val old = ItemStore.load(spark, table)
+        // only partitions holding manifest rows (plus the target) rewrite
+        val affected = old.join(ids, Seq("itemID"), "left_semi")
+          .select("itemState").distinct().collect().map(_.getString(0)).toSeq
+        ItemStore.replacePartitions(
+          Mutations.resetItemsJoin(old, ids, to, resetTasks = true),
+          table, (affected :+ to).distinct)
+      case None =>
+        val from = flags.getOrElse("state", "Wall_Time_Exceeded")
+        val to = flags.getOrElse("to", "todo")
+        // a state flip touches exactly two partitions — rewrite only those
+        ItemStore.replacePartitions(
+          Mutations.resetItems(ItemStore.load(spark, table),
+            col("itemState") === from, to, resetTasks = true),
+          table, Seq(from, to).distinct)
+    }
     case "delete" =>
-      rewriteTable(spark, table, Mutations.deleteItems(ItemStore.load(spark, table),
-        col("taskID") === flags.getOrElse("task-group", sys.error("--task-group required"))))
+      val pred =
+        col("taskID") === flags.getOrElse("task-group", sys.error("--task-group required"))
+      val old = ItemStore.load(spark, table)
+      // only partitions that actually hold matching rows get rewritten (a
+      // column-pruned two-column scan decides which — partition pruning on
+      // the write side, the moral of modifier.py's per-key deletes)
+      val affected = old.filter(pred)
+        .select("itemState").distinct().collect().map(_.getString(0)).toSeq
+      if (affected.nonEmpty)
+        ItemStore.replacePartitions(Mutations.deleteItems(old, pred), table, affected)
     case other => sys.error(s"unknown verb: $other")
   }
 }

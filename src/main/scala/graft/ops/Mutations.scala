@@ -83,6 +83,23 @@ object Mutations {
       .drop("__rp")
   }
 
+  /** M7/M9 at scale: the ids arrive as a DataFrame (column `itemID`) — e.g.
+    * a parsed restart manifest (`code/manager.py:113-119` read_jsonFile →
+    * `code/manager.py:465-549` reset_itemState over an id list). A broadcast
+    * left join marks the matching rows; everything else is [[resetItems]].
+    * (Manifests are user-curated restart lists — small by construction; for
+    * an id set too big to broadcast, drop the hint and AQE shuffle-joins.)
+    */
+  def resetItemsJoin(items: DataFrame, ids: DataFrame, toState: String = "todo",
+      resetTasks: Boolean = false): DataFrame =
+    resetItems(
+      items.join(
+        broadcast(ids.select(col("itemID")).distinct()
+          .withColumn("__in_manifest", lit(true))),
+        Seq("itemID"), "left"),
+      col("__in_manifest").isNotNull, toState, resetTasks)
+      .drop("__in_manifest")
+
   /** M8 `updateItemStates` (`code/manager.py:248-274`): bulk state flip only. */
   def updateItemStates(items: DataFrame, pred: Column, toState: String): DataFrame =
     applyWhen(items, pred, Map("itemState" -> lit(toState)))

@@ -52,4 +52,42 @@ object ItemStore {
 
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(WorkItem.schema).parquet(path)
+
+  /** Partition-scoped persistence for mutations: rewrite ONLY the
+    * `itemState` partitions named in `states`, leaving every other
+    * partition's files untouched (byte-identical — spec-asserted). This is
+    * the reference's per-item `update_item` cost model
+    * (`code/modifier.py:219-249`) done Spark-natively: a reset of 0.1% of a
+    * 100 TB table rewrites the affected state partitions, not the table.
+    *
+    * Mechanics: the touched rows are staged to `<path>.next` (computing them
+    * from the live files while overwriting those same files in place is a
+    * read/write conflict Spark rightly rejects), then each affected
+    * partition directory is swapped via FS rename — the same
+    * any-FileSystem-safe swap as the full rewrite. A partition that ends up
+    * with zero rows is dropped. On a transactional table format
+    * (Iceberg/Delta) this maps to `overwritePartitions`/MERGE; parquet dirs
+    * are the dependency-free stand-in here.
+    */
+  def replacePartitions(updated: DataFrame, path: String,
+      states: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.col
+    val spark = updated.sparkSession
+    val tmp = path + ".next"
+    updated.filter(col("itemState").isin(states: _*))
+      .write.mode(SaveMode.Overwrite).partitionBy("itemState").parquet(tmp)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val tmpPath = new Path(tmp)
+    val fs = tmpPath.getFileSystem(hconf)
+    states.foreach { st =>
+      val dest = new Path(path, s"itemState=$st")
+      val src = new Path(tmp, s"itemState=$st")
+      fs.delete(dest, true)
+      if (fs.exists(src))
+        require(fs.rename(src, dest),
+          s"failed to swap partition $src into place at $dest")
+    }
+    fs.delete(tmpPath, true)
+    ()
+  }
 }

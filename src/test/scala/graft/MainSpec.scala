@@ -40,4 +40,43 @@ class MainSpec extends SparkSpec {
     Main.run(spark, "delete", table, Map("task-group" -> "g1"))
     assert(store.ItemStore.load(spark, table).count() === 0)
   }
+
+  test("manifest-driven reset restarts exactly the listed items (manager.py:465-549)") {
+    val table = java.nio.file.Files.createTempDirectory("graft-cli-store").toString + "/t"
+    Main.run(spark, "import", table,
+      Map("input" -> writeFixture(), "delim" -> "|", "nested-delim" -> ","))
+    Main.run(spark, "run", table, Map.empty)
+    assert(store.ItemStore.load(spark, table)
+      .filter($"itemState" === "done").count() === 2)
+
+    val mf = java.io.File.createTempFile("graft-manifest", ".json")
+    val w = new java.io.PrintWriter(mf)
+    w.println("""{"items": ["Nest"], "to": "todo"}""")
+    w.close()
+    Main.run(spark, "reset", table, Map("manifest" -> mf.getAbsolutePath))
+
+    // no .cache() here: Spark would re-serve the cached relation for the
+    // same-path load after the second reset below (plan-identity cache reuse)
+    val after = store.ItemStore.load(spark, table)
+    // only the listed item restarted — full wipe (state, log, tasks)
+    val nest = after.filter($"itemID" === "Nest")
+    assert(nest.select($"itemState").as[String].head() === "todo")
+    assert(nest.select($"logLength").as[Long].head() === 0L)
+    assert(nest.select(size(org.apache.spark.sql.functions.map_filter(
+      $"nestedTasks", (_, v) => v.getField("status") === "todo"))).as[Int].head() === 2)
+    // the unlisted item is untouched
+    val one = after.filter($"itemID" === "One")
+    assert(one.select($"itemState").as[String].head() === "done")
+    assert(one.select($"logLength").as[Long].head() === 3L) // `seq 3` -> 3 stdout lines (A5)
+
+    // a bare-array manifest works too, with --to taking precedence
+    val mf2 = java.io.File.createTempFile("graft-manifest2", ".json")
+    val w2 = new java.io.PrintWriter(mf2)
+    w2.println("""["One"]""")
+    w2.close()
+    Main.run(spark, "reset", table,
+      Map("manifest" -> mf2.getAbsolutePath, "to" -> "Wall_Time_Exceeded"))
+    assert(store.ItemStore.load(spark, table).filter($"itemID" === "One")
+      .select($"itemState").as[String].head() === "Wall_Time_Exceeded")
+  }
 }

@@ -51,4 +51,50 @@ class ItemStoreSpec extends SparkSpec {
     ItemStore.drop(spark, p)
     assert(!ItemStore.exists(spark, p))
   }
+
+  private def partitionFiles(table: String, state: String): Map[String, String] = {
+    val dir = java.nio.file.Paths.get(table, s"itemState=$state")
+    if (!java.nio.file.Files.exists(dir)) Map.empty
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .filter(f => f.getFileName.toString.startsWith("part-"))
+        .map { f =>
+          f.getFileName.toString ->
+            md.digest(java.nio.file.Files.readAllBytes(f)).map("%02x".format(_)).mkString
+        }.toMap
+    }
+  }
+
+  test("replacePartitions rewrites only the mutated state partitions (M7 cost model)") {
+    val p = java.nio.file.Files.createTempDirectory("graft-partial").toString + "/t"
+    val items = DerivedItems.items(spark, sf0001)
+      .withColumn("nestedTasks",
+        lit(null).cast("map<string,struct<status:string,script:string>>"))
+      .select(graft.model.WorkItem.schema.fieldNames.map(col): _*)
+    ItemStore.save(items, p)
+    val doneBefore = partitionFiles(p, "done")
+    val wteBefore = partitionFiles(p, "Wall_Time_Exceeded")
+    assert(doneBefore.nonEmpty && wteBefore.nonEmpty)
+    val nLockedBefore = ItemStore.load(spark, p).filter($"itemState" === "locked").count()
+    assert(nLockedBefore > 0)
+    val nTodoBefore = ItemStore.load(spark, p).filter($"itemState" === "todo").count()
+
+    val updated = graft.ops.Mutations.resetItems(ItemStore.load(spark, p),
+      $"itemState" === "locked", "todo", resetTasks = true)
+    ItemStore.replacePartitions(updated, p, Seq("locked", "todo"))
+
+    // untouched partitions: the SAME files, byte for byte
+    assert(partitionFiles(p, "done") === doneBefore)
+    assert(partitionFiles(p, "Wall_Time_Exceeded") === wteBefore)
+    // the emptied source partition is dropped, rows landed in the target
+    assert(partitionFiles(p, "locked").isEmpty)
+    val after = ItemStore.load(spark, p)
+    assert(after.filter($"itemState" === "locked").count() === 0)
+    assert(after.filter($"itemState" === "todo").count() === nTodoBefore + nLockedBefore)
+    assert(after.count() === items.count())
+    // no stale staging directory left behind
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p + ".next")))
+  }
 }
