@@ -1,0 +1,179 @@
+package graft.store.connector
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path => JPath, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.types.StructType
+
+/** Conditional-claim write path for [[WorkQueueSource]] (SURVEY §2.9).
+  *
+  * The reference's claim protocol is write-then-read-verify with a race
+  * window: `lockItem` sets `lockID` unconditionally and `verifyItem` sleeps
+  * then re-reads to see who actually won (`code/modifier.py:71-125`) — two
+  * workers can both believe they hold the lock between the write and the
+  * verify. DynamoDB has the fix (a `ConditionExpression`) but the reference
+  * doesn't use it; this connector supplies exactly that: a claim row is
+  * accepted IFF the item's current lock matches the row's expectation —
+  * atomically, no verify round-trip.
+  *
+  * A claim row is `(itemID, lockID, instanceID, expectedLockID)`:
+  *  - `expectedLockID` null → fresh claim: atomic lock-file create
+  *    (`Files.createFile` — the filesystem guarantees exactly one concurrent
+  *    creator wins).
+  *  - `expectedLockID` set → re-claim/renew: exclusive `FileChannel` lock,
+  *    compare stored lockID, swap only on match.
+  *
+  * Outcomes are per-row data, not exceptions (a rejected claim is the
+  * protocol working): each task's accepted/rejected lists travel in its
+  * [[WriterCommitMessage]] and the driver materializes them under
+  * `<path>/_claims/<queryId>.csv` — read back with
+  * [[WorkQueueSource.claimResults]]. `BatchWrite.abort` releases the locks
+  * the failed query did acquire.
+  */
+class WorkQueueClaimWrite(path: String, schema: StructType, queryId: String)
+    extends WriteBuilder with Write with BatchWrite {
+
+  override def build(): Write = this
+  override def toBatch: BatchWrite = this
+  override def description(): String = s"WorkQueueClaimWrite(path=$path)"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new ClaimWriterFactory(path, schema)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val results = messages.collect { case m: ClaimCommitMessage => m }
+    val dir = Paths.get(path, "_claims")
+    Files.createDirectories(dir)
+    val lines = results.flatMap { m =>
+      m.accepted.map { case (id, lock) => s"$id,accepted,$lock" } ++
+        m.rejected.map { case (id, cur) => s"$id,rejected,$cur" }
+    }
+    Files.write(dir.resolve(s"$queryId.csv"),
+      lines.sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    ()
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.iterator
+      .collect { case m: ClaimCommitMessage => m.accepted }
+      .flatten
+      .foreach { case (id, _) =>
+        Files.deleteIfExists(WorkQueueClaimWrite.lockFile(path, id))
+      }
+}
+
+object WorkQueueClaimWrite {
+  /** Claim-request schema accepted by the write path. */
+  val schema: StructType = StructType(Seq(
+    org.apache.spark.sql.types.StructField("itemID",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("lockID",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("instanceID",
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("expectedLockID",
+      org.apache.spark.sql.types.StringType)))
+
+  private[connector] def lockFile(path: String, itemID: String): JPath = {
+    // lock-registry filenames must be FS-safe for arbitrary ids — reuse the
+    // partition-value escaping convention
+    val safe = itemID.flatMap {
+      case c if c.isLetterOrDigit || c == '_' || c == '-' || c == '.' => c.toString
+      case c => f"%%${c.toInt}%02X"
+    }
+    Paths.get(path, "locks", s"$safe.lock")
+  }
+}
+
+final case class ClaimCommitMessage(
+    accepted: Seq[(String, String)],
+    rejected: Seq[(String, String)]) extends WriterCommitMessage
+
+class ClaimWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new ClaimWriter(path, schema)
+}
+
+/** Per-task claim executor. Claims take effect at `write` time (they are
+  * lock acquisitions, not buffered rows); `commit` just reports outcomes and
+  * `abort` releases this task's acquisitions.
+  */
+class ClaimWriter(path: String, schema: StructType) extends DataWriter[InternalRow] {
+
+  private val idxItem = schema.fieldIndex("itemID")
+  private val idxLock = schema.fieldIndex("lockID")
+  private val idxInstance =
+    if (schema.fieldNames.contains("instanceID")) schema.fieldIndex("instanceID") else -1
+  private val idxExpected =
+    if (schema.fieldNames.contains("expectedLockID")) schema.fieldIndex("expectedLockID") else -1
+
+  private val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+  private val rejected = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+
+  Files.createDirectories(Paths.get(path, "locks"))
+
+  private def str(row: InternalRow, i: Int): String =
+    if (i < 0 || row.isNullAt(i)) null else row.getUTF8String(i).toString
+
+  override def write(row: InternalRow): Unit = {
+    val itemID = str(row, idxItem)
+    val lockID = str(row, idxLock)
+    val instanceID = Option(str(row, idxInstance)).getOrElse("")
+    val expected = str(row, idxExpected)
+    val file = WorkQueueClaimWrite.lockFile(path, itemID)
+    val content = s"$lockID,$instanceID".getBytes(StandardCharsets.UTF_8)
+    if (expected == null) {
+      // fresh claim: exactly one concurrent creator wins (atomic create)
+      try {
+        val ch = java.nio.channels.FileChannel.open(file,
+          StandardOpenOption.CREATE_NEW, StandardOpenOption.WRITE)
+        try { ch.write(java.nio.ByteBuffer.wrap(content)); ch.force(true) }
+        finally ch.close()
+        accepted += itemID -> lockID
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          rejected += itemID -> currentLock(file)
+      }
+    } else {
+      // conditional swap: exclusive OS lock, compare, replace only on match
+      if (!Files.exists(file)) rejected += itemID -> ""
+      else {
+        val ch = java.nio.channels.FileChannel.open(file,
+          StandardOpenOption.READ, StandardOpenOption.WRITE)
+        try {
+          val osLock = ch.lock()
+          try {
+            val buf = java.nio.ByteBuffer.allocate(ch.size().toInt)
+            ch.read(buf)
+            val cur = new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
+              .split(",", 2).head
+            if (cur == expected) {
+              ch.truncate(0)
+              ch.position(0)
+              ch.write(java.nio.ByteBuffer.wrap(content))
+              ch.force(true)
+              accepted += itemID -> lockID
+            } else rejected += itemID -> cur
+          } finally osLock.release()
+        } finally ch.close()
+      }
+    }
+  }
+
+  private def currentLock(file: JPath): String =
+    try new String(Files.readAllBytes(file), StandardCharsets.UTF_8).split(",", 2).head
+    catch { case _: java.io.IOException => "" }
+
+  override def commit(): WriterCommitMessage =
+    ClaimCommitMessage(accepted.toSeq, rejected.toSeq)
+
+  override def abort(): Unit =
+    accepted.foreach { case (id, _) =>
+      Files.deleteIfExists(WorkQueueClaimWrite.lockFile(path, id))
+    }
+
+  override def close(): Unit = ()
+}

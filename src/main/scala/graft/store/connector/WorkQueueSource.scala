@@ -35,11 +35,16 @@ class WorkQueueSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     WorkQueueSource.schema
 
+  // writes carry the claim-request schema (WorkQueueClaimWrite.schema), not
+  // the monitoring read schema — accept the query's own schema so AppendData
+  // resolves; reads without a user schema still get inferSchema's shape
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new WorkQueueTable(properties.get("path"))
+    new WorkQueueTable(properties.get("path"), schema)
 }
 
 object WorkQueueSource {
@@ -62,6 +67,18 @@ object WorkQueueSource {
       .write.mode("overwrite").partitionBy("itemState")
       .option("header", "false").csv(path)
 
+  /** Claim outcomes written by the conditional-claim write path
+    * ([[WorkQueueClaimWrite]]): one row per claim request —
+    * `(itemID, status ∈ {accepted, rejected}, lockID)` where `lockID` is the
+    * winning lock for accepts and the CURRENT holder for rejects (the
+    * reference's `verifyItem` return, but race-free).
+    */
+  def claimResults(spark: org.apache.spark.sql.SparkSession,
+      path: String): org.apache.spark.sql.DataFrame =
+    spark.read
+      .schema("itemID STRING, status STRING, lockID STRING")
+      .csv(new java.io.File(path, "_claims").getAbsolutePath)
+
   /** Undo Spark's percent-escaping of partition directory values. */
   def unescapePartitionValue(s: String): String = {
     val out = new StringBuilder
@@ -77,13 +94,20 @@ object WorkQueueSource {
   }
 }
 
-class WorkQueueTable(path: String) extends Table with SupportsRead {
+class WorkQueueTable(path: String, tableSchema: StructType = WorkQueueSource.schema)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"workqueue($path)"
-  override def schema(): StructType = WorkQueueSource.schema
+  override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WorkQueueScanBuilder(path)
+  // writes are conditional claims, not row inserts — see WorkQueueClaimWrite
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new WorkQueueClaimWrite(path, info.schema(), info.queryId())
 }
 
 class WorkQueueScanBuilder(path: String)

@@ -46,4 +46,58 @@ class WorkQueueSourceSpec extends SparkSpec {
     assert(plan.contains("columns=itemID") && !plan.contains("columns=itemID,taskID"),
       plan.take(600))
   }
+
+  private def claim(dir: String, rows: Seq[(String, String, String, String)]): Unit =
+    rows.toDF("itemID", "lockID", "instanceID", "expectedLockID")
+      .write.format("graft.store.connector.WorkQueueSource")
+      .option("path", dir).mode("append").save()
+
+  private def results(dir: String): Set[(String, String, String)] =
+    WorkQueueSource.claimResults(spark, dir)
+      .as[(String, String, String)].collect().toSet
+
+  test("concurrent claims: exactly one winner per item, loser surfaces the holder") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-claims").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val items = (0 until 8).map(i => s"item_$i")
+    val a = Future(claim(dir, items.map(id => (id, "lockA", "worker-a", null))))
+    val b = Future(claim(dir, items.map(id => (id, "lockB", "worker-b", null))))
+    Await.result(a, 2.minutes)
+    Await.result(b, 2.minutes)
+
+    val res = WorkQueueSource.claimResults(spark, dir)
+      .as[(String, String, String)].collect()
+    // every item appears exactly twice: one accepted claim, one rejected
+    for (id <- items) {
+      val byStatus = res.filter(_._1 == id).groupBy(_._2)
+      assert(byStatus("accepted").length === 1, s"$id: ${byStatus.mkString}")
+      assert(byStatus("rejected").length === 1, s"$id: ${byStatus.mkString}")
+      val winner = byStatus("accepted").head._3
+      // the loser is told the CURRENT holder — race-free verifyItem
+      assert(byStatus("rejected").head._3 === winner)
+      assert(Set("lockA", "lockB").contains(winner))
+    }
+  }
+
+  test("conditional re-claim: matching expectation swaps, stale expectation rejects") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-claims2").toString
+    claim(dir, Seq(("item_x", "lock1", "w1", null)))
+    // stale expectation loses and learns the holder
+    claim(dir, Seq(("item_x", "lock9", "w9", "nope")))
+    // matching expectation renews the lock
+    claim(dir, Seq(("item_x", "lock2", "w2", "lock1")))
+    // claim of a never-locked item with an expectation is rejected
+    claim(dir, Seq(("item_y", "lock3", "w3", "lock1")))
+    val res = results(dir)
+    assert(res.contains(("item_x", "accepted", "lock1"))) // initial claim
+    assert(res.contains(("item_x", "rejected", "lock1"))) // stale reclaim told the holder
+    assert(res.contains(("item_x", "accepted", "lock2"))) // matching reclaim swapped
+    // no current holder -> empty field, which the CSV reader yields as null
+    assert(res.contains(("item_y", "rejected", null)))
+    val lockFile = java.nio.file.Paths.get(dir, "locks", "item_x.lock")
+    val content = new String(java.nio.file.Files.readAllBytes(lockFile), "UTF-8")
+    assert(content === "lock2,w2")
+  }
 }
