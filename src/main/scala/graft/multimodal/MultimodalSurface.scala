@@ -5,13 +5,19 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 
-/** Driver-facing multimodal bundle. `mm_media` (schema/metadata plumbing) is
-  * fully oracle-checked; `mm_features` runs the binary mapPartitions decode
-  * path, whose byte-level checksum isn't expressible in portable SQL — it
-  * gets the rows-only check here and exact parity coverage in
-  * `MultimodalSpec`.
+/** Driver-facing multimodal bundle, fully oracle-checked. `mm_features`'s
+  * byte-level stub decode IS portable SQL: hex-encode the UTF-8 payload and
+  * fold hex-digit pairs — byte `i` is
+  * `16*hexval(hex[2i+1]) + hexval(hex[2i+2])` — through the same ascending
+  * polynomial checksum / mean the JVM kernel runs ([[Multimodal.fakeDecode]]).
   */
 object MultimodalSurface {
+
+  /** 0-based byte list of `text`'s UTF-8 encoding, DuckDB-side. */
+  private val bytesExpr =
+    """list_transform(range(0, CAST(strlen(text) AS BIGINT)),
+      |  i -> CAST(strpos('0123456789ABCDEF', substr(hex(encode(text)), CAST(2*i+1 AS INT), 1)) - 1 AS BIGINT) * 16
+      |     + CAST(strpos('0123456789ABCDEF', substr(hex(encode(text)), CAST(2*i+2 AS INT), 1)) - 1 AS BIGINT))""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_media" -> ((s, d) =>
@@ -37,5 +43,14 @@ object MultimodalSurface {
         |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
         |  CAST(doc_id % 10000 AS INT) AS duration_ms
         |FROM documents ORDER BY mediaId""".stripMargin,
+    "mm_features" ->
+      s"""SELECT doc_id AS "mediaId",
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CAST(strlen(text) AS BIGINT) AS "byteLen",
+        |  list_reduce(list_prepend(CAST(0 AS BIGINT), $bytesExpr),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS checksum,
+        |  CASE WHEN strlen(text) = 0 THEN 0.0
+        |       ELSE CAST(list_sum($bytesExpr) AS DOUBLE) / strlen(text) END AS "meanByte"
+        |FROM documents ORDER BY "mediaId"""".stripMargin,
   )
 }
