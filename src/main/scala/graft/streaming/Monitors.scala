@@ -62,6 +62,38 @@ object Monitors {
   def itemStream(spark: SparkSession, path: String): DataFrame =
     spark.readStream.schema(WorkItem.schema).parquet(path)
 
+  /** The reference monitor's retained time-series (`monitor_task` builds
+    * `{Iteration_0: {...}, Iteration_1: {...}}` across its poll loop,
+    * `code/manager.py:209-244`): each trigger APPENDS its full snapshot to
+    * `historyPath`, tagged `Iteration_<batchId>`. Batch ids persist in the
+    * checkpoint, so a restarted monitor keeps numbering where it left off —
+    * the series survives the process, which the reference's in-memory dict
+    * doesn't. History is plain partitioned parquet: queryable mid-run, and
+    * the append per trigger is a few aggregate rows, not the input.
+    */
+  def runWithHistory(df: DataFrame, historyPath: String, checkpoint: String,
+      mode: String = "complete"): StreamingQuery = {
+    val q = df.writeStream
+      .outputMode(mode)
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+          batchId: Long) =>
+        batch
+          .withColumn("iteration", concat(lit("Iteration_"), lit(batchId)))
+          .withColumn("iteration_id", lit(batchId))
+          .write.mode("append").parquet(historyPath)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable()
+    q
+  }
+
+  /** The accumulated Iteration_i series written by [[runWithHistory]]. */
+  def history(spark: SparkSession, historyPath: String): DataFrame =
+    spark.read.parquet(historyPath)
+
   /** Drive a monitor synchronously into an in-memory table (test/ops
     * harness): returns the running query after one full pass.
     */

@@ -45,6 +45,43 @@ class MonitorsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("monitor history retains an Iteration_i snapshot per trigger (manager.py:209-244)") {
+    val hist = java.nio.file.Files.createTempDirectory("graft-hist").toString + "/h"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-hist-ckpt").toString
+    // one file per trigger forces multiple micro-batches over the store's
+    // part files -> several iterations in a single run
+    val stream = spark.readStream
+      .schema(graft.model.WorkItem.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(storePath)
+    val q = Monitors.runWithHistory(Monitors.stateCounts(stream), hist, ckpt)
+    try {
+      val history = Monitors.history(spark, hist).cache()
+      val iterations = history.select($"iteration_id").distinct().as[Long].collect().sorted
+      assert(iterations.length >= 2, s"retained ${iterations.mkString(",")}")
+      assert(history.select($"iteration").distinct().count() === iterations.length)
+      // the LAST iteration's snapshot is the full batch itemCounter answer
+      val last = history.filter($"iteration_id" === iterations.max)
+        .select($"itemState", $"n").as[(String, Long)].collect().toMap
+      val batch = StateQueries.itemCounter(ItemStore.load(spark, storePath))
+        .select($"itemState", $"n").as[(String, Long)].collect().toMap
+      assert(last === batch)
+      // earlier iterations saw strictly fewer rows (history, not overwrites)
+      val first = history.filter($"iteration_id" === iterations.min)
+        .select(sum($"n")).as[Long].head()
+      assert(first < last.values.sum)
+      history.unpersist()
+    } finally q.stop()
+
+    // a restarted monitor continues the series from the checkpoint
+    val q2 = Monitors.runWithHistory(
+      Monitors.stateCounts(spark.readStream.schema(graft.model.WorkItem.schema)
+        .option("maxFilesPerTrigger", "1").parquet(storePath)), hist, ckpt)
+    q2.stop()
+    val after = Monitors.history(spark, hist)
+    assert(after.select($"iteration_id").distinct().count() >= 2)
+  }
+
   test("windowed event counts with watermark run append-mode (T5)") {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // file stream sources need a directory, not a single file
