@@ -147,21 +147,38 @@ object Relational {
   /** Window ranking: top-3 parts by revenue within each brand (the ORDER
     * BY/LIMIT + ranking window category the reference lacks, SURVEY §2.5/2.6).
     */
-  def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
+  private def partRevenue(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir).select("l_partkey", "l_extendedprice", "l_discount")
     val part = Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_name")
     // part grows with sf (~20 M rows at sf100) — no broadcast hint; AQE
     // promotes the join to broadcast at runtime only while it actually fits
-    val perPart = li.join(part, li("l_partkey") === part("p_partkey"))
+    li.join(part, li("l_partkey") === part("p_partkey"))
       .groupBy(col("p_brand"), col("p_partkey"), col("p_name"))
       .agg(sum(revenue).cast("double").as("revenue"))
+  }
+
+  def topPartsPerBrand(spark: SparkSession, sfDir: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("p_brand"))
       .orderBy(col("revenue").desc, col("p_partkey"))
-    perPart.withColumn("rnk", row_number().over(w).cast("long"))
+    partRevenue(spark, sfDir)
+      .withColumn("rnk", row_number().over(w).cast("long"))
       .filter(col("rnk") <= 3)
       .orderBy(col("p_brand"), col("rnk"))
   }
+
+  /** The same ranking through the custom physical operator
+    * ([[graft.plans.TopKPerKey]]): bounded heaps either side of the
+    * exchange instead of the window's full per-group sort —
+    * result-identical (shares the window form's oracle), and the plan that
+    * survives billion-row groups.
+    */
+  def topPartsPerBrandOperator(spark: SparkSession, sfDir: String): DataFrame =
+    graft.plans.TopKPerKey.topK(partRevenue(spark, sfDir),
+        keys = Seq("p_brand"),
+        orderBy = Seq(("revenue", false), ("p_partkey", true)), k = 3)
+      .withColumnRenamed("rank", "rnk")
+      .orderBy(col("p_brand"), col("rnk"))
 
   val topPartsSql: String =
     """SELECT p_brand, p_partkey, p_name, revenue, rnk FROM (
@@ -413,6 +430,7 @@ object Relational {
     "q3_shipping_priority" -> (q3ShippingPriority _),
     "q5_local_supplier" -> (q5LocalSupplier _),
     "q_top_parts_per_brand" -> (topPartsPerBrand _),
+    "q_topk_operator" -> (topPartsPerBrandOperator _),
     "q_setops_customers" -> (setOpsCustomers _),
     "q_rollup_summary" -> (rollupSummary _),
     "q_asof_purchase_click" -> (asofPurchaseClick _),
@@ -431,6 +449,8 @@ object Relational {
     "q3_shipping_priority" -> q3Sql,
     "q5_local_supplier" -> q5Sql,
     "q_top_parts_per_brand" -> topPartsSql,
+    // result-identical to the window form by construction
+    "q_topk_operator" -> topPartsSql,
     "q_setops_customers" -> setOpsSql,
     "q_rollup_summary" -> rollupSql,
     "q_asof_purchase_click" -> asofSql,

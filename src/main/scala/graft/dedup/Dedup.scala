@@ -248,27 +248,22 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"), col("hamming"))
   }
 
-  /** Scale-path SimHash near-dup: hamming-band bucketing. The 16-bit hash is
-    * split into (maxDist+1) contiguous segments; by pigeonhole any pair
-    * within hamming ≤ maxDist agrees on at least one whole segment, so an
-    * equi-join on (block, segment-index, segment-value) produces a candidate
-    * superset with recall exactly 1.0 — results are identical to
-    * [[simhashPairs]] (spec-asserted), but the join key-space is
+  /** Scale-path SimHash near-dup: hamming-band bucketing. The `bits`-wide
+    * hash is split into (maxDist+1) contiguous segments; by pigeonhole any
+    * pair within hamming ≤ maxDist agrees on at least one whole segment, so
+    * an equi-join on (block, segment-index, segment-value) produces a
+    * candidate superset with recall exactly 1.0 — but the join key-space is
     * blocks × segments × 2^segBits instead of blocks, so no per-block
     * quadratic blow-up at scale. `blockCol` stays as the *semantic* scope of
     * the dedup (same-language), not the thing bounding the join.
     */
-  def simhashBandPairs(
-      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-      maxDist: Int): DataFrame = {
+  private def bandPairs(g: DataFrame, maxDist: Int, bits: Int,
+      hammingOf: (Column, Column) => Column): DataFrame = {
     val segs = maxDist + 1
-    require(segs <= 16, s"maxDist $maxDist leaves no bits per segment")
-    val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      simhash16Udf(array_distinct(split(TextAnalysis.normalized(col(textCol)), " ")))
-        .as("sh")).cache()
-    // near-equal contiguous bit segments: first (16 % segs) get an extra bit
-    val base = 16 / segs
-    val extra = 16 % segs
+    require(segs <= bits, s"maxDist $maxDist leaves no bits per segment")
+    // near-equal contiguous bit segments: first (bits % segs) get an extra bit
+    val base = bits / segs
+    val extra = bits % segs
     val bounds = (0 until segs).map { i =>
       val off = i * base + math.min(i, extra)
       val width = base + (if (i < extra) 1 else 0)
@@ -289,9 +284,65 @@ object Dedup {
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))
       .distinct()
-      .withColumn("hamming", hamming16(col("sha"), col("shb")))
+      .withColumn("hamming", hammingOf(col("sha"), col("shb")))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
+  /** 16-bit banded variant — results identical to [[simhashPairs]]
+    * (spec-asserted). Kept for parity with the token-hash simhash; the GATE
+    * runs the 48-bit [[simhashBandPairs48]], because 2^16 hash values make
+    * buckets grow linearly with any large corpus (quadratic candidates — a
+    * 60× blow-up in the 10× scale probe), while 2^48 keeps collisions ∝
+    * true near-dup clusters.
+    */
+  def simhashBandPairs(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      maxDist: Int): DataFrame = {
+    val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      simhash16Udf(array_distinct(split(TextAnalysis.normalized(col(textCol)), " ")))
+        .as("sh")).cache()
+    bandPairs(g, maxDist, 16, hamming16)
+  }
+
+  val Simhash48Bits = 48
+
+  /** 48-bit token bit-source: the first 12 hex chars of md5(token) as a
+    * big-endian value — portable (DuckDB md5 produces the same lowercase
+    * hex) and BIGINT-safe (< 2^48).
+    */
+  def md5Bits48Jvm(token: String): Long =
+    java.lang.Long.parseLong(md5Hex(token).substring(0, 12), 16)
+
+  /** 48-bit SimHash over distinct tokens: per-bit majority vote on md5-bit
+    * ±1 contributions. One md5 per token, all 48 votes in a single pass.
+    */
+  val simhash48Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { tokens: Seq[String] =>
+      val votes = new Array[Long](Simhash48Bits)
+      tokens.foreach { t =>
+        val h = md5Bits48Jvm(t)
+        var b = 0
+        while (b < Simhash48Bits) { votes(b) += ((h >> b) & 1L) * 2 - 1; b += 1 }
+      }
+      var sh = 0L
+      var b = 0
+      while (b < Simhash48Bits) { if (votes(b) > 0) sh |= 1L << b; b += 1 }
+      sh
+    }
+
+  /** The 48-bit scale-path gate form: hamming-band candidates over a hash
+    * wide enough that unrelated docs virtually never collide, verified with
+    * `bit_count(xor)` (identical in DuckDB).
+    */
+  def simhashBandPairs48(
+      docs: DataFrame, idCol: String, textCol: String, blockCol: String,
+      maxDist: Int): DataFrame = {
+    val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      simhash48Udf(array_distinct(split(TextAnalysis.normalized(col(textCol)), " ")))
+        .as("sh")).cache()
+    bandPairs(g, maxDist, Simhash48Bits,
+      (a, b) => bit_count(a.bitwiseXOR(b)).cast("long"))
   }
 
   /** Left-fold dot product — the exact fold the DuckDB oracle uses. */

@@ -72,26 +72,21 @@ object DedupSurface {
     s"md5('$j|' || $sigs)"
   }
 
-  private val tokenHashSql =
-    """list_reduce(list_prepend(CAST(0 AS BIGINT),
-      |  list_transform(string_split(t, ''), ch -> CAST(ascii(ch) AS BIGINT))),
-      |  (hacc, hx) -> (hacc * 31 + hx) % 2147483647)""".stripMargin
-
-  private def simhashSql: String = {
-    val bits = (0 until 16).map { b =>
-      val pow = 1L << b
-      s"""(CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
-         |  list_transform(tokens, t -> (($tokenHashSql // $pow) % 2) * 2 - 1)),
-         |  (vacc, vx) -> vacc + vx) > 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
+  /** 48-bit md5 simhash mirror: token bit-source = first 12 hex chars of
+    * md5(token) big-endian, so bit b lives in hex char (12 - b/4), nibble
+    * shift (b % 4). Tokens are hashed ONCE into `hx`; each bit's vote is a
+    * fold over the hex strings.
+    */
+  private def simhash48Sql: String = {
+    val bits = (0 until Dedup.Simhash48Bits).map { b =>
+      val charPos = 12 - b / 4
+      val shift = 1L << (b % 4)
+      s"""(CASE WHEN list_sum(list_transform(hx,
+         |  h -> ((CAST(strpos('0123456789abcdef', substr(h, $charPos, 1)) - 1 AS BIGINT)
+         |         // $shift) % 2) * 2 - 1)) > 0 THEN ${1L << b} ELSE 0 END)""".stripMargin
     }
     bits.mkString("(", " + ", ")")
   }
-
-  private def hammingSql(a: String, b: String): String =
-    (0 until 16).map { bit =>
-      val pow = 1L << bit
-      s"abs(($a // $pow) % 2 - ($b // $pow) % 2)"
-    }.mkString("(", " + ", ")")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> ((s, d) =>
@@ -104,10 +99,11 @@ object DedupSurface {
     "dedup_lsh_candidates" -> ((s, d) =>
       Dedup.lshCandidates(corpus(s, d), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
-    // hamming-band bucketing (pigeonhole recall 1.0) — result-identical to
-    // the blocked all-pairs form, so the oracle is unchanged
+    // 48-bit hamming-band bucketing (pigeonhole recall 1.0): wide enough
+    // that bucket collisions are true near-dup clusters, not hash crowding
+    // (the 16-bit variant went quadratic in the 10x scale probe)
     "dedup_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashBandPairs(corpus(s, d), "doc_id", "text", "lang", 1)
+      Dedup.simhashBandPairs48(corpus(s, d), "doc_id", "text", "lang", 3)
         .orderBy("doc_a", "doc_b")),
     // hyperplane-LSH bucket candidates + exact verify — the scale path (the
     // all-pairs cosinePairs form is the recall oracle in DedupSpec)
@@ -140,12 +136,14 @@ object DedupSurface {
       |FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id
       |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_pairs" -> s"""WITH $corpusCte,
-      |sh AS (SELECT doc_id AS id, lang AS blk, $simhashSql AS sh
-      |       FROM (SELECT doc_id, lang, list_distinct(string_split($ntext, ' ')) AS tokens
+      |sh AS (SELECT doc_id AS id, lang AS blk, $simhash48Sql AS sh
+      |       FROM (SELECT doc_id, lang,
+      |               list_transform(list_distinct(string_split($ntext, ' ')), t -> md5(t)) AS hx
       |             FROM corpus))
-      |SELECT a.id AS doc_a, b.id AS doc_b, ${hammingSql("a.sh", "b.sh")} AS hamming
+      |SELECT a.id AS doc_a, b.id AS doc_b,
+      |       CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
       |FROM sh a JOIN sh b ON a.blk = b.blk AND a.id < b.id
-      |WHERE ${hammingSql("a.sh", "b.sh")} <= 1
+      |WHERE bit_count(xor(a.sh, b.sh)) <= 3
       |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_cosine_pairs" -> s"""WITH $vecsCte,
       |b AS (SELECT vec_id, v,

@@ -1,0 +1,199 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.LongType
+
+/** Whole-operator custom plan (tier (c) of the custom-op ladder): top-k rows
+  * per key — the `ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) <= k`
+  * pattern without the full per-group sort.
+  *
+  * Why an operator and not the window function: the window form must
+  * shuffle and SORT every row of every group to rank them; for a group with
+  * a billion candidates and k=10 that is a billion-row sort for ten rows.
+  * This operator plans as TWO physical nodes around the exchange, exactly
+  * like partial aggregation:
+  *
+  *   TopKPerKeyFinalExec   (requires clustering on keys — merges heaps)
+  *     +- Exchange hashpartitioning(keys)      [inserted by EnsureRequirements]
+  *        +- TopKPerKeyPartialExec             [bounded heap per key per partition]
+  *           +- child
+  *
+  * Each map partition retains at most k rows per key (bounded min-heap on a
+  * codegen'd row ordering), so the exchange ships ≤ k·partitions rows per
+  * key instead of the group, and the final merge re-heaps those survivors.
+  * Same shape as [[graft.functions.TopKAggregator]], but as a physical
+  * operator over FULL rows: no collapsing to (id, score) pairs, no
+  * re-join to recover payload columns.
+  *
+  * The reference has no analog (its "top" queries are client-side Python
+  * sorts); this is the billion-row-group form the 100 TB target needs.
+  */
+object TopKPerKey {
+
+  /** Top-k rows per key. `orderBy` is (columnName, ascending) — include
+    * tie-break columns to make results deterministic (rank assignment
+    * follows the given ordering exactly). Appends a `rank` column (1-based,
+    * LongType).
+    */
+  def topK(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
+      k: Int): DataFrame = {
+    require(keys.nonEmpty, "topKPerKey needs at least one key column")
+    require(orderBy.nonEmpty, "topKPerKey needs an ordering")
+    require(k > 0, s"k must be positive, got $k")
+    val spark = df.sparkSession
+    ensureStrategy(spark)
+    val child = df.queryExecution.analyzed
+    def attr(name: String): Attribute =
+      child.output.find(_.name == name).getOrElse(
+        sys.error(s"column $name not in ${child.output.map(_.name).mkString(",")}"))
+    val sortOrder = orderBy.map { case (name, asc) =>
+      SortOrder(attr(name), if (asc) Ascending else Descending)
+    }
+    val node = TopKPerKeyNode(keys.map(attr), sortOrder, k,
+      AttributeReference("rank", LongType, nullable = false)(), child)
+    org.apache.spark.sql.graftshim.PlanShim.ofRows(spark, node)
+  }
+
+  /** Install the planner strategy once per session (also available
+    * config-free via `spark.sql.extensions=graft.functions.GraftExtensions`).
+    */
+  def ensureStrategy(spark: SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+}
+
+/** Logical node: born resolved (attributes come from an analyzed child). */
+final case class TopKPerKeyNode(
+    keys: Seq[Attribute],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyNode =
+    copy(child = newChild)
+}
+
+object TopKPerKeyStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyNode(keys, sortOrder, k, rankAttr, child) =>
+      TopKPerKeyFinalExec(keys, sortOrder, k, rankAttr,
+        TopKPerKeyPartialExec(keys, sortOrder, k, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Shared per-partition heap pass: retain at most k rows per key, ordered by
+  * `sortOrder`. The heap is a max-heap on the WORST retained row (reverse of
+  * the ranking order), so eviction is O(log k) and a full group never
+  * materializes.
+  */
+private[plans] object TopKHeaps {
+  def partitionTopK(
+      it: Iterator[InternalRow],
+      keyProj: UnsafeProjection,
+      ordering: Ordering[InternalRow],
+      k: Int): Iterator[(UnsafeRow, java.util.PriorityQueue[InternalRow])] = {
+    val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    val reverse = ordering.reverse // head = worst retained
+    while (it.hasNext) {
+      val row = it.next()
+      val key = keyProj(row)
+      var heap = heaps.get(key)
+      if (heap == null) {
+        heap = new java.util.PriorityQueue[InternalRow](k + 1, reverse)
+        heaps.put(key.copy(), heap)
+      }
+      if (heap.size() < k) heap.add(row.copy())
+      else if (ordering.compare(row, heap.peek()) < 0) {
+        heap.poll()
+        heap.add(row.copy())
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    heaps.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+  }
+
+  /** Drain a heap into ranking order (best first). */
+  def drain(heap: java.util.PriorityQueue[InternalRow],
+      ordering: Ordering[InternalRow]): Array[InternalRow] = {
+    val arr = new Array[InternalRow](heap.size())
+    var i = arr.length - 1
+    while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // poll yields worst-first
+    arr
+  }
+}
+
+/** Pre-shuffle phase: bounded top-k per key within each input partition. */
+final case class TopKPerKeyPartialExec(
+    keys: Seq[Attribute],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
+    child.outputPartitioning
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyPartialExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val keyExprs = keys
+    val so = sortOrder
+    val kk = k
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = RowOrdering.create(so, childOutput)
+      TopKHeaps.partitionTopK(it, keyProj, ordering, kk).flatMap { case (_, heap) =>
+        TopKHeaps.drain(heap, ordering).iterator
+      }
+    }, preservesPartitioning = true)
+  }
+}
+
+/** Post-shuffle phase: merge each key's partial survivors, emit rank. */
+final case class TopKPerKeyFinalExec(
+    keys: Seq[Attribute],
+    sortOrder: Seq[SortOrder],
+    k: Int,
+    rankAttr: Attribute,
+    child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rankAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(keys) :: Nil
+  override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
+    copy(child = newChild)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val fullOutput = output
+    val keyExprs = keys
+    val so = sortOrder
+    val kk = k
+    child.execute().mapPartitions({ it =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = RowOrdering.create(so, childOutput)
+      val proj = UnsafeProjection.create(fullOutput, fullOutput)
+      val joined = new JoinedRow
+      val rankRow = new GenericInternalRow(1)
+      TopKHeaps.partitionTopK(it, keyProj, ordering, kk).flatMap { case (_, heap) =>
+        TopKHeaps.drain(heap, ordering).iterator.zipWithIndex.map { case (row, i) =>
+          rankRow.update(0, (i + 1).toLong)
+          proj(joined(row, rankRow)).copy(): InternalRow
+        }
+      }
+    }, preservesPartitioning = true)
+  }
+}

@@ -63,6 +63,25 @@ class DedupSpec extends SparkSpec {
     assert(banded.nonEmpty)
   }
 
+  test("48-bit banded simhash equals brute-force within-lang pairs and finds exact copies") {
+    import org.apache.spark.sql.functions._
+    // brute-force ground truth with the same 48-bit hash
+    val g = corpus.select($"doc_id".as("id"), $"lang".as("blk"),
+      Dedup.simhash48Udf(array_distinct(split(graft.text.TextAnalysis.normalized($"text"), " ")))
+        .as("sh"))
+    val brute = g.alias("a").join(g.alias("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .withColumn("hamming", bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).cast("long"))
+      .filter($"hamming" <= 3)
+      .select(col("a.id"), col("b.id"), $"hamming")
+      .as[(Long, Long, Long)].collect().toSet
+    val banded = Dedup.simhashBandPairs48(corpus, "doc_id", "text", "lang", 3)
+      .select($"doc_a", $"doc_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    assert(banded === brute)
+    // exact copies have identical hashes -> hamming 0
+    assert(banded.contains((0L, 100000L, 0L)))
+  }
+
   test("LSH cosine pairs recall the brute-force near-dups and are a subset of them") {
     val vecs = DedupSurface.vecs(spark, sf0001).cache()
     val brute = Dedup.cosinePairs(vecs, "vec_id", "v", 0.999)

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TopKPerKeySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val scored = graft.Tables.lineitem(spark, sf0001)
+    .select($"l_orderkey", $"l_partkey", $"l_linenumber",
+      ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("score"))
+    .cache()
+
+  private def windowForm(k: Int) = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_orderkey")
+      .orderBy($"score".desc, $"l_partkey", $"l_linenumber")
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= k)
+  }
+
+  private def opForm(k: Int) =
+    TopKPerKey.topK(scored, Seq("l_orderkey"),
+      Seq(("score", false), ("l_partkey", true), ("l_linenumber", true)), k)
+
+  test("operator results are identical to the window row_number form") {
+    for (k <- Seq(1, 2, 5)) {
+      val expected = windowForm(k)
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"rank")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      val got = opForm(k)
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"rank")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got === expected, s"k=$k")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("k larger than every group ranks whole groups") {
+    val got = opForm(1000).groupBy($"l_orderkey").count()
+    val groups = scored.groupBy($"l_orderkey").count()
+    assert(got.as[(Long, Long)].collect().toMap === groups.as[(Long, Long)].collect().toMap)
+  }
+
+  test("plans as partial heaps below the exchange, final merge above (partial-agg shape)") {
+    val plan = opForm(3).queryExecution.executedPlan.toString
+    val iFinal = plan.indexOf("TopKPerKeyFinal")
+    val iExchange = plan.indexOf("Exchange hashpartitioning")
+    val iPartial = plan.indexOf("TopKPerKeyPartial")
+    assert(iFinal >= 0 && iExchange >= 0 && iPartial >= 0, plan.take(800))
+    assert(iFinal < iExchange && iExchange < iPartial,
+      s"final@$iFinal exchange@$iExchange partial@$iPartial\n${plan.take(800)}")
+    // no per-group sort anywhere in the operator's plan
+    assert(!plan.contains("Sort "), plan.take(800))
+  }
+
+  test("strategy resolves through SparkSessionExtensions injection too") {
+    // the extensions path registers the same strategy object
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions().apply(ext)
+    // ensureStrategy is idempotent on the session used by topK
+    TopKPerKey.ensureStrategy(spark)
+    TopKPerKey.ensureStrategy(spark)
+    assert(spark.experimental.extraStrategies.count(_ == TopKPerKeyStrategy) === 1)
+  }
+}
