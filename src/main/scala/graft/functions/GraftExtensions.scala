@@ -19,7 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       CosineSimilarity.build _))
-    // whole-operator tier: the top-k-per-key physical strategy
+    // whole-operator tier: the top-k-per-key physical strategy, plus the
+    // optimizer rule that rewrites row_number()<=k window plans onto it
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteWindowTopK)
   }
 }

@@ -176,6 +176,9 @@ final case class TopKPerKeyFinalExec(
   override protected def withNewChildInternal(newChild: SparkPlan): TopKPerKeyFinalExec =
     copy(child = newChild)
 
+  private def rankAttrIsInt: Boolean =
+    rankAttr.dataType == org.apache.spark.sql.types.IntegerType
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val fullOutput = output
@@ -188,9 +191,12 @@ final case class TopKPerKeyFinalExec(
       val proj = UnsafeProjection.create(fullOutput, fullOutput)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
+      // row_number-rewritten plans carry an IntegerType rank attribute;
+      // the explicit API creates LongType — emit whichever the attr declares
+      val rankIsInt = rankAttrIsInt
       TopKHeaps.partitionTopK(it, keyProj, ordering, kk).flatMap { case (_, heap) =>
         TopKHeaps.drain(heap, ordering).iterator.zipWithIndex.map { case (row, i) =>
-          rankRow.update(0, (i + 1).toLong)
+          rankRow.update(0, if (rankIsInt) i + 1 else (i + 1).toLong)
           proj(joined(row, rankRow)).copy(): InternalRow
         }
       }

@@ -55,6 +55,49 @@ class TopKPerKeySpec extends SparkSpec {
     assert(!plan.contains("Sort "), plan.take(800))
   }
 
+  test("optimizer rule rewrites row_number()<=k window plans onto the operator") {
+    val base = graft.SparkSpec.session
+    val prevActive = org.apache.spark.sql.SparkSession.getActiveSession
+    val prevDefault = org.apache.spark.sql.SparkSession.getDefaultSession
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+    val extended = org.apache.spark.sql.SparkSession.builder()
+      .master("local[2]")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    try {
+      val rows = extended.read.parquet(s"$sf0001/lineitem.parquet")
+        .select($"l_orderkey", $"l_partkey",
+          ($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("score"))
+      rows.createOrReplaceTempView("scored_li")
+      val q = extended.sql(
+        """SELECT l_orderkey, l_partkey, rnk FROM (
+          |  SELECT l_orderkey, l_partkey,
+          |    ROW_NUMBER() OVER (PARTITION BY l_orderkey
+          |      ORDER BY score DESC, l_partkey) AS rnk
+          |  FROM scored_li)
+          |WHERE rnk <= 2""".stripMargin)
+      assert(q.queryExecution.optimizedPlan.toString.contains("TopKPerKeyNode"),
+        q.queryExecution.optimizedPlan.toString.take(500))
+      assert(q.queryExecution.executedPlan.toString.contains("TopKPerKeyFinal"))
+      // and the rewrite preserves results vs the un-extended session
+      val got = q.as[(Long, Long, Int)].collect().toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"l_orderkey").orderBy($"score".desc, $"l_partkey")
+      val expected = scored
+        .select($"l_orderkey", $"l_partkey", $"score")
+        .withColumn("rnk", row_number().over(w))
+        .filter($"rnk" <= 2)
+        .select($"l_orderkey", $"l_partkey", $"rnk".cast("int"))
+        .as[(Long, Long, Int)].collect().toSet
+      assert(got === expected)
+      assert(got.nonEmpty)
+    } finally {
+      prevActive.foreach(org.apache.spark.sql.SparkSession.setActiveSession)
+      prevDefault.foreach(org.apache.spark.sql.SparkSession.setDefaultSession)
+    }
+  }
+
   test("strategy resolves through SparkSessionExtensions injection too") {
     // the extensions path registers the same strategy object
     val ext = new org.apache.spark.sql.SparkSessionExtensions
