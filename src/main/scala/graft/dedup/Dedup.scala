@@ -118,21 +118,52 @@ object Dedup {
       }
     }
 
-  /** Candidate pairs sharing ≥1 LSH band: explode band keys, equi-join,
-    * distinct. THE scale path for near-dedup: no quadratic blow-up; shuffle
-    * keys are the band hashes (uniform), join fan-out bounded by bucket
-    * sizes.
+  /** Double-hashing MinHash signatures: ONE md5 per shingle; signature k
+    * derives from the digest's two 48-bit halves as `h1 + k*h2`
+    * (Kirsch–Mitzenmacher) — 12× fewer digests than salted-md5-per-
+    * signature, and the derivation is pure BIGINT arithmetic the DuckDB
+    * oracle mirrors exactly (values < 2^52, no overflow).
     */
-  /** Banded rows (id, bk), cached — feeds BOTH sides of the bucket
-    * self-join; without the cache Catalyst re-derives the md5-heavy
-    * signature tree twice.
+  def minhashSigsUdf(nSigs: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { grams: Seq[String] =>
+      val mins = Array.fill(nSigs)(Long.MaxValue)
+      grams.foreach { g =>
+        val hex = md5Hex(g)
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 12), 16)
+        val h2 = java.lang.Long.parseLong(hex.substring(12, 24), 16)
+        var k = 0
+        var v = h1
+        while (k < nSigs) {
+          if (v < mins(k)) mins(k) = v
+          k += 1
+          v += h2
+        }
+      }
+      mins
+    }
+
+  /** Banded rows `(id, band-index, sig pair)` — the signature pair IS the
+    * join key (no key hashing at all); cached because it feeds BOTH sides
+    * of the bucket self-join.
     */
   private def bandedRows(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-      explode(bandKeysUdf(bands, rowsPerBand)(array_distinct(ngrams(col(textCol), 3)))).as("bk"))
+      bands: Int, rowsPerBand: Int): DataFrame = {
+    val sigs = minhashSigsUdf(bands * rowsPerBand)(
+      array_distinct(ngrams(col(textCol), 3)))
+    val segStructs = (0 until bands).map { j =>
+      struct((lit(j).as("j") +: (0 until rowsPerBand).map(r =>
+        element_at(col("sigs"), j * rowsPerBand + r + 1).as(s"s$r"))): _*)
+    }
+    docs.select(col(idCol).as("id"), sigs.as("sigs"))
+      .select(col("id"), explode(array(segStructs: _*)).as("bk"))
       .cache()
+  }
 
+  /** Candidate pairs sharing ≥1 LSH band: explode band rows, equi-join on
+    * the (band, signature-pair) struct, distinct. THE scale path for
+    * near-dedup: no quadratic blow-up; shuffle keys are minhash values
+    * (uniform), join fan-out bounded by bucket sizes.
+    */
   def lshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
@@ -156,8 +187,13 @@ object Dedup {
     val g = docs.select(col(idCol).as("id"),
       array_distinct(ngrams(col(textCol), 3)).as("grams")).cache()
     val cand = {
-      val withBands = g.select(col("id"),
-        explode(bandKeysUdf(bands, rowsPerBand)(col("grams"))).as("bk")).cache()
+      val sigs = minhashSigsUdf(bands * rowsPerBand)(col("grams"))
+      val segStructs = (0 until bands).map { j =>
+        struct((lit(j).as("j") +: (0 until rowsPerBand).map(r =>
+          element_at(col("sigs"), j * rowsPerBand + r + 1).as(s"s$r"))): _*)
+      }
+      val withBands = g.select(col("id"), sigs.as("sigs"))
+        .select(col("id"), explode(array(segStructs: _*)).as("bk")).cache()
       withBands.alias("a")
         .join(withBands.alias("b"),
           col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))

@@ -64,13 +64,43 @@ object DedupSurface {
        |            i -> array_to_string(list_slice(string_split($ntext, ' '), i, i + 2), ' '))
        |     ELSE [$ntext] END""".stripMargin
 
-  private def sigSql(k: Int): String =
-    s"list_min(list_transform(grams, s -> md5('$k:' || s)))"
+  /** Fold 12 hex chars of `x` starting at 1-based `start` into a BIGINT —
+    * the oracle's `Long.parseLong(hex.substring(...), 16)`.
+    */
+  private def hexFoldSql(x: String, start: Int): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range($start, ${start + 12}),
+       |    i -> CAST(strpos('0123456789abcdef', substr($x, CAST(i AS INT), 1)) - 1 AS BIGINT))),
+       |  (fa, fb) -> fa * 16 + fb)""".stripMargin
 
-  private def bandKeySql(j: Int, rowsPerBand: Int): String = {
-    val sigs = (0 until rowsPerBand).map(r => sigSql(j * rowsPerBand + r)).mkString(" || ")
-    s"md5('$j|' || $sigs)"
+  /** Double-hashing MinHash mirror of `Dedup.minhashSigsUdf`: one md5 per
+    * gram, halves h1/h2, signature k = min over grams of h1 + k*h2.
+    */
+  private def minhashCtes(nSigs: Int): String = {
+    val sigCols = (0 until nSigs)
+      .map(k => s"list_min(list_transform(range(1, len(h1s) + 1), i -> h1s[i] + $k * h2s[i])) AS sig$k")
+      .mkString(",\n      ")
+    s"""h AS (SELECT id, list_transform(grams, s -> md5(s)) AS hx FROM g),
+       |hh AS (SELECT id, list_transform(hx, x -> ${hexFoldSql("x", 1)}) AS h1s,
+       |              list_transform(hx, x -> ${hexFoldSql("x", 13)}) AS h2s FROM h),
+       |sigs AS (SELECT id,
+       |      $sigCols
+       |    FROM hh)""".stripMargin
   }
+
+  /** Band rows over the signature table: (id, band j, the band's sig pair). */
+  private def bandsCte(bands: Int, rowsPerBand: Int): String = {
+    val selects = (0 until bands).map { j =>
+      val cols = (0 until rowsPerBand)
+        .map(r => s"sig${j * rowsPerBand + r} AS s$r").mkString(", ")
+      s"SELECT id, $j AS j, $cols FROM sigs"
+    }
+    "bands AS (" + selects.mkString("\n  UNION ALL\n  ") + ")"
+  }
+
+  private def bandJoinOn(rowsPerBand: Int): String =
+    (Seq("a.j = b.j") ++ (0 until rowsPerBand).map(r => s"a.s$r = b.s$r"))
+      .mkString(" AND ") + " AND a.id < b.id"
 
   /** 48-bit md5 simhash mirror: token bit-source = first 12 hex chars of
     * md5(token) big-endian, so bit b lives in hex char (12 - b/4), nibble
@@ -119,9 +149,10 @@ object DedupSurface {
       |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
     "dedup_jaccard_pairs" -> s"""WITH $corpusCte,
       |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
-      |bands AS (SELECT id, unnest([${(0 until 6).map(bandKeySql(_, 2)).mkString(", ")}]) AS bk FROM g),
+      |${minhashCtes(12)},
+      |${bandsCte(6, 2)},
       |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-      |         FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id)
+      |         FROM bands a JOIN bands b ON ${bandJoinOn(2)})
       |SELECT doc_a, doc_b,
       |  len(list_intersect(ga.grams, gb.grams)) /
       |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard
@@ -131,9 +162,10 @@ object DedupSurface {
       |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_lsh_candidates" -> s"""WITH $corpusCte,
       |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
-      |bands AS (SELECT id, unnest([${(0 until 6).map(bandKeySql(_, 2)).mkString(", ")}]) AS bk FROM g)
+      |${minhashCtes(12)},
+      |${bandsCte(6, 2)}
       |SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-      |FROM bands a JOIN bands b ON a.bk = b.bk AND a.id < b.id
+      |FROM bands a JOIN bands b ON ${bandJoinOn(2)}
       |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_simhash_pairs" -> s"""WITH $corpusCte,
       |sh AS (SELECT doc_id AS id, lang AS blk, $simhash48Sql AS sh
