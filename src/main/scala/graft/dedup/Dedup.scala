@@ -33,6 +33,37 @@ object Dedup {
       .otherwise(array(TextAnalysis.normalized(text)))
   }
 
+  /** JVM fast path for `array_distinct(ngrams(text, n))`: identical grams
+    * (space-joined token windows, whole-text fallback), produced in one
+    * tight loop instead of per-gram interpreted slice/join expressions —
+    * the shingle stage dominates every minhash pipeline at scale.
+    * Bit-parity with the expression form is spec-asserted.
+    */
+  def distinctNgramsUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { normalized: String =>
+      val tokens = normalized.split(" ", -1)
+      if (tokens.length < n) Array(normalized)
+      else {
+        val seen = new java.util.LinkedHashSet[String]((tokens.length - n + 1) * 2)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i <= tokens.length - n) {
+          sb.setLength(0)
+          var j = 0
+          while (j < n) {
+            if (j > 0) sb.append(' ')
+            sb.append(tokens(i + j))
+            j += 1
+          }
+          seen.add(sb.toString)
+          i += 1
+        }
+        val out = new Array[String](seen.size)
+        seen.toArray(out)
+        out
+      }
+    }
+
   /** Exact dedup groups: normalized-text fingerprint → group size + survivor
     * (min id). One shuffle; survivors join back by fingerprint if the full
     * surviving rows are needed.
@@ -118,96 +149,163 @@ object Dedup {
       }
     }
 
-  /** Double-hashing MinHash signatures: ONE md5 per shingle; signature k
-    * derives from the digest's two 48-bit halves as `h1 + k*h2`
-    * (Kirsch–Mitzenmacher) — 12× fewer digests than salted-md5-per-
-    * signature, and the derivation is pure BIGINT arithmetic the DuckDB
-    * oracle mirrors exactly (values < 2^52, no overflow).
+  /** Per-signature universal-hash constants (a_k, b_k) — portable charHash
+    * derivation, nonzero mod 2^31-1, inlined as literals in the oracle.
     */
-  def minhashSigsUdf(nSigs: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+  def minhashConsts(k: Int): (Long, Long) = {
+    def c(prefix: String): Long = {
+      val v = graft.sim.Similarity.charHash(s"$prefix:$k") % HashMod
+      if (v == 0) 1L else v
+    }
+    (c("a"), c("b"))
+  }
+
+  /** Universal-hashing MinHash signatures: ONE md5 per shingle, halves
+    * h1/h2, signature k = min over shingles of
+    * `(a_k*(h1 mod p) + b_k*(h2 mod p)) mod p`, p = 2^31-1 — 12× fewer
+    * digests than salted-md5-per-signature, k-specific multipliers so the
+    * signatures stay UNCORRELATED (plain Kirsch–Mitzenmacher `h1 + k*h2`
+    * let one small-h1 shingle win every min: 2.2× candidate noise at
+    * sf0.01, ~4× at the 10× probe). Products < 2^62: exact BIGINT both
+    * engines, no overflow.
+    */
+  def minhashSigsUdf(nSigs: Int): org.apache.spark.sql.expressions.UserDefinedFunction = {
+    val as = Array.tabulate(nSigs)(minhashConsts(_)._1)
+    val bs = Array.tabulate(nSigs)(minhashConsts(_)._2)
     udf { grams: Seq[String] =>
       val mins = Array.fill(nSigs)(Long.MaxValue)
       grams.foreach { g =>
         val hex = md5Hex(g)
-        val h1 = java.lang.Long.parseLong(hex.substring(0, 12), 16)
-        val h2 = java.lang.Long.parseLong(hex.substring(12, 24), 16)
+        val h1 = java.lang.Long.parseLong(hex.substring(0, 12), 16) % HashMod
+        val h2 = java.lang.Long.parseLong(hex.substring(12, 24), 16) % HashMod
         var k = 0
-        var v = h1
         while (k < nSigs) {
+          val v = (as(k) * h1 + bs(k) * h2) % HashMod
           if (v < mins(k)) mins(k) = v
           k += 1
-          v += h2
         }
       }
       mins
     }
+  }
 
-  /** Banded rows `(id, band-index, sig pair)` — the signature pair IS the
-    * join key (no key hashing at all); cached because it feeds BOTH sides
-    * of the bucket self-join.
+  /** Does an earlier band than `j` already pair these two signature
+    * vectors? The "first-match band" trick: each pair is emitted by exactly
+    * ONE band (its first matching one), which replaces the global
+    * `distinct()` — a full extra shuffle of every duplicated candidate —
+    * with a local filter.
     */
-  private def bandedRows(docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int): DataFrame = {
-    val sigs = minhashSigsUdf(bands * rowsPerBand)(
-      array_distinct(ngrams(col(textCol), 3)))
-    val segStructs = (0 until bands).map { j =>
+  private def earlierBandMatches(sa: Array[Long], sb: Array[Long], j: Int,
+      rowsPerBand: Int): Boolean = {
+    var jj = 0
+    while (jj < j) {
+      var r = 0
+      var all = true
+      while (all && r < rowsPerBand) {
+        if (sa(jj * rowsPerBand + r) != sb(jj * rowsPerBand + r)) all = false
+        r += 1
+      }
+      if (all) return true
+      jj += 1
+    }
+    false
+  }
+
+  /** Bucket-grouped band rows: each doc's payload ships ONCE per band to
+    * its bucket (grams included only when `withGrams`), then pairs are
+    * generated bucket-locally. Compare the join form, which ships the
+    * payload once per candidate PAIR — O(pairs·|doc|) bytes vs this
+    * O(bands·n·|doc|).
+    */
+  private def bucketLocalPairs[T](
+      docs: DataFrame, idCol: String, textCol: String,
+      bands: Int, rowsPerBand: Int, withGrams: Boolean)(
+      emit: (Long, Array[Long], Array[String], Long, Array[Long], Array[String]) => Option[T])(
+      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val rpb = rowsPerBand
+    val sigsOf = minhashSigsUdf(bands * rowsPerBand)
+    // sigs always derive from the real shingles; the shingles themselves
+    // ride the shuffle only when the verify stage needs them
+    val base = docs
+      .select(col(idCol).cast("long").as("id"),
+        distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("__grams"))
+      .select(col("id"),
+        (if (withGrams) col("__grams") else array().cast("array<string>"))
+          .as("grams"),
+        sigsOf(col("__grams")).as("sigs"))
+    val bandStructs = (0 until bands).map { j =>
       struct((lit(j).as("j") +: (0 until rowsPerBand).map(r =>
         element_at(col("sigs"), j * rowsPerBand + r + 1).as(s"s$r"))): _*)
     }
-    docs.select(col(idCol).as("id"), sigs.as("sigs"))
-      .select(col("id"), explode(array(segStructs: _*)).as("bk"))
-      .cache()
+    base
+      .select(col("id"), col("grams"), col("sigs"),
+        explode(array(bandStructs: _*)).as("bk"))
+      .select(col("id"), col("grams"), col("sigs"),
+        col("bk.j").as("j"), col("bk.s0").as("s0"), col("bk.s1").as("s1"))
+      .as[(Long, Array[String], Array[Long], Int, Long, Long)]
+      .groupByKey(t => (t._4, t._5, t._6))
+      .flatMapGroups { (key, rows) =>
+        val j = key._1
+        // buckets are bounded: uncorrelated minhash keys collide only for
+        // genuinely similar docs (plus dup clusters)
+        val arr = rows.toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[T]
+        var i = 0
+        while (i < arr.length) {
+          val (ia, ga, sa, _, _, _) = arr(i)
+          var j2 = i + 1
+          while (j2 < arr.length) {
+            val (ib, gb, sb, _, _, _) = arr(j2)
+            if (!earlierBandMatches(sa, sb, j, rpb))
+              emit(ia, sa, ga, ib, sb, gb).foreach(out += _)
+            j2 += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
   }
 
-  /** Candidate pairs sharing ≥1 LSH band: explode band rows, equi-join on
-    * the (band, signature-pair) struct, distinct. THE scale path for
-    * near-dedup: no quadratic blow-up; shuffle keys are minhash values
-    * (uniform), join fan-out bounded by bucket sizes.
+  /** Candidate pairs sharing ≥1 LSH band, generated bucket-locally with
+    * first-match-band dedup. THE scale path for near-dedup: no quadratic
+    * blow-up, shuffle volume O(bands·n), no global distinct.
     */
   def lshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
-    val withBands = bandedRows(docs, idCol, textCol, bands, rowsPerBand)
-    val a = withBands.alias("a")
-    val b = withBands.alias("b")
-    a.join(b, col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-      .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    bucketLocalPairs[(Long, Long)](docs, idCol, textCol, bands, rowsPerBand,
+      withGrams = false) { (ia, _, _, ib, _, _) => Some((ia, ib)) }
+      .toDF("doc_a", "doc_b")
   }
 
-  /** The scale-path near-dedup pipeline: LSH candidates → exact Jaccard
-    * verification on candidates only. Work is O(docs × bands) + O(candidate
-    * pairs), never all-pairs; this is the form that survives 100 TB, and
-    * what the driver gate runs (the all-pairs [[jaccardPairs]] stays for
-    * small blocked use and unit tests).
+  /** The scale-path near-dedup pipeline: LSH bucket candidates → exact
+    * Jaccard verification, all bucket-local. Work is O(docs × bands) +
+    * O(candidate pairs) with each doc's shingle set shipped once per band —
+    * never all-pairs, never once-per-pair; this is the form that survives
+    * 100 TB (the all-pairs [[jaccardPairs]] stays for small blocked use and
+    * unit tests). Jaccard arithmetic matches the oracle exactly:
+    * |a∩b| / (|a|+|b|-|a∩b|) on distinct shingle sets.
     */
   def lshVerifiedPairs(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
-    val g = docs.select(col(idCol).as("id"),
-      array_distinct(ngrams(col(textCol), 3)).as("grams")).cache()
-    val cand = {
-      val sigs = minhashSigsUdf(bands * rowsPerBand)(col("grams"))
-      val segStructs = (0 until bands).map { j =>
-        struct((lit(j).as("j") +: (0 until rowsPerBand).map(r =>
-          element_at(col("sigs"), j * rowsPerBand + r + 1).as(s"s$r"))): _*)
-      }
-      val withBands = g.select(col("id"), sigs.as("sigs"))
-        .select(col("id"), explode(array(segStructs: _*)).as("bk")).cache()
-      withBands.alias("a")
-        .join(withBands.alias("b"),
-          col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
-        .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
-        .distinct()
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val thr = threshold
+    bucketLocalPairs[(Long, Long, Double)](docs, idCol, textCol, bands,
+      rowsPerBand, withGrams = true) { (ia, _, ga, ib, _, gb) =>
+      val seen = new java.util.HashSet[String](ga.length * 2)
+      ga.foreach(seen.add)
+      var inter = 0
+      gb.foreach(g => if (seen.contains(g)) inter += 1)
+      val jac = inter.toDouble / (ga.length + gb.length - inter)
+      if (jac >= thr) Some((ia, ib, jac)) else None
     }
-    cand
-      .join(g.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
-      .join(g.select(col("id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("ga"), col("gb"))) /
-          size(array_union(col("ga"), col("gb"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .toDF("doc_a", "doc_b", "jaccard")
   }
 
   val HashMod = 2147483647L // 2^31 - 1
@@ -313,13 +411,22 @@ object Dedup {
         explode(array(segStructs: _*)).as("seg"))
       .select(col("id"), col("blk"), col("sh"),
         col("seg.si").as("si"), col("seg.sv").as("sv"))
+    // first-match-segment dedup: a pair is emitted only by its FIRST
+    // matching segment (all earlier segments must differ) — replaces the
+    // global distinct() with a cheap local bit-arithmetic filter
+    val noEarlierMatch = bounds.map { case (i, off, width) =>
+      val mask = (1L << width) - 1
+      lit(i) >= col("a.si") ||
+        shiftright(col("a.sh"), off).bitwiseAND(lit(mask)) =!=
+          shiftright(col("b.sh"), off).bitwiseAND(lit(mask))
+    }.reduce(_ && _)
     banded.alias("a")
       .join(banded.alias("b"),
         col("a.blk") === col("b.blk") && col("a.si") === col("b.si") &&
           col("a.sv") === col("b.sv") && col("a.id") < col("b.id"))
+      .filter(noEarlierMatch)
       .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
         col("a.sh").as("sha"), col("b.sh").as("shb"))
-      .distinct()
       .withColumn("hamming", hammingOf(col("sha"), col("shb")))
       .filter(col("hamming") <= maxDist)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
@@ -445,27 +552,50 @@ object Dedup {
   }
 
   /** Scale-path embedding near-dup: random-hyperplane LSH bucketing
-    * ([[graft.sim.Similarity.lshBucket]]) → bucket equi-join candidates →
-    * exact cosine verify. The cosine twin of [[lshVerifiedPairs]]: work is
-    * O(n) bucket signatures + O(candidate pairs), never all-pairs, and the
-    * bucket join is a plain equi-join (no BroadcastNestedLoopJoin anywhere).
+    * ([[graft.sim.Similarity.lshBucket]]) → shuffle each vector ONCE to its
+    * bucket → all-pairs cosine verify locally within the bucket. The cosine
+    * twin of [[lshVerifiedPairs]], but with O(n·d) shuffle volume: a bucket
+    * equi-join would ship both vectors per candidate PAIR (O(pairs·d) —
+    * ~12× more bytes on the 10× probe). Within a bucket the verify is the
+    * same ascending-left-fold kernel as [[verifyCosine]]; bucket sizes (and
+    * thus the local quadratic term) are controlled by `planes`.
     * Positive scaling preserves every sign pattern, so exact/scaled
     * duplicates are guaranteed co-bucketed; near-dup recall is tuned by
     * `planes` (fewer planes → bigger buckets → higher recall).
     */
   def lshCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
       threshold: Double, planes: Int, dims: Int): DataFrame = {
-    val v = vecs.select(col(idCol).cast("long").as("id"),
-      col(vecCol).as("v"),
-      sqrt(dotUdf(col(vecCol), col(vecCol))).as("nrm"),
-      graft.sim.Similarity.lshBucket(col(vecCol), planes, dims).as("bucket"))
-      .cache()
-    val a = v.alias("a")
-    val b = v.alias("b")
-    verifyCosine(
-      a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-        .select(col("a.id"), col("b.id"), col("a.v"), col("b.v"),
-          (col("a.nrm") * col("b.nrm")).as("nn")),
-      threshold)
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val thr = threshold
+    vecs.select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"),
+        sqrt(dotUdf(col(vecCol), col(vecCol))).as("nrm"),
+        graft.sim.Similarity.lshBucket(col(vecCol), planes, dims).as("bucket"))
+      .as[(Long, Array[Double], Double, Long)]
+      .groupByKey(_._4)
+      .flatMapGroups { (_, rows) =>
+        // a bucket is bounded by construction (planes choose the granularity)
+        val arr = rows.toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+        var i = 0
+        while (i < arr.length) {
+          val (ia, va, na, _) = arr(i)
+          var j = i + 1
+          while (j < arr.length) {
+            val (ib, vb, nb, _) = arr(j)
+            var acc = 0.0
+            var t = 0
+            val n = math.min(va.length, vb.length)
+            while (t < n) { acc = acc + va(t) * vb(t); t += 1 }
+            val cos = acc / (na * nb)
+            if (cos >= thr) out += ((ia, ib, cos))
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("vec_a", "vec_b", "cos")
   }
 }

@@ -73,16 +73,19 @@ object DedupSurface {
        |    i -> CAST(strpos('0123456789abcdef', substr($x, CAST(i AS INT), 1)) - 1 AS BIGINT))),
        |  (fa, fb) -> fa * 16 + fb)""".stripMargin
 
-  /** Double-hashing MinHash mirror of `Dedup.minhashSigsUdf`: one md5 per
-    * gram, halves h1/h2, signature k = min over grams of h1 + k*h2.
+  /** Universal-hash MinHash mirror of `Dedup.minhashSigsUdf`: one md5 per
+    * gram, halves reduced mod p, signature k = min over grams of
+    * (a_k*h1 + b_k*h2) mod p with the same inlined constants.
     */
   private def minhashCtes(nSigs: Int): String = {
-    val sigCols = (0 until nSigs)
-      .map(k => s"list_min(list_transform(range(1, len(h1s) + 1), i -> h1s[i] + $k * h2s[i])) AS sig$k")
-      .mkString(",\n      ")
+    val p = Dedup.HashMod
+    val sigCols = (0 until nSigs).map { k =>
+      val (a, b) = Dedup.minhashConsts(k)
+      s"list_min(list_transform(range(1, len(h1s) + 1), i -> ($a * h1s[i] + $b * h2s[i]) % $p)) AS sig$k"
+    }.mkString(",\n      ")
     s"""h AS (SELECT id, list_transform(grams, s -> md5(s)) AS hx FROM g),
-       |hh AS (SELECT id, list_transform(hx, x -> ${hexFoldSql("x", 1)}) AS h1s,
-       |              list_transform(hx, x -> ${hexFoldSql("x", 13)}) AS h2s FROM h),
+       |hh AS (SELECT id, list_transform(hx, x -> ${hexFoldSql("x", 1)} % $p) AS h1s,
+       |              list_transform(hx, x -> ${hexFoldSql("x", 13)} % $p) AS h2s FROM h),
        |sigs AS (SELECT id,
        |      $sigCols
        |    FROM hh)""".stripMargin

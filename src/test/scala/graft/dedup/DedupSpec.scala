@@ -48,8 +48,11 @@ class DedupSpec extends SparkSpec {
         Dedup.simhash16($"text").as("sh_expr"),
         Dedup.simhash16Udf(tokens).as("sh_udf"),
         Dedup.bandKeys(grams, 6, 2).as("bk_expr"),
-        Dedup.bandKeysUdf(6, 2)(grams).as("bk_udf"))
-      .filter($"sh_expr" =!= $"sh_udf" || $"bk_expr" =!= $"bk_udf")
+        Dedup.bandKeysUdf(6, 2)(grams).as("bk_udf"),
+        grams.as("g_expr"),
+        Dedup.distinctNgramsUdf(3)(graft.text.TextAnalysis.normalized($"text")).as("g_udf"))
+      .filter($"sh_expr" =!= $"sh_udf" || $"bk_expr" =!= $"bk_udf" ||
+        $"g_expr" =!= $"g_udf")
       .count()
     assert(mismatches === 0)
   }
