@@ -308,6 +308,61 @@ object Dedup {
       .toDF("doc_a", "doc_b", "jaccard")
   }
 
+  /** Connected components over an undirected pair graph by iterative
+    * min-label propagation: every vertex repeatedly adopts the smallest
+    * label among itself and its neighbors until a fixpoint. The step is a
+    * join + groupBy-min (all shuffle-parallel); lineage is cut per
+    * iteration with `localCheckpoint` (iterative DataFrames otherwise grow
+    * an exponential plan). Convergence needs at most graph-diameter
+    * rounds — near-dup clusters are dense (LSH pairs of mutually-similar
+    * docs), so a handful; `maxIters` is a safety bound, convergence is
+    * checked with a cheap count.
+    *
+    * Returns (`id`, `component`) where `component` = min vertex id in the
+    * component. Vertices = every id in `vertices` (singletons keep their
+    * own id), so the output is a total doc → canonical-survivor map.
+    */
+  def connectedComponents(edges: DataFrame, vertices: DataFrame,
+      maxIters: Int = 20): DataFrame = {
+    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct()
+      .cache()
+    var labels = vertices.select(col("id"), col("id").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      val neighborMin = e.join(labels, e("src") === labels("id"))
+        .select(col("dst").as("id"), col("component"))
+      val next = labels.unionByName(neighborMin)
+        .groupBy("id").agg(min("component").as("component"))
+        .localCheckpoint(true)
+      // converged when no vertex lowered its label this round
+      val changed = next.alias("n")
+        .join(labels.alias("p"), col("n.id") === col("p.id"))
+        .filter(col("n.component") < col("p.component"))
+        .limit(1).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    e.unpersist()
+    labels
+  }
+
+  /** The operator a pipeline actually wants from near-dedup: every doc
+    * mapped to its cluster's canonical survivor (min doc id over the
+    * transitive closure of verified near-dup pairs; unique docs survive as
+    * themselves). LSH-verified pairs → connected components.
+    */
+  def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val pairs = lshVerifiedPairs(docs, idCol, textCol, threshold, bands, rowsPerBand)
+    connectedComponents(pairs, docs.select(col(idCol).cast("long").as("id")))
+      .select(col("id").as("doc_id"), col("component").as("survivor_id"))
+  }
+
   val HashMod = 2147483647L // 2^31 - 1
 
   /** Portable token hash: left fold (acc*31 + codepoint) % (2^31-1). */

@@ -138,6 +138,11 @@ object DedupSurface {
     "dedup_simhash_pairs" -> ((s, d) =>
       Dedup.simhashBandPairs48(corpus(s, d), "doc_id", "text", "lang", 3)
         .orderBy("doc_a", "doc_b")),
+    // near-dup clustering: verified pairs → connected components → every
+    // doc mapped to its cluster's canonical survivor (recursive-CTE oracle)
+    "dedup_survivors" -> ((s, d) =>
+      Dedup.nearDupSurvivors(corpus(s, d), "doc_id", "text", 0.5)
+        .orderBy("doc_id")),
     // hyperplane-LSH bucket candidates + exact verify — the scale path (the
     // all-pairs cosinePairs form is the recall oracle in DedupSpec)
     "dedup_cosine_pairs" -> ((s, d) =>
@@ -150,6 +155,25 @@ object DedupSurface {
     "dedup_exact_groups" -> s"""WITH $corpusCte
       |SELECT md5($ntext) AS fp, COUNT(*) AS n, MIN(doc_id) AS survivor_id
       |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
+    "dedup_survivors" -> s"""WITH RECURSIVE $corpusCte,
+      |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
+      |${minhashCtes(12)},
+      |${bandsCte(6, 2)},
+      |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      |         FROM bands a JOIN bands b ON ${bandJoinOn(2)}),
+      |pairs AS (
+      |  SELECT doc_a, doc_b
+      |  FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
+      |  WHERE len(list_intersect(ga.grams, gb.grams)) /
+      |      (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |reach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM corpus
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT id AS doc_id, MIN(lab) AS survivor_id FROM reach
+      |GROUP BY id ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" -> s"""WITH $corpusCte,
       |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
       |${minhashCtes(12)},

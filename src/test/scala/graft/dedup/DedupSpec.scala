@@ -101,6 +101,25 @@ class DedupSpec extends SparkSpec {
     assert(lsh.size.toDouble / brute.size >= 0.8, s"recall ${lsh.size}/${brute.size}")
   }
 
+  test("near-dup survivors: components collapse to the min doc id, singletons survive") {
+    val surv = Dedup.nearDupSurvivors(corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toMap
+    // every corpus doc gets a mapping
+    assert(surv.size === corpus.count())
+    // exact copies collapse onto the original
+    assert(surv(100000L) === 0L)
+    assert(surv(100040L) === 40L)
+    // tail-perturbed near copies collapse too (jaccard >= 0.5)
+    assert(surv(200005L) === 5L)
+    // survivors are fixpoints: the canonical id maps to itself
+    surv.values.foreach(s => assert(surv(s) === s))
+    // components agree with the pair graph: endpoints of every verified
+    // pair share a survivor
+    val pairs = Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    pairs.foreach { case (a, b) => assert(surv(a) === surv(b), s"pair ($a,$b)") }
+  }
+
   test("scale-path pair generators plan as equi-joins, never nested-loop/cartesian") {
     val vecs = DedupSurface.vecs(spark, sf0001)
     for (df <- Seq(
