@@ -133,6 +133,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("cid"), col("rank"), col("cos"))
   }
 
+  /** Distributed Lloyd iterations for the IVF codebook (the "plug a
+    * trained codebook in the same slot" path [[ivfTopK]] documents).
+    * Deterministic: init = the k lowest-id vectors; assignment =
+    * [[ivfAssign]] (cosine, ties to lowest centroid id); update =
+    * dimension-wise mean via posexplode + groupBy(cid, dim) — fully
+    * shuffle-parallel, nothing driver-side except the k centroid vectors
+    * themselves (broadcast each round, exactly like a real k-means on
+    * Spark). Emptied centroids keep their previous vector.
+    */
+  def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, iters: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
+    var cents = vecs.orderBy("id").limit(k)
+      .select(col("id").as("cid"), col("v").as("cv"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(vecs, cents.select(col("cid").as("id"), col("cv").as("v")),
+        "id", "v")
+      val means = vecs.join(assigned, Seq("id"))
+        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy("cid", "dim").agg(avg("x").as("m"))
+        .groupBy("cid")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
+        .select(col("cid"), transform(col("pairs"), p => p.getField("m")).as("cv"))
+      // a centroid that attracted no vectors keeps its previous position
+      cents = cents.alias("old")
+        .join(means.alias("new"), Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("new.cv"), col("old.cv")).as("cv"))
+        .localCheckpoint(true)
+    }
+    vecs.unpersist()
+    cents
+  }
+
+  /** Assignment quality for a (cid, cv) codebook: mean cosine similarity of
+    * each corpus vector to its assigned centroid (higher is better).
+    */
+  def assignmentObjective(corpus: DataFrame, centroids: DataFrame,
+      idCol: String, vecCol: String): Double = {
+    val assigned = ivfAssign(
+      corpus,
+      centroids.select(col("cid").as(idCol), col("cv").as(vecCol)),
+      idCol, vecCol)
+    corpus.select(col(idCol).as("id"), col(vecCol).as("vv"))
+      .join(assigned, Seq("id"))
+      .join(centroids, Seq("cid"))
+      .select(avg(graft.functions.CosineSimilarity.cosineSim(col("vv"), col("cv"))))
+      .head().getDouble(0)
+  }
+
   /** ANN top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
