@@ -438,7 +438,66 @@ object Relational {
     "q_salted_revenue" -> (saltedRevenueByPriority _),
     "q_distinct_customers" -> (distinctCustomers _),
     "q_approx_distinct_parts" -> (approxDistinctParts _),
+    "q18_large_volume" -> (q18LargeVolume _),
+    "q_above_brand_avg" -> (aboveBrandAverageParts _),
   )
+
+  /** TPC-H Q18 analog: customers with large-volume orders. Aggregate-then-
+    * semi-join shape — the quantity sum is computed BEFORE touching orders/
+    * customer, so the join legs carry only qualifying orderkeys (at sf100
+    * that is thousands of rows against two fact scans, not a fact×fact
+    * pre-join). Decimal-cast sum keeps the HAVING boundary exact.
+    */
+  def q18LargeVolume(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+    val big = li.groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("sq"))
+      .filter(col("sq") >= 200)
+      .select(col("l_orderkey"), col("sq").cast("double").as("sum_qty"))
+    val ord = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    ord.join(big, ord("o_orderkey") === big("l_orderkey"))
+      .join(cust, ord("o_custkey") === cust("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+      .orderBy("o_orderkey")
+  }
+
+  val q18Sql: String =
+    """SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+      |HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) >= 200
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Correlated-subquery shape (`price > (SELECT AVG(price) ... WHERE same
+    * brand)`), decorrelated into a brand window — and made EXACT by
+    * comparing `price·n > Σprice` in decimal arithmetic instead of a
+    * rounding double average (oracle-parity playbook: boundary rows can
+    * flip under different average orders).
+    */
+  def aboveBrandAverageParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("p_brand")
+    Tables.part(spark, sfDir).select("p_partkey", "p_brand", "p_retailprice")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("s", sum(col("p_retailprice").cast("decimal(18,4)")).over(w))
+      .filter(col("p_retailprice").cast("decimal(18,4)") * col("n") > col("s"))
+      .select("p_partkey", "p_brand", "p_retailprice")
+      .orderBy("p_partkey")
+  }
+
+  val aboveBrandAvgSql: String =
+    """SELECT p_partkey, p_brand, p_retailprice
+      |FROM part p
+      |JOIN (SELECT p_brand, COUNT(*) AS n,
+      |             SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS s
+      |      FROM part GROUP BY p_brand) b USING (p_brand)
+      |WHERE CAST(p_retailprice AS DECIMAL(18,4)) * n > s
+      |ORDER BY p_partkey""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_semi_anti_customers" -> semiAntiSql,
@@ -457,5 +516,7 @@ object Relational {
     "q_range_join_bands" -> rangeJoinSql,
     "q_salted_revenue" -> saltedRevenueSql,
     "q_distinct_customers" -> distinctCustomersSql,
+    "q18_large_volume" -> q18Sql,
+    "q_above_brand_avg" -> aboveBrandAvgSql,
   )
 }
