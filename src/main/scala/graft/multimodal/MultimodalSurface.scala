@@ -31,6 +31,14 @@ object MultimodalSurface {
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.deriveMedia(Tables.documents(s, d)))
         .toDF().orderBy("mediaId")),
+    // frame sampling over video payloads — frames surfaced as hex so the
+    // oracle can slice the same bytes out of hex(encode(text))
+    "mm_frames" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.deriveMedia(Tables.documents(s, d)))
+        .select(col("mediaId"), col("frameIdx").cast("long"),
+          hex(col("frame")).as("frame_hex"),
+          octet_length(col("frame")).cast("long").as("frame_len"))
+        .orderBy("mediaId", "frameIdx")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -52,5 +60,18 @@ object MultimodalSurface {
         |  CASE WHEN strlen(text) = 0 THEN 0.0
         |       ELSE CAST(list_sum($bytesExpr) AS DOUBLE) / strlen(text) END AS "meanByte"
         |FROM documents ORDER BY "mediaId"""".stripMargin,
+    // sampleFrames mirror: video docs, every 4th 64-byte block (block 0
+    // always included), frameIdx = block/stride, bytes sliced from the hex
+    "mm_frames" ->
+      """WITH v AS (
+        |  SELECT doc_id AS m, hex(encode(text)) AS hx, strlen(text) AS n
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |f AS (
+        |  SELECT m, unnest(range(0, greatest(n // 64 - 1, 0) + 1, 4)) AS blk, hx
+        |  FROM v)
+        |SELECT m AS "mediaId", blk // 4 AS "frameIdx",
+        |  substr(hx, CAST(blk * 128 + 1 AS INT), 128) AS frame_hex,
+        |  CAST(len(substr(hx, CAST(blk * 128 + 1 AS INT), 128)) // 2 AS BIGINT) AS frame_len
+        |FROM f ORDER BY "mediaId", "frameIdx"""".stripMargin,
   )
 }
