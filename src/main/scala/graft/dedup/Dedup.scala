@@ -41,6 +41,8 @@ object Dedup {
     */
   def distinctNgramsUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { normalized: String =>
+      if (normalized == null) Array.empty[String]
+      else {
       val tokens = normalized.split(" ", -1)
       if (tokens.length < n) Array(normalized)
       else {
@@ -61,6 +63,7 @@ object Dedup {
         val out = new Array[String](seen.size)
         seen.toArray(out)
         out
+      }
       }
     }
 
@@ -174,7 +177,8 @@ object Dedup {
     val bs = Array.tabulate(nSigs)(minhashConsts(_)._2)
     udf { grams: Seq[String] =>
       val mins = Array.fill(nSigs)(Long.MaxValue)
-      grams.foreach { g =>
+      val in = if (grams == null) Seq.empty[String] else grams
+      in.foreach { g =>
         val hex = md5Hex(g)
         val h1 = java.lang.Long.parseLong(hex.substring(0, 12), 16) % HashMod
         val h2 = java.lang.Long.parseLong(hex.substring(12, 24), 16) % HashMod
@@ -224,28 +228,26 @@ object Dedup {
       implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    requireIntegralId(docs, idCol)
     val rpb = rowsPerBand
     val sigsOf = minhashSigsUdf(bands * rowsPerBand)
     // sigs always derive from the real shingles; the shingles themselves
-    // ride the shuffle only when the verify stage needs them
+    // ride the shuffle only when the verify stage needs them. Null-text
+    // docs carry no shingles and cannot pair — excluded up front.
     val base = docs
+      .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("__grams"))
       .select(col("id"),
         (if (withGrams) col("__grams") else array().cast("array<string>"))
           .as("grams"),
         sigsOf(col("__grams")).as("sigs"))
-    val bandStructs = (0 until bands).map { j =>
-      struct((lit(j).as("j") +: (0 until rowsPerBand).map(r =>
-        element_at(col("sigs"), j * rowsPerBand + r + 1).as(s"s$r"))): _*)
-    }
     base
       .select(col("id"), col("grams"), col("sigs"),
-        explode(array(bandStructs: _*)).as("bk"))
-      .select(col("id"), col("grams"), col("sigs"),
-        col("bk.j").as("j"), col("bk.s0").as("s0"), col("bk.s1").as("s1"))
-      .as[(Long, Array[String], Array[Long], Int, Long, Long)]
-      .groupByKey(t => (t._4, t._5, t._6))
+        explode(array((0 until bands).map(lit): _*)).as("j"))
+      .as[(Long, Array[String], Array[Long], Int)]
+      // bucket key = band index + that band's FULL signature slice
+      .groupByKey(t => (t._4, t._3.slice(t._4 * rpb, t._4 * rpb + rpb).toSeq))
       .flatMapGroups { (key, rows) =>
         val j = key._1
         // buckets are bounded: uncorrelated minhash keys collide only for
@@ -254,10 +256,10 @@ object Dedup {
         val out = scala.collection.mutable.ArrayBuffer.empty[T]
         var i = 0
         while (i < arr.length) {
-          val (ia, ga, sa, _, _, _) = arr(i)
+          val (ia, ga, sa, _) = arr(i)
           var j2 = i + 1
           while (j2 < arr.length) {
-            val (ib, gb, sb, _, _, _) = arr(j2)
+            val (ib, gb, sb, _) = arr(j2)
             if (!earlierBandMatches(sa, sb, j, rpb))
               emit(ia, sa, ga, ib, sb, gb).foreach(out += _)
             j2 += 1
@@ -266,6 +268,17 @@ object Dedup {
         }
         out.iterator
       }
+  }
+
+  /** The typed bucket-local kernels encode ids as Long — fail LOUDLY on a
+    * non-integral id column instead of letting a cast silently null it.
+    */
+  private def requireIntegralId(df: DataFrame, idCol: String): Unit = {
+    val dt = df.schema(df.schema.fieldIndex(idCol)).dataType
+    require(Seq("long", "int", "integer", "bigint", "short", "smallint")
+      .contains(dt.typeName) || dt.typeName.startsWith("decimal"),
+      s"$idCol must be an integral id column for the bucket-local dedup " +
+        s"kernels, got ${dt.typeName} (map your ids to longs first)")
   }
 
   /** Candidate pairs sharing ≥1 LSH band, generated bucket-locally with
@@ -343,11 +356,19 @@ object Dedup {
         .join(labels.alias("p"), col("n.id") === col("p.id"))
         .filter(col("n.component") < col("p.component"))
         .limit(1).count()
+      // release the superseded round's checkpoint blocks — otherwise every
+      // iteration pins another copy of the label table for the app lifetime
+      labels.unpersist()
       labels = next
       converged = changed == 0
       iter += 1
     }
     e.unpersist()
+    // a silent wrong answer is worse than an error: labels are only
+    // component ids if propagation actually reached the fixpoint
+    require(converged,
+      s"connectedComponents did not converge in $maxIters iterations — " +
+        "raise maxIters (component diameter exceeds the bound)")
     labels
   }
 
@@ -400,7 +421,8 @@ object Dedup {
   val simhash16Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { tokens: Seq[String] =>
       val votes = new Array[Long](16)
-      tokens.foreach { t =>
+      val in = if (tokens == null) Seq.empty[String] else tokens
+      in.foreach { t =>
         val h = charHashJvm(t)
         var b = 0
         while (b < 16) { votes(b) += ((h >> b) & 1L) * 2 - 1; b += 1 }
@@ -518,7 +540,8 @@ object Dedup {
   val simhash48Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
     udf { tokens: Seq[String] =>
       val votes = new Array[Long](Simhash48Bits)
-      tokens.foreach { t =>
+      val in = if (tokens == null) Seq.empty[String] else tokens
+      in.foreach { t =>
         val h = md5Bits48Jvm(t)
         var b = 0
         while (b < Simhash48Bits) { votes(b) += ((h >> b) & 1L) * 2 - 1; b += 1 }
@@ -550,18 +573,24 @@ object Dedup {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
 
+  /** THE ascending left-fold dot kernel — every JVM cosine path funnels
+    * through this one definition so the fold order that the DuckDB oracle
+    * mirrors can never drift between operators.
+    */
+  def dotAsc(a: Array[Double], b: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc = acc + a(i) * b(i); i += 1 }
+    acc
+  }
+
   /** JVM fast path for [[dot]]: the SAME ascending left fold (so results
     * are bit-identical to the expression/oracle form), minus the
     * per-element interpreter overhead of HOF expressions.
     */
   val dotUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[Double], b: Seq[Double]) =>
-      var acc = 0.0
-      var i = 0
-      val n = math.min(a.length, b.length)
-      while (i < n) { acc = acc + a(i) * b(i); i += 1 }
-      acc
-    }
+    udf { (a: Seq[Double], b: Seq[Double]) => dotAsc(a.toArray, b.toArray) }
 
   /** Exact-cosine verification of candidate pairs: a typed mapPartitions
     * over primitive arrays running the SAME ascending left fold as the
@@ -576,11 +605,7 @@ object Dedup {
       .as[(Long, Long, Array[Double], Array[Double], Double)]
       .mapPartitions { it =>
         it.flatMap { case (ia, ib, va, vb, nn) =>
-          var acc = 0.0
-          var i = 0
-          val n = math.min(va.length, vb.length)
-          while (i < n) { acc = acc + va(i) * vb(i); i += 1 }
-          val cos = acc / nn
+          val cos = dotAsc(va, vb) / nn
           if (cos >= thr) Iterator.single((ia, ib, cos)) else Iterator.empty
         }
       }

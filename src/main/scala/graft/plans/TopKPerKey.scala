@@ -98,13 +98,26 @@ object TopKPerKeyStrategy extends SparkStrategy {
   * materializes.
   */
 private[plans] object TopKHeaps {
+
+  /** Cap on rows held per partition before the PARTIAL phase flushes its
+    * heaps downstream (a flush only weakens the pre-aggregation — emitted
+    * rows re-merge at the final phase — so correctness is unaffected while
+    * memory stays bounded on high-cardinality keys, where a window sort
+    * would have spilled).
+    */
+  val PartialFlushRows: Int = 4 << 20
+
   def partitionTopK(
       it: Iterator[InternalRow],
       keyProj: UnsafeProjection,
       ordering: Ordering[InternalRow],
-      k: Int): Iterator[(UnsafeRow, java.util.PriorityQueue[InternalRow])] = {
-    val heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+      k: Int,
+      flushEvery: Int = Int.MaxValue): Iterator[(UnsafeRow, java.util.PriorityQueue[InternalRow])] = {
+    import scala.jdk.CollectionConverters._
+    var heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
     val reverse = ordering.reverse // head = worst retained
+    var held = 0L
+    var flushed: Iterator[(UnsafeRow, java.util.PriorityQueue[InternalRow])] = Iterator.empty
     while (it.hasNext) {
       val row = it.next()
       val key = keyProj(row)
@@ -113,14 +126,19 @@ private[plans] object TopKHeaps {
         heap = new java.util.PriorityQueue[InternalRow](k + 1, reverse)
         heaps.put(key.copy(), heap)
       }
-      if (heap.size() < k) heap.add(row.copy())
+      if (heap.size() < k) { heap.add(row.copy()); held += 1 }
       else if (ordering.compare(row, heap.peek()) < 0) {
         heap.poll()
         heap.add(row.copy())
       }
+      if (held >= flushEvery) {
+        flushed = flushed ++ heaps.entrySet().asScala.toArray
+          .iterator.map(e => (e.getKey, e.getValue))
+        heaps = new java.util.LinkedHashMap()
+        held = 0
+      }
     }
-    import scala.jdk.CollectionConverters._
-    heaps.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+    flushed ++ heaps.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
   }
 
   /** Drain a heap into ranking order (best first). */
@@ -154,7 +172,10 @@ final case class TopKPerKeyPartialExec(
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = RowOrdering.create(so, childOutput)
-      TopKHeaps.partitionTopK(it, keyProj, ordering, kk).flatMap { case (_, heap) =>
+      // bounded memory even on high-cardinality keys: flush heaps
+      // downstream periodically (extra partial rows re-merge at final)
+      TopKHeaps.partitionTopK(it, keyProj, ordering, kk,
+          TopKHeaps.PartialFlushRows).flatMap { case (_, heap) =>
         TopKHeaps.drain(heap, ordering).iterator
       }
     }, preservesPartitioning = true)

@@ -159,10 +159,12 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cid"), transform(col("pairs"), p => p.getField("m")).as("cv"))
       // a centroid that attracted no vectors keeps its previous position
-      cents = cents.alias("old")
+      val next = cents.alias("old")
         .join(means.alias("new"), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("new.cv"), col("old.cv")).as("cv"))
         .localCheckpoint(true)
+      cents.unpersist() // drop the superseded round's checkpoint blocks
+      cents = next
     }
     vecs.unpersist()
     cents

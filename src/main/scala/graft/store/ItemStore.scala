@@ -80,8 +80,13 @@ object ItemStore {
     val tmpPath = new Path(tmp)
     val fs = tmpPath.getFileSystem(hconf)
     states.foreach { st =>
-      val dest = new Path(path, s"itemState=$st")
-      val src = new Path(tmp, s"itemState=$st")
+      // partition directory names use Spark's escaping convention — a raw
+      // state value containing ':', ' ', '%', … would miss the real dir
+      // and silently drop the staged rows
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(st)
+      val dest = new Path(path, s"itemState=$escaped")
+      val src = new Path(tmp, s"itemState=$escaped")
       fs.delete(dest, true)
       if (fs.exists(src))
         require(fs.rename(src, dest),

@@ -46,11 +46,24 @@ class WorkQueueClaimWrite(path: String, schema: StructType, queryId: String)
     val results = messages.collect { case m: ClaimCommitMessage => m }
     val dir = Paths.get(path, "_claims")
     Files.createDirectories(dir)
+    // JSON lines, not bare CSV: ids and lock tokens may contain commas,
+    // quotes or newlines and must round-trip claimResults exactly
+    def j(s: String): String =
+      if (s == null) "null"
+      else "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
     val lines = results.flatMap { m =>
-      m.accepted.map { case (id, lock) => s"$id,accepted,$lock" } ++
-        m.rejected.map { case (id, cur) => s"$id,rejected,$cur" }
+      m.accepted.map { case (id, lock) =>
+        s"""{"itemID": ${j(id)}, "status": "accepted", "lockID": ${j(lock)}}"""
+      } ++ m.rejected.map { case (id, cur) =>
+        s"""{"itemID": ${j(id)}, "status": "rejected", "lockID": ${j(cur)}}"""
+      }
     }
-    Files.write(dir.resolve(s"$queryId.csv"),
+    Files.write(dir.resolve(s"$queryId.json"),
       lines.sorted.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
     ()
@@ -77,15 +90,16 @@ object WorkQueueClaimWrite {
     org.apache.spark.sql.types.StructField("expectedLockID",
       org.apache.spark.sql.types.StringType)))
 
-  private[connector] def lockFile(path: String, itemID: String): JPath = {
-    // lock-registry filenames must be FS-safe for arbitrary ids — reuse the
-    // partition-value escaping convention
-    val safe = itemID.flatMap {
-      case c if c.isLetterOrDigit || c == '_' || c == '-' || c == '.' => c.toString
-      case c => f"%%${c.toInt}%02X"
-    }
-    Paths.get(path, "locks", s"$safe.lock")
+  /** Percent-escape for lock filenames AND lock-file field values: both
+    * must survive arbitrary ids/tokens (commas, newlines, separators).
+    */
+  private[connector] def escapeToken(s: String): String = s.flatMap {
+    case c if c.isLetterOrDigit || c == '_' || c == '-' || c == '.' => c.toString
+    case c => f"%%${c.toInt}%02X"
   }
+
+  private[connector] def lockFile(path: String, itemID: String): JPath =
+    Paths.get(path, "locks", s"${escapeToken(itemID)}.lock")
 }
 
 final case class ClaimCommitMessage(
@@ -124,7 +138,10 @@ class ClaimWriter(path: String, schema: StructType) extends DataWriter[InternalR
     val instanceID = Option(str(row, idxInstance)).getOrElse("")
     val expected = str(row, idxExpected)
     val file = WorkQueueClaimWrite.lockFile(path, itemID)
-    val content = s"$lockID,$instanceID".getBytes(StandardCharsets.UTF_8)
+    // fields are percent-escaped so the comma separator is unambiguous for
+    // any lock token (and the compare below works on escaped forms)
+    val content = (WorkQueueClaimWrite.escapeToken(lockID) + "," +
+      WorkQueueClaimWrite.escapeToken(instanceID)).getBytes(StandardCharsets.UTF_8)
     if (expected == null) {
       // fresh claim: exactly one concurrent creator wins (atomic create)
       try {
@@ -148,8 +165,11 @@ class ClaimWriter(path: String, schema: StructType) extends DataWriter[InternalR
           try {
             val buf = java.nio.ByteBuffer.allocate(ch.size().toInt)
             ch.read(buf)
-            val cur = new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
-              .split(",", 2).head
+            // compare in escaped space (tokens with commas stay intact),
+            // report the raw holder on rejection
+            val cur = WorkQueueSource.unescapePartitionValue(
+              new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
+                .split(",", 2).head)
             if (cur == expected) {
               ch.truncate(0)
               ch.position(0)
@@ -164,7 +184,8 @@ class ClaimWriter(path: String, schema: StructType) extends DataWriter[InternalR
   }
 
   private def currentLock(file: JPath): String =
-    try new String(Files.readAllBytes(file), StandardCharsets.UTF_8).split(",", 2).head
+    try WorkQueueSource.unescapePartitionValue(
+      new String(Files.readAllBytes(file), StandardCharsets.UTF_8).split(",", 2).head)
     catch { case _: java.io.IOException => "" }
 
   override def commit(): WriterCommitMessage =

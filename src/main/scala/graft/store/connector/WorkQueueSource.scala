@@ -77,7 +77,8 @@ object WorkQueueSource {
       path: String): org.apache.spark.sql.DataFrame =
     spark.read
       .schema("itemID STRING, status STRING, lockID STRING")
-      .csv(new java.io.File(path, "_claims").getAbsolutePath)
+      .json(new java.io.File(path, "_claims").getAbsolutePath)
+      .select("itemID", "status", "lockID")
 
   /** Undo Spark's percent-escaping of partition directory values. */
   def unescapePartitionValue(s: String): String = {

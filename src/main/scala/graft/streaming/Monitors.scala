@@ -78,10 +78,13 @@ object Monitors {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
           batchId: Long) =>
+        // idempotent under foreachBatch's at-least-once replay: each batch
+        // OWNS its iteration directory, so a post-write/pre-commit crash
+        // replays into an overwrite instead of a duplicate append
         batch
           .withColumn("iteration", concat(lit("Iteration_"), lit(batchId)))
-          .withColumn("iteration_id", lit(batchId))
-          .write.mode("append").parquet(historyPath)
+          .write.mode("overwrite")
+          .parquet(s"$historyPath/iteration_id=$batchId")
         ()
       }
       .trigger(Trigger.AvailableNow())

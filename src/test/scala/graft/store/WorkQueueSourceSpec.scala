@@ -94,8 +94,15 @@ class WorkQueueSourceSpec extends SparkSpec {
     assert(res.contains(("item_x", "accepted", "lock1"))) // initial claim
     assert(res.contains(("item_x", "rejected", "lock1"))) // stale reclaim told the holder
     assert(res.contains(("item_x", "accepted", "lock2"))) // matching reclaim swapped
-    // no current holder -> empty field, which the CSV reader yields as null
-    assert(res.contains(("item_y", "rejected", null)))
+    assert(res.contains(("item_y", "rejected", ""))) // no current holder
+
+    // ids and lock tokens with separators survive the whole round trip
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-claims3").toString
+    claim(dir2, Seq(("it,em\nx", "lo,ck\"1", "w,1", null)))
+    claim(dir2, Seq(("it,em\nx", "lock2", "w2", "lo,ck\"1")))
+    val r2 = results(dir2)
+    assert(r2.contains(("it,em\nx", "accepted", "lo,ck\"1")))
+    assert(r2.contains(("it,em\nx", "accepted", "lock2"))) // comma-lock reclaim matched
     val lockFile = java.nio.file.Paths.get(dir, "locks", "item_x.lock")
     val content = new String(java.nio.file.Files.readAllBytes(lockFile), "UTF-8")
     assert(content === "lock2,w2")
