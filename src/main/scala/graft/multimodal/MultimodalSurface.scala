@@ -39,6 +39,14 @@ object MultimodalSurface {
           hex(col("frame")).as("frame_hex"),
           octet_length(col("frame")).cast("long").as("frame_len"))
         .orderBy("mediaId", "frameIdx")),
+    // nearest-neighbor resize stub: image payloads keep every 4th byte and
+    // scale their dims; audio/video pass through untouched
+    "mm_resized" -> ((s, d) =>
+      Multimodal.resize(Multimodal.deriveMedia(Tables.documents(s, d)), 4)
+        .select(col("mediaId"), col("kind"),
+          hex(col("payload")).as("payload_hex"),
+          col("meta.width").as("width"), col("meta.height").as("height"))
+        .orderBy("mediaId")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -73,5 +81,19 @@ object MultimodalSurface {
         |  substr(hx, CAST(blk * 128 + 1 AS INT), 128) AS frame_hex,
         |  CAST(len(substr(hx, CAST(blk * 128 + 1 AS INT), 128)) // 2 AS BIGINT) AS frame_len
         |FROM f ORDER BY "mediaId", "frameIdx"""".stripMargin,
+    // resize mirror: images keep hex pairs at byte offsets 0,4,8,…; dims
+    // floor-divide with a floor of 1 (≡ Spark's truncated double division)
+    "mm_resized" ->
+      """SELECT doc_id AS "mediaId",
+        |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE WHEN doc_id % 3 = 0 THEN
+        |    array_to_string(list_transform(range(0, greatest(strlen(text), 1), 4),
+        |      i -> substr(hex(encode(text)), CAST(i * 2 + 1 AS INT), 2)), '')
+        |  ELSE hex(encode(text)) END AS payload_hex,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN greatest((doc_id % 640 + 1) // 4, 1)
+        |       ELSE doc_id % 640 + 1 END AS INT) AS width,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN greatest((doc_id % 480 + 1) // 4, 1)
+        |       ELSE doc_id % 480 + 1 END AS INT) AS height
+        |FROM documents ORDER BY "mediaId"""".stripMargin,
   )
 }
