@@ -1,7 +1,7 @@
 package graft.exec
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat, lit}
 import org.apache.spark.sql.streaming.DataStreamWriter
 
 import graft.model.WorkItem
@@ -31,6 +31,43 @@ object StreamingRunner {
       config: Runner.RunConfig = Runner.RunConfig()): DataStreamWriter[org.apache.spark.sql.Row] =
     items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val (updated, outcomes) = Runner.processItems(batch, config)
+      try ItemStore.append(updated.select(WorkItem.schema.fieldNames.map(col): _*), resultPath)
+      finally { outcomes.unpersist(); () }
+    }
+
+  /** Dispatcher that COEXISTS with external workers: before executing, the
+    * batch's todo items are claimed through the connector's conditional
+    * write path against a shared lock registry — an item some other worker
+    * already holds is skipped (it stays theirs), and items this dispatcher
+    * wins are executed exactly once across the fleet. This is the
+    * reference's lockItem/verifyItem loop (`code/modifier.py:71-125`) made
+    * race-free AND cross-process: any process that speaks the registry
+    * protocol (atomic lock-file claims) can share the queue.
+    */
+  def claimedDispatcher(
+      items: DataFrame,
+      resultPath: String,
+      registryPath: String,
+      instanceId: String,
+      config: Runner.RunConfig = Runner.RunConfig()): DataStreamWriter[org.apache.spark.sql.Row] =
+    items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val lockPrefix = s"lock-$instanceId-$batchId-"
+      // claim every todo item of the batch via the conditional write path
+      batch.filter(col("itemState") === "todo")
+        .select(col("itemID"),
+          concat(lit(lockPrefix), col("itemID")).as("lockID"),
+          lit(instanceId).as("instanceID"),
+          lit(null).cast("string").as("expectedLockID"))
+        .write.format("graft.store.connector.WorkQueueSource")
+        .option("path", registryPath).mode("append").save()
+      // execute only the items THIS batch won (deterministic lock prefix)
+      val won = graft.store.connector.WorkQueueSource.claimResults(spark, registryPath)
+        .filter(col("status") === "accepted" &&
+          col("lockID").startsWith(lockPrefix))
+        .select("itemID")
+      val claimed = batch.join(won, Seq("itemID"), "left_semi")
+      val (updated, outcomes) = Runner.processItems(claimed, config)
       try ItemStore.append(updated.select(WorkItem.schema.fieldNames.map(col): _*), resultPath)
       finally { outcomes.unpersist(); () }
     }

@@ -36,4 +36,43 @@ class StreamingRunnerSpec extends SparkSpec {
       .select(element_at($"log", "single").getField("stdout")).as[String].head()
     assert(stdout === "1\n2\n")
   }
+
+  test("claimed dispatcher skips items an external worker already holds") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-srun2").toFile
+    val f = new java.io.File(dir, "items.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("itemID|taskID|TaskScript|TaskArgs")
+    w.println("Mine|g|seq 2|")
+    w.println("Theirs|g|seq 9|")
+    w.close()
+    val store = dir.toPath.resolve("store").toString
+    val results = dir.toPath.resolve("results").toString
+    val registry = dir.toPath.resolve("registry").toString
+    ItemStore.save(Importer.importFile(spark, f.getAbsolutePath, "|", Some(",")), store)
+
+    // an external worker claims "Theirs" first through the same registry
+    Seq(("Theirs", "external-lock", "other-host", null: String))
+      .toDF("itemID", "lockID", "instanceID", "expectedLockID")
+      .write.format("graft.store.connector.WorkQueueSource")
+      .option("path", registry).mode("append").save()
+
+    val q = StreamingRunner.claimedDispatcher(
+      StreamingRunner.itemStream(spark, store), results, registry, "worker-1")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dir.toPath.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+
+    // only the item this dispatcher won executed; the external item is
+    // untouched (it belongs to the other worker)
+    val out = ItemStore.load(spark, results)
+    assert(out.select($"itemID").as[String].collect().toSeq === Seq("Mine"))
+    assert(out.select($"itemState").as[String].head() === "done")
+    // the registry still shows the external holder
+    val holders = graft.store.connector.WorkQueueSource.claimResults(spark, registry)
+      .filter($"status" === "accepted")
+      .select($"itemID", $"lockID").as[(String, String)].collect().toMap
+    assert(holders("Theirs") === "external-lock")
+    assert(holders("Mine").startsWith("lock-worker-1-"))
+  }
 }
