@@ -553,17 +553,73 @@ object Dedup {
     }
 
   /** The 48-bit scale-path gate form: hamming-band candidates over a hash
-    * wide enough that unrelated docs virtually never collide, verified with
-    * `bit_count(xor)` (identical in DuckDB).
+    * wide enough that unrelated docs virtually never collide. Pairs are
+    * generated BUCKET-LOCALLY (groupByKey on (block, segment, value), like
+    * the minhash pipeline): each doc row ships once per segment, pairs and
+    * the `Long.bitCount(xor)` verify (≡ the oracle's `bit_count(xor)`)
+    * happen inside the bucket, and the first-match-segment rule replaces
+    * any global dedup.
     */
   def simhashBandPairs48(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
       maxDist: Int): DataFrame = {
-    val g = docs.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      simhash48Udf(array_distinct(split(TextAnalysis.normalized(col(textCol)), " ")))
-        .as("sh")).cache()
-    bandPairs(g, maxDist, Simhash48Bits,
-      (a, b) => bit_count(a.bitwiseXOR(b)).cast("long"))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    requireIntegralId(docs, idCol)
+    val segs = maxDist + 1
+    val bits = Simhash48Bits
+    require(segs <= bits, s"maxDist $maxDist leaves no bits per segment")
+    val base = bits / segs
+    val extra = bits % segs
+    val bounds = (0 until segs).map { i =>
+      val off = i * base + math.min(i, extra)
+      val width = base + (if (i < extra) 1 else 0)
+      (i, off, width)
+    }.toArray
+    val md = maxDist
+    docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        col(blockCol).cast("string").as("blk"),
+        simhash48Udf(array_distinct(split(TextAnalysis.normalized(col(textCol)), " ")))
+          .as("sh"))
+      .select(col("id"), col("blk"), col("sh"),
+        explode(array((0 until segs).map(lit): _*)).as("si"))
+      .as[(Long, String, Long, Int)]
+      .groupByKey { t =>
+        val (_, off, width) = bounds(t._4)
+        (t._2, t._4, (t._3 >> off) & ((1L << width) - 1))
+      }
+      .flatMapGroups { (key, rows) =>
+        val si = key._2
+        val arr = rows.toArray.sortBy(_._1)
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+        var i = 0
+        while (i < arr.length) {
+          val (ia, _, sa, _) = arr(i)
+          var j = i + 1
+          while (j < arr.length) {
+            val (ib, _, sb, _) = arr(j)
+            // first-match-segment: skip if any earlier segment also matches
+            var earlier = false
+            var p = 0
+            while (!earlier && p < si) {
+              val (_, off, width) = bounds(p)
+              earlier = ((sa >> off) & ((1L << width) - 1)) ==
+                ((sb >> off) & ((1L << width) - 1))
+              p += 1
+            }
+            if (!earlier) {
+              val h = java.lang.Long.bitCount(sa ^ sb).toLong
+              if (h <= md) out += ((ia, ib, h))
+            }
+            j += 1
+          }
+          i += 1
+        }
+        out.iterator
+      }
+      .toDF("doc_a", "doc_b", "hamming")
   }
 
   /** Left-fold dot product — the exact fold the DuckDB oracle uses. */
