@@ -384,6 +384,20 @@ object Dedup {
       .select(col("id").as("doc_id"), col("component").as("survivor_id"))
   }
 
+  /** The end product of the near-dedup pipeline: the corpus with every
+    * near-dup cluster collapsed to its canonical survivor row — what a
+    * training-data pipeline feeds downstream. A broadcast-friendly semi
+    * join of the full rows against the survivor fixpoints.
+    */
+  def dedupedCorpus(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    val survivors = nearDupSurvivors(docs, idCol, textCol, threshold, bands, rowsPerBand)
+      .filter(col("doc_id") === col("survivor_id"))
+      .select(col("doc_id"))
+    docs.join(survivors,
+      docs(idCol).cast("long") === survivors("doc_id"), "left_semi")
+  }
+
   val HashMod = 2147483647L // 2^31 - 1
 
   /** Portable token hash: left fold (acc*31 + codepoint) % (2^31-1). */

@@ -120,6 +120,18 @@ class DedupSpec extends SparkSpec {
     pairs.foreach { case (a, b) => assert(surv(a) === surv(b), s"pair ($a,$b)") }
   }
 
+  test("dedupedCorpus keeps exactly the canonical survivor of every cluster") {
+    val deduped = Dedup.dedupedCorpus(corpus, "doc_id", "text", 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    val surv = Dedup.nearDupSurvivors(corpus, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect()
+    // output = the distinct survivor set, nothing more, nothing less
+    assert(deduped === surv.map(_._2).toSet)
+    // planted copies are gone, their originals retained
+    assert(deduped.contains(0L) && !deduped.contains(100000L))
+    assert(deduped.contains(5L) && !deduped.contains(200005L))
+  }
+
   test("scale-path pair generators plan as equi-joins, never nested-loop/cartesian") {
     val vecs = DedupSurface.vecs(spark, sf0001)
     for (df <- Seq(
