@@ -1,6 +1,6 @@
 package graft.dedup
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextAnalysis
@@ -215,17 +215,136 @@ object Dedup {
     false
   }
 
+  /** Default bucket cap for the bucket-local pair kernels: a bucket that
+    * fits under the cap pairs on one task (the common case, zero overhead);
+    * a bigger one is sub-split so its local quadratic is sharded across
+    * tasks of ~cap rows each. 4096 rows keeps the worst per-task buffer in
+    * the tens of MB and the worst per-cell pair loop in the low millions.
+    */
+  val DefaultBucketCap = 4096
+
+  /** Fraction of input sampled by the skew pre-pass that detects oversized
+    * buckets. Detection only needs to catch CATASTROPHIC buckets: a
+    * 1e6-row cluster shows up ~1e4 times in a 1% sample (never missed),
+    * while a bucket merely ~2× the cap can slip through and simply runs on
+    * one task, as every bucket did before capping existed. Use 1.0 for an
+    * exact pre-count (specs do).
+    */
+  val DefaultSkewSampleRate = 0.01
+
+  /** Deterministic salt for sub-splitting an oversized bucket: a mixed id
+    * hash mod the fanout. Which salt a row draws never changes WHICH pairs
+    * are emitted (every cross-salt pair meets in exactly one cell), only
+    * where the work runs.
+    */
+  private def saltOf(id: Long, s: Int): Int = {
+    val mixed = id * 0x9E3779B97F4A7C15L
+    ((mixed ^ (mixed >>> 32)).toInt & 0x7fffffff) % s
+  }
+
+  /** Skew-capped bucket-local self-pairing — the shared kernel under the
+    * minhash, simhash and cosine near-dup operators.
+    *
+    * Groups `rows` by `keyOf` and offers every in-bucket pair (ordered by
+    * ascending `idOf`) to `emitPair` exactly once. A bucket that fits in
+    * `cap` rows materializes on one task — the same single groupByKey the
+    * uncapped form did. An OVERSIZED bucket (the adversarial case: one
+    * giant cluster of mutually-colliding docs) is instead sub-split into
+    * s = ceil(n/cap) salt groups and enumerated cell-by-cell: each i ≤ j
+    * salt-cell task holds ≤ ~2·cap rows and emits only its cell's pairs
+    * (diagonal cells pair within a salt group, off-diagonal cells pair
+    * across their two groups), so a monster bucket degrades into s·(s+1)/2
+    * bounded tasks instead of one task OOMing on `toArray` and running the
+    * whole quadratic alone.
+    *
+    * Oversized buckets are detected by a sampled pre-pass over
+    * `sampleRows` (callers build it from `docs.sample(sampleRate)` so the
+    * expensive per-doc hashing runs on the sample only); only detected keys
+    * — metadata-sized: one (key, fanout) entry per GIANT bucket — are
+    * collected to the driver and broadcast. The pair SET is identical
+    * whatever the detection outcome (spec-asserted capped ≡ uncapped): a
+    * missed bucket costs locality, never pairs.
+    */
+  private[dedup] def cappedBucketPairs[R, K, T](
+      rows: Dataset[R], sampleRows: Dataset[R], sampleRate: Double,
+      keyOf: R => K, idOf: R => Long, cap: Int)(
+      emitPair: (R, R) => Option[T])(
+      implicit kEnc: Encoder[K], cellEnc: Encoder[(R, Int, Int, Int)],
+      gkEnc: Encoder[(K, Int, Int)], tEnc: Encoder[T],
+      ct: scala.reflect.ClassTag[R]): Dataset[T] = {
+    require(cap >= 2, s"bucket cap must be >= 2, got $cap")
+    require(sampleRate > 0.0 && sampleRate <= 1.0,
+      s"skew sample rate must be in (0, 1], got $sampleRate")
+    val spark = rows.sparkSession
+    val minHits = math.max(2.0, cap * sampleRate)
+    val fanouts: Map[K, Int] = sampleRows.map(keyOf)
+      .groupByKey(identity).count()
+      .filter(kc => kc._2 > minHits)
+      .collect()
+      .map { case (k, c) =>
+        k -> math.max(2, math.ceil(c / sampleRate / cap).toInt)
+      }.toMap
+    val bc = spark.sparkContext.broadcast(fanouts)
+    rows.flatMap { r =>
+        val s = bc.value.getOrElse(keyOf(r), 1)
+        if (s == 1) Iterator.single((r, 0, 0, 0))
+        else {
+          val p = saltOf(idOf(r), s)
+          Iterator.range(0, s).map(q => (r, p, math.min(p, q), math.max(p, q)))
+        }
+      }
+      .groupByKey(t => (keyOf(t._1), t._3, t._4))
+      .flatMapGroups { (key, it) =>
+        val ci = key._2
+        val cj = key._3
+        val out = scala.collection.mutable.ArrayBuffer.empty[T]
+        if (ci == cj) {
+          // diagonal cell: all-pairs within this salt group (≤ ~cap rows)
+          val arr = it.map(_._1).toArray.sortBy(idOf)
+          var i = 0
+          while (i < arr.length) {
+            var j = i + 1
+            while (j < arr.length) {
+              emitPair(arr(i), arr(j)).foreach(out += _)
+              j += 1
+            }
+            i += 1
+          }
+        } else {
+          // cross cell: pairs BETWEEN the two salt groups only (diagonal
+          // cells own the within-group pairs)
+          val all = it.toArray
+          val as = all.collect { case (r, p, _, _) if p == ci => r }
+          val bs = all.collect { case (r, p, _, _) if p == cj => r }
+          var i = 0
+          while (i < as.length) {
+            var j = 0
+            while (j < bs.length) {
+              val (lo, hi) =
+                if (idOf(as(i)) <= idOf(bs(j))) (as(i), bs(j))
+                else (bs(j), as(i))
+              emitPair(lo, hi).foreach(out += _)
+              j += 1
+            }
+            i += 1
+          }
+        }
+        out.iterator
+      }
+  }
+
   /** Bucket-grouped band rows: each doc's payload ships ONCE per band to
     * its bucket (grams included only when `withGrams`), then pairs are
-    * generated bucket-locally. Compare the join form, which ships the
-    * payload once per candidate PAIR — O(pairs·|doc|) bytes vs this
-    * O(bands·n·|doc|).
+    * generated bucket-locally via [[cappedBucketPairs]]. Compare the join
+    * form, which ships the payload once per candidate PAIR —
+    * O(pairs·|doc|) bytes vs this O(bands·n·|doc|).
     */
   private def bucketLocalPairs[T](
       docs: DataFrame, idCol: String, textCol: String,
-      bands: Int, rowsPerBand: Int, withGrams: Boolean)(
+      bands: Int, rowsPerBand: Int, withGrams: Boolean,
+      bucketCap: Int, skewSampleRate: Double)(
       emit: (Long, Array[Long], Array[String], Long, Array[Long], Array[String]) => Option[T])(
-      implicit enc: org.apache.spark.sql.Encoder[T]): org.apache.spark.sql.Dataset[T] = {
+      implicit enc: Encoder[T]): Dataset[T] = {
     val spark = docs.sparkSession
     import spark.implicits._
     requireIntegralId(docs, idCol)
@@ -234,7 +353,7 @@ object Dedup {
     // sigs always derive from the real shingles; the shingles themselves
     // ride the shuffle only when the verify stage needs them. Null-text
     // docs carry no shingles and cannot pair — excluded up front.
-    val base = docs
+    def bandRows(d: DataFrame): Dataset[(Long, Array[String], Array[Long], Int)] = d
       .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("__grams"))
@@ -242,32 +361,20 @@ object Dedup {
         (if (withGrams) col("__grams") else array().cast("array<string>"))
           .as("grams"),
         sigsOf(col("__grams")).as("sigs"))
-    base
       .select(col("id"), col("grams"), col("sigs"),
         explode(array((0 until bands).map(lit): _*)).as("j"))
       .as[(Long, Array[String], Array[Long], Int)]
+    val sampledDocs =
+      if (skewSampleRate >= 1.0) docs
+      else docs.sample(withReplacement = false, skewSampleRate, seed = 421L)
+    cappedBucketPairs[(Long, Array[String], Array[Long], Int), (Int, Seq[Long]), T](
+      bandRows(docs), bandRows(sampledDocs), skewSampleRate,
       // bucket key = band index + that band's FULL signature slice
-      .groupByKey(t => (t._4, t._3.slice(t._4 * rpb, t._4 * rpb + rpb).toSeq))
-      .flatMapGroups { (key, rows) =>
-        val j = key._1
-        // buckets are bounded: uncorrelated minhash keys collide only for
-        // genuinely similar docs (plus dup clusters)
-        val arr = rows.toArray.sortBy(_._1)
-        val out = scala.collection.mutable.ArrayBuffer.empty[T]
-        var i = 0
-        while (i < arr.length) {
-          val (ia, ga, sa, _) = arr(i)
-          var j2 = i + 1
-          while (j2 < arr.length) {
-            val (ib, gb, sb, _) = arr(j2)
-            if (!earlierBandMatches(sa, sb, j, rpb))
-              emit(ia, sa, ga, ib, sb, gb).foreach(out += _)
-            j2 += 1
-          }
-          i += 1
-        }
-        out.iterator
-      }
+      t => (t._4, t._3.slice(t._4 * rpb, t._4 * rpb + rpb).toSeq),
+      t => t._1, bucketCap) { (a, b) =>
+      if (earlierBandMatches(a._3, b._3, a._4, rpb)) None
+      else emit(a._1, a._3, a._2, b._1, b._3, b._2)
+    }
   }
 
   /** The typed bucket-local kernels encode ids as Long — fail LOUDLY on a
@@ -287,11 +394,15 @@ object Dedup {
     */
   def lshCandidates(
       docs: DataFrame, idCol: String, textCol: String,
-      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 6, rowsPerBand: Int = 2,
+      bucketCap: Int = DefaultBucketCap,
+      skewSampleRate: Double = DefaultSkewSampleRate): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     bucketLocalPairs[(Long, Long)](docs, idCol, textCol, bands, rowsPerBand,
-      withGrams = false) { (ia, _, _, ib, _, _) => Some((ia, ib)) }
+      withGrams = false, bucketCap, skewSampleRate) {
+      (ia, _, _, ib, _, _) => Some((ia, ib))
+    }
       .toDF("doc_a", "doc_b")
   }
 
@@ -305,12 +416,15 @@ object Dedup {
     */
   def lshVerifiedPairs(
       docs: DataFrame, idCol: String, textCol: String, threshold: Double,
-      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+      bands: Int = 6, rowsPerBand: Int = 2,
+      bucketCap: Int = DefaultBucketCap,
+      skewSampleRate: Double = DefaultSkewSampleRate): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val thr = threshold
     bucketLocalPairs[(Long, Long, Double)](docs, idCol, textCol, bands,
-      rowsPerBand, withGrams = true) { (ia, _, ga, ib, _, gb) =>
+      rowsPerBand, withGrams = true, bucketCap, skewSampleRate) {
+      (ia, _, ga, ib, _, gb) =>
       val seen = new java.util.HashSet[String](ga.length * 2)
       ga.foreach(seen.add)
       var inter = 0
@@ -321,67 +435,149 @@ object Dedup {
       .toDF("doc_a", "doc_b", "jaccard")
   }
 
-  /** Connected components over an undirected pair graph by iterative
-    * min-label propagation: every vertex repeatedly adopts the smallest
-    * label among itself and its neighbors until a fixpoint. The step is a
-    * join + groupBy-min (all shuffle-parallel); lineage is cut per
-    * iteration with `localCheckpoint` (iterative DataFrames otherwise grow
-    * an exponential plan). Convergence needs at most graph-diameter
-    * rounds — near-dup clusters are dense (LSH pairs of mutually-similar
-    * docs), so a handful; `maxIters` is a safety bound, convergence is
-    * checked with a cheap count.
+  /** Connected components by alternating large-star/small-star contraction
+    * (the MapReduce CC algorithm of Kiveris et al., SoCC'14 — public
+    * knowledge): each round is two join+groupBy steps and the edge set
+    * converges to a star forest (every vertex attached directly to its
+    * component minimum) in O(log n) rounds. The min-label propagation this
+    * replaces needed O(graph-diameter) rounds and died on chain-shaped pair
+    * graphs (A≈B≈C≈… tail-perturbed document chains) — a 1000-vertex chain
+    * now converges in ~10 rounds (spec-asserted).
+    *
+    *  - large-star: every vertex points its strictly LARGER neighbors at
+    *    the minimum of its neighborhood (or itself);
+    *  - small-star: every vertex and its smaller neighbors contract onto
+    *    their collective minimum.
+    *
+    * Loop control uses a cheap (count, xor-of-edge-hashes) signature per
+    * round; the final labeling is then verified EXACTLY against the input
+    * edges (every input edge's endpoints must share a label), so neither a
+    * signature collision nor a maxIters overrun can ever return silently
+    * wrong components. Lineage is cut per round with `localCheckpoint` and
+    * superseded rounds are unpersisted.
     *
     * Returns (`id`, `component`) where `component` = min vertex id in the
     * component. Vertices = every id in `vertices` (singletons keep their
     * own id), so the output is a total doc → canonical-survivor map.
     */
   def connectedComponents(edges: DataFrame, vertices: DataFrame,
-      maxIters: Int = 20): DataFrame = {
-    val e = edges.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(edges.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      maxIters: Int = 25): DataFrame = {
+    // canonical undirected edge list (u < v), self-loops dropped
+    val input = edges
+      .select(col("doc_a").cast("long").as("a"), col("doc_b").cast("long").as("b"))
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .cache()
-    var labels = vertices.select(col("id"), col("id").as("component"))
       .localCheckpoint(true)
+
+    def bidir(d: DataFrame): DataFrame =
+      d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
+
+    // both steps emit canonical (min, other) pairs: m ≤ u < v for
+    // large-star, m < v for small-star, so no re-canonicalization needed
+    def largeStar(d: DataFrame): DataFrame = {
+      val nb = bidir(d)
+      val mins = nb.groupBy("u").agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      nb.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("m").as("u"), col("v").as("v"))
+        .distinct()
+    }
+
+    def smallStar(d: DataFrame): DataFrame = {
+      val sm = bidir(d).filter(col("v") < col("u"))
+      val mins = sm.groupBy("u").agg(min("v").as("m"))
+      sm.join(mins, "u")
+        .filter(col("v") =!= col("m"))
+        .select(col("m").as("u"), col("v").as("v"))
+        .unionByName(mins.select(col("m").as("u"), col("u").as("v")))
+        .distinct()
+    }
+
+    def signature(d: DataFrame): (Long, Long) = {
+      val r = d.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+
+    var e = input
+    var sig = signature(e)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val neighborMin = e.join(labels, e("src") === labels("id"))
-        .select(col("dst").as("id"), col("component"))
-      val next = labels.unionByName(neighborMin)
-        .groupBy("id").agg(min("component").as("component"))
-        .localCheckpoint(true)
-      // converged when no vertex lowered its label this round
-      val changed = next.alias("n")
-        .join(labels.alias("p"), col("n.id") === col("p.id"))
-        .filter(col("n.component") < col("p.component"))
-        .limit(1).count()
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val nextSig = signature(next)
       // release the superseded round's checkpoint blocks — otherwise every
-      // iteration pins another copy of the label table for the app lifetime
-      labels.unpersist()
-      labels = next
-      converged = changed == 0
+      // round pins another copy of the edge set for the app lifetime
+      if (e ne input) e.unpersist()
+      converged = nextSig == sig
+      e = next
+      sig = nextSig
       iter += 1
     }
-    e.unpersist()
-    // a silent wrong answer is worse than an error: labels are only
-    // component ids if propagation actually reached the fixpoint
-    require(converged,
-      s"connectedComponents did not converge in $maxIters iterations — " +
-        "raise maxIters (component diameter exceeds the bound)")
+
+    // at the star-forest fixpoint every vertex's min neighbor IS its
+    // component minimum (the center's own id for the center itself)
+    val nbrMin = bidir(e).groupBy("u").agg(min("v").as("mn"))
+    val ids = vertices.select(col("id"))
+    val labels = ids
+      .join(nbrMin, ids("id").cast("long") === nbrMin("u"), "left")
+      .select(ids("id"),
+        least(col("id").cast("long"), coalesce(col("mn"), col("id").cast("long")))
+          .as("component"))
+
+    // a silent wrong answer is worse than an error: verify the labeling
+    // exactly against the INPUT edges — label-consistent endpoints on every
+    // edge plus label(x) ≤ x forces label = component minimum
+    val la = labels.select(col("id").cast("long").as("lid"), col("component").as("ca"))
+    val lb = labels.select(col("id").cast("long").as("rid"), col("component").as("cb"))
+    val bad = input.join(la, input("u") === la("lid"))
+      .join(lb, input("v") === lb("rid"))
+      .filter(col("ca") =!= col("cb")).limit(1).count()
+    require(bad == 0,
+      s"connectedComponents labeling inconsistent after $maxIters rounds — " +
+        "raise maxIters (star contraction did not reach its fixpoint)")
+    input.unpersist()
     labels
   }
 
   /** The operator a pipeline actually wants from near-dedup: every doc
     * mapped to its cluster's canonical survivor (min doc id over the
     * transitive closure of verified near-dup pairs; unique docs survive as
-    * themselves). LSH-verified pairs → connected components.
+    * themselves).
+    *
+    * Exact duplicates are collapsed FIRST: one representative per
+    * normalized-text fingerprint (the per-fingerprint min id) goes through
+    * the LSH kernels, and members fan back out through the fingerprint map
+    * afterwards. At web scale exact-dup clusters of 1e5+ docs are routine,
+    * and every member shares every band — without the collapse one such
+    * cluster lands in ONE LSH bucket as a single-task quadratic (1e10+
+    * comparisons). Identical normalized text means identical shingles, so
+    * pairing representatives loses nothing: members inherit exactly the
+    * pairs (hence the component) of their rep, and the component minimum
+    * over reps IS the minimum over all member ids because each rep is its
+    * fingerprint group's minimum. Results are identical to pairing the raw
+    * corpus (spec- and oracle-asserted); docs with NULL text carry no
+    * fingerprint and survive as themselves.
     */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
-    val pairs = lshVerifiedPairs(docs, idCol, textCol, threshold, bands, rowsPerBand)
-    connectedComponents(pairs, docs.select(col(idCol).cast("long").as("id")))
-      .select(col("id").as("doc_id"), col("component").as("survivor_id"))
+    val withFp = docs.select(col(idCol).cast("long").as("doc_id"),
+      col(textCol).as("__text"),
+      md5(TextAnalysis.normalized(col(textCol))).as("fp"))
+    val reps = withFp.filter(col("fp").isNotNull)
+      .groupBy("fp")
+      .agg(min("doc_id").as("rep_id"),
+        min_by(col("__text"), col("doc_id")).as("rep_text"))
+    val pairs = lshVerifiedPairs(reps, "rep_id", "rep_text", threshold,
+      bands, rowsPerBand)
+    val comps = connectedComponents(pairs, reps.select(col("rep_id").as("id")))
+      .select(col("id").as("rep_id"), col("component"))
+    withFp.join(reps.select(col("fp"), col("rep_id")), Seq("fp"), "left")
+      .join(comps, Seq("rep_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("survivor_id"))
   }
 
   /** The end product of the near-dedup pipeline: the corpus with every
@@ -576,7 +772,9 @@ object Dedup {
     */
   def simhashBandPairs48(
       docs: DataFrame, idCol: String, textCol: String, blockCol: String,
-      maxDist: Int): DataFrame = {
+      maxDist: Int,
+      bucketCap: Int = DefaultBucketCap,
+      skewSampleRate: Double = DefaultSkewSampleRate): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     requireIntegralId(docs, idCol)
@@ -591,7 +789,7 @@ object Dedup {
       (i, off, width)
     }.toArray
     val md = maxDist
-    docs
+    def segRows(d: DataFrame): Dataset[(Long, String, Long, Int)] = d
       .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"),
         col(blockCol).cast("string").as("blk"),
@@ -600,39 +798,34 @@ object Dedup {
       .select(col("id"), col("blk"), col("sh"),
         explode(array((0 until segs).map(lit): _*)).as("si"))
       .as[(Long, String, Long, Int)]
-      .groupByKey { t =>
+    val sampledDocs =
+      if (skewSampleRate >= 1.0) docs
+      else docs.sample(withReplacement = false, skewSampleRate, seed = 421L)
+    cappedBucketPairs[(Long, String, Long, Int), (String, Int, Long), (Long, Long, Long)](
+      segRows(docs), segRows(sampledDocs), skewSampleRate,
+      t => {
         val (_, off, width) = bounds(t._4)
         (t._2, t._4, (t._3 >> off) & ((1L << width) - 1))
+      },
+      t => t._1, bucketCap) { (a, b) =>
+      val si = a._4
+      val sa = a._3
+      val sb = b._3
+      // first-match-segment: skip if any earlier segment also matches
+      var earlier = false
+      var p = 0
+      while (!earlier && p < si) {
+        val (_, off, width) = bounds(p)
+        earlier = ((sa >> off) & ((1L << width) - 1)) ==
+          ((sb >> off) & ((1L << width) - 1))
+        p += 1
       }
-      .flatMapGroups { (key, rows) =>
-        val si = key._2
-        val arr = rows.toArray.sortBy(_._1)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-        var i = 0
-        while (i < arr.length) {
-          val (ia, _, sa, _) = arr(i)
-          var j = i + 1
-          while (j < arr.length) {
-            val (ib, _, sb, _) = arr(j)
-            // first-match-segment: skip if any earlier segment also matches
-            var earlier = false
-            var p = 0
-            while (!earlier && p < si) {
-              val (_, off, width) = bounds(p)
-              earlier = ((sa >> off) & ((1L << width) - 1)) ==
-                ((sb >> off) & ((1L << width) - 1))
-              p += 1
-            }
-            if (!earlier) {
-              val h = java.lang.Long.bitCount(sa ^ sb).toLong
-              if (h <= md) out += ((ia, ib, h))
-            }
-            j += 1
-          }
-          i += 1
-        }
-        out.iterator
+      if (earlier) None
+      else {
+        val h = java.lang.Long.bitCount(sa ^ sb).toLong
+        if (h <= md) Some((a._1, b._1, h)) else None
       }
+    }
       .toDF("doc_a", "doc_b", "hamming")
   }
 
@@ -714,38 +907,33 @@ object Dedup {
     * `planes` (fewer planes → bigger buckets → higher recall).
     */
   def lshCosinePairs(vecs: DataFrame, idCol: String, vecCol: String,
-      threshold: Double, planes: Int, dims: Int): DataFrame = {
+      threshold: Double, planes: Int, dims: Int,
+      bucketCap: Int = DefaultBucketCap,
+      skewSampleRate: Double = DefaultSkewSampleRate): DataFrame = {
     val spark = vecs.sparkSession
     import spark.implicits._
     val thr = threshold
-    vecs.select(col(idCol).cast("long").as("id"),
+    def bucketRows(d: DataFrame): Dataset[(Long, Array[Double], Double, Long)] = d
+      .select(col(idCol).cast("long").as("id"),
         col(vecCol).as("v"),
         sqrt(dotUdf(col(vecCol), col(vecCol))).as("nrm"),
         graft.sim.Similarity.lshBucket(col(vecCol), planes, dims).as("bucket"))
       .as[(Long, Array[Double], Double, Long)]
-      .groupByKey(_._4)
-      .flatMapGroups { (_, rows) =>
-        // a bucket is bounded by construction (planes choose the granularity)
-        val arr = rows.toArray.sortBy(_._1)
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-        var i = 0
-        while (i < arr.length) {
-          val (ia, va, na, _) = arr(i)
-          var j = i + 1
-          while (j < arr.length) {
-            val (ib, vb, nb, _) = arr(j)
-            var acc = 0.0
-            var t = 0
-            val n = math.min(va.length, vb.length)
-            while (t < n) { acc = acc + va(t) * vb(t); t += 1 }
-            val cos = acc / (na * nb)
-            if (cos >= thr) out += ((ia, ib, cos))
-            j += 1
-          }
-          i += 1
-        }
-        out.iterator
-      }
+    val sampledVecs =
+      if (skewSampleRate >= 1.0) vecs
+      else vecs.sample(withReplacement = false, skewSampleRate, seed = 421L)
+    cappedBucketPairs[(Long, Array[Double], Double, Long), Long, (Long, Long, Double)](
+      bucketRows(vecs), bucketRows(sampledVecs), skewSampleRate,
+      t => t._4, t => t._1, bucketCap) { (a, b) =>
+      val va = a._2
+      val vb = b._2
+      var acc = 0.0
+      var t = 0
+      val n = math.min(va.length, vb.length)
+      while (t < n) { acc = acc + va(t) * vb(t); t += 1 }
+      val cos = acc / (a._3 * b._3)
+      if (cos >= thr) Some((a._1, b._1, cos)) else None
+    }
       .toDF("vec_a", "vec_b", "cos")
   }
 }

@@ -144,6 +144,65 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("skew cap: sub-split buckets emit exactly the uncapped pair set (all three kernels)") {
+    // cap=8 with an exact pre-count forces nearly every bucket through the
+    // cell-split path; the pair SET must be identical to the uncapped run
+    val vecs = DedupSurface.vecs(spark, sf0001)
+    def pairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(
+      pairsOf(Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5,
+        bucketCap = 8, skewSampleRate = 1.0)) ===
+        pairsOf(Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5)))
+    assert(
+      pairsOf(Dedup.simhashBandPairs48(corpus, "doc_id", "text", "lang", 3,
+        bucketCap = 8, skewSampleRate = 1.0)) ===
+        pairsOf(Dedup.simhashBandPairs48(corpus, "doc_id", "text", "lang", 3)))
+    def vpairsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(
+      vpairsOf(Dedup.lshCosinePairs(vecs, "vec_id", "v", 0.999,
+        graft.sim.SimSurface.Planes, graft.sim.SimSurface.Dims,
+        bucketCap = 8, skewSampleRate = 1.0)) ===
+        vpairsOf(Dedup.lshCosinePairs(vecs, "vec_id", "v", 0.999,
+          graft.sim.SimSurface.Planes, graft.sim.SimSurface.Dims)))
+  }
+
+  test("a 50k-member exact-dup cluster completes via the rep collapse, one survivor") {
+    import org.apache.spark.sql.functions._
+    // one text duplicated 50k times + a handful of distinct docs: without
+    // the exact-collapse every member shares every LSH band and the cluster
+    // lands in one bucket as a single-task 1.25e9-comparison quadratic
+    val giant = spark.range(0, 50000)
+      .select($"id".as("doc_id"),
+        lit("the same giant exact duplicate text block repeated endlessly").as("text"))
+    val distinctDocs = spark.range(50000, 50005)
+      .select($"id".as("doc_id"),
+        concat(lit("unique document number "), $"id",
+          lit(" with its own words entirely")).as("text"))
+    val docs = giant.unionByName(distinctDocs)
+    val surv = Dedup.nearDupSurvivors(docs, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(surv.size === 50005)
+    // every cluster member collapses onto doc 0
+    assert(surv(0L) === 0L && surv(1L) === 0L && surv(49999L) === 0L)
+    // the distinct docs survive as themselves
+    (50000L until 50005L).foreach(id => assert(surv(id) === id))
+  }
+
+  test("connected components converge on a 1000-vertex chain (log-round star contraction)") {
+    import org.apache.spark.sql.functions._
+    // a chain is the worst case for min-label propagation (diameter rounds);
+    // large-star/small-star must close it within the default round budget
+    val edges = spark.range(0, 999)
+      .select($"id".as("doc_a"), ($"id" + 1).as("doc_b"))
+    val vertices = spark.range(0, 1000).select($"id")
+    val comps = Dedup.connectedComponents(edges, vertices)
+      .as[(Long, Long)].collect()
+    assert(comps.length === 1000)
+    comps.foreach { case (id, c) => assert(c === 0L, s"vertex $id -> $c") }
+  }
+
   test("simhash is stable on identical text and near on perturbed text") {
     val sh = corpus.select($"doc_id", Dedup.simhash16($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
