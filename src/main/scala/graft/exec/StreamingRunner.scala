@@ -43,13 +43,22 @@ object StreamingRunner {
     * reference's lockItem/verifyItem loop (`code/modifier.py:71-125`) made
     * race-free AND cross-process: any process that speaks the registry
     * protocol (atomic lock-file claims) can share the queue.
+    *
+    * `leaseMillis` bounds every claim's lifetime: a dispatcher that crashes
+    * mid-batch stops renewing and its items become re-claimable one lease
+    * later (by anyone — the expired-takeover path in
+    * [[graft.store.connector.WorkQueueClaimWrite]]); while the batch runs,
+    * a heartbeat thread renews the batch's locks at lease/3 cadence so slow
+    * scripts aren't stolen mid-execution. `None` keeps the old non-expiring
+    * behavior (and its wedge-until-manual-reset failure mode).
     */
   def claimedDispatcher(
       items: DataFrame,
       resultPath: String,
       registryPath: String,
       instanceId: String,
-      config: Runner.RunConfig = Runner.RunConfig()): DataStreamWriter[org.apache.spark.sql.Row] =
+      config: Runner.RunConfig = Runner.RunConfig(),
+      leaseMillis: Option[Long] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
       val lockPrefix = s"lock-$instanceId-$batchId-"
@@ -58,7 +67,8 @@ object StreamingRunner {
         .select(col("itemID"),
           concat(lit(lockPrefix), col("itemID")).as("lockID"),
           lit(instanceId).as("instanceID"),
-          lit(null).cast("string").as("expectedLockID"))
+          lit(null).cast("string").as("expectedLockID"),
+          lit(leaseMillis.getOrElse(0L)).as("leaseMillis"))
         .write.format("graft.store.connector.WorkQueueSource")
         .option("path", registryPath).mode("append").save()
       // execute only the items THIS batch won (deterministic lock prefix)
@@ -67,8 +77,27 @@ object StreamingRunner {
           col("lockID").startsWith(lockPrefix))
         .select("itemID")
       val claimed = batch.join(won, Seq("itemID"), "left_semi")
+      // heartbeat: keep this batch's leases alive while its scripts run
+      // (item ids collected here are the batch's OWN wins — bounded by the
+      // micro-batch size, not the table)
+      val renewer = leaseMillis.map { lease =>
+        val ids = won.collect().map(_.getString(0))
+        val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+          val t = new Thread(r, s"graft-lease-$instanceId"); t.setDaemon(true); t
+        }
+        val period = math.max(1L, lease / 3)
+        ex.scheduleAtFixedRate(() => ids.foreach { id =>
+          graft.store.connector.WorkQueueClaimWrite.renew(
+            registryPath, id, s"$lockPrefix$id", instanceId, lease)
+        }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+        ex
+      }
       val (updated, outcomes) = Runner.processItems(claimed, config)
       try ItemStore.append(updated.select(WorkItem.schema.fieldNames.map(col): _*), resultPath)
-      finally { outcomes.unpersist(); () }
+      finally {
+        renewer.foreach(_.shutdownNow())
+        outcomes.unpersist()
+        ()
+      }
     }
 }

@@ -18,12 +18,23 @@ import org.apache.spark.sql.types.StructType
   * accepted IFF the item's current lock matches the row's expectation —
   * atomically, no verify round-trip.
   *
-  * A claim row is `(itemID, lockID, instanceID, expectedLockID)`:
+  * A claim row is `(itemID, lockID, instanceID, expectedLockID[, leaseMillis])`:
   *  - `expectedLockID` null → fresh claim: atomic lock-file create
   *    (`Files.createFile` — the filesystem guarantees exactly one concurrent
-  *    creator wins).
+  *    creator wins). If the lock file already exists but its lease has
+  *    EXPIRED, the fresh claim takes it over through the same exclusive
+  *    `FileChannel` CAS used for re-claims (expiry re-checked under the OS
+  *    lock, so two takeover attempts serialize and one wins).
   *  - `expectedLockID` set → re-claim/renew: exclusive `FileChannel` lock,
-  *    compare stored lockID, swap only on match.
+  *    compare stored lockID, swap only on match. A holder renewing with
+  *    `expectedLockID = its own lockID` extends the lease — the liveness
+  *    protocol: workers renew inside their budget loop
+  *    ([[graft.exec.ScriptRunner]] wall-time semantics,
+  *    `/root/reference/code/timeKeeper.py:61-73`), and a crashed holder's
+  *    lock becomes re-claimable one lease after its last renewal instead of
+  *    wedging until a manual `reset` (the liveness gap the reference's
+  *    locked items hit, `code/manager.py:465-549`).
+  *  - `leaseMillis` null/absent/≤0 → a non-expiring lock (prior behavior).
   *
   * Outcomes are per-row data, not exceptions (a rejected claim is the
   * protocol working): each task's accepted/rejected lists travel in its
@@ -79,7 +90,9 @@ class WorkQueueClaimWrite(path: String, schema: StructType, queryId: String)
 }
 
 object WorkQueueClaimWrite {
-  /** Claim-request schema accepted by the write path. */
+  /** Claim-request schema accepted by the write path. `leaseMillis` is
+    * optional (a write without the column acquires non-expiring locks).
+    */
   val schema: StructType = StructType(Seq(
     org.apache.spark.sql.types.StructField("itemID",
       org.apache.spark.sql.types.StringType, nullable = false),
@@ -88,7 +101,9 @@ object WorkQueueClaimWrite {
     org.apache.spark.sql.types.StructField("instanceID",
       org.apache.spark.sql.types.StringType),
     org.apache.spark.sql.types.StructField("expectedLockID",
-      org.apache.spark.sql.types.StringType)))
+      org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("leaseMillis",
+      org.apache.spark.sql.types.LongType)))
 
   /** Percent-escape for lock filenames AND lock-file field values: both
     * must survive arbitrary ids/tokens (commas, newlines, separators).
@@ -100,6 +115,80 @@ object WorkQueueClaimWrite {
 
   private[connector] def lockFile(path: String, itemID: String): JPath =
     Paths.get(path, "locks", s"${escapeToken(itemID)}.lock")
+
+  /** Parse lock-file content `escapedLock,escapedInstance[,expiresAt]` —
+    * raw lockID, raw instanceID, expiry epoch-millis (0 = never expires;
+    * pre-lease files carry two fields and parse as non-expiring).
+    */
+  private[connector] def parseLock(content: String): (String, String, Long) = {
+    val parts = content.split(",", 3)
+    val lock = WorkQueueSource.unescapePartitionValue(parts(0))
+    val inst =
+      if (parts.length > 1) WorkQueueSource.unescapePartitionValue(parts(1)) else ""
+    val exp =
+      if (parts.length > 2) try parts(2).trim.toLong catch { case _: NumberFormatException => 0L }
+      else 0L
+    (lock, inst, exp)
+  }
+
+  /** Observability hook a production connector needs anyway: the current
+    * holder and lease expiry of an item's lock, if locked.
+    */
+  def lockState(path: String, itemID: String): Option[(String, String, Long)] = {
+    val f = lockFile(path, itemID)
+    if (!Files.exists(f)) None
+    else try Some(parseLock(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
+    catch { case _: java.io.IOException => None }
+  }
+
+  /** Under an exclusive OS file lock: parse the current lock, and if
+    * `takeIf(current)` holds, replace it with `content`. Returns
+    * `Right(())` on swap, `Left(current holder's raw lockID)` otherwise.
+    */
+  private[connector] def casSwap(file: JPath, content: Array[Byte],
+      takeIf: ((String, String, Long)) => Boolean): Either[String, Unit] =
+    try {
+      val ch = java.nio.channels.FileChannel.open(file,
+        StandardOpenOption.READ, StandardOpenOption.WRITE)
+      try {
+        val osLock = ch.lock()
+        try {
+          val buf = java.nio.ByteBuffer.allocate(ch.size().toInt)
+          ch.read(buf)
+          val cur = parseLock(
+            new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8))
+          if (takeIf(cur)) {
+            ch.truncate(0)
+            ch.position(0)
+            ch.write(java.nio.ByteBuffer.wrap(content))
+            ch.force(true)
+            Right(())
+          } else Left(cur._1)
+        } finally osLock.release()
+      } finally ch.close()
+    } catch {
+      // raced with an abort's deleteIfExists: the lock is simply gone now;
+      // report an empty holder so the caller's retry takes the fresh path
+      case _: java.nio.file.NoSuchFileException => Left("")
+    }
+
+  /** Lease heartbeat: CAS the item's lock in place IFF still held by
+    * `lockID`, pushing expiry out another `leaseMillis` (0 → converts the
+    * lock to non-expiring). Returns false when the lock was lost (expired
+    * and taken over, or released) — the holder must stop working on the
+    * item. This is what a long-running worker calls inside its budget loop
+    * (the reference's wall-time state machine, `code/timeKeeper.py:61-73`,
+    * routed survivors to `Wall_Time_Exceeded`; here liveness comes from the
+    * lease instead).
+    */
+  def renew(path: String, itemID: String, lockID: String, instanceID: String,
+      leaseMillis: Long): Boolean = {
+    val expiresAt = if (leaseMillis > 0) System.currentTimeMillis() + leaseMillis else 0L
+    val content = (escapeToken(lockID) + "," + escapeToken(instanceID) + "," + expiresAt)
+      .getBytes(StandardCharsets.UTF_8)
+    val f = lockFile(path, itemID)
+    Files.exists(f) && casSwap(f, content, cur => cur._1 == lockID).isRight
+  }
 }
 
 final case class ClaimCommitMessage(
@@ -123,6 +212,8 @@ class ClaimWriter(path: String, schema: StructType) extends DataWriter[InternalR
     if (schema.fieldNames.contains("instanceID")) schema.fieldIndex("instanceID") else -1
   private val idxExpected =
     if (schema.fieldNames.contains("expectedLockID")) schema.fieldIndex("expectedLockID") else -1
+  private val idxLease =
+    if (schema.fieldNames.contains("leaseMillis")) schema.fieldIndex("leaseMillis") else -1
 
   private val accepted = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
   private val rejected = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
@@ -137,11 +228,14 @@ class ClaimWriter(path: String, schema: StructType) extends DataWriter[InternalR
     val lockID = str(row, idxLock)
     val instanceID = Option(str(row, idxInstance)).getOrElse("")
     val expected = str(row, idxExpected)
+    val lease = if (idxLease < 0 || row.isNullAt(idxLease)) 0L else row.getLong(idxLease)
+    val expiresAt = if (lease > 0) System.currentTimeMillis() + lease else 0L
     val file = WorkQueueClaimWrite.lockFile(path, itemID)
     // fields are percent-escaped so the comma separator is unambiguous for
     // any lock token (and the compare below works on escaped forms)
     val content = (WorkQueueClaimWrite.escapeToken(lockID) + "," +
-      WorkQueueClaimWrite.escapeToken(instanceID)).getBytes(StandardCharsets.UTF_8)
+      WorkQueueClaimWrite.escapeToken(instanceID) + "," + expiresAt)
+      .getBytes(StandardCharsets.UTF_8)
     if (expected == null) {
       // fresh claim: exactly one concurrent creator wins (atomic create)
       try {
@@ -152,41 +246,31 @@ class ClaimWriter(path: String, schema: StructType) extends DataWriter[InternalR
         accepted += itemID -> lockID
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          rejected += itemID -> currentLock(file)
+          // held — but the holder may be dead: an EXPIRED lease is taken
+          // over through the same serialized CAS as re-claims (expiry
+          // re-checked under the OS lock, so concurrent takeovers serialize
+          // and exactly one wins)
+          casSwap(file, content, cur => cur._3 > 0 && System.currentTimeMillis() >= cur._3)
+            match {
+            case Right(()) => accepted += itemID -> lockID
+            case Left(holder) => rejected += itemID -> holder
+          }
       }
     } else {
-      // conditional swap: exclusive OS lock, compare, replace only on match
+      // conditional swap: exclusive OS lock, compare, replace only on match.
+      // A holder renewing with its own lockID lands here: the swap rewrites
+      // the expiry, extending the lease.
       if (!Files.exists(file)) rejected += itemID -> ""
-      else {
-        val ch = java.nio.channels.FileChannel.open(file,
-          StandardOpenOption.READ, StandardOpenOption.WRITE)
-        try {
-          val osLock = ch.lock()
-          try {
-            val buf = java.nio.ByteBuffer.allocate(ch.size().toInt)
-            ch.read(buf)
-            // compare in escaped space (tokens with commas stay intact),
-            // report the raw holder on rejection
-            val cur = WorkQueueSource.unescapePartitionValue(
-              new String(buf.array(), 0, buf.position(), StandardCharsets.UTF_8)
-                .split(",", 2).head)
-            if (cur == expected) {
-              ch.truncate(0)
-              ch.position(0)
-              ch.write(java.nio.ByteBuffer.wrap(content))
-              ch.force(true)
-              accepted += itemID -> lockID
-            } else rejected += itemID -> cur
-          } finally osLock.release()
-        } finally ch.close()
+      else casSwap(file, content, cur => cur._1 == expected) match {
+        case Right(()) => accepted += itemID -> lockID
+        case Left(holder) => rejected += itemID -> holder
       }
     }
   }
 
-  private def currentLock(file: JPath): String =
-    try WorkQueueSource.unescapePartitionValue(
-      new String(Files.readAllBytes(file), StandardCharsets.UTF_8).split(",", 2).head)
-    catch { case _: java.io.IOException => "" }
+  private def casSwap(file: JPath, content: Array[Byte],
+      takeIf: ((String, String, Long)) => Boolean): Either[String, Unit] =
+    WorkQueueClaimWrite.casSwap(file, content, takeIf)
 
   override def commit(): WriterCommitMessage =
     ClaimCommitMessage(accepted.toSeq, rejected.toSeq)

@@ -57,11 +57,19 @@ class StreamingRunnerSpec extends SparkSpec {
       .option("path", registry).mode("append").save()
 
     val q = StreamingRunner.claimedDispatcher(
-      StreamingRunner.itemStream(spark, store), results, registry, "worker-1")
+      StreamingRunner.itemStream(spark, store), results, registry, "worker-1",
+      leaseMillis = Some(60000L))
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", dir.toPath.resolve("ckpt").toString)
       .start()
     try q.processAllAvailable() finally q.stop()
+
+    // the dispatcher's claims carry its lease; the external worker's
+    // no-lease claim stays non-expiring
+    val mineState = graft.store.connector.WorkQueueClaimWrite.lockState(registry, "Mine")
+    assert(mineState.exists(_._3 > 0), s"dispatcher lock must carry a lease: $mineState")
+    val theirsState = graft.store.connector.WorkQueueClaimWrite.lockState(registry, "Theirs")
+    assert(theirsState.map(_._3) === Some(0L))
 
     // only the item this dispatcher won executed; the external item is
     // untouched (it belongs to the other worker)

@@ -3,7 +3,7 @@ package graft.store
 import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
-import graft.store.connector.WorkQueueSource
+import graft.store.connector.{WorkQueueClaimWrite, WorkQueueSource}
 
 class WorkQueueSourceSpec extends SparkSpec {
   import spark.implicits._
@@ -105,6 +105,76 @@ class WorkQueueSourceSpec extends SparkSpec {
     assert(r2.contains(("it,em\nx", "accepted", "lock2"))) // comma-lock reclaim matched
     val lockFile = java.nio.file.Paths.get(dir, "locks", "item_x.lock")
     val content = new String(java.nio.file.Files.readAllBytes(lockFile), "UTF-8")
-    assert(content === "lock2,w2")
+    assert(content === "lock2,w2,0") // no lease column -> non-expiring (0)
+  }
+
+  private def claimLeased(dir: String,
+      rows: Seq[(String, String, String, String, Long)]): Unit =
+    rows.toDF("itemID", "lockID", "instanceID", "expectedLockID", "leaseMillis")
+      .write.format("graft.store.connector.WorkQueueSource")
+      .option("path", dir).mode("append").save()
+
+  test("lease expiry: a dead holder's lock is taken over, a live one is not") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease").toString
+    // holder claims with a short lease, then "crashes" (never renews)
+    claimLeased(dir, Seq(("item_l", "lockOld", "dead-worker", null, 400L)))
+    // immediate takeover attempt: lease still live -> rejected
+    claimLeased(dir, Seq(("item_l", "lockEarly", "w2", null, 60000L)))
+    Thread.sleep(900)
+    // lease long expired -> a FRESH claim takes the lock over
+    claimLeased(dir, Seq(("item_l", "lockNew", "w3", null, 60000L)))
+    val res = results(dir)
+    assert(res.contains(("item_l", "accepted", "lockOld")))
+    assert(res.contains(("item_l", "rejected", "lockOld"))) // early try told holder
+    assert(res.contains(("item_l", "accepted", "lockNew"))) // expired takeover
+    val st = WorkQueueClaimWrite.lockState(dir, "item_l")
+    assert(st.map(_._1) === Some("lockNew"))
+    // a non-expiring lock (no lease) is NEVER taken over by expiry
+    claimLeased(dir, Seq(("item_p", "lockP", "w1", null, 0L)))
+    Thread.sleep(50)
+    claimLeased(dir, Seq(("item_p", "lockQ", "w2", null, 60000L)))
+    assert(results(dir).contains(("item_p", "rejected", "lockP")))
+  }
+
+  test("lease renewal extends expiry; a lost lock refuses to renew") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-renew").toString
+    claimLeased(dir, Seq(("item_r", "lockR", "w1", null, 60000L)))
+    val e1 = WorkQueueClaimWrite.lockState(dir, "item_r").get._3
+    assert(e1 > 0)
+    Thread.sleep(30)
+    // heartbeat: same holder pushes expiry strictly out
+    assert(WorkQueueClaimWrite.renew(dir, "item_r", "lockR", "w1", 60000L))
+    val e2 = WorkQueueClaimWrite.lockState(dir, "item_r").get._3
+    assert(e2 > e1, s"renewal must extend: $e2 <= $e1")
+    // a non-holder cannot renew
+    assert(!WorkQueueClaimWrite.renew(dir, "item_r", "lockStale", "w9", 60000L))
+    assert(WorkQueueClaimWrite.lockState(dir, "item_r").get._1 === "lockR")
+    // renewal of a never-claimed item is a no-op false
+    assert(!WorkQueueClaimWrite.renew(dir, "item_missing", "x", "w", 1000L))
+  }
+
+  test("expired-takeover race: exactly one of two concurrent claimants wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lease-race").toString
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration._
+    val items = (0 until 6).map(i => s"exp_$i")
+    claimLeased(dir, items.map(id => (id, "lockDead", "dead", null, 300L)))
+    Thread.sleep(800)
+    // two workers race for the expired locks through the CAS takeover path
+    val a = Future(claimLeased(dir, items.map(id => (id, "lockA", "wa", null, 60000L))))
+    val b = Future(claimLeased(dir, items.map(id => (id, "lockB", "wb", null, 60000L))))
+    Await.result(a, 2.minutes)
+    Await.result(b, 2.minutes)
+    val res = WorkQueueSource.claimResults(spark, dir)
+      .as[(String, String, String)].collect()
+    for (id <- items) {
+      val after = res.filter(r => r._1 == id && r._3 != "lockDead")
+      assert(after.count(_._2 == "accepted") === 1, s"$id: ${after.mkString}")
+      assert(after.count(_._2 == "rejected") === 1, s"$id: ${after.mkString}")
+      // the loser is told the WINNER (not the dead holder)
+      val winner = after.find(_._2 == "accepted").get._3
+      assert(after.find(_._2 == "rejected").get._3 === winner)
+    }
   }
 }
