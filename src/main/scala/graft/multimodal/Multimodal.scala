@@ -21,6 +21,54 @@ object Multimodal {
   final case class MediaFeatures(
       mediaId: Long, kind: String, byteLen: Long, checksum: Long, meanByte: Double)
 
+  /** The pluggable codec boundary: everything payload-specific lives behind
+    * these three row-level functions, so a production deployment slots in a
+    * JNI/ffmpeg/ImageIO-backed implementation WITHOUT touching the pipeline
+    * shape (schema, partition-wise batching, explode shapes) or the gates.
+    * Implementations must be Serializable — they ship to executors inside
+    * task closures and should lazily open any native context per partition.
+    *
+    * [[StubCodec]] is the sandbox implementation (no codec libraries in
+    * this environment): deterministic byte arithmetic, bit-identical to the
+    * expression forms the hash-checked gates run (spec-asserted), so specs
+    * exercise the exact swap a real deployment performs.
+    */
+  trait MediaCodec extends Serializable {
+    /** Decode a payload into scalar features: (checksum, mean sample). */
+    def decodeFeatures(kind: String, payload: Array[Byte]): (Long, Double)
+    /** Downscale an image payload by `factor`. */
+    def resizeImage(payload: Array[Byte], factor: Int): Array[Byte]
+    /** Extract sampled frames from a video payload. */
+    def sampleFrames(payload: Array[Byte], blockSize: Int, stride: Int): Seq[Array[Byte]]
+  }
+
+  /** Sandbox codec: the documented arithmetic stubs, packaged behind the
+    * production interface. Every method mirrors the expression-form
+    * operator below it byte-for-byte.
+    */
+  object StubCodec extends MediaCodec {
+    override def decodeFeatures(kind: String, payload: Array[Byte]): (Long, Double) =
+      fakeDecode(payload)
+    override def resizeImage(payload: Array[Byte], factor: Int): Array[Byte] = {
+      // bytes at positions 0, factor, 2*factor, ... (the expression form's
+      // 1-based substring positions 1, 1+factor, ...)
+      val out = new Array[Byte]((payload.length + factor - 1) / factor)
+      var i = 0
+      while (i < out.length) { out(i) = payload(i * factor); i += 1 }
+      out
+    }
+    override def sampleFrames(payload: Array[Byte], blockSize: Int,
+        stride: Int): Seq[Array[Byte]] = {
+      val nBlocks = payload.length / blockSize
+      val starts = 0 to math.max(nBlocks - 1, 0) by stride
+      starts.map { b =>
+        val from = b * blockSize
+        java.util.Arrays.copyOfRange(payload, math.min(from, payload.length),
+          math.min(from + blockSize, payload.length))
+      }
+    }
+  }
+
   /** Derive a media table from `documents` (text bytes as stand-in payloads;
     * kind/meta synthesized deterministically from doc_id).
     */
@@ -55,8 +103,11 @@ object Multimodal {
   /** Feature extraction over partition-wise batches — the Scala shape of a
     * `mapInPandas` decode stage: one iterator per partition, library init
     * amortized per partition (where a real decoder would open its context).
+    * The codec defaults to the sandbox stub; the gate result is unchanged
+    * by construction for any codec that computes the same features.
     */
-  def extractFeatures(media: DataFrame): Dataset[MediaFeatures] = {
+  def extractFeatures(media: DataFrame,
+      codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("mediaId"), col("kind"), col("payload"))
@@ -64,7 +115,7 @@ object Multimodal {
       .mapPartitions { it =>
         // real decoder: initialize codec context here, once per partition
         it.map { case (id, kind, payload) =>
-          val (checksum, meanByte) = fakeDecode(payload)
+          val (checksum, meanByte) = codec.decodeFeatures(kind, payload)
           MediaFeatures(id, kind, payload.length.toLong, checksum, meanByte)
         }
       }
@@ -87,14 +138,30 @@ object Multimodal {
             lit("").cast("binary"),
             (acc, b) => concat(acc, b)))
           .otherwise(col("payload")))
-      .withColumn("meta",
-        when(col("kind") === "image",
-          struct(
-            greatest(col("meta.width") / factor, lit(1)).cast("int").as("width"),
-            greatest(col("meta.height") / factor, lit(1)).cast("int").as("height"),
-            col("meta.sampleRate"),
-            col("meta.durationMs")))
-          .otherwise(col("meta")))
+      .withColumn("meta", resizedMeta(factor))
+  }
+
+  private def resizedMeta(factor: Int) =
+    when(col("kind") === "image",
+      struct(
+        greatest(col("meta.width") / factor, lit(1)).cast("int").as("width"),
+        greatest(col("meta.height") / factor, lit(1)).cast("int").as("height"),
+        col("meta.sampleRate"),
+        col("meta.durationMs")))
+      .otherwise(col("meta"))
+
+  /** Codec-backed resize: identical pipeline shape to [[resize]] (payload
+    * in → smaller payload + scaled meta out, no shuffle), with the byte
+    * transform behind [[MediaCodec]]. With [[StubCodec]] the output is
+    * bit-identical to the expression form (spec-asserted) — the swap a real
+    * image scaler performs.
+    */
+  def resizeWith(media: DataFrame, factor: Int,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val rs = udf((p: Array[Byte]) => codec.resizeImage(p, factor))
+    media.withColumn("payload",
+        when(col("kind") === "image", rs(col("payload"))).otherwise(col("payload")))
+      .withColumn("meta", resizedMeta(factor))
   }
 
   /** Frame sampling for video payloads: take every `stride`-th byte-block as
@@ -107,6 +174,20 @@ object Multimodal {
       .select(col("mediaId"),
         posexplode(transform(sequence(lit(0), greatest(nBlocks - 1, lit(0)), lit(stride)),
           i => substring(col("payload"), i * blockSize + 1, lit(blockSize)))))
+      .withColumnRenamed("pos", "frameIdx")
+      .withColumnRenamed("col", "frame")
+  }
+
+  /** Codec-backed frame sampling: same exploding (mediaId, frameIdx, frame)
+    * shape as [[sampleFrames]], frames produced by [[MediaCodec]]. With
+    * [[StubCodec]] the output is bit-identical to the expression form
+    * (spec-asserted) — the swap a real keyframe extractor performs.
+    */
+  def sampleFramesWith(media: DataFrame, blockSize: Int = 64, stride: Int = 4,
+      codec: MediaCodec = StubCodec): DataFrame = {
+    val fr = udf((p: Array[Byte]) => codec.sampleFrames(p, blockSize, stride))
+    media.filter(col("kind") === "video")
+      .select(col("mediaId"), posexplode(fr(col("payload"))))
       .withColumnRenamed("pos", "frameIdx")
       .withColumnRenamed("col", "frame")
   }

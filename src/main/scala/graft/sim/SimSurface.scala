@@ -11,6 +11,10 @@ object SimSurface {
   val Dims = 64
   val Planes = 8
   val K = 10
+  // trained-codebook gate shape: small k and two Lloyd rounds keep the
+  // unrolled oracle tractable while exercising the full training path
+  val IvfK = 16
+  val IvfIters = 2
 
   private def vecsD(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -26,10 +30,16 @@ object SimSurface {
     "sim_topk_lsh" -> ((s, d) =>
       Similarity.lshTopK(queriesD(s, d), vecsD(s, d), "vec_id", "v", K, Planes, Dims)
         .orderBy("query_id", "rank")),
-    "sim_topk_ivf" -> ((s, d) =>
-      Similarity.ivfTopK(queriesD(s, d), vecsD(s, d),
-        vecsD(s, d).filter(col("vec_id") % 50 === 0), "vec_id", "v", K)
-        .orderBy("query_id", "rank")),
+    // the codebook is TRAINED (distributed Lloyd, quantized order-free
+    // means) — the DuckDB oracle re-trains the identical codebook from the
+    // same init and hash-checks the probe results on it
+    "sim_topk_ivf" -> ((s, d) => {
+      val trained = Similarity
+        .trainCentroids(vecsD(s, d), "vec_id", "v", IvfK, IvfIters)
+        .select(col("cid").as("vec_id"), col("cv").as("v"))
+      Similarity.ivfTopK(queriesD(s, d), vecsD(s, d), trained, "vec_id", "v", K)
+        .orderBy("query_id", "rank")
+    }),
     // bounded-heap partial-aggregate form — result-identical to the window
     // form, so it shares the brute-force oracle
     "sim_topk_heap" -> ((s, d) =>
@@ -46,6 +56,37 @@ object SimSurface {
   private def cosSql(a: String, b: String): String = SimOracle.cosSql(a, b)
 
   private def bucketSql(v: String): String = SimOracle.bucketSql(v, Planes, Dims)
+
+  /** Unrolled Lloyd mirror of `Similarity.trainCentroids`: init = k
+    * lowest-id vectors, each round = cosine assignment (ties to lowest cid)
+    * + 1e-6-quantized dimension means (BIGINT sums — order-free, so both
+    * engines produce the bit-identical codebook) with empty centroids
+    * keeping their previous vector.
+    */
+  private def lloydCtes(k: Int, iters: Int): String = {
+    val init = s"cent0 AS (SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT $k)"
+    val rounds = (1 to iters).map { i =>
+      val prev = s"cent${i - 1}"
+      s"""a$i AS (
+         |  SELECT id, cid FROM (
+         |    SELECT v.vec_id AS id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+         |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS crank
+         |    FROM v CROSS JOIN $prev c)
+         |  WHERE crank = 1),
+         |m$i AS (
+         |  SELECT cid, dim,
+         |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1000000.0) AS m
+         |  FROM (SELECT a$i.cid, generate_subscripts(v.v, 1) AS dim, unnest(v.v) AS x
+         |        FROM a$i JOIN v ON v.vec_id = a$i.id)
+         |  GROUP BY cid, dim),
+         |mc$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m$i GROUP BY cid),
+         |cent$i AS (SELECT p.cid, COALESCE(mc$i.cv, p.cv) AS cv
+         |           FROM $prev p LEFT JOIN mc$i USING (cid))""".stripMargin
+    }
+    (init +: rounds).mkString(",\n")
+  }
 
   private def bruteforceSql: String = s"""WITH $vecsCte,
       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
@@ -86,7 +127,8 @@ object SimSurface {
       |SELECT query_id, neighbor_id, bucket, rank, cos FROM ranked
       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "sim_topk_ivf" -> s"""WITH $vecsCte,
-      |cent AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 50 = 0),
+      |${lloydCtes(IvfK, IvfIters)},
+      |cent AS (SELECT cid, cv FROM cent$IvfIters),
       |assigned AS (
       |  SELECT id, cid FROM (
       |    SELECT v.vec_id AS id, cent.cid,

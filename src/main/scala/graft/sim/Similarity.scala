@@ -141,6 +141,15 @@ object Similarity {
     * shuffle-parallel, nothing driver-side except the k centroid vectors
     * themselves (broadcast each round, exactly like a real k-means on
     * Spark). Emptied centroids keep their previous vector.
+    *
+    * The mean is computed on inputs quantized to a 1e-6 grid
+    * (`floor(x·1e6)` summed as BIGINT, divided back in double): integer
+    * addition is order-free, so the codebook is bit-identical run-to-run
+    * REGARDLESS of partition order (a plain double `avg` is not — partial
+    * sums reassociate) and reproducible by any engine with the same
+    * arithmetic — which is what lets the DuckDB oracle re-train the exact
+    * codebook and hash-check [[ivfTopK]] on it. The 1e-6 quantization is
+    * noise relative to a coarse quantizer's job.
     */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
@@ -154,7 +163,9 @@ object Similarity {
         "id", "v")
       val means = vecs.join(assigned, Seq("id"))
         .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim").agg(avg("x").as("m"))
+        .groupBy("cid", "dim")
+        .agg((sum(floor(col("x") * 1000000.0)).cast("double") /
+          (count(lit(1)) * 1000000.0)).as("m"))
         .groupBy("cid")
         .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
         .select(col("cid"), transform(col("pairs"), p => p.getField("m")).as("cv"))

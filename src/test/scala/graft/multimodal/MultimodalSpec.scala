@@ -65,4 +65,55 @@ class MultimodalSpec extends SparkSpec {
       .select($"payload".cast("string")).as[String].head()
     assert(full.startsWith(head))
   }
+
+  test("codec-backed operators with StubCodec are bit-identical to the expression forms") {
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"mediaId", $"payload".cast("string"), $"meta.width", $"meta.height")
+        .as[(Long, String, Int, Int)].collect().toSet
+    assert(rows(Multimodal.resizeWith(media, 4)) === rows(Multimodal.resize(media, 4)))
+    def frows(df: org.apache.spark.sql.DataFrame) =
+      df.select($"mediaId", $"frameIdx", $"frame".cast("string"))
+        .as[(Long, Int, String)].collect().toSet
+    assert(frows(Multimodal.sampleFramesWith(media, 16, 2)) ===
+      frows(Multimodal.sampleFrames(media, 16, 2)))
+    // extractFeatures default codec = StubCodec (the gate's path)
+    val viaTrait = Multimodal.extractFeatures(media, Multimodal.StubCodec)
+      .collect().toSet
+    assert(viaTrait === Multimodal.extractFeatures(media).collect().toSet)
+  }
+
+  test("a second codec slots in without changing the pipeline shape") {
+    // toy alternative: inverts every byte on decode paths — stands in for a
+    // real JPEG/PCM decoder swapping into the same interface
+    object InvertCodec extends Multimodal.MediaCodec {
+      override def decodeFeatures(kind: String, payload: Array[Byte]): (Long, Double) = {
+        val (c, m) = Multimodal.StubCodec.decodeFeatures(kind,
+          payload.map(b => (~b).toByte))
+        (c, m)
+      }
+      override def resizeImage(payload: Array[Byte], factor: Int): Array[Byte] =
+        Multimodal.StubCodec.resizeImage(payload.map(b => (~b).toByte), factor)
+      override def sampleFrames(payload: Array[Byte], blockSize: Int,
+          stride: Int): Seq[Array[Byte]] =
+        Multimodal.StubCodec.sampleFrames(payload.map(b => (~b).toByte), blockSize, stride)
+    }
+    val a = Multimodal.resizeWith(media, 4, InvertCodec)
+    val b = Multimodal.resizeWith(media, 4)
+    // same schema and cardinality, same meta handling...
+    assert(a.schema === b.schema)
+    assert(a.count() === b.count())
+    // ...different image payloads (the codec actually ran), identical
+    // non-image payloads (kind routing unchanged)
+    val joined = a.select($"mediaId", $"kind", $"payload".as("pa"))
+      .join(b.select($"mediaId", $"payload".as("pb")), Seq("mediaId"))
+    assert(joined.filter($"kind" === "image" && $"pa" === $"pb").count() === 0)
+    assert(joined.filter($"kind" =!= "image" && $"pa" =!= $"pb").count() === 0)
+    val fa = Multimodal.sampleFramesWith(media, 16, 2, InvertCodec)
+    assert(fa.count() === Multimodal.sampleFrames(media, 16, 2).count())
+    val feat = Multimodal.extractFeatures(media, InvertCodec).collect()
+    val stub = Multimodal.extractFeatures(media).collect()
+    assert(feat.map(_.mediaId).toSet === stub.map(_.mediaId).toSet)
+    assert(feat.map(f => f.mediaId -> f.checksum).toMap !==
+      stub.map(f => f.mediaId -> f.checksum).toMap)
+  }
 }
