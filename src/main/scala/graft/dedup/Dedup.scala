@@ -936,4 +936,66 @@ object Dedup {
     }
       .toDF("vec_a", "vec_b", "cos")
   }
+
+  /** Multi-probe [[lshCosinePairs]]: every vector ships to its home bucket
+    * PLUS `probes` hamming-1 buckets on its lowest-|margin| planes
+    * ([[graft.sim.Similarity.probeBuckets]]), so near-dup pairs that
+    * straddle a hyperplane — the recall gap of the single-probe form, whose
+    * guarantee covers only exact/scaled duplicates — still co-bucket:
+    * a pair split on plane p has small margins on p for BOTH vectors, so
+    * one of them probes across it (and two-plane splits meet when each
+    * vector flips a different split plane). Shuffle volume grows by the
+    * probe factor (O((1+probes)·n·d)), never by pairs. A pair sharing
+    * several buckets is emitted only in its SMALLEST shared bucket (rows
+    * carry their bucket sets) — the multi-probe analog of the
+    * first-match-band rule; no global distinct.
+    */
+  def lshCosinePairsMultiProbe(vecs: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, planes: Int, dims: Int, probes: Int,
+      bucketCap: Int = DefaultBucketCap,
+      skewSampleRate: Double = DefaultSkewSampleRate): DataFrame = {
+    val spark = vecs.sparkSession
+    import spark.implicits._
+    val thr = threshold
+    def rowsOf(d: DataFrame): Dataset[(Long, Array[Double], Double, Long, Array[Long])] = d
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).as("v"),
+        sqrt(dotUdf(col(vecCol), col(vecCol))).as("nrm"),
+        graft.sim.Similarity.probeBuckets(col(vecCol), planes, dims, probes).as("bks"))
+      .select(col("id"), col("v"), col("nrm"),
+        explode(col("bks")).as("bucket"), col("bks"))
+      .as[(Long, Array[Double], Double, Long, Array[Long])]
+    val sampledVecs =
+      if (skewSampleRate >= 1.0) vecs
+      else vecs.sample(withReplacement = false, skewSampleRate, seed = 421L)
+    cappedBucketPairs[(Long, Array[Double], Double, Long, Array[Long]), Long,
+        (Long, Long, Double)](
+      rowsOf(vecs), rowsOf(sampledVecs), skewSampleRate,
+      t => t._4, t => t._1, bucketCap) { (a, b) =>
+      // emit only in the smallest shared bucket
+      var minShared = Long.MaxValue
+      var i = 0
+      while (i < a._5.length) {
+        val x = a._5(i)
+        var j = 0
+        while (j < b._5.length) {
+          if (b._5(j) == x && x < minShared) minShared = x
+          j += 1
+        }
+        i += 1
+      }
+      if (a._4 != minShared) None
+      else {
+        val va = a._2
+        val vb = b._2
+        var acc = 0.0
+        var t = 0
+        val n = math.min(va.length, vb.length)
+        while (t < n) { acc = acc + va(t) * vb(t); t += 1 }
+        val cos = acc / (a._3 * b._3)
+        if (cos >= thr) Some((a._1, b._1, cos)) else None
+      }
+    }
+      .toDF("vec_a", "vec_b", "cos")
+  }
 }

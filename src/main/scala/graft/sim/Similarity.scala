@@ -197,6 +197,26 @@ object Similarity {
       .head().getDouble(0)
   }
 
+  /** Multi-probe bucket set: the home bucket plus `probes` hamming-1
+    * neighbors obtained by flipping the sign bit of the LOWEST-|margin|
+    * planes — the planes the vector sits closest to, i.e. exactly the ones
+    * a true near-neighbor most plausibly landed on the other side of
+    * (standard multi-probe LSH, public technique). All buckets in the array
+    * are distinct (each flip differs in one bit), so downstream equi-joins
+    * see each (vector, bucket) pair once.
+    */
+  def probeBuckets(v: Column, planes: Int, dims: Int, probes: Int): Column = {
+    require(probes >= 0 && probes < planes, s"probes $probes out of range")
+    val home = lshBucket(v, planes, dims)
+    // (|margin|, plane) sorted ascending: struct order = field order
+    val ranked = array_sort(array((0 until planes).map { p =>
+      struct(abs(planeDot(v, p, dims)).as("m"), lit(p).as("p"))
+    }: _*))
+    val flips = transform(slice(ranked, 1, probes),
+      s => home.bitwiseXOR(pow(lit(2.0), s.getField("p")).cast("long")))
+    concat(array(home), flips)
+  }
+
   /** ANN top-k: candidates restricted to the query's LSH bucket. */
   def lshTopK(
       queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
@@ -213,5 +233,30 @@ object Similarity {
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("bucket"), col("rank"), col("cos"))
+  }
+
+  /** Multi-probe [[lshTopK]]: the corpus stays in home buckets (scanned and
+    * bucketed ONCE — the big side never replicates); each QUERY explodes to
+    * its home bucket plus `probes` hamming-1 buckets on its lowest-|margin|
+    * planes, recovering neighbors that landed just across a hyperplane. A
+    * corpus vector lives in exactly one bucket and a query's probe set is
+    * distinct, so no (query, neighbor) pair can arise twice — no dedup
+    * shuffle. Costs ~(1+probes)× the broadcast query table, nothing more.
+    */
+  def lshTopKMultiProbe(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int, planes: Int, dims: Int, probes: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+        explode(probeBuckets(col(vecCol), planes, dims, probes)).as("bucket"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      lshBucket(col(vecCol), planes, dims).as("bucket"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", graft.functions.CosineSimilarity.cosineSim(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cos"))
   }
 }

@@ -203,6 +203,57 @@ class DedupSpec extends SparkSpec {
     comps.foreach { case (id, c) => assert(c === 0L, s"vertex $id -> $c") }
   }
 
+  test("multi-probe cosine LSH recovers plane-straddling near-dups (recall >= 0.95)") {
+    import org.apache.spark.sql.functions._
+    val dims = graft.sim.SimSurface.Dims
+    val planes = graft.sim.SimSurface.Planes
+    // angular perturbation (v + eps*rotated(v)): unlike the corpus's scaled
+    // copies, these CAN land on the far side of a hyperplane
+    val base = graft.Tables.embeddings(spark, sf0001)
+      .select($"vec_id", transform($"embedding", x => x.cast("double")).as("v"))
+    val pert = base.select(($"vec_id" + 500000).as("vec_id"),
+      zip_with($"v", concat(slice($"v", 2, dims - 1), slice($"v", 1, 1)),
+        (x, y) => x + lit(0.08) * y).as("v"))
+    val union = base.unionByName(pert)
+    val brute = Dedup.cosinePairs(union, "vec_id", "v", 0.99)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val planted = brute.filter { case (a, b) => b - a == 500000L }
+    assert(planted.size >= 30, s"weak plant: ${planted.size}")
+    val single = Dedup.lshCosinePairs(union, "vec_id", "v", 0.99, planes, dims)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    val multi = Dedup.lshCosinePairsMultiProbe(
+        union, "vec_id", "v", 0.99, planes, dims, 3)
+      .select($"vec_a", $"vec_b").as[(Long, Long)].collect().toSet
+    assert(multi.subsetOf(brute)) // probing widens candidates, verify stays exact
+    assert(single.subsetOf(multi)) // probing only ever ADDS recall
+    val recallS = planted.intersect(single).size.toDouble / planted.size
+    val recallM = planted.intersect(multi).size.toDouble / planted.size
+    assert(recallM >= 0.95, s"multi-probe recall $recallM (single-probe $recallS)")
+  }
+
+  test("multi-probe lshTopK finds at least the single-probe neighbors, no duplicates") {
+    val vecs = DedupSurface.vecs(spark, sf0001)
+    val queries = vecs.filter($"vec_id" < 10)
+    val sim = graft.sim.Similarity
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select($"query_id", $"neighbor_id").as[(Long, Long)].collect()
+    val truth = hits(sim.bruteForceTopK(queries, vecs, "vec_id", "v", 10)).toSet
+    val single = hits(sim.lshTopK(queries, vecs, "vec_id", "v", 10,
+      graft.sim.SimSurface.Planes, graft.sim.SimSurface.Dims))
+    val multi = hits(sim.lshTopKMultiProbe(queries, vecs, "vec_id", "v", 10,
+      graft.sim.SimSurface.Planes, graft.sim.SimSurface.Dims, 3))
+    // a corpus vector lives in ONE bucket and probe sets are distinct, so
+    // no (query, neighbor) pair can appear twice
+    assert(multi.length === multi.toSet.size)
+    val recallS = single.toSet.intersect(truth).size.toDouble / truth.size
+    val recallM = multi.toSet.intersect(truth).size.toDouble / truth.size
+    // ANN against ARBITRARY top-k truth (not planted near-dups) is
+    // legitimately lossy at 8 planes; the operator's claim is that probing
+    // recovers strictly more of it at (1+probes)x candidate cost
+    assert(recallM >= recallS, s"multi $recallM < single $recallS")
+    assert(recallM >= 0.35, s"multi-probe top-k recall $recallM")
+  }
+
   test("simhash is stable on identical text and near on perturbed text") {
     val sh = corpus.select($"doc_id", Dedup.simhash16($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
