@@ -435,6 +435,71 @@ object Dedup {
       .toDF("doc_a", "doc_b", "jaccard")
   }
 
+  /** JVM Jaccard on two distinct-gram arrays — the same arithmetic as the
+    * [[lshVerifiedPairs]] verify step (|a∩b| / (|a|+|b|-|a∩b|)), for join
+    * shapes where the pair arrives as two columns instead of a bucket.
+    */
+  val jaccardUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (ga: Seq[String], gb: Seq[String]) =>
+      val seen = new java.util.HashSet[String](ga.length * 2)
+      ga.foreach(seen.add)
+      var inter = 0
+      gb.foreach(g => if (seen.contains(g)) inter += 1)
+      inter.toDouble / (ga.length + gb.length - inter)
+    }
+
+  /** Incremental near-dedup — the operation a training-data pipeline runs
+    * daily: map each NEW doc to a survivor WITHOUT re-pairing the corpus.
+    *
+    *  1. New docs band-join the corpus index — minhash signatures on both
+    *     sides, plain equi-join on (band, signature slice) — and verify
+    *     Jaccard; a match maps the new doc to its smallest matching corpus
+    *     id. The corpus is never self-paired: cost is
+    *     O(bands·(|corpus|+|batch|)) shuffle + O(candidates) verify (a pair
+    *     sharing several bands is verified once per shared band and
+    *     collapsed by the min — bounded by `bands`, cheaper than a
+    *     pre-distinct of the candidate set), with AQE skew-splitting the
+    *     join if a band bucket runs hot.
+    *  2. Unmatched new docs near-dedup among THEMSELVES via
+    *     [[nearDupSurvivors]] (exact-collapse → LSH → components).
+    *
+    * Greedy assignment semantics (the documented incremental tradeoff,
+    * matching the streaming band-claim operator): a new doc that matches
+    * the corpus joins that cluster; one that only matches OTHER new docs
+    * clusters with them even if those joined the corpus — a full recompute
+    * over corpus∪batch would merge such chains. Returns
+    * (doc_id, survivor_id) for every batch doc; null-text docs survive as
+    * themselves.
+    */
+  def dedupAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    requireIntegralId(corpus, idCol)
+    requireIntegralId(batch, idCol)
+    val sigsOf = minhashSigsUdf(bands * rowsPerBand)
+    def bandRows(d: DataFrame, side: String): DataFrame = d
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as(s"${side}_id"),
+        distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol)))
+          .as(s"${side}_grams"))
+      .withColumn("__sigs", sigsOf(col(s"${side}_grams")))
+      .select(col(s"${side}_id"), col(s"${side}_grams"),
+        explode(array((0 until bands).map(lit): _*)).as("j"), col("__sigs"))
+      .select(col(s"${side}_id"), col(s"${side}_grams"), col("j"),
+        slice(col("__sigs"), col("j") * rowsPerBand + 1, lit(rowsPerBand)).as("bkey"))
+    val matched = bandRows(batch, "new")
+      .join(bandRows(corpus, "old"), Seq("j", "bkey"))
+      .withColumn("jac", jaccardUdf(col("new_grams"), col("old_grams")))
+      .filter(col("jac") >= threshold)
+      .groupBy(col("new_id"))
+      .agg(min(col("old_id")).as("survivor_id"))
+    val rest = batch.join(matched,
+      batch(idCol).cast("long") === matched("new_id"), "left_anti")
+    matched.select(col("new_id").as("doc_id"), col("survivor_id"))
+      .unionByName(
+        nearDupSurvivors(rest, idCol, textCol, threshold, bands, rowsPerBand))
+  }
+
   /** Connected components by alternating large-star/small-star contraction
     * (the MapReduce CC algorithm of Kiveris et al., SoCC'14 — public
     * knowledge): each round is two join+groupBy steps and the edge set

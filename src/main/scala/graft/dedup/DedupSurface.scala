@@ -36,6 +36,53 @@ object DedupSurface {
       |  FROM documents WHERE doc_id % 10 = 5
       |)""".stripMargin
 
+  /** The daily increment against the plain `documents` corpus: exact copies
+    * (every 10th), tail-perturbed near copies (every …5), and a fresh
+    * family (every 7th: a synthesized unique text at +400000 plus an exact
+    * batch-internal duplicate of it at +500000) — exercising all three
+    * incremental paths: corpus exact match, corpus near match, and
+    * batch-internal clustering of corpus-unmatched docs.
+    */
+  def incBatch(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    // every 3-gram carries the id, so distinct fresh docs share NO shingles
+    // (a shared prefix longer than n-1 tokens would make them near-dups of
+    // each other at any threshold <= (L-n)/(L+n) — by construction here)
+    val fresh = docs.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id"),
+        concat(lit("fresh document "), col("doc_id"),
+          lit(" alpha"), col("doc_id"), lit(" beta"), col("doc_id"),
+          lit(" gamma"), col("doc_id")).as("text"),
+        col("lang"))
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 5)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" duplicated tail marker")).as("text"), col("lang")))
+      .unionByName(fresh.select((col("doc_id") + 400000).as("doc_id"),
+        col("text"), col("lang")))
+      .unionByName(fresh.select((col("doc_id") + 500000).as("doc_id"),
+        col("text"), col("lang")))
+  }
+
+  val incBatchCte: String =
+    """incbatch AS (
+      |  SELECT doc_id + 100000 AS doc_id, text, lang FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' duplicated tail marker', lang
+      |  FROM documents WHERE doc_id % 10 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 400000,
+      |    'fresh document ' || doc_id || ' alpha' || doc_id || ' beta' ||
+      |    doc_id || ' gamma' || doc_id, lang
+      |  FROM documents WHERE doc_id % 7 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 500000,
+      |    'fresh document ' || doc_id || ' alpha' || doc_id || ' beta' ||
+      |    doc_id || ' gamma' || doc_id, lang
+      |  FROM documents WHERE doc_id % 7 = 0
+      |)""".stripMargin
+
   /** embeddings (as double) ∪ 1.001-scaled copies of every 10th vector. */
   def vecs(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
@@ -143,6 +190,14 @@ object DedupSurface {
     "dedup_survivors" -> ((s, d) =>
       Dedup.nearDupSurvivors(corpus(s, d), "doc_id", "text", 0.5)
         .orderBy("doc_id")),
+    // incremental dedup: the daily batch checks band buckets against the
+    // existing corpus (never re-pairing it), leftovers cluster among
+    // themselves
+    "dedup_incremental" -> ((s, d) =>
+      Dedup.dedupAgainst(
+        Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang")),
+        incBatch(s, d), "doc_id", "text", 0.5)
+        .orderBy("doc_id")),
     // hyperplane-LSH bucket candidates + exact verify — the scale path (the
     // all-pairs cosinePairs form is the recall oracle in DedupSpec)
     "dedup_cosine_pairs" -> ((s, d) =>
@@ -174,6 +229,38 @@ object DedupSurface {
       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
       |SELECT id AS doc_id, MIN(lab) AS survivor_id FROM reach
       |GROUP BY id ORDER BY doc_id""".stripMargin,
+    "dedup_incremental" -> s"""WITH RECURSIVE $incBatchCte,
+      |allg AS (SELECT doc_id, text FROM documents
+      |         UNION ALL SELECT doc_id, text FROM incbatch),
+      |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM allg),
+      |${minhashCtes(12)},
+      |${bandsCte(6, 2)},
+      |m AS (SELECT b.id AS new_id, MIN(a.id) AS survivor_id
+      |      FROM bands b JOIN bands a ON ${bandJoinOn(2).replace("a.id < b.id", "a.id < 100000 AND b.id >= 100000")}
+      |      JOIN g gn ON gn.id = b.id JOIN g go ON go.id = a.id
+      |      WHERE len(list_intersect(gn.grams, go.grams)) /
+      |          (len(gn.grams) + len(go.grams) - len(list_intersect(gn.grams, go.grams))) >= 0.5
+      |      GROUP BY b.id),
+      |rest AS (SELECT doc_id FROM incbatch
+      |         WHERE doc_id NOT IN (SELECT new_id FROM m)),
+      |rcand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      |          FROM bands a JOIN bands b ON ${bandJoinOn(2)}
+      |          WHERE a.id IN (SELECT doc_id FROM rest)
+      |            AND b.id IN (SELECT doc_id FROM rest)),
+      |rpairs AS (SELECT doc_a, doc_b FROM rcand
+      |           JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
+      |           WHERE len(list_intersect(ga.grams, gb.grams)) /
+      |             (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+      |redges AS (SELECT doc_a AS src, doc_b AS dst FROM rpairs
+      |           UNION SELECT doc_b, doc_a FROM rpairs),
+      |rreach(id, lab) AS (
+      |  SELECT doc_id, doc_id FROM rest
+      |  UNION
+      |  SELECT e.dst, r.lab FROM rreach r JOIN redges e ON e.src = r.id),
+      |rsurv AS (SELECT id AS doc_id, MIN(lab) AS survivor_id FROM rreach GROUP BY id)
+      |SELECT new_id AS doc_id, survivor_id FROM m
+      |UNION ALL SELECT doc_id, survivor_id FROM rsurv
+      |ORDER BY doc_id""".stripMargin,
     "dedup_jaccard_pairs" -> s"""WITH $corpusCte,
       |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
       |${minhashCtes(12)},

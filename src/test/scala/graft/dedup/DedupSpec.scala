@@ -254,6 +254,28 @@ class DedupSpec extends SparkSpec {
     assert(recallM >= 0.35, s"multi-probe top-k recall $recallM")
   }
 
+  test("incremental dedupAgainst: corpus matches, batch-internal clusters, no corpus re-pairing") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text", $"lang")
+    val batch = DedupSurface.incBatch(spark, sf0001)
+    val out = Dedup.dedupAgainst(docs, batch, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toMap
+    // one mapping per batch doc
+    assert(out.size === batch.count())
+    // exact copies and near copies land on their corpus originals
+    assert(out(100000L) === 0L)
+    assert(out(200005L) === 5L)
+    // fresh docs are corpus-unmatched: the +500000 exact dup collapses onto
+    // its +400000 twin, which survives as itself
+    assert(out(400000L) === 400000L)
+    assert(out(500000L) === 400000L)
+    assert(out(400007L) === 400007L)
+    assert(out(500007L) === 400007L)
+    // corpus docs never appear as batch rows (the corpus is not re-paired)
+    assert(out.keys.forall(_ >= 100000L))
+  }
+
   test("simhash is stable on identical text and near on perturbed text") {
     val sh = corpus.select($"doc_id", Dedup.simhash16($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
