@@ -493,6 +493,10 @@ object Dedup {
       .filter(col("jac") >= threshold)
       .groupBy(col("new_id"))
       .agg(min(col("old_id")).as("survivor_id"))
+      // two consumers (the output union AND the anti-join deciding the
+      // batch-internal set) — materialize the expensive corpus join once;
+      // the checkpoint holds one row per MATCHED new doc, nothing bigger
+      .localCheckpoint(true)
     val rest = batch.join(matched,
       batch(idCol).cast("long") === matched("new_id"), "left_anti")
     matched.select(col("new_id").as("doc_id"), col("survivor_id"))
