@@ -27,7 +27,8 @@ object SparkEntry {
   ) ++ ReferenceSurface.queries ++ MutationSurface.queries ++
     ExecutionSurface.queries ++ analytics.Relational.queries ++
     text.TextSurface.queries ++ dedup.DedupSurface.queries ++
-    sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries
+    sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
+    pipeline.PipelineSurface.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -41,5 +42,6 @@ object SparkEntry {
   ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles ++
     ExecutionSurface.oracles ++ analytics.Relational.oracles ++
     text.TextSurface.oracles ++ dedup.DedupSurface.oracles ++
-    sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles
+    sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
+    pipeline.PipelineSurface.oracles
 }

@@ -67,6 +67,37 @@ object Dedup {
       }
     }
 
+  /** JVM fast path for `ngrams(text, n)` over pre-normalized text — the
+    * non-distinct twin of [[distinctNgramsUdf]] for frequency counting
+    * (vocabulary building keeps every occurrence). Bit-parity with the
+    * expression form is spec-asserted.
+    */
+  def ngramsUdf(n: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { normalized: String =>
+      if (normalized == null) Array.empty[String]
+      else {
+        val tokens = normalized.split(" ", -1)
+        if (tokens.length < n) Array(normalized)
+        else {
+          val out = new Array[String](tokens.length - n + 1)
+          val sb = new java.lang.StringBuilder
+          var i = 0
+          while (i <= tokens.length - n) {
+            sb.setLength(0)
+            var j = 0
+            while (j < n) {
+              if (j > 0) sb.append(' ')
+              sb.append(tokens(i + j))
+              j += 1
+            }
+            out(i) = sb.toString
+            i += 1
+          }
+          out
+        }
+      }
+    }
+
   /** Exact dedup groups: normalized-text fingerprint → group size + survivor
     * (min id). One shuffle; survivors join back by fingerprint if the full
     * surviving rows are needed.

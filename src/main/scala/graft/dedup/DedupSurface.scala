@@ -168,6 +168,29 @@ object DedupSurface {
     bits.mkString("(", " + ", ")")
   }
 
+  /** Recursive reference model for survivor clustering: the CTE chain over
+    * the augmented corpus ending at `reach` (doc reachability over verified
+    * near-dup edges). Shared with the leakage-safe split oracle in
+    * `PipelineSurface`, which re-labels clusters on top of it.
+    */
+  private[graft] val survivorsCtes: String = s"""WITH RECURSIVE $corpusCte,
+    |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
+    |${minhashCtes(12)},
+    |${bandsCte(6, 2)},
+    |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+    |         FROM bands a JOIN bands b ON ${bandJoinOn(2)}),
+    |pairs AS (
+    |  SELECT doc_a, doc_b
+    |  FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
+    |  WHERE len(list_intersect(ga.grams, gb.grams)) /
+    |      (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
+    |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    |          UNION SELECT doc_b, doc_a FROM pairs),
+    |reach(id, lab) AS (
+    |  SELECT doc_id, doc_id FROM corpus
+    |  UNION
+    |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(corpus(s, d), "doc_id", "text").orderBy("fp")),
@@ -210,25 +233,9 @@ object DedupSurface {
     "dedup_exact_groups" -> s"""WITH $corpusCte
       |SELECT md5($ntext) AS fp, COUNT(*) AS n, MIN(doc_id) AS survivor_id
       |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
-    "dedup_survivors" -> s"""WITH RECURSIVE $corpusCte,
-      |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
-      |${minhashCtes(12)},
-      |${bandsCte(6, 2)},
-      |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
-      |         FROM bands a JOIN bands b ON ${bandJoinOn(2)}),
-      |pairs AS (
-      |  SELECT doc_a, doc_b
-      |  FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
-      |  WHERE len(list_intersect(ga.grams, gb.grams)) /
-      |      (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5),
-      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-      |          UNION SELECT doc_b, doc_a FROM pairs),
-      |reach(id, lab) AS (
-      |  SELECT doc_id, doc_id FROM corpus
-      |  UNION
-      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+    "dedup_survivors" -> (survivorsCtes + """
       |SELECT id AS doc_id, MIN(lab) AS survivor_id FROM reach
-      |GROUP BY id ORDER BY doc_id""".stripMargin,
+      |GROUP BY id ORDER BY doc_id""".stripMargin),
     "dedup_incremental" -> s"""WITH RECURSIVE $incBatchCte,
       |allg AS (SELECT doc_id, text FROM documents
       |         UNION ALL SELECT doc_id, text FROM incbatch),

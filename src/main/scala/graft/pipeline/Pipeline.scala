@@ -1,0 +1,142 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.TextAnalysis
+
+/** Corpus-preparation operators a large-scale training-data pipeline runs
+  * between "raw documents" and "training shards": benchmark decontamination,
+  * deterministic stratified sampling, sequence packing, vocabulary top-k,
+  * and leakage-safe train/test splitting.
+  *
+  * Everything here is deterministic by construction (hash-threshold
+  * sampling, fixed tie-breaks, order-free aggregates) so a re-run on a
+  * different cluster/partitioning reproduces the exact corpus — which is a
+  * hard requirement for reproducible training runs, and is what lets every
+  * operator be value-checked against a DuckDB oracle.
+  */
+object Pipeline {
+
+  /** Knuth multiplicative hash of a non-negative BIGINT id into [0, denom).
+    * Pure integer arithmetic (id * 2^32/phi mod denom) so any engine
+    * computes the identical bucket — unlike rand(), the sample is stable
+    * across runs, partitionings, and engines. ids here are < 2^31, so the
+    * product stays far below 2^63 (no overflow divergence between engines).
+    */
+  def hashBucket(id: Column, denom: Int): Column =
+    (id.cast("long") * lit(2654435761L)) % denom
+
+  /** Decontamination (the GPT-3-style n-gram overlap check): flag every
+    * training doc sharing at least one word n-gram shingle with the held-out
+    * eval set, with the count of distinct shared shingles as evidence.
+    *
+    * Scale shape: the eval side is benchmark-sized (thousands of docs, not
+    * billions), so its distinct shingle set is broadcast — the 100 TB train
+    * side is scanned once, shingled map-side, and hash-joined locally with
+    * NO shuffle of train data; the one shuffle is the per-doc count
+    * aggregation over the (rare) contaminated hits.
+    */
+  def decontaminate(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    def shingles(d: DataFrame) = d.select(col(idCol).as("doc_id"),
+      explode(Dedup.distinctNgramsUdf(n)(
+        TextAnalysis.normalized(col(textCol)))).as("gram"))
+    val evalGrams = shingles(eval).select("gram").distinct()
+    shingles(train)
+      .join(broadcast(evalGrams), Seq("gram"))
+      // shingles are distinct per doc, so a plain count is the distinct
+      // shared-shingle count
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** The end product: the training corpus with contaminated docs removed.
+    * Left-anti against the flagged set (tiny relative to train, broadcast).
+    */
+  def decontaminatedCorpus(train: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int = 3): DataFrame = {
+    val flagged = decontaminate(train, eval, idCol, textCol, n)
+      .select(col("doc_id").as("__flagged_id"))
+    train.join(broadcast(flagged),
+      train(idCol).cast("long") === col("__flagged_id"), "left_anti")
+  }
+
+  /** Deterministic stratified sampling: keep a row iff its id's hash bucket
+    * falls under its stratum's per-mille rate. A pure narrow filter — no
+    * shuffle, runs at scan speed at any corpus size, and the kept set is
+    * independent of partitioning (same ids survive on 1 or 1000 executors).
+    * Strata missing from `ratesPerMille` are dropped (rate 0).
+    */
+  def stratifiedSample(docs: DataFrame, idCol: String, strataCol: String,
+      ratesPerMille: Map[String, Int]): DataFrame = {
+    val rate = ratesPerMille.toSeq.sortBy(_._1) // deterministic chain order
+      .foldLeft(lit(0)) { case (acc, (stratum, r)) =>
+        when(col(strataCol) === stratum, lit(r)).otherwise(acc)
+      }
+    docs.withColumn("bucket", hashBucket(col(idCol), 1000))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Sequence packing (concatenate-and-chunk): assign each document its
+    * token span in fixed-size context windows, the way LLM training shards
+    * pack text. Docs are sharded by id, laid out in id order within the
+    * shard, and chunked into `windowTokens`-sized windows; a doc whose span
+    * crosses a boundary simply spans multiple windows (GPT-style packing —
+    * no padding, no discarded tokens).
+    *
+    * Scale shape: one shuffle on the shard key; the running offset is a
+    * window function local to each shard partition. `shards` is the
+    * write-parallelism knob — at 100 TB you set it to O(output files), and
+    * each shard's layout is independent of every other's.
+    */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 256, shards: Int = 8): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.wsTokenCount(col(textCol)).as("n_tokens"))
+      .withColumn("shard", col("doc_id") % shards)
+      .withColumn("offset", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .withColumn("first_window", expr(s"`offset` div $windowTokens"))
+      .withColumn("n_windows",
+        expr(s"(`offset` + n_tokens - 1) div $windowTokens") -
+          col("first_window") + lit(1L))
+      .select("doc_id", "shard", "n_tokens", "offset", "first_window", "n_windows")
+  }
+
+  /** Vocabulary building: the k most frequent word n-grams per key (e.g.
+    * per language), ties broken lexicographically. Expressed as the
+    * row_number()<=k rank-filter so `RewriteWindowTopK` lowers it onto the
+    * TopKPerKey physical operator (bounded heaps around the exchange, no
+    * per-key sort) in sessions with GraftExtensions installed.
+    */
+  def topNgramsPerKey(docs: DataFrame, keyCol: String, textCol: String,
+      n: Int = 2, k: Int = 10): DataFrame = {
+    val counts = docs
+      .select(col(keyCol).as("key"),
+        explode(Dedup.ngramsUdf(n)(
+          TextAnalysis.normalized(col(textCol)))).as("gram"))
+      .groupBy("key", "gram")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("key").orderBy(col("n").desc, col("gram").asc)
+    counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Leakage-safe train/test split: near-duplicate clusters (from
+    * [[Dedup.nearDupSurvivors]]) are assigned to a split as a UNIT — the
+    * split decision hashes the cluster's canonical survivor id, so two
+    * near-duplicate documents can never straddle train/test (the classic
+    * eval-contamination failure of row-wise random splits).
+    * `trainPerMille` of the hash space goes to train, the rest to test.
+    */
+  def leakproofSplit(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, trainPerMille: Int = 800): DataFrame =
+    Dedup.nearDupSurvivors(docs, idCol, textCol, threshold)
+      .withColumn("split",
+        when(hashBucket(col("survivor_id"), 1000) < trainPerMille, "train")
+          .otherwise("test"))
+}

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.dedup.{Dedup, DedupSurface}
+
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontaminate flags exactly the train docs sharing an eval shingle") {
+    val eval = Seq((1L, "the quick brown fox jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog"), // verbatim leak
+      (11L, "a story about the quick brown fox and nothing else"), // partial
+      (12L, "completely unrelated text with no overlap at all"))
+      .toDF("doc_id", "text")
+    val flagged = Pipeline.decontaminate(train, eval, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    // verbatim copy shares all 7 distinct 3-gram shingles
+    assert(flagged(10L) === 7L)
+    // "the quick brown" / "quick brown fox" survive inside doc 11
+    assert(flagged(11L) === 2L)
+    assert(!flagged.contains(12L))
+
+    val clean = Pipeline.decontaminatedCorpus(train, eval, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean === Set(12L))
+  }
+
+  test("stratified sample is deterministic, respects rates, and drops unknown strata") {
+    val docs = (0L until 1000L).map(i =>
+      (i, if (i % 2 == 0) "en" else if (i % 3 == 0) "de" else "xx"))
+      .toDF("doc_id", "lang")
+    val rates = Map("en" -> 500, "de" -> 100)
+    val s1 = Pipeline.stratifiedSample(docs, "doc_id", "lang", rates)
+      .select($"doc_id", $"lang", $"bucket").as[(Long, String, Long)].collect()
+    val s2 = Pipeline.stratifiedSample(docs, "doc_id", "lang", rates)
+      .select($"doc_id", $"lang", $"bucket").as[(Long, String, Long)].collect()
+    assert(s1.sortBy(_._1).sameElements(s2.sortBy(_._1)), "sample must be reproducible")
+    assert(s1.forall { case (_, l, b) => b < rates(l) }, "bucket under stratum rate")
+    assert(!s1.exists(_._2 == "xx"), "unlisted stratum dropped")
+    // multiplicative hash spreads uniformly: en keeps ~50% of its 500 docs
+    val enKept = s1.count(_._2 == "en")
+    assert(enKept > 200 && enKept < 300, s"en kept $enKept of 500 at rate 0.5")
+  }
+
+  test("sequence packing covers every token exactly once per shard") {
+    val docs = Seq(
+      (0L, Seq.fill(100)("tok").mkString(" ")), // 100 tokens
+      (8L, Seq.fill(200)("tok").mkString(" ")), // same shard as 0
+      (16L, Seq.fill(30)("tok").mkString(" ")), // same shard
+      (1L, Seq.fill(300)("tok").mkString(" "))) // shard 1
+      .toDF("doc_id", "text")
+    val packed = Pipeline.packSequences(docs, "doc_id", "text",
+      windowTokens = 128, shards = 8)
+      .select($"doc_id", $"shard", $"n_tokens", $"offset", $"first_window", $"n_windows")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // shard 0 layout: doc0 [0,100), doc8 [100,300), doc16 [300,330)
+    assert(packed(0L) === ((0L, 0L, 100L, 0L, 0L, 1L)))
+    assert(packed(8L) === ((8L, 0L, 200L, 100L, 0L, 3L))) // tokens 100..299 -> w0..w2
+    assert(packed(16L) === ((16L, 0L, 30L, 300L, 2L, 1L)))
+    assert(packed(1L) === ((1L, 1L, 300L, 0L, 0L, 3L))) // 0..299 -> w0..w2
+    // offsets are contiguous: next offset = prev offset + prev tokens
+    val shard0 = packed.values.filter(_._2 == 0L).toSeq.sortBy(_._4)
+    shard0.sliding(2).foreach {
+      case Seq(a, b) => assert(b._4 === a._4 + a._3)
+      case _ =>
+    }
+  }
+
+  test("top n-grams per key respects k, frequency order, and lexicographic ties") {
+    val docs = Seq(
+      ("en", "a b a b a b"), // "a b" x3, "b a" x2
+      ("en", "c d c d"),     // "c d" x2, "d c" x1
+      ("fr", "x y"))
+      .toDF("lang", "text")
+    val top = Pipeline.topNgramsPerKey(docs, "lang", "text", n = 2, k = 2)
+      .select($"key", $"gram", $"n", $"rank")
+      .as[(String, String, Long, Int)].collect().toSet
+    // en ties at n=2 broken lexicographically: "b a" < "c d"
+    assert(top === Set(
+      ("en", "a b", 3L, 1), ("en", "b a", 2L, 2),
+      ("fr", "x y", 1L, 1)))
+  }
+
+  test("JVM ngrams kernel is bit-identical to the expression form") {
+    val docs = DedupSurface.corpus(spark, sf0001)
+    for (n <- Seq(2, 3)) {
+      val e = docs.select($"doc_id", Dedup.ngrams($"text", n).as("g"))
+      val u = docs.select($"doc_id",
+        Dedup.ngramsUdf(n)(graft.text.TextAnalysis.normalized($"text")).as("g"))
+      assert(e.exceptAll(u).count() === 0 && u.exceptAll(e).count() === 0,
+        s"n=$n kernel diverges from expression form")
+    }
+  }
+
+  test("leakproof split never lets a verified near-dup pair straddle train/test") {
+    val corpus = DedupSurface.corpus(spark, sf0001)
+    val split = Pipeline.leakproofSplit(corpus, "doc_id", "text", 0.5)
+    val byDoc = split.select($"doc_id", $"split").as[(Long, String)]
+      .collect().toMap
+    assert(byDoc.values.toSet === Set("train", "test"), "both splits populated")
+    val pairs = Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byDoc(a) === byDoc(b), s"pair ($a,$b) straddles the split")
+    }
+  }
+}
