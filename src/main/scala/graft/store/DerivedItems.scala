@@ -26,7 +26,15 @@ import graft.Tables
 object DerivedItems {
 
   /** Flat item columns (no maps) — the shape most queries consume. */
-  def items(spark: SparkSession, sfDir: String): DataFrame = {
+  def items(spark: SparkSession, sfDir: String): DataFrame =
+    itemsKeyed(spark, sfDir).drop("__okey")
+
+  /** [[items]] plus the internal `__okey` (= `o_orderkey`) join column, so
+    * downstream builds can join/aggregate on the numeric key the exchanges
+    * are already partitioned on instead of re-shuffling on the derived
+    * `itemID` string.
+    */
+  private def itemsKeyed(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
     // one shuffle (groupBy l_orderkey), then a broadcast-free join on the
@@ -43,6 +51,7 @@ object DerivedItems {
     val isNested = col("o_orderkey") % 3 =!= 0 && coalesce(col("n_tasks"), lit(0L)) > 0
     val nTasks = coalesce(col("n_tasks"), lit(0L))
     j.select(
+        col("o_orderkey").as("__okey"),
         concat(lit("item_"), col("o_orderkey").cast("string")).as("itemID"),
         concat(lit("grp_"), (col("o_custkey") % 100).cast("string")).as("taskID"),
         state.as("itemState"),
@@ -131,7 +140,16 @@ object DerivedItems {
     * `Task_0..Task_{n-1}` in deterministic `(l_linenumber, l_partkey,
     * l_suppkey)` order (unique within an order in this data).
     */
-  def nestedTaskRows(spark: SparkSession, sfDir: String): DataFrame = {
+  def nestedTaskRows(spark: SparkSession, sfDir: String): DataFrame =
+    nestedTaskRowsKeyed(spark, sfDir).drop("__okey")
+
+  /** [[nestedTaskRows]] plus `__okey` — lets the map build aggregate and
+    * join on the numeric key whose hash partitioning the lineitem⋈orders
+    * join and the task-index window already established (zero extra
+    * exchanges), instead of re-shuffling the full task-row set on the
+    * derived `itemID` string.
+    */
+  private def nestedTaskRowsKeyed(spark: SparkSession, sfDir: String): DataFrame = {
     val o = Tables.orders(spark, sfDir)
     val li = Tables.lineitem(spark, sfDir)
     val w = Window.partitionBy(col("l_orderkey"))
@@ -144,6 +162,7 @@ object DerivedItems {
         li("l_orderkey") === o("o_orderkey"), "inner")
       .withColumn("task_idx", row_number().over(w) - 1)
       .select(
+        col("o_orderkey").as("__okey"),
         concat(lit("item_"), col("o_orderkey").cast("string")).as("itemID"),
         concat(lit("Task_"), col("task_idx").cast("string")).as("taskKey"),
         when(state === "done", "done")
@@ -219,17 +238,19 @@ object DerivedItems {
     nestedMemo.getOrElseUpdate((spark, sfDir), buildNestedItems(spark, sfDir).cache())
 
   private def buildNestedItems(spark: SparkSession, sfDir: String): DataFrame = {
-    val rows = nestedTaskRows(spark, sfDir)
-    // array_sort over (idx, entry) keeps map insertion order deterministic
+    val rows = nestedTaskRowsKeyed(spark, sfDir)
+    // array_sort over (idx, entry) keeps map insertion order deterministic;
+    // grouping and joining on __okey rides the existing o_orderkey hash
+    // partitioning end-to-end (no itemID-string re-shuffle of task rows)
     val entries = rows
       .withColumn("idx",
         substring_index(col("taskKey"), "_", -1).cast("int"))
-      .groupBy(col("itemID"))
+      .groupBy(col("__okey"))
       .agg(array_sort(collect_list(struct(col("idx").as("i"),
         struct(col("taskKey").as("key"),
           struct(col("status"), col("script")).as("value")).as("e")))).as("arr"))
       .select(
-        col("itemID"),
+        col("__okey"),
         map_from_entries(transform(col("arr"), x => x.getField("e"))).as("nestedTasks"),
         // log holds one entry per done task (Log_Length ≡ size(log) invariant)
         map_from_entries(transform(
@@ -240,8 +261,9 @@ object DerivedItems {
               concat(lit("out:"), x.getField("e").getField("value").getField("script"))
                 .as("stdout"),
               lit("").as("stderr")).as("value")))).as("log"))
-    items(spark, sfDir).filter(col("nestedTaskCount").isNotNull)
+    itemsKeyed(spark, sfDir).filter(col("nestedTaskCount").isNotNull)
       .drop("taskScript").drop("log")
-      .join(entries, Seq("itemID"), "inner")
+      .join(entries, Seq("__okey"), "inner")
+      .drop("__okey")
   }
 }
