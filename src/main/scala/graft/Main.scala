@@ -73,7 +73,8 @@ object Main {
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: graft.Main <import|run|monitor|reset|delete> --table PATH ...")
+    require(args.nonEmpty,
+      "usage: graft.Main <import|run|monitor|reset|delete|corpus> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -159,6 +160,44 @@ object Main {
         .select("itemState").distinct().collect().map(_.getString(0)).toSeq
       if (affected.nonEmpty)
         ItemStore.replacePartitions(Mutations.deleteItems(old, pred), table, affected)
+    case "corpus" =>
+      // training-data pipeline ops over a documents parquet: --table is the
+      // input corpus, --output the destination; each op is a deterministic
+      // transform so re-runs produce byte-identical corpora
+      val op = flags.getOrElse("op",
+        sys.error("--op <dedup|decontaminate|sample|pack|split> required"))
+      val docs = spark.read.parquet(table)
+      val out = flags.getOrElse("output", sys.error("--output is required"))
+      val idCol = flags.getOrElse("id-col", "doc_id")
+      val textCol = flags.getOrElse("text-col", "text")
+      def threshold = flags.getOrElse("threshold", "0.5").toDouble
+      val result = op match {
+        case "dedup" =>
+          graft.dedup.Dedup.dedupedCorpus(docs, idCol, textCol, threshold)
+        case "decontaminate" =>
+          val eval = spark.read.parquet(
+            flags.getOrElse("eval", sys.error("--eval is required")))
+          graft.pipeline.Pipeline.decontaminatedCorpus(docs, eval, idCol, textCol)
+        case "sample" =>
+          val rates = flags.getOrElse("rates",
+            sys.error("--rates lang=permille,... required"))
+            .split(',').map(_.split("=", 2) match {
+              case Array(k, v) => k -> v.toInt
+              case _ => sys.error("--rates entries must be STRATUM=PERMILLE")
+            }).toMap
+          graft.pipeline.Pipeline.stratifiedSample(docs, idCol,
+            flags.getOrElse("strata-col", "lang"), rates)
+        case "pack" =>
+          graft.pipeline.Pipeline.packSequences(docs, idCol, textCol,
+            flags.getOrElse("window", "2048").toInt,
+            flags.getOrElse("shards", "64").toInt)
+        case "split" =>
+          graft.pipeline.Pipeline.leakproofSplit(docs, idCol, textCol, threshold,
+            flags.getOrElse("train-permille", "800").toInt)
+        case other => sys.error(s"unknown corpus op: $other")
+      }
+      result.write.mode("overwrite").parquet(out)
+      println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
     case other => sys.error(s"unknown verb: $other")
   }
 }

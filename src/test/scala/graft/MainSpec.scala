@@ -79,4 +79,42 @@ class MainSpec extends SparkSpec {
     assert(store.ItemStore.load(spark, table).filter($"itemID" === "One")
       .select($"itemState").as[String].head() === "Wall_Time_Exceeded")
   }
+
+  test("corpus verbs: dedup → decontaminate → sample → pack over parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-corpus").toString
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", "en"),
+      (2L, "the quick brown fox jumps over the lazy dog", "en"), // exact dup
+      (3L, "une phrase totalement differente ici pour tester", "fr"),
+      (4L, "benchmark sentence held out for evaluation purposes only", "en"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.parquet(s"$dir/corpus")
+    docs.filter($"doc_id" === 4L).write.parquet(s"$dir/eval")
+
+    Main.run(spark, "corpus", s"$dir/corpus",
+      Map("op" -> "dedup", "output" -> s"$dir/deduped"))
+    val deduped = spark.read.parquet(s"$dir/deduped")
+    assert(deduped.count() === 3, "exact dup collapsed")
+    assert(deduped.filter($"doc_id" === 2L).count() === 0, "min-id survivor wins")
+
+    Main.run(spark, "corpus", s"$dir/deduped",
+      Map("op" -> "decontaminate", "eval" -> s"$dir/eval",
+        "output" -> s"$dir/clean"))
+    val clean = spark.read.parquet(s"$dir/clean")
+    assert(clean.filter($"doc_id" === 4L).count() === 0, "leaked eval doc removed")
+    assert(clean.count() === 2)
+
+    Main.run(spark, "corpus", s"$dir/clean",
+      Map("op" -> "sample", "rates" -> "en=1000,fr=1000",
+        "output" -> s"$dir/sampled"))
+    assert(spark.read.parquet(s"$dir/sampled").count() === 2, "rate 1000 keeps all")
+
+    Main.run(spark, "corpus", s"$dir/sampled",
+      Map("op" -> "pack", "window" -> "8", "shards" -> "2",
+        "output" -> s"$dir/packed"))
+    val packed = spark.read.parquet(s"$dir/packed")
+    assert(packed.count() === 2)
+    assert(packed.columns.toSet ===
+      Set("doc_id", "shard", "n_tokens", "offset", "first_window", "n_windows"))
+  }
 }

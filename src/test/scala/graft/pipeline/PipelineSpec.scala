@@ -86,6 +86,32 @@ class PipelineSpec extends SparkSpec {
       ("fr", "x y", 1L, 1)))
   }
 
+  test("stratified sampling is monotone in the rate (threshold property)") {
+    val docs = (0L until 2000L).map((_, "en")).toDF("doc_id", "lang")
+    def sample(r: Int) =
+      Pipeline.stratifiedSample(docs, "doc_id", "lang", Map("en" -> r))
+        .select($"doc_id").as[Long].collect().toSet
+    val (small, big) = (sample(100), sample(700))
+    assert(small.subsetOf(big), "raising the rate must only ADD rows")
+    assert(small.nonEmpty && big.size > small.size)
+  }
+
+  test("decontamination flags only grow as the eval set grows") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text")
+    val train = docs.filter($"doc_id" % 20 =!= 0)
+    def flags(evalMod: Int) =
+      Pipeline.decontaminate(train, docs.filter($"doc_id" % evalMod === 0),
+        "doc_id", "text")
+        .as[(Long, Long)].collect().toMap
+    val (narrow, wide) = (flags(40), flags(20)) // %40 eval ⊂ %20 eval
+    assert(narrow.keySet.subsetOf(wide.keySet),
+      "superset eval must flag a superset of train docs")
+    narrow.foreach { case (id, n) =>
+      assert(n <= wide(id), s"doc $id lost shared shingles under a larger eval")
+    }
+  }
+
   test("JVM ngrams kernel is bit-identical to the expression form") {
     val docs = DedupSurface.corpus(spark, sf0001)
     for (n <- Seq(2, 3)) {
