@@ -191,6 +191,20 @@ object DedupSurface {
     |  UNION
     |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)""".stripMargin
 
+  /** Memoized + cached survivor table per (session, sfDir): the full
+    * LSH-verify-cluster pipeline is the most expensive derived product on
+    * the surface, and two gates (`dedup_survivors`,
+    * `pipe_split_leakproof`) plus any downstream consumer read the same
+    * fixpoint — one build amortizes across the gate/bench run, exactly like
+    * `DerivedItems.nestedItems`.
+    */
+  private val survivorsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def survivors(s: SparkSession, d: String): DataFrame =
+    survivorsMemo.getOrElseUpdate((s, d),
+      Dedup.nearDupSurvivors(corpus(s, d), "doc_id", "text", 0.5).cache())
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(corpus(s, d), "doc_id", "text").orderBy("fp")),
@@ -210,9 +224,7 @@ object DedupSurface {
         .orderBy("doc_a", "doc_b")),
     // near-dup clustering: verified pairs → connected components → every
     // doc mapped to its cluster's canonical survivor (recursive-CTE oracle)
-    "dedup_survivors" -> ((s, d) =>
-      Dedup.nearDupSurvivors(corpus(s, d), "doc_id", "text", 0.5)
-        .orderBy("doc_id")),
+    "dedup_survivors" -> ((s, d) => survivors(s, d).orderBy("doc_id")),
     // incremental dedup: the daily batch checks band buckets against the
     // existing corpus (never re-pairing it), leftovers cluster among
     // themselves

@@ -135,8 +135,15 @@ object Pipeline {
     */
   def leakproofSplit(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, trainPerMille: Int = 800): DataFrame =
-    Dedup.nearDupSurvivors(docs, idCol, textCol, threshold)
-      .withColumn("split",
-        when(hashBucket(col("survivor_id"), 1000) < trainPerMille, "train")
-          .otherwise("test"))
+    splitBySurvivor(
+      Dedup.nearDupSurvivors(docs, idCol, textCol, threshold), trainPerMille)
+
+  /** [[leakproofSplit]] over a precomputed `(doc_id, survivor_id)` table —
+    * the split itself is a narrow projection, so pipelines that already
+    * materialized the survivor fixpoint (the expensive part) reuse it.
+    */
+  def splitBySurvivor(survivors: DataFrame, trainPerMille: Int = 800): DataFrame =
+    survivors.withColumn("split",
+      when(hashBucket(col("survivor_id"), 1000) < trainPerMille, "train")
+        .otherwise("test"))
 }

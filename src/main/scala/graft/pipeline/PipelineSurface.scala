@@ -52,7 +52,7 @@ object PipelineSurface {
       Pipeline.topNgramsPerKey(docs(s, d), "lang", "text")
         .orderBy("key", "rank")),
     "pipe_split_leakproof" -> ((s, d) =>
-      Pipeline.leakproofSplit(DedupSurface.corpus(s, d), "doc_id", "text", 0.5)
+      Pipeline.splitBySurvivor(DedupSurface.survivors(s, d))
         .orderBy("doc_id")),
   )
 
