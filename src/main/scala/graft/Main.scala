@@ -185,8 +185,11 @@ object Main {
               case Array(k, v) => k -> v.toInt
               case _ => sys.error("--rates entries must be STRATUM=PERMILLE")
             }).toMap
+          // drop the internal bucket column: the CLI product is a pure
+          // subset of the input corpus (the gate query keeps the bucket
+          // for value-checking)
           graft.pipeline.Pipeline.stratifiedSample(docs, idCol,
-            flags.getOrElse("strata-col", "lang"), rates)
+            flags.getOrElse("strata-col", "lang"), rates).drop("bucket")
         case "pack" =>
           graft.pipeline.Pipeline.packSequences(docs, idCol, textCol,
             flags.getOrElse("window", "2048").toInt,

@@ -663,13 +663,20 @@ object Dedup {
     */
   def nearDupSurvivors(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    // fail loud on non-integral ids: the cast below would null them all out
+    // and return silent garbage (every doc its own null "survivor")
+    requireIntegralId(docs, idCol)
     val withFp = docs.select(col(idCol).cast("long").as("doc_id"),
       col(textCol).as("__text"),
       md5(TextAnalysis.normalized(col(textCol))).as("fp"))
+    // the rep table feeds FOUR consumers (LSH band rows, the skew-detect
+    // sample, the component vertex set, the final fan-out join) — cache the
+    // corpus-wide fingerprint groupBy instead of re-shuffling it each time
     val reps = withFp.filter(col("fp").isNotNull)
       .groupBy("fp")
       .agg(min("doc_id").as("rep_id"),
         min_by(col("__text"), col("doc_id")).as("rep_text"))
+      .cache()
     val pairs = lshVerifiedPairs(reps, "rep_id", "rep_text", threshold,
       bands, rowsPerBand)
     val comps = connectedComponents(pairs, reps.select(col("rep_id").as("id")))

@@ -82,22 +82,46 @@ object StreamingRunner {
       // micro-batch size, not the table)
       val renewer = leaseMillis.map { lease =>
         val ids = won.collect().map(_.getString(0))
+        // leases the heartbeat failed to renew: another worker took the item
+        // over (contract of WorkQueueClaimWrite.renew — the holder must stop
+        // working on it), so its results are suppressed below and renewal
+        // stops; the new holder produces the item's outcome
+        val lost = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
         val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
           val t = new Thread(r, s"graft-lease-$instanceId"); t.setDaemon(true); t
         }
         val period = math.max(1L, lease / 3)
         ex.scheduleAtFixedRate(() => ids.foreach { id =>
-          graft.store.connector.WorkQueueClaimWrite.renew(
-            registryPath, id, s"$lockPrefix$id", instanceId, lease)
+          if (!lost.contains(id) && !graft.store.connector.WorkQueueClaimWrite.renew(
+              registryPath, id, s"$lockPrefix$id", instanceId, lease))
+            lost.add(id)
         }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
-        ex
+        (ex, ids, lost)
       }
-      val (updated, outcomes) = Runner.processItems(claimed, config)
-      try ItemStore.append(updated.select(WorkItem.schema.fieldNames.map(col): _*), resultPath)
-      finally {
-        renewer.foreach(_.shutdownNow())
-        outcomes.unpersist()
-        ()
-      }
+      // the heartbeat must die on ANY exit path — a renewer outliving a
+      // failed batch would keep the crashed items' locks alive forever,
+      // exactly the wedge the lease feature exists to prevent
+      try {
+        val (updated, outcomes) = Runner.processItems(claimed, config)
+        val lostIds = renewer.map(_._3.toArray(Array.empty[String]).toSeq)
+          .getOrElse(Seq.empty)
+        val keep =
+          if (lostIds.isEmpty) updated
+          else updated.filter(!col("itemID").isin(lostIds: _*))
+        try ItemStore.append(keep.select(WorkItem.schema.fieldNames.map(col): _*), resultPath)
+        finally { outcomes.unpersist(); () }
+        // stop the heartbeat BEFORE pinning (a late renew would re-arm the
+        // expiry), then convert every completed item's lock to non-expiring:
+        // a finished item must look finished, not crashed — otherwise a
+        // replayed claim takes it over after one lease and re-executes it
+        renewer.foreach { case (ex, ids, lost) =>
+          ex.shutdownNow()
+          ex.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+          ids.filterNot(lost.contains).foreach { id =>
+            graft.store.connector.WorkQueueClaimWrite.renew(
+              registryPath, id, s"$lockPrefix$id", instanceId, 0L)
+          }
+        }
+      } finally renewer.foreach(_._1.shutdownNow())
     }
 }

@@ -20,14 +20,18 @@ import graft.text.TextAnalysis
   */
 object Pipeline {
 
-  /** Knuth multiplicative hash of a non-negative BIGINT id into [0, denom).
-    * Pure integer arithmetic (id * 2^32/phi mod denom) so any engine
-    * computes the identical bucket — unlike rand(), the sample is stable
-    * across runs, partitionings, and engines. ids here are < 2^31, so the
-    * product stays far below 2^63 (no overflow divergence between engines).
+  /** Knuth multiplicative hash of a BIGINT id into [0, denom). Pure integer
+    * arithmetic (floorMod(floorMod(id, 2^31-1) * 2^32/phi, denom)) so any
+    * engine computes the identical bucket — unlike rand(), the sample is
+    * stable across runs, partitionings, and engines. The inner fold keeps
+    * the product under 2^62, so negative and 64-bit snowflake-style ids
+    * hash without overflow (Spark ANSI mode traps Long wrap) and the
+    * formula stays bit-portable to any BIGINT engine; ids below 2^31-1
+    * hash identically to the plain Knuth form.
     */
   def hashBucket(id: Column, denom: Int): Column =
-    (id.cast("long") * lit(2654435761L)) % denom
+    pmod(pmod(id.cast("long"), lit(2147483647L)) * lit(2654435761L),
+      lit(denom.toLong))
 
   /** Decontamination (the GPT-3-style n-gram overlap check): flag every
     * training doc sharing at least one word n-gram shingle with the held-out
@@ -58,10 +62,13 @@ object Pipeline {
     */
   def decontaminatedCorpus(train: DataFrame, eval: DataFrame, idCol: String,
       textCol: String, n: Int = 3): DataFrame = {
+    // join on the RAW id column: flagged doc_ids come from the same column,
+    // so the types always match — a cast here would null out non-integral
+    // ids (string/url/hash ids are common) and silently skip the removal
     val flagged = decontaminate(train, eval, idCol, textCol, n)
       .select(col("doc_id").as("__flagged_id"))
     train.join(broadcast(flagged),
-      train(idCol).cast("long") === col("__flagged_id"), "left_anti")
+      train(idCol) === col("__flagged_id"), "left_anti")
   }
 
   /** Deterministic stratified sampling: keep a row iff its id's hash bucket

@@ -80,6 +80,12 @@ object PipelineSurface {
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
     .mkString("CASE ", " ", " ELSE 0 END")
 
+  /** SQL twin of `Pipeline.hashBucket(x, 1000)`: floorMod twice, with the
+    * inner fold keeping the product under 2^62.
+    */
+  private def bucketSql(x: String): String =
+    s"((($x % 2147483647 + 2147483647) % 2147483647) * 2654435761 % 1000 + 1000) % 1000"
+
   val oracles: Map[String, String] = Map(
     "pipe_decontaminate" -> s"""WITH $trainCte,
       |tg AS (SELECT doc_id, unnest(list_distinct(${gramsSql(3)})) AS gram FROM train),
@@ -90,9 +96,9 @@ object PipelineSurface {
       |FROM tg JOIN eg USING (gram)
       |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin,
     "pipe_stratified_sample" -> s"""
-      |SELECT doc_id, lang, (doc_id * 2654435761) % 1000 AS bucket
+      |SELECT doc_id, lang, ${bucketSql("doc_id")} AS bucket
       |FROM documents
-      |WHERE (doc_id * 2654435761) % 1000 < ($rateSql)
+      |WHERE ${bucketSql("doc_id")} < ($rateSql)
       |ORDER BY doc_id""".stripMargin,
     "pipe_pack_sequences" -> """
       |WITH t AS (
@@ -120,7 +126,8 @@ object PipelineSurface {
     "pipe_split_leakproof" -> (DedupSurface.survivorsCtes + """,
       |surv AS (SELECT id AS doc_id, MIN(lab) AS survivor_id FROM reach GROUP BY id)
       |SELECT doc_id, survivor_id,
-      |  CASE WHEN (survivor_id * 2654435761) % 1000 < 800 THEN 'train' ELSE 'test' END AS split
+      |  CASE WHEN ${bucketSql("survivor_id")} < 800
+      |       THEN 'train' ELSE 'test' END AS split
       |FROM surv ORDER BY doc_id""".stripMargin),
   )
 }

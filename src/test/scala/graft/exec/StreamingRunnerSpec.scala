@@ -64,10 +64,15 @@ class StreamingRunnerSpec extends SparkSpec {
       .start()
     try q.processAllAvailable() finally q.stop()
 
-    // the dispatcher's claims carry its lease; the external worker's
-    // no-lease claim stays non-expiring
+    // the dispatcher's claims carry a lease while scripts run, but a
+    // COMPLETED item pins back to non-expiring — finished work must look
+    // finished, not crashed, or a replayed claim would take it over after
+    // one lease and re-execute it
     val mineState = graft.store.connector.WorkQueueClaimWrite.lockState(registry, "Mine")
-    assert(mineState.exists(_._3 > 0), s"dispatcher lock must carry a lease: $mineState")
+    assert(mineState.map(_._3) === Some(0L),
+      s"completed item's lock must pin non-expiring: $mineState")
+    assert(mineState.exists(_._1.startsWith("lock-worker-1-")),
+      s"completed item still held by the dispatcher: $mineState")
     val theirsState = graft.store.connector.WorkQueueClaimWrite.lockState(registry, "Theirs")
     assert(theirsState.map(_._3) === Some(0L))
 

@@ -86,6 +86,34 @@ class PipelineSpec extends SparkSpec {
       ("fr", "x y", 1L, 1)))
   }
 
+  test("decontamination works on string ids (no silent cast-to-null no-op)") {
+    val eval = Seq(("e1", "the quick brown fox jumps over it"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      ("url://a", "the quick brown fox jumps over it"), // verbatim leak
+      ("url://b", "nothing shared with the benchmark here"))
+      .toDF("doc_id", "text")
+    val clean = Pipeline.decontaminatedCorpus(train, eval, "doc_id", "text")
+      .select($"doc_id").as[String].collect().toSet
+    assert(clean === Set("url://b"), "leaked doc must be removed for string ids too")
+  }
+
+  test("near-dup survivors fails loud on non-integral ids") {
+    val docs = Seq(("a", "some text here")).toDF("doc_id", "text")
+    val e = intercept[IllegalArgumentException] {
+      graft.dedup.Dedup.nearDupSurvivors(docs, "doc_id", "text", 0.5)
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
+  test("hashBucket stays in [0, denom) for negative and overflow-range ids") {
+    val ids = Seq(-5L, -1L, 0L, 3L, Long.MaxValue / 2, Long.MinValue / 3)
+      .toDF("doc_id")
+    val buckets = ids.select(Pipeline.hashBucket($"doc_id", 1000).as("b"))
+      .as[Long].collect()
+    assert(buckets.forall(b => b >= 0 && b < 1000), s"out of range: ${buckets.toSeq}")
+  }
+
   test("stratified sampling is monotone in the rate (threshold property)") {
     val docs = (0L until 2000L).map((_, "en")).toDF("doc_id", "lang")
     def sample(r: Int) =
