@@ -306,7 +306,6 @@ object Dedup {
     require(cap >= 2, s"bucket cap must be >= 2, got $cap")
     require(sampleRate > 0.0 && sampleRate <= 1.0,
       s"skew sample rate must be in (0, 1], got $sampleRate")
-    val spark = rows.sparkSession
     val minHits = math.max(2.0, cap * sampleRate)
     val fanouts: Map[K, Int] = sampleRows.map(keyOf)
       .groupByKey(identity).count()
@@ -315,9 +314,13 @@ object Dedup {
       .map { case (k, c) =>
         k -> math.max(2, math.ceil(c / sampleRate / cap).toInt)
       }.toMap
-    val bc = spark.sparkContext.broadcast(fanouts)
+    // the fanout table is metadata-sized (one entry per detected giant
+    // bucket — usually none), so ship it in the task closure: a broadcast
+    // would need an explicit destroy after materialization, a lifetime no
+    // lazy return value can manage, and repeated invocations in a
+    // long-lived app would accumulate never-destroyed broadcast blocks
     rows.flatMap { r =>
-        val s = bc.value.getOrElse(keyOf(r), 1)
+        val s = fanouts.getOrElse(keyOf(r), 1)
         if (s == 1) Iterator.single((r, 0, 0, 0))
         else {
           val p = saltOf(idOf(r), s)
@@ -681,10 +684,18 @@ object Dedup {
       bands, rowsPerBand)
     val comps = connectedComponents(pairs, reps.select(col("rep_id").as("id")))
       .select(col("id").as("rep_id"), col("component"))
-    withFp.join(reps.select(col("fp"), col("rep_id")), Seq("fp"), "left")
+    // materialize the narrow (doc_id, survivor_id) result eagerly so the
+    // rep cache can be released HERE: returning a lazy plan over `reps`
+    // would force every caller to manage the unpersist, and repeated
+    // invocations in a long-lived app (the daily dedupAgainst path) would
+    // accumulate cached blocks for the application lifetime
+    val out = withFp.join(reps.select(col("fp"), col("rep_id")), Seq("fp"), "left")
       .join(comps, Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("survivor_id"))
+      .localCheckpoint(true)
+    reps.unpersist()
+    out
   }
 
   /** The end product of the near-dedup pipeline: the corpus with every

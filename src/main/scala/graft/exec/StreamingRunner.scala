@@ -103,6 +103,11 @@ object StreamingRunner {
       // exactly the wedge the lease feature exists to prevent
       try {
         val (updated, outcomes) = Runner.processItems(claimed, config)
+        // force the script runs NOW (outcomes is a lazy cache): the lost set
+        // only means something once every task has actually executed —
+        // snapshotting before materialization would always see an empty set
+        // and never suppress a taken-over item's results
+        outcomes.count()
         val lostIds = renewer.map(_._3.toArray(Array.empty[String]).toSeq)
           .getOrElse(Seq.empty)
         val keep =

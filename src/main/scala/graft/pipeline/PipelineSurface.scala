@@ -64,7 +64,8 @@ object PipelineSurface {
     * of `Dedup.ngrams(text, n)`.
     */
   private def gramsSql(n: Int): String =
-    s"""CASE WHEN len(string_split($ntext, ' ')) >= $n
+    s"""CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+       |     WHEN len(string_split($ntext, ' ')) >= $n
        |     THEN list_transform(range(1, len(string_split($ntext, ' ')) - ${n - 2}),
        |            i -> array_to_string(list_slice(string_split($ntext, ' '), i, i + ${n - 1}), ' '))
        |     ELSE [$ntext] END""".stripMargin
@@ -123,7 +124,7 @@ object PipelineSurface {
       |      FROM c)
       |SELECT key, gram, n, rank FROM r WHERE rank <= 10
       |ORDER BY key, rank""".stripMargin,
-    "pipe_split_leakproof" -> (DedupSurface.survivorsCtes + """,
+    "pipe_split_leakproof" -> (DedupSurface.survivorsCtes + s""",
       |surv AS (SELECT id AS doc_id, MIN(lab) AS survivor_id FROM reach GROUP BY id)
       |SELECT doc_id, survivor_id,
       |  CASE WHEN ${bucketSql("survivor_id")} < 800
