@@ -421,9 +421,35 @@ object Relational {
       |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
       |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin
 
+  /** PIVOT: the year × order-priority revenue matrix. The pivot value list
+    * is EXPLICIT, which matters at scale — without it Spark runs a distinct
+    * pre-pass over the pivot column (an extra full-scan job) and the output
+    * schema depends on the data; with it the plan is a single groupBy whose
+    * map-side partial aggregation absorbs the fan-out, exactly a manual
+    * CASE-WHEN matrix (which is what the oracle spells out).
+    */
+  val PivotPriorities: Seq[String] =
+    Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+
+  def pivotPriorityRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .pivot("o_orderpriority", PivotPriorities)
+      .agg(dsum(col("o_totalprice")))
+      .orderBy("o_year")
+
+  val pivotSql: String = {
+    val cells = PivotPriorities.map { p =>
+      s"""CAST(SUM(CASE WHEN o_orderpriority = '$p' THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "$p""""
+    }.mkString(", ")
+    s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year, $cells
+       |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semi_anti_customers" -> (semiAntiCustomers _),
     "q17_small_quantity" -> (q17SmallQuantity _),
+    "q_pivot_priority_year" -> (pivotPriorityRevenue _),
     "q_order_gaps" -> (orderGaps _),
     "q_cube_summary" -> (cubeSummary _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -502,6 +528,7 @@ object Relational {
   val oracles: Map[String, String] = Map(
     "q_semi_anti_customers" -> semiAntiSql,
     "q17_small_quantity" -> q17Sql,
+    "q_pivot_priority_year" -> pivotSql,
     "q_order_gaps" -> orderGapsSql,
     "q_cube_summary" -> cubeSql,
     "q1_pricing_summary" -> q1Sql,

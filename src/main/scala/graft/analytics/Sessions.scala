@@ -1,0 +1,112 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Gap-based sessionization of the events stream — the canonical
+  * user-behavior operator the reference's event surface
+  * (`/root/reference/code/monitor.py` progress snapshots over time) never
+  * grew but any analytics engine needs: group each user's events into
+  * sessions separated by >= `gap` of inactivity, then aggregate per session.
+  *
+  * All time arithmetic happens in epoch-MICROSECOND longs (`unix_micros`),
+  * never raw nanos (the events parquet is TIMESTAMP(NANOS); see
+  * [[graft.Tables.events]]) and never doubles — so the session boundary
+  * decision is exact integer comparison, bit-identical in any engine.
+  *
+  * The break rule is `delta >= gap` (an event exactly `gap` later starts a
+  * new session), which is precisely Structured Streaming's
+  * `session_window(ts, gap)` merge rule — so the batch operator here and
+  * the streaming aggregation in [[sessionWindowStream]] produce identical
+  * sessions (spec-asserted), and a pipeline can run either.
+  *
+  * Scale shape: ONE shuffle on user_id; the lag + running-sum window and
+  * the final per-session aggregation share that partitioning (the groupBy
+  * keys are prefixed by user_id, so AQE keeps it local). No driver-side
+  * anything; session count per user is unbounded but each aggregation row
+  * is O(1) state.
+  */
+object Sessions {
+
+  val DefaultGapMicros: Long = 30L * 60 * 1000 * 1000 // 30 minutes
+
+  /** Gap used by the gate: the synthetic events cadence has a ~7 h median
+    * inter-event gap per user, so the web-canonical 30 min would degenerate
+    * to one session per event; one day groups ~9 events/session and
+    * exercises both the merge and the break branch on every user.
+    */
+  val GateGapMicros: Long = 24L * 60 * 60 * 1000 * 1000 // 1 day
+
+  /** One row per (user, session): ordinal session index, event count,
+    * start/end in epoch micros, exact decimal-summed value total.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, valueCol: String,
+      gapMicros: Long = DefaultGapMicros): DataFrame = {
+    val wOrd = Window.partitionBy(userCol).orderBy(col("us"), col(idCol))
+    events
+      .select(col(userCol).as("user_id"), col(idCol).as("event_id"),
+        unix_micros(col(tsCol)).as("us"), col(valueCol).as("value"))
+      .withColumn("new_sess",
+        when(col("us") - lag("us", 1).over(
+          Window.partitionBy("user_id").orderBy(col("us"), col("event_id")))
+          >= gapMicros, 1L).otherwise(0L))
+      .withColumn("sess_idx",
+        sum("new_sess").over(
+          Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+  }
+
+  /** The same sessions via Structured Streaming's `session_window` — the
+    * operator a live pipeline runs. Watermark bounds the session state;
+    * append mode emits each session once it can no longer grow. Returns the
+    * streaming DataFrame (caller wires the sink); the parity spec checks
+    * stream ≡ [[sessionize]] on identical data.
+    */
+  def sessionWindowStream(events: DataFrame, userCol: String, tsCol: String,
+      valueCol: String, gap: String = "30 minutes",
+      watermark: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(userCol).as("user_id"), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_micros(col(tsCol))).as("start_us"),
+        max(unix_micros(col(tsCol))).as("end_us"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double").as("total_value"))
+      .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
+        col("total_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_sessions" -> ((s, d) =>
+      sessionize(Tables.events(s, d), "user_id", "ts", "event_id", "value",
+        GateGapMicros)
+        .orderBy("user_id", "sess_idx")))
+
+  /** DuckDB twin: identical lag/running-sum/aggregate chain over
+    * `epoch_us(ts)`. The events view carries TIMESTAMP_NS; epoch_us floors
+    * nanos to micros exactly like the Spark-side `ts div 1000` load path.
+    */
+  val oracles: Map[String, String] = Map(
+    "evt_sessions" -> s"""
+      |WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, value FROM events),
+      |f AS (SELECT *, CASE WHEN us - lag(us) OVER
+      |        (PARTITION BY user_id ORDER BY us, event_id) >= ${GateGapMicros}
+      |        THEN 1 ELSE 0 END AS new_sess
+      |      FROM e),
+      |s AS (SELECT *, CAST(SUM(new_sess) OVER (PARTITION BY user_id
+      |        ORDER BY us, event_id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+      |      FROM f)
+      |SELECT user_id, sess_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  MIN(us) AS start_us, MAX(us) AS end_us,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |FROM s GROUP BY user_id, sess_idx
+      |ORDER BY user_id, sess_idx""".stripMargin)
+}

@@ -153,4 +153,113 @@ object Pipeline {
     survivors.withColumn("split",
       when(hashBucket(col("survivor_id"), 1000) < trainPerMille, "train")
         .otherwise("test"))
+
+  /** PII categories scrubbed from training text, in application order:
+    * (name, pattern, replacement token). The patterns are deliberately
+    * RE2-safe (character classes and bounded repetition only — no
+    * lookarounds, no backreferences) so Java regex, RE2-family engines, and
+    * the DuckDB oracle all match byte-identically.
+    */
+  val PiiPatterns: Seq[(String, String, String)] = Seq(
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("ip", "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b", "<IP>"))
+
+  /** PII redaction: every [[PiiPatterns]] category is counted on the
+    * ORIGINAL text (per-category evidence survives even where categories
+    * would overlap) and then replaced in sequence with its token. A pure
+    * narrow projection — at 100 TB this runs at scan speed, column-prunes
+    * to `(id, text)`, and shuffles nothing.
+    */
+  def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = PiiPatterns.map { case (name, p, _) =>
+      size(regexp_extract_all(col(textCol), lit(p), lit(0)))
+        .cast("long").as(s"n_$name")
+    }
+    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, p, tok)) =>
+      regexp_replace(c, lit(p), lit(tok))
+    }
+    docs.select(col(idCol).cast("long").as("doc_id") +:
+      redacted.as("redacted") +: counts: _*)
+  }
+
+  /** Gopher-style per-document repetition metrics over normalized tokens:
+    * token/distinct counts, distinct-token ratio, and the mass fraction of
+    * the single most frequent token and bigram. High single-token or
+    * single-bigram mass is the classic boilerplate/spam signature that
+    * repetition filters (Gopher §A1.1-style rules) cut on.
+    *
+    * Scale shape: two explode→two-level-aggregate chains keyed on doc_id —
+    * partial aggregation absorbs the explode fan-out map-side, and the
+    * final join is co-partitioned on doc_id. All ratios are plain
+    * long/long→double divisions, structurally mirrored in the oracle.
+    */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = docs.select(col(idCol).cast("long").as("doc_id"),
+      TextAnalysis.normalized(col(textCol)).as("ntext"))
+    val tokStats = base
+      .select(col("doc_id"), explode(split(col("ntext"), " ")).as("tok"))
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_distinct"),
+        max("n").as("max_tok"))
+    val biStats = base
+      .select(col("doc_id"), explode(Dedup.ngramsUdf(2)(col("ntext"))).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("n"))
+      .groupBy("doc_id")
+      .agg(sum("n").as("n_bigrams"), max("n").as("max_bigram"))
+    tokStats.join(biStats, Seq("doc_id"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (col("n_distinct") / col("n_tokens")).as("distinct_ratio"),
+        (col("max_tok") / col("n_tokens")).as("top_token_frac"),
+        (col("max_bigram") / col("n_bigrams")).as("top_bigram_frac"))
+  }
+
+  /** The filter a pipeline actually applies: keep a doc iff its repetition
+    * metrics clear the thresholds (both strictly `<` / `>=` so the decision
+    * surface is exact and oracle-checkable).
+    */
+  def repetitionFilter(docs: DataFrame, idCol: String, textCol: String,
+      minDistinctRatio: Double = 0.35, maxTopBigramFrac: Double = 0.08): DataFrame =
+    repetitionMetrics(docs, idCol, textCol)
+      .withColumn("keep",
+        col("distinct_ratio") >= minDistinctRatio &&
+          col("top_bigram_frac") < maxTopBigramFrac)
+
+  /** Mixture sampling: downsample each stratum so the kept corpus matches a
+    * target mixture (relative weights, e.g. source/domain weights of a
+    * training run). The bottleneck stratum pins the scale: `m_units` =
+    * min over strata of `n_s div w_s` is the largest number of "weight
+    * units" every stratum can fill, each stratum's target is
+    * `m_units · w_s` rows, and the keep decision is the same deterministic
+    * per-mille hash threshold as [[stratifiedSample]] — so the selection
+    * stays a narrow scan-speed filter, independent of partitioning, with
+    * NO per-stratum window (a rank-exact variant would shuffle the full
+    * corpus into per-stratum sorted partitions; at 100 TB a single hot
+    * stratum would serialize into one task). All arithmetic is integer
+    * (floor-div), mirrored exactly by the oracle.
+    *
+    * Strata missing from `weights` are dropped — same contract as
+    * [[stratifiedSample]].
+    */
+  def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
+      weights: Map[String, Int]): DataFrame = {
+    val wexpr = weights.toSeq.sortBy(_._1)
+      .foldLeft(lit(0L)) { case (acc, (stratum, w)) =>
+        when(col(strataCol) === stratum, lit(w.toLong)).otherwise(acc)
+      }
+    val counts = docs.groupBy(col(strataCol))
+      .agg(count(lit(1)).as("n_s"))
+      .withColumn("w_s", wexpr)
+      .filter(col("w_s") > 0)
+    // one global scalar (the bottleneck stratum's unit count) — a 1-row
+    // DataFrame cross-joined back in, never a driver-side collect
+    val units = counts.agg(min(expr("n_s div w_s")).as("m_units"))
+    val rates = counts.crossJoin(broadcast(units))
+      .select(col(strataCol),
+        expr("least(1000L, (m_units * w_s * 1000) div n_s)").as("rate"))
+    docs.withColumn("bucket", hashBucket(col(idCol), 1000))
+      .join(broadcast(rates), Seq(strataCol))
+      .filter(col("bucket") < col("rate"))
+  }
 }

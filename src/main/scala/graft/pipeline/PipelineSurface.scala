@@ -37,7 +37,43 @@ object PipelineSurface {
   val SampleRates: Map[String, Int] =
     Map("en" -> 500, "fr" -> 400, "es" -> 300, "de" -> 200, "zh" -> 100)
 
+  /** PII-planted corpus for the redaction gate: the synthetic documents
+    * carry no PII, so the gate plants it deterministically — emails on
+    * every doc_id%3, phone+IP on every doc_id%5 — the same augmentation
+    * style the decontamination gate uses for leakage. The oracle builds the
+    * identical corpus in SQL.
+    */
+  private def piiDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@mail.example.com now"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" call 555-867-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+            lit(" or ping 10.0."), (col("doc_id") % 256).cast("string"),
+            lit(".7 today"))).otherwise(lit(""))).as("text"))
+
+  /** Relative mixture weights for the mixture-sample gate: skew the kept
+    * corpus toward the low-numbered sources (the uniform 20-source synthetic
+    * corpus makes every stratum a potential bottleneck, so the floor-div
+    * unit arithmetic is exercised on every branch).
+    */
+  val MixtureWeights: Map[String, Int] =
+    Map("src0" -> 8, "src1" -> 5, "src2" -> 4, "src3" -> 2, "src4" -> 1)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pipe_redact_pii" -> ((s, d) =>
+      Pipeline.redactPii(piiDocs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+    "pipe_repetition" -> ((s, d) =>
+      Pipeline.repetitionFilter(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+    "pipe_mixture" -> ((s, d) =>
+      Pipeline.mixtureSample(Tables.documents(s, d), "doc_id", "source", MixtureWeights)
+        .select("doc_id", "source", "bucket", "rate")
+        .orderBy("doc_id")),
     "pipe_decontaminate" -> ((s, d) =>
       Pipeline.decontaminate(trainSide(s, d), evalSide(s, d), "doc_id", "text")
         .orderBy("doc_id")),
@@ -87,7 +123,61 @@ object PipelineSurface {
   private def bucketSql(x: String): String =
     s"((($x % 2147483647 + 2147483647) % 2147483647) * 2654435761 % 1000 + 1000) % 1000"
 
+  /** SQL twin of [[piiDocs]] — continuation lines never START with `||`
+    * (stripMargin would eat one pipe), so the concat operator trails.
+    */
+  private val piiAugSql =
+    """aug AS (SELECT doc_id, text ||
+      |  CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) ||
+      |       '@mail.example.com now' ELSE '' END ||
+      |  CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-' ||
+      |       lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || ' or ping 10.0.' ||
+      |       CAST(doc_id % 256 AS VARCHAR) || '.7 today' ELSE '' END AS text
+      |FROM documents)""".stripMargin
+
+  // redaction chain + per-category counts generated from the SAME
+  // PiiPatterns constants the Spark side uses — no drift possible
+  private val redactedSql = Pipeline.PiiPatterns.foldLeft("text") {
+    case (acc, (_, p, tok)) => s"regexp_replace($acc, '$p', '$tok', 'g')"
+  }
+  private val piiCountCols = Pipeline.PiiPatterns.map { case (name, p, _) =>
+    s"CAST(len(regexp_extract_all(text, '$p')) AS BIGINT) AS n_$name"
+  }.mkString(", ")
+
+  private val mixtureWSql = MixtureWeights.toSeq.sortBy(_._1)
+    .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
+
   val oracles: Map[String, String] = Map(
+    "pipe_redact_pii" -> s"""WITH $piiAugSql
+      |SELECT doc_id, $redactedSql AS redacted, $piiCountCols
+      |FROM aug ORDER BY doc_id""".stripMargin,
+    "pipe_repetition" -> s"""
+      |WITH t AS (SELECT doc_id, unnest(string_split($ntext, ' ')) AS tok FROM documents),
+      |c AS (SELECT doc_id, tok, COUNT(*) AS n FROM t GROUP BY 1, 2),
+      |a AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_tokens,
+      |        CAST(COUNT(*) AS BIGINT) AS n_distinct, CAST(MAX(n) AS BIGINT) AS max_tok
+      |      FROM c GROUP BY doc_id),
+      |g AS (SELECT doc_id, unnest(${gramsSql(2)}) AS gram FROM documents),
+      |gc AS (SELECT doc_id, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+      |b AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS n_bigrams,
+      |        CAST(MAX(n) AS BIGINT) AS max_bigram
+      |      FROM gc GROUP BY doc_id)
+      |SELECT a.doc_id, n_tokens, n_distinct,
+      |  n_distinct / n_tokens AS distinct_ratio,
+      |  max_tok / n_tokens AS top_token_frac,
+      |  max_bigram / n_bigrams AS top_bigram_frac,
+      |  (n_distinct / n_tokens >= 0.35 AND max_bigram / n_bigrams < 0.08) AS keep
+      |FROM a JOIN b USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "pipe_mixture" -> s"""
+      |WITH w(source, w_s) AS (VALUES $mixtureWSql),
+      |c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY 1),
+      |j AS (SELECT c.source, n_s, CAST(w_s AS BIGINT) AS w_s FROM c JOIN w USING (source)),
+      |u AS (SELECT MIN(n_s // w_s) AS m_units FROM j),
+      |r AS (SELECT source, LEAST(1000, (m_units * w_s * 1000) // n_s) AS rate FROM j, u)
+      |SELECT d.doc_id, d.source, ${bucketSql("doc_id")} AS bucket, rate
+      |FROM documents d JOIN r USING (source)
+      |WHERE ${bucketSql("doc_id")} < rate
+      |ORDER BY doc_id""".stripMargin,
     "pipe_decontaminate" -> s"""WITH $trainCte,
       |tg AS (SELECT doc_id, unnest(list_distinct(${gramsSql(3)})) AS gram FROM train),
       |eg AS (SELECT DISTINCT gram FROM (

@@ -1,0 +1,67 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class SessionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: Seq[(Long, Long, Long, Double)]) =
+    rows.toDF("user_id", "sec", "event_id", "value")
+      .select($"user_id", timestamp_micros($"sec" * 1000000L).as("ts"),
+        $"event_id", $"value")
+
+  test("sessionize breaks exactly on gaps >= the threshold (boundary inclusive)") {
+    val events = ev(Seq(
+      // user 1: 3 events 10s apart, an 80s hole, then 2 more
+      (1L, 0L, 101L, 1.00), (1L, 10L, 102L, 2.00), (1L, 20L, 103L, 3.00),
+      (1L, 100L, 104L, 4.00), (1L, 130L, 105L, 5.00),
+      // user 2: single event
+      (2L, 50L, 201L, 7.00),
+      // user 3: delta exactly == gap → MUST break (session_window semantics)
+      (3L, 0L, 301L, 1.00), (3L, 60L, 302L, 2.00)))
+    val out = Sessions.sessionize(events, "user_id", "ts", "event_id", "value",
+      gapMicros = 60L * 1000000)
+      .orderBy("user_id", "sess_idx")
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(out.map(r => (r._1, r._2, r._3)).toSeq === Seq(
+      (1L, 0L, 3L), (1L, 1L, 2L), (2L, 0L, 1L), (3L, 0L, 1L), (3L, 1L, 1L)))
+    val u1s0 = out.find(r => r._1 == 1L && r._2 == 0L).get
+    assert(u1s0._4 === 0L && u1s0._5 === 20000000L && u1s0._6 === 6.0)
+  }
+
+  test("streaming session_window sessions ≡ batch sessionize on closed sessions") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evDir = java.nio.file.Files.createTempDirectory("graft-sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val raw = spark.readStream
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+      .parquet(evDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val q = graft.streaming.Monitors.runToMemory(
+      Sessions.sessionWindowStream(raw, "user_id", "ts", "value", gap = "24 hours"),
+      "sess_stream", "append")
+    try {
+      val streamed = spark.table("sess_stream")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._3) -> r).toMap
+      // append mode emits a session once the watermark (max ts, 0s delay)
+      // passes session_end + gap: compare against the batch sessions that
+      // are closed under that final watermark
+      val batchEv = graft.Tables.events(spark, sf0001)
+      val maxUs = batchEv.select(max(unix_micros($"ts"))).as[Long].head()
+      val batch = Sessions.sessionize(batchEv, "user_id", "ts", "event_id",
+        "value", Sessions.GateGapMicros)
+        .filter($"end_us" + Sessions.GateGapMicros < maxUs)
+        .select($"user_id", $"n_events", $"start_us", $"end_us", $"total_value")
+        .as[(Long, Long, Long, Long, Double)].collect()
+        .map(r => (r._1, r._3) -> r).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed === batch,
+        "streaming sessions diverge from the batch operator")
+    } finally q.stop()
+  }
+}

@@ -151,6 +151,68 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("PII redaction scrubs every category and counts on the original text") {
+    val docs = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.org or anna@a.io thanks"),
+      (2L, "call 555-867-5309 from 10.0.42.7 at 555-000-1111"),
+      (3L, "nothing sensitive here"),
+      (4L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val out = Pipeline.redactPii(docs, "doc_id", "text")
+      .as[(Long, String, Option[Long], Option[Long], Option[Long])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L) === ((1L, "mail me at <EMAIL> or <EMAIL> thanks",
+      Some(2L), Some(0L), Some(0L))))
+    assert(out(2L) === ((2L, "call <PHONE> from <IP> at <PHONE>",
+      Some(0L), Some(2L), Some(1L))))
+    assert(out(3L) === ((3L, "nothing sensitive here",
+      Some(0L), Some(0L), Some(0L))))
+    assert(out(4L)._2 === null && out(4L)._3.isEmpty, "null text stays null")
+  }
+
+  test("repetition metrics expose boilerplate and the filter cuts on the rule") {
+    val docs = Seq(
+      (1L, "buy now buy now buy now buy now buy now"), // one bigram dominates
+      (2L, "a varied document with many different words in it"),
+      (3L, "word")) // single token: no bigram, fallback gram = whole text
+      .toDF("doc_id", "text")
+    val m = Pipeline.repetitionMetrics(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(m(1L)._2 === 10L && m(1L)._3 === 2L, "10 tokens, 2 distinct")
+    assert(m(1L)._4 === 0.2 && m(1L)._5 === 0.5, "distinct ratio / top token")
+    // 9 bigrams, "buy now" appears 5 times
+    assert(m(1L)._6 === 5.0 / 9.0)
+    assert(m(2L)._4 === 1.0 && m(2L)._6 < 0.2)
+    assert(m(3L)._2 === 1L && m(3L)._6 === 1.0, "short-doc fallback gram")
+    val kept = Pipeline.repetitionFilter(docs, "doc_id", "text",
+      minDistinctRatio = 0.35, maxTopBigramFrac = 0.3)
+      .filter($"keep").select($"doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L), "only the varied doc survives the rule")
+  }
+
+  test("mixture sample hits the target mixture and is partitioning-independent") {
+    val docs = (0L until 3000L).map { i =>
+      (i, if (i % 6 < 3) "big" else if (i % 6 < 5) "mid" else "small")
+    }.toDF("doc_id", "source") // 1500 big / 1000 mid / 500 small
+    val w = Map("big" -> 2, "mid" -> 2, "small" -> 1)
+    val kept = Pipeline.mixtureSample(docs, "doc_id", "source", w)
+      .select($"doc_id", $"source", $"rate").as[(Long, String, Long)].collect()
+    // bottleneck stratum: mid (1000 div 2 = 500 units) → targets 1000/1000/500
+    // → per-mille rates floor(1000*target/n) = 666 / 1000 / 1000
+    val rates = kept.map(r => r._2 -> r._3).toMap
+    assert(rates === Map("big" -> 666L, "mid" -> 1000L, "small" -> 1000L))
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(bySrc("mid") === 1000 && bySrc("small") === 500, "rate-1000 strata keep everything")
+    // hash-threshold selection: big keeps ~666/1000 of its 1500 docs
+    assert(math.abs(bySrc("big") - 999) < 60, s"big kept ${bySrc("big")} of 1500 at 0.666")
+    // partitioning independence: same kept set on a different layout
+    val kept2 = Pipeline.mixtureSample(docs.repartition(17, $"doc_id"),
+      "doc_id", "source", w)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(kept2 === kept.map(_._1).toSet)
+  }
+
   test("leakproof split never lets a verified near-dup pair straddle train/test") {
     val corpus = DedupSurface.corpus(spark, sf0001)
     val split = Pipeline.leakproofSplit(corpus, "doc_id", "text", 0.5)
