@@ -74,7 +74,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|monitor|reset|delete|corpus> --table PATH ...")
+      "usage: graft.Main <import|run|monitor|reset|delete|corpus|sessions> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -165,7 +165,7 @@ object Main {
       // input corpus, --output the destination; each op is a deterministic
       // transform so re-runs produce byte-identical corpora
       val op = flags.getOrElse("op",
-        sys.error("--op <dedup|decontaminate|sample|pack|split> required"))
+        sys.error("--op <dedup|decontaminate|sample|mix|pack|split|redact|filter> required"))
       val docs = spark.read.parquet(table)
       val out = flags.getOrElse("output", sys.error("--output is required"))
       val idCol = flags.getOrElse("id-col", "doc_id")
@@ -197,9 +197,43 @@ object Main {
         case "split" =>
           graft.pipeline.Pipeline.leakproofSplit(docs, idCol, textCol, threshold,
             flags.getOrElse("train-permille", "800").toInt)
+        case "mix" =>
+          val weights = flags.getOrElse("weights",
+            sys.error("--weights STRATUM=WEIGHT,... required"))
+            .split(',').map(_.split("=", 2) match {
+              case Array(k, v) => k -> v.toInt
+              case _ => sys.error("--weights entries must be STRATUM=WEIGHT")
+            }).toMap
+          graft.pipeline.Pipeline.mixtureSample(docs, idCol,
+            flags.getOrElse("strata-col", "source"), weights)
+            .drop("bucket", "rate")
+        case "redact" =>
+          graft.pipeline.Pipeline.redactPii(docs, idCol, textCol)
+        case "filter" =>
+          // repetition/boilerplate cut: the CLI product is the SURVIVING
+          // corpus rows (the gate query keeps the metrics for checking)
+          val kept = graft.pipeline.Pipeline.repetitionFilter(docs, idCol, textCol,
+            flags.getOrElse("min-distinct-ratio", "0.35").toDouble,
+            flags.getOrElse("max-top-bigram", "0.08").toDouble)
+            .filter(org.apache.spark.sql.functions.col("keep"))
+            .select("doc_id")
+          docs.join(kept,
+            docs(idCol).cast("long") === kept("doc_id"), "left_semi")
         case other => sys.error(s"unknown corpus op: $other")
       }
       result.write.mode("overwrite").parquet(out)
+      println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
+    case "sessions" =>
+      // sessionize an events parquet: --table the events table, --gap-minutes
+      // the inactivity break, --output the per-session aggregate table
+      val out = flags.getOrElse("output", sys.error("--output is required"))
+      graft.analytics.Sessions.sessionize(spark.read.parquet(table)
+          .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp")),
+        flags.getOrElse("user-col", "user_id"), "ts",
+        flags.getOrElse("id-col", "event_id"),
+        flags.getOrElse("value-col", "value"),
+        flags.getOrElse("gap-minutes", "30").toLong * 60L * 1000000L)
+        .write.mode("overwrite").parquet(out)
       println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
     case other => sys.error(s"unknown verb: $other")
   }
