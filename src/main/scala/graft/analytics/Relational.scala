@@ -446,10 +446,75 @@ object Relational {
        |FROM orders GROUP BY 1 ORDER BY o_year""".stripMargin
   }
 
+  /** GROUPING SETS with grouping() provenance flags — the general form
+    * rollup/cube specialize. One pass: Spark expands the sets map-side and
+    * partial-aggregates before the exchange, same as rollup/cube.
+    */
+  def groupingSetsSummary(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"),
+        grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"))
+      .orderBy(col("g_flag"), col("g_status"),
+        col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+
+  val groupingSetsSql: String =
+    """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin
+
+  /** EXACT distributed quantiles by rank arithmetic — median and p90 of
+    * document length per language. No sketch, no interpolation ambiguity:
+    * a per-group row_number over a total order picks the exact rank
+    * element(s); the median averages the two middle ranks (odd groups match
+    * one row, even groups two — the sum/count form covers both branches
+    * with no conditional). One shuffle on the group key; the window and the
+    * aggregation share it. This is the scale form of `quantile_cont`-style
+    * exact quantiles: rank selection over a distributed sort, never a
+    * driver-side collect of group values.
+    */
+  def langLengthQuantiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"), col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val mid = col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2")
+    val p90 = col("rn") === greatest(lit(1L), ceil(col("n") * 0.9))
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), col("n_chars"), col("doc_id"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("lang"))
+      .agg(max(col("n")).as("n_docs"),
+        (sum(when(mid, col("n_chars"))) / sum(when(mid, lit(1L)))).as("median"),
+        max(when(p90, col("n_chars"))).as("p90"))
+      .orderBy(col("lang"))
+  }
+
+  val quantilesSql: String =
+    """WITH r AS (SELECT lang, n_chars,
+      |    CAST(row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM documents)
+      |SELECT lang, MAX(n) AS n_docs,
+      |  CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN n_chars END) AS BIGINT)
+      |    / CAST(SUM(CASE WHEN rn = (n + 1) // 2 OR rn = (n + 2) // 2 THEN 1 END) AS BIGINT) AS median,
+      |  MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(n * 0.9) AS BIGINT)) THEN n_chars END) AS p90
+      |FROM r GROUP BY lang ORDER BY lang""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_semi_anti_customers" -> (semiAntiCustomers _),
     "q17_small_quantity" -> (q17SmallQuantity _),
     "q_pivot_priority_year" -> (pivotPriorityRevenue _),
+    "q_grouping_sets" -> (groupingSetsSummary _),
+    "q_quantiles_lang" -> (langLengthQuantiles _),
     "q_order_gaps" -> (orderGaps _),
     "q_cube_summary" -> (cubeSummary _),
     "q1_pricing_summary" -> (q1PricingSummary _),
@@ -529,6 +594,8 @@ object Relational {
     "q_semi_anti_customers" -> semiAntiSql,
     "q17_small_quantity" -> q17Sql,
     "q_pivot_priority_year" -> pivotSql,
+    "q_grouping_sets" -> groupingSetsSql,
+    "q_quantiles_lang" -> quantilesSql,
     "q_order_gaps" -> orderGapsSql,
     "q_cube_summary" -> cubeSql,
     "q1_pricing_summary" -> q1Sql,
