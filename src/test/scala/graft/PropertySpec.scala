@@ -37,6 +37,33 @@ object GraftProps extends Properties("graft") {
       ScriptRunner.substituteEnv(s, Map("PYANAMO" -> "/x")) == s
     }
 
+  // JVM twin of Pipeline.redactPii's expression chain — java.util.regex IS
+  // Spark's regexp_replace engine, so these properties hold for the operator
+  private def redactJvm(s: String): String =
+    graft.pipeline.Pipeline.PiiPatterns.foldLeft(s) { case (acc, (_, p, tok)) =>
+      acc.replaceAll(p, java.util.regex.Matcher.quoteReplacement(tok))
+    }
+
+  private val genPii: Gen[String] = for {
+    words <- Gen.listOfN(5, Gen.oneOf("alpha", "beta", "gamma", "delta"))
+    user <- Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(8).mkString)
+    n <- Gen.choose(0, 9999)
+    ip <- Gen.choose(0, 255)
+    pii <- Gen.someOf(
+      s"$user@mail.example.com",
+      f"555-867-$n%04d",
+      s"10.0.$ip.7")
+  } yield (words ++ pii).mkString(" ")
+
+  property("PII redaction is idempotent and leaves nothing matchable") =
+    forAll(genPii) { s =>
+      val once = redactJvm(s)
+      val matchable = graft.pipeline.Pipeline.PiiPatterns.exists { case (_, p, _) =>
+        java.util.regex.Pattern.compile(p).matcher(once).find()
+      }
+      Prop(redactJvm(once) == once && !matchable) :| s"redacted=$once"
+    }
+
   property("TimeKeeper window mean uses only the last 15 and sits in [min,max]") =
     forAll(Gen.nonEmptyListOf(Gen.choose(0.0, 100.0))) { durations =>
       val tk = new TimeKeeper(1e9, clock = () => 0L)
