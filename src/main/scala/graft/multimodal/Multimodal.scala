@@ -191,4 +191,57 @@ object Multimodal {
       .withColumnRenamed("pos", "frameIdx")
       .withColumnRenamed("col", "frame")
   }
+
+  /** The model boundary for embedding inference: called once per BATCH of
+    * texts (the way a GPU model is), must return one vector per input in
+    * order. Implementations ship to executors; a real deployment loads the
+    * model lazily per partition (JNI/ONNX/remote endpoint) — the batching
+    * plumbing in [[embedBatch]] is what stays fixed.
+    */
+  trait TextEmbedder extends Serializable {
+    def dim: Int
+    def embed(texts: Seq[String]): Seq[Array[Double]]
+  }
+
+  /** Sandbox embedder: dimension j of a text's vector is
+    * `((h % 997) * (2j+3) % 997) / 997.0` with `h` the first 48 md5 bits —
+    * deterministic, engine-portable integer arithmetic (the DuckDB oracle
+    * reproduces it through the same hex fold), products bounded < 2^20.
+    */
+  object StubEmbedder extends TextEmbedder {
+    val dim = 4
+    def embed(texts: Seq[String]): Seq[Array[Double]] = texts.map { t =>
+      val h = graft.dedup.Dedup.md5Bits48Jvm(t) % 997L
+      Array.tabulate(dim)(j => (h * (2 * j + 3) % 997L).toDouble / 997.0)
+    }
+  }
+
+  /** Batched embedding inference over a text column — the plumbing of the
+    * "embed the corpus" stage every similarity/clustering pipeline runs.
+    * Partition-wise grouped iteration: the embedder sees fixed-size BATCHES
+    * (amortizing model-call overhead exactly like `mapInPandas` batches),
+    * rows stream through without materializing a partition, and the stage
+    * is a narrow map — no shuffle, scan-speed at any corpus size. Docs with
+    * NULL text carry no embedding (filtered, same contract as the dedup
+    * operators).
+    */
+  def embedBatch(docs: DataFrame, idCol: String, textCol: String,
+      embedder: TextEmbedder = StubEmbedder, batchSize: Int = 64): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // real embedder: load the model context here, once per partition
+        it.grouped(batchSize).flatMap { chunk =>
+          val vecs = embedder.embed(chunk.map(_._2))
+          require(vecs.length == chunk.length,
+            s"embedder returned ${vecs.length} vectors for ${chunk.length} texts")
+          chunk.iterator.zip(vecs.iterator).map { case ((id, _), v) => (id, v) }
+        }
+      }
+      .toDF("doc_id", "embedding")
+  }
 }

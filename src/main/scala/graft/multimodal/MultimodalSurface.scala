@@ -47,6 +47,14 @@ object MultimodalSurface {
           hex(col("payload")).as("payload_hex"),
           col("meta.width").as("width"), col("meta.height").as("height"))
         .orderBy("mediaId")),
+    // batched embedding inference (StubEmbedder): vector dims surfaced as
+    // named columns so the oracle compares scalars, not list encodings
+    "mm_embed_batch" -> ((s, d) =>
+      Multimodal.embedBatch(Tables.documents(s, d), "doc_id", "text")
+        .select(col("doc_id") +:
+          (0 until Multimodal.StubEmbedder.dim).map(j =>
+            element_at(col("embedding"), j + 1).as(s"v$j")): _*)
+        .orderBy("doc_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -95,5 +103,18 @@ object MultimodalSurface {
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN greatest((doc_id % 480 + 1) // 4, 1)
         |       ELSE doc_id % 480 + 1 END AS INT) AS height
         |FROM documents ORDER BY "mediaId"""".stripMargin,
+    // StubEmbedder mirror: h = first 48 md5 bits (12-hex-char fold) mod 997,
+    // dim j = (h * (2j+3) % 997) / 997.0 — generated from the same dim
+    // constant the Spark side uses
+    "mm_embed_batch" -> s"""
+      |WITH h48 AS (SELECT doc_id,
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |      list_transform(range(1, 13),
+      |        i -> CAST(strpos('0123456789abcdef', substr(md5(text), CAST(i AS INT), 1)) - 1 AS BIGINT))),
+      |      (fa, fb) -> fa * 16 + fb) % 997 AS h
+      |  FROM documents WHERE text IS NOT NULL)
+      |SELECT doc_id, ${(0 until Multimodal.StubEmbedder.dim).map(j =>
+          s"(h * ${2 * j + 3} % 997) / 997.0 AS v$j").mkString(", ")}
+      |FROM h48 ORDER BY doc_id""".stripMargin,
   )
 }

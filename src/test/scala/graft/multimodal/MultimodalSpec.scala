@@ -7,6 +7,19 @@ import org.apache.spark.sql.functions._
 import graft.SparkSpec
 import graft.Tables
 
+/** Batch-size recorder for the embedBatch plumbing spec. JVM-static queue:
+  * task closures deserialize into the same local-mode JVM, so the driver
+  * reads what executor tasks recorded.
+  */
+object RecordingEmbedder extends Multimodal.TextEmbedder {
+  val dim = 4
+  val sizes = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  def embed(texts: Seq[String]): Seq[Array[Double]] = {
+    sizes.add(texts.length)
+    Multimodal.StubEmbedder.embed(texts)
+  }
+}
+
 class MultimodalSpec extends SparkSpec {
   import spark.implicits._
 
@@ -115,5 +128,32 @@ class MultimodalSpec extends SparkSpec {
     assert(feat.map(_.mediaId).toSet === stub.map(_.mediaId).toSet)
     assert(feat.map(f => f.mediaId -> f.checksum).toMap !==
       stub.map(f => f.mediaId -> f.checksum).toMap)
+  }
+
+  test("embedBatch calls the model in bounded batches and is batch-size invariant") {
+    val docs = (0L until 257L).map(i => (i, s"text number $i"))
+      .toDF("doc_id", "text")
+    RecordingEmbedder.sizes.clear()
+    val out = Multimodal.embedBatch(docs.coalesce(2), "doc_id", "text",
+      RecordingEmbedder, 64)
+      .select($"doc_id", $"embedding").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(out.size === 257)
+    // every batch bounded by batchSize, and no degenerate 1-row batches
+    // except partition tails
+    val sizes = RecordingEmbedder.sizes.toArray(Array.empty[Integer]).map(_.toInt)
+    assert(sizes.forall(_ <= 64) && sizes.count(_ < 64) <= 2,
+      s"batch sizes ${sizes.toSeq}")
+    // batch-size and partitioning invariance: same vectors any layout
+    val out2 = Multimodal.embedBatch(docs.repartition(7), "doc_id", "text",
+      Multimodal.StubEmbedder, 5)
+      .select($"doc_id", $"embedding").as[(Long, Seq[Double])]
+      .collect().toMap
+    assert(out2 === out)
+    // null text carries no embedding
+    val withNull = Seq((1L, "a"), (2L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    assert(Multimodal.embedBatch(withNull, "doc_id", "text")
+      .select($"doc_id").as[Long].collect().toSet === Set(1L))
   }
 }
