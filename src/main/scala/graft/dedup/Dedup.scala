@@ -521,8 +521,22 @@ object Dedup {
         explode(array((0 until bands).map(lit): _*)).as("j"), col("__sigs"))
       .select(col(s"${side}_id"), col(s"${side}_grams"), col("j"),
         slice(col("__sigs"), col("j") * rowsPerBand + 1, lit(rowsPerBand)).as("bkey"))
+    // collapse corpus exact-duplicates to one representative per
+    // normalized-text fingerprint BEFORE banding — the same skew-proofing
+    // nearDupSurvivors applies: at web scale the corpus carries huge exact
+    // clusters whose members share every band, so an uncollapsed index
+    // multiplies candidate verification by the cluster size. Results are
+    // identical: any matched corpus doc's rep matches too (same normalized
+    // text ⇒ same grams ⇒ same jaccard), and the rep IS its group's min id,
+    // so min-over-reps == min-over-all-matched.
+    val corpusReps = corpus
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("__cid"), col(textCol).as("__ctext"),
+        md5(TextAnalysis.normalized(col(textCol))).as("__fp"))
+      .groupBy("__fp")
+      .agg(min("__cid").as(idCol), min_by(col("__ctext"), col("__cid")).as(textCol))
     val matched = bandRows(batch, "new")
-      .join(bandRows(corpus, "old"), Seq("j", "bkey"))
+      .join(bandRows(corpusReps, "old"), Seq("j", "bkey"))
       .withColumn("jac", jaccardUdf(col("new_grams"), col("old_grams")))
       .filter(col("jac") >= threshold)
       .groupBy(col("new_id"))
