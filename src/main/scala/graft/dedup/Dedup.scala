@@ -535,21 +535,40 @@ object Dedup {
         md5(TextAnalysis.normalized(col(textCol))).as("__fp"))
       .groupBy("__fp")
       .agg(min("__cid").as(idCol), min_by(col("__ctext"), col("__cid")).as(textCol))
-    val matched = bandRows(batch, "new")
+    // the batch side collapses the same way: its exact-dup groups share
+    // every band too, and two batch docs with identical normalized text
+    // have identical match sets, hence the same survivor — so only the
+    // batch REPS run the band join and members inherit through the
+    // fingerprint fan-out below
+    val withFp = batch
+      .select(col(idCol).cast("long").as("b_id"), col(textCol).as("b_text"),
+        md5(TextAnalysis.normalized(col(textCol))).as("b_fp"))
+    val breps = withFp.filter(col("b_fp").isNotNull)
+      .groupBy("b_fp")
+      .agg(min("b_id").as("rep_id"), min_by(col("b_text"), col("b_id")).as("rep_text"))
+      .cache()
+    val matchedReps = bandRows(
+        breps.select(col("rep_id").as(idCol), col("rep_text").as(textCol)), "new")
       .join(bandRows(corpusReps, "old"), Seq("j", "bkey"))
       .withColumn("jac", jaccardUdf(col("new_grams"), col("old_grams")))
       .filter(col("jac") >= threshold)
       .groupBy(col("new_id"))
       .agg(min(col("old_id")).as("survivor_id"))
-      // two consumers (the output union AND the anti-join deciding the
-      // batch-internal set) — materialize the expensive corpus join once;
-      // the checkpoint holds one row per MATCHED new doc, nothing bigger
+    // fan rep matches back over the batch fingerprints, and materialize:
+    // two consumers (the output union AND the anti-join deciding the
+    // batch-internal set), and the eager checkpoint lets the rep cache be
+    // released here — it holds one row per MATCHED batch doc, nothing bigger
+    val matched = withFp
+      .join(breps.select(col("b_fp"), col("rep_id")), Seq("b_fp"))
+      .join(matchedReps.select(col("new_id").as("rep_id"), col("survivor_id")),
+        Seq("rep_id"))
+      .select(col("b_id").as("doc_id"), col("survivor_id"))
       .localCheckpoint(true)
+    breps.unpersist()
     val rest = batch.join(matched,
-      batch(idCol).cast("long") === matched("new_id"), "left_anti")
-    matched.select(col("new_id").as("doc_id"), col("survivor_id"))
-      .unionByName(
-        nearDupSurvivors(rest, idCol, textCol, threshold, bands, rowsPerBand))
+      batch(idCol).cast("long") === matched("doc_id"), "left_anti")
+    matched.unionByName(
+      nearDupSurvivors(rest, idCol, textCol, threshold, bands, rowsPerBand))
   }
 
   /** Connected components by alternating large-star/small-star contraction
