@@ -165,7 +165,7 @@ object Main {
       // input corpus, --output the destination; each op is a deterministic
       // transform so re-runs produce byte-identical corpora
       val op = flags.getOrElse("op",
-        sys.error("--op <dedup|decontaminate|sample|mix|pack|split|redact|filter> required"))
+        sys.error("--op <dedup|decontaminate|sample|mix|pack|split|redact|filter|report|prepare> required"))
       val docs = spark.read.parquet(table)
       val out = flags.getOrElse("output", sys.error("--output is required"))
       val idCol = flags.getOrElse("id-col", "doc_id")
@@ -209,6 +209,22 @@ object Main {
             .drop("bucket", "rate")
         case "redact" =>
           graft.pipeline.Pipeline.redactPii(docs, idCol, textCol)
+        case "report" =>
+          graft.pipeline.Pipeline.corpusReport(docs, idCol, textCol,
+            flags.getOrElse("strata-col", "source"))
+        case "prepare" =>
+          // the full chain: redact -> filter -> decontaminate -> dedup ->
+          // (optional mixture) -> leakproof split
+          val eval = spark.read.parquet(
+            flags.getOrElse("eval", sys.error("--eval is required")))
+          val weights = flags.get("weights").map(
+            _.split(',').map(_.split("=", 2) match {
+              case Array(k, v) => k -> v.toInt
+              case _ => sys.error("--weights entries must be STRATUM=WEIGHT")
+            }).toMap).getOrElse(Map.empty)
+          graft.pipeline.Pipeline.prepareCorpus(docs, eval, idCol, textCol,
+            flags.getOrElse("strata-col", "source"), threshold, weights,
+            flags.getOrElse("train-permille", "800").toInt)
         case "filter" =>
           // repetition/boilerplate cut: the CLI product is the SURVIVING
           // corpus rows (the gate query keeps the metrics for checking)

@@ -171,16 +171,19 @@ object Pipeline {
     * narrow projection — at 100 TB this runs at scan speed, column-prunes
     * to `(id, text)`, and shuffles nothing.
     */
+  /** The [[PiiPatterns]] replacement chain as a column expression. */
+  def redactText(text: Column): Column =
+    PiiPatterns.foldLeft(text) { case (c, (_, p, tok)) =>
+      regexp_replace(c, lit(p), lit(tok))
+    }
+
   def redactPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = PiiPatterns.map { case (name, p, _) =>
       size(regexp_extract_all(col(textCol), lit(p), lit(0)))
         .cast("long").as(s"n_$name")
     }
-    val redacted = PiiPatterns.foldLeft(col(textCol)) { case (c, (_, p, tok)) =>
-      regexp_replace(c, lit(p), lit(tok))
-    }
     docs.select(col(idCol).cast("long").as("doc_id") +:
-      redacted.as("redacted") +: counts: _*)
+      redactText(col(textCol)).as("redacted") +: counts: _*)
   }
 
   /** Gopher-style per-document repetition metrics over normalized tokens:
@@ -226,6 +229,52 @@ object Pipeline {
         col("distinct_ratio") >= minDistinctRatio &&
           col("top_bigram_frac") < maxTopBigramFrac)
 
+  /** The corpus-audit report a data team reads before a training run: one
+    * row per stratum (source/domain) with volume, token counts, corpus-level
+    * alpha ratio, the repetition-filter keep fraction, and the majority
+    * PREDICTED language (mode of the language-id classifier, lexicographic
+    * tie-break). Every ratio divides two exact LONG sums — never a mean of
+    * per-doc doubles, whose summation order would make the report
+    * run-dependent — so the report is bit-reproducible on any cluster.
+    *
+    * Scale shape: the per-doc feature passes are narrow projections plus
+    * the repetition explode chains (partial-agg absorbed); everything then
+    * aggregates to O(strata) rows. The majority-language rank-filter is a
+    * row_number()<=1 window over per-stratum language counts — metadata
+    * volume, and lowered onto TopKPerKey under GraftExtensions.
+    */
+  def corpusReport(docs: DataFrame, idCol: String, textCol: String,
+      strataCol: String, minDistinctRatio: Double = 0.35,
+      maxTopBigramFrac: Double = 0.08): DataFrame = {
+    val quality = TextAnalysis.withQuality(docs, textCol)
+      .select(col(idCol).cast("long").as("doc_id"), col(strataCol),
+        col("n_chars_m"), col("n_alpha"), col("n_tokens"))
+    val rep = repetitionFilter(docs, idCol, textCol,
+      minDistinctRatio, maxTopBigramFrac)
+      .select(col("doc_id"), col("keep"))
+    val lang = TextAnalysis.withLangId(docs, textCol)
+      .select(col(idCol).cast("long").as("doc_id"), col("pred_lang"))
+    val base = quality.join(rep, Seq("doc_id")).join(lang, Seq("doc_id"))
+    val agg = base.groupBy(col(strataCol)).agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        sum("n_alpha").as("__alpha"), sum("n_chars_m").as("__chars"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("__kept"))
+      .select(col(strataCol), col("n_docs"), col("n_tokens"),
+        (col("n_tokens") / col("n_docs")).as("tokens_per_doc"),
+        (col("__alpha") / col("__chars")).as("alpha_ratio"),
+        (col("__kept") / col("n_docs")).as("kept_frac"))
+    val w = Window.partitionBy(col(strataCol))
+      .orderBy(col("n").desc, col("pred_lang").asc)
+    val topLang = base.groupBy(col(strataCol), col("pred_lang"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col(strataCol), col("pred_lang").as("top_lang"),
+        col("n").as("top_lang_n"))
+    agg.join(topLang, Seq(strataCol))
+  }
+
   /** Mixture sampling: downsample each stratum so the kept corpus matches a
     * target mixture (relative weights, e.g. source/domain weights of a
     * training run). The bottleneck stratum pins the scale: `m_units` =
@@ -242,6 +291,46 @@ object Pipeline {
     * Strata missing from `weights` are dropped — same contract as
     * [[stratifiedSample]].
     */
+  /** The end-to-end corpus preparation a training run executes, composed
+    * from the individual operators in the order that matters:
+    *
+    *   1. PII scrub (sensitive spans never reach any later stage or shard),
+    *   2. repetition/boilerplate filter,
+    *   3. benchmark decontamination against the held-out eval set,
+    *   4. near-dup dedup (each cluster collapsed to its canonical survivor),
+    *   5. optional mixture sampling to target stratum weights,
+    *   6. train/test split — hashing the surviving doc's OWN id is
+    *      leakproof here BY CONSTRUCTION: step 4 left exactly one document
+    *      per near-dup cluster, so no near-duplicate pair exists to
+    *      straddle the split.
+    *
+    * Every stage is deterministic, so the whole pipeline is reproducible
+    * end-to-end: same input → byte-identical corpus on any partitioning.
+    * Stages 1-2 are narrow scans; 3 broadcasts only eval shingles; 4 is the
+    * banded LSH pipeline; 5 is a narrow hash filter — nothing here breaks
+    * at 100 TB.
+    */
+  def prepareCorpus(docs: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, strataCol: String, threshold: Double = 0.5,
+      weights: Map[String, Int] = Map.empty, trainPerMille: Int = 800,
+      minDistinctRatio: Double = 0.35,
+      maxTopBigramFrac: Double = 0.08): DataFrame = {
+    val scrubbed = docs.withColumn(textCol, redactText(col(textCol)))
+    val kept = repetitionFilter(scrubbed, idCol, textCol,
+        minDistinctRatio, maxTopBigramFrac)
+      .filter(col("keep")).select(col("doc_id").as("__keep_id"))
+    val filtered = scrubbed.join(kept,
+      scrubbed(idCol).cast("long") === col("__keep_id"), "left_semi")
+    val decontaminated = decontaminatedCorpus(filtered, eval, idCol, textCol)
+    val deduped = Dedup.dedupedCorpus(decontaminated, idCol, textCol, threshold)
+    val mixed =
+      if (weights.isEmpty) deduped
+      else mixtureSample(deduped, idCol, strataCol, weights).drop("bucket", "rate")
+    mixed.withColumn("split",
+      when(hashBucket(col(idCol), 1000) < trainPerMille, "train")
+        .otherwise("test"))
+  }
+
   def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
       weights: Map[String, Int]): DataFrame = {
     val wexpr = weights.toSeq.sortBy(_._1)

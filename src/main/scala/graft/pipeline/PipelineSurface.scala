@@ -74,6 +74,9 @@ object PipelineSurface {
       Pipeline.mixtureSample(Tables.documents(s, d), "doc_id", "source", MixtureWeights)
         .select("doc_id", "source", "bucket", "rate")
         .orderBy("doc_id")),
+    "pipe_corpus_report" -> ((s, d) =>
+      Pipeline.corpusReport(Tables.documents(s, d), "doc_id", "text", "source")
+        .orderBy("source")),
     "pipe_decontaminate" -> ((s, d) =>
       Pipeline.decontaminate(trainSide(s, d), evalSide(s, d), "doc_id", "text")
         .orderBy("doc_id")),
@@ -147,6 +150,24 @@ object PipelineSurface {
   private val mixtureWSql = MixtureWeights.toSeq.sortBy(_._1)
     .map { case (src, w) => s"('$src', $w)" }.mkString(", ")
 
+  // language-id CASE chain built from the SAME stopword fragments the
+  // txt_langid oracle uses (graft.text.TextSurface)
+  private val langScoredCte = s"""scored AS (
+    |  SELECT doc_id,
+    |    CAST(length(regexp_replace(text, '[^\\x{4e00}-\\x{9fff}]', '', 'g')) AS BIGINT) AS s_zh,
+    |    CAST(${graft.text.TextSurface.score("en")} AS BIGINT) AS s_en,
+    |    CAST(${graft.text.TextSurface.score("fr")} AS BIGINT) AS s_fr,
+    |    CAST(${graft.text.TextSurface.score("es")} AS BIGINT) AS s_es,
+    |    CAST(${graft.text.TextSurface.score("de")} AS BIGINT) AS s_de
+    |  FROM documents)""".stripMargin
+
+  private val predLangCase =
+    """CASE WHEN s_zh > 0 THEN 'zh'
+      |     WHEN s_en >= s_fr AND s_en >= s_es AND s_en >= s_de THEN 'en'
+      |     WHEN s_fr >= s_es AND s_fr >= s_de THEN 'fr'
+      |     WHEN s_es >= s_de THEN 'es'
+      |     ELSE 'de' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "pipe_redact_pii" -> s"""WITH $piiAugSql
       |SELECT doc_id, $redactedSql AS redacted, $piiCountCols
@@ -214,6 +235,45 @@ object PipelineSurface {
       |      FROM c)
       |SELECT key, gram, n, rank FROM r WHERE rank <= 10
       |ORDER BY key, rank""".stripMargin,
+    "pipe_corpus_report" -> s"""
+      |WITH feat AS (SELECT doc_id, source,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |rt AS (SELECT doc_id, unnest(string_split($ntext, ' ')) AS tok FROM documents),
+      |rc AS (SELECT doc_id, tok, COUNT(*) AS n FROM rt GROUP BY 1, 2),
+      |ra AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS rn_tokens,
+      |        CAST(COUNT(*) AS BIGINT) AS rn_distinct
+      |      FROM rc GROUP BY doc_id),
+      |rg AS (SELECT doc_id, unnest(${gramsSql(2)}) AS gram FROM documents),
+      |rgc AS (SELECT doc_id, gram, COUNT(*) AS n FROM rg GROUP BY 1, 2),
+      |rb AS (SELECT doc_id, CAST(SUM(n) AS BIGINT) AS rn_bigrams,
+      |        CAST(MAX(n) AS BIGINT) AS rmax_bigram
+      |      FROM rgc GROUP BY doc_id),
+      |keepj AS (SELECT ra.doc_id,
+      |        (rn_distinct / rn_tokens >= 0.35 AND rmax_bigram / rn_bigrams < 0.08) AS keep
+      |      FROM ra JOIN rb USING (doc_id)),
+      |$langScoredCte,
+      |pred AS (SELECT doc_id, $predLangCase AS pred_lang FROM scored),
+      |base AS (SELECT f.*, k.keep, p.pred_lang
+      |      FROM feat f JOIN keepj k USING (doc_id) JOIN pred p USING (doc_id)),
+      |agg AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+      |        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+      |        CAST(SUM(n_alpha) AS BIGINT) AS a, CAST(SUM(n_chars_m) AS BIGINT) AS c,
+      |        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept
+      |      FROM base GROUP BY source),
+      |lc AS (SELECT source, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      |      FROM base GROUP BY 1, 2),
+      |lt AS (SELECT source, pred_lang AS top_lang, n AS top_lang_n,
+      |        row_number() OVER (PARTITION BY source ORDER BY n DESC, pred_lang ASC) AS rk
+      |      FROM lc)
+      |SELECT agg.source, n_docs, n_tokens,
+      |  n_tokens / n_docs AS tokens_per_doc,
+      |  a / c AS alpha_ratio,
+      |  kept / n_docs AS kept_frac,
+      |  top_lang, top_lang_n
+      |FROM agg JOIN lt USING (source) WHERE rk = 1 ORDER BY source""".stripMargin,
     "pipe_split_leakproof" -> (DedupSurface.survivorsCtes + s""",
       |surv AS (SELECT id AS doc_id, MIN(lab) AS survivor_id FROM reach GROUP BY id)
       |SELECT doc_id, survivor_id,

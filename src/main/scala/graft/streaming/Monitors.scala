@@ -44,6 +44,34 @@ object Monitors {
         sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total"))
 
+  /** Watermarked stream-stream join: each purchase pairs with the same
+    * user's clicks in the preceding `horizon` — the live attribution twin
+    * of the batch as-of join (`Relational.asofPurchaseClick`), emitting ALL
+    * qualifying clicks (the batch op picks the latest; a stream cannot know
+    * "latest" until the watermark closes, so the join emits the candidate
+    * set and attribution picks downstream). BOTH sides carry watermarks and
+    * the join condition bounds event-time distance, so each side's buffered
+    * state is evicted once the watermark passes — without the time bound
+    * the state would grow with the full stream history.
+    */
+  def purchaseClickJoin(eventsStream: DataFrame,
+      horizon: String = "1 hour"): DataFrame = {
+    val purchases = eventsStream.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+      .withWatermark("p_ts", "0 seconds")
+    val clicks = eventsStream.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+      .withWatermark("c_ts", "0 seconds")
+    purchases.join(clicks,
+      purchases("user_id") === clicks("user_id") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $horizon"),
+      "inner")
+      .select(purchases("user_id"), col("purchase_id"), col("click_id"))
+  }
+
   /** Streaming exact dedup: first-seen-wins on the normalized-text
     * fingerprint, with watermark-bounded state (fingerprints older than the
     * lateness horizon are evicted — at 100 TB/day the dedup state would

@@ -37,10 +37,10 @@ object TextSurface {
         .orderBy("doc_id")),
   )
 
-  private val padded = "' ' || lower(text) || ' '"
-  private def occ(needle: String): String =
+  private[graft] val padded = "' ' || lower(text) || ' '"
+  private[graft] def occ(needle: String): String =
     s"(length($padded) - length(replace($padded, '$needle', ''))) // ${needle.length}"
-  private def score(lang: String): String =
+  private[graft] def score(lang: String): String =
     TextAnalysis.stopwords(lang).map(occ).mkString("(", " + ", ")")
   private val allStops =
     TextAnalysis.stopwords.keys.toSeq.sorted.flatMap(TextAnalysis.stopwords)

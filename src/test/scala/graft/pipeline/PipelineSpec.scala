@@ -213,6 +213,47 @@ class PipelineSpec extends SparkSpec {
     assert(kept2 === kept.map(_._1).toSet)
   }
 
+  test("prepareCorpus end-to-end: scrubbed, filtered, decontaminated, deduped, split") {
+    val base = DedupSurface.corpus(spark, sf0001) // carries planted near-dups
+      .withColumn("source", concat(lit("src"), $"doc_id" % 3))
+    // plant PII on a slice so the scrub stage has work
+    val docs = base.withColumn("text",
+      when($"doc_id" % 4 === 0,
+        concat($"text", lit(" reach me at pii@leak.example.com")))
+        .otherwise($"text"))
+    val eval = base.filter($"doc_id" % 50 === 0).select($"doc_id", $"text")
+    val out = Pipeline.prepareCorpus(docs, eval, "doc_id", "text", "source",
+      threshold = 0.5).cache()
+    val texts = out.select($"text").as[String].collect()
+    assert(texts.nonEmpty)
+    // 1. no PII survives any output text
+    Pipeline.PiiPatterns.foreach { case (name, p, _) =>
+      val pat = java.util.regex.Pattern.compile(p)
+      assert(!texts.exists(t => t != null && pat.matcher(t).find()),
+        s"$name pattern still matchable in output")
+    }
+    // 2. repetition rule holds on the output corpus
+    val badRep = Pipeline.repetitionFilter(out, "doc_id", "text")
+      .filter(!$"keep").count()
+    assert(badRep === 0L, "a repetition-failing doc survived")
+    // 3. eval docs (leaked verbatim into the corpus) are gone
+    val evalIds = eval.select($"doc_id").as[Long].collect().toSet
+    val outIds = out.select($"doc_id").as[Long].collect().toSet
+    assert(evalIds.intersect(outIds).isEmpty, "contaminated docs survived")
+    // 4. no verified near-dup pair exists INSIDE the output
+    val pairs = Dedup.lshVerifiedPairs(out, "doc_id", "text", 0.5)
+      .as[(Long, Long, Double)].collect()
+      .filter(p => outIds(p._1) && outIds(p._2))
+    assert(pairs.isEmpty, s"near-dup pairs inside prepared corpus: ${pairs.take(3).toSeq}")
+    // 5. split column populated, and the whole pipeline is reproducible
+    assert(out.select($"split").distinct().as[String].collect().toSet
+      .subsetOf(Set("train", "test")))
+    val rerun = Pipeline.prepareCorpus(docs, eval, "doc_id", "text", "source",
+      threshold = 0.5).select($"doc_id").as[Long].collect().toSet
+    assert(rerun === outIds, "pipeline not reproducible")
+    out.unpersist()
+  }
+
   test("leakproof split never lets a verified near-dup pair straddle train/test") {
     val corpus = DedupSurface.corpus(spark, sf0001)
     val split = Pipeline.leakproofSplit(corpus, "doc_id", "text", 0.5)
