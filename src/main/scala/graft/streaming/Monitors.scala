@@ -86,6 +86,38 @@ object Monitors {
       .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark("fp")
 
+  /** The streaming face of the corpus-prep ingest: PII scrub + repetition
+    * rule (both stateless narrow projections — they stream trivially) +
+    * first-seen exact dedup with watermark-bounded state. A live pipeline
+    * runs THIS on arriving documents and leaves the batch-global stages
+    * (near-dup clustering, decontamination, mixture, split) to the daily
+    * `dedupAgainst`/`prepareCorpus` pass over the accumulated store — the
+    * standard lambda split: per-event hygiene in-stream, corpus-global
+    * decisions in batch.
+    *
+    * The repetition rule here is the tokens-only form (distinct-token
+    * ratio + top-token mass): per-doc, stateless, identical verdict to the
+    * batch `repetitionMetrics` token columns. The bigram statistic needs
+    * the explode→aggregate chain and is left to the batch filter.
+    */
+  def streamingPrepare(docsStream: DataFrame, tsCol: String, idCol: String,
+      textCol: String, lateness: String = "1 hour",
+      minDistinctRatio: Double = 0.35,
+      maxTopTokenFrac: Double = 0.5): DataFrame = {
+    val toks = split(graft.text.TextAnalysis.normalized(col(textCol)), " ")
+    val scrubbed = docsStream
+      .withColumn(textCol, graft.pipeline.Pipeline.redactText(col(textCol)))
+      .withColumn("__n", size(toks).cast("long"))
+      .withColumn("__distinct", size(array_distinct(toks)).cast("long"))
+      .withColumn("__max", array_max(
+        transform(array_distinct(toks),
+          t => size(filter(toks, x => x === t)).cast("long"))))
+      .filter(col("__distinct") / col("__n") >= minDistinctRatio &&
+        col("__max") / col("__n") <= maxTopTokenFrac)
+      .drop("__n", "__distinct", "__max")
+    streamingExactDedup(scrubbed, tsCol, textCol, lateness)
+  }
+
   /** Approximate streaming NEAR-dedup (the streaming face of
     * `Dedup.lshCandidates`): each incoming doc claims its MinHash band
     * buckets; `dropDuplicatesWithinWatermark` keeps only the FIRST claim of

@@ -35,6 +35,33 @@ class StreamingDedupSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingPrepare: scrubbed, token-rule filtered, one survivor per fingerprint") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sprep").toString + "/src"
+    Seq(
+      (1L, "a varied doc with an email pii@x.example.com inside it"),
+      (2L, "a varied doc with an email pii@x.example.com inside it"), // exact dup post-scrub
+      (3L, "spam spam spam spam spam spam spam spam"), // fails token rule
+      (4L, "another perfectly ordinary document of words"))
+      .toDF("doc_id", "text")
+      .withColumn("ts", to_timestamp(lit("2024-01-01 00:00:01")))
+      .write.parquet(dir)
+    val stream = spark.readStream
+      .schema("doc_id long, text string, ts timestamp").parquet(dir)
+    val q = Monitors.runToMemory(
+      Monitors.streamingPrepare(stream, "ts", "doc_id", "text"),
+      "prep_out", "append")
+    try {
+      val rows = spark.table("prep_out")
+        .select($"doc_id", $"text").as[(Long, String)].collect()
+      val ids = rows.map(_._1).toSet
+      assert(!rows.exists(_._2.contains("@")), "PII survived the stream scrub")
+      assert(!ids.contains(3L), "repetition-failing doc survived")
+      assert(ids.size === 2 && ids.contains(4L) &&
+        ids.intersect(Set(1L, 2L)).size === 1,
+        s"expected one survivor of the dup pair + doc 4, got $ids")
+    } finally q.stop()
+  }
+
   test("streaming band claims flag near-dup clusters: one full claimant per exact cluster") {
     val bands = 6
     val dir = java.nio.file.Files.createTempDirectory("graft-snear").toString + "/src"
