@@ -114,7 +114,7 @@ object DedupSurface {
   /** Fold 12 hex chars of `x` starting at 1-based `start` into a BIGINT —
     * the oracle's `Long.parseLong(hex.substring(...), 16)`.
     */
-  private def hexFoldSql(x: String, start: Int): String =
+  private[graft] def hexFoldSql(x: String, start: Int): String =
     s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
        |  list_transform(range($start, ${start + 12}),
        |    i -> CAST(strpos('0123456789abcdef', substr($x, CAST(i AS INT), 1)) - 1 AS BIGINT))),

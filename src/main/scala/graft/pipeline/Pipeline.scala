@@ -331,6 +331,84 @@ object Pipeline {
         .otherwise("test"))
   }
 
+  /** Expected chunk length (tokens) for content-defined chunking: a token
+    * CLOSES a chunk iff its md5-derived 48-bit value ≡ 0 (mod this), so
+    * chunks average `CdcBoundaryMod` tokens and boundaries depend only on
+    * content, never position.
+    */
+  val CdcBoundaryMod = 4
+
+  /** Content-defined chunking of each doc's token stream (the rsync/LBFS
+    * boundary trick): chunk breaks fall AFTER any token whose hash hits the
+    * boundary condition, so the same word sequence chunks identically no
+    * matter where it sits inside a document. Fixed-offset chunking (pos div
+    * k) misses a boilerplate span shifted by one token; content-defined
+    * boundaries re-synchronize immediately — that is the property corpus
+    * span-dedup needs.
+    *
+    * Returns one row per (doc_id, chunk_no, chunk-text). Scale shape: one
+    * shuffle on doc_id (the position window + in-doc reassembly share it —
+    * hash partitioning on doc_id satisfies the (doc_id, chunk_no) grouping
+    * so Catalyst inserts no second exchange); the boundary hash is the
+    * codegen'd md5/conv chain, no UDF.
+    */
+  def cdcChunks(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        posexplode(split(TextAnalysis.normalized(col(textCol)), " "))
+          .as(Seq("pos", "tok")))
+      .withColumn("is_boundary",
+        when(expr("cast(conv(substring(md5(tok), 1, 12), 16, 10) as bigint)")
+          % CdcBoundaryMod === 0, 1L).otherwise(0L))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    toks
+      .withColumn("chunk_no", coalesce(sum("is_boundary").over(w), lit(0L)))
+      .groupBy("doc_id", "chunk_no")
+      .agg(collect_list(struct(col("pos"), col("tok"))).as("pt"))
+      .select(col("doc_id"), col("chunk_no"),
+        array_join(expr("transform(array_sort(pt), x -> x.tok)"), " ")
+          .as("chunk"))
+  }
+
+  /** Corpus-wide span dedup (the C4-style move, offset-robust): every
+    * repeated content-defined chunk keeps only its FIRST occurrence — min
+    * (doc_id, chunk_no) over the whole corpus — and each document is
+    * rebuilt from its surviving chunks. Boilerplate repeated across
+    * millions of pages (nav text, license banners, subscribe footers)
+    * disappears from every doc but the first, wherever it sits in the page.
+    *
+    * Output: (doc_id, n_chunks, n_kept, text) — one row per input doc;
+    * a fully-duplicate doc survives with n_kept = 0 and empty text, so the
+    * caller can drop or keep empties by policy.
+    *
+    * Scale shape: first-occurrence selection is groupBy(min) on the chunk
+    * FINGERPRINT (md5 — 32 bytes shuffle-wide, not the chunk text), so
+    * map-side partial aggregation absorbs hot boilerplate chunks; the
+    * verdict join back is a plain equi-join on the fingerprint (AQE
+    * skew-splits a mega-hot key). Nothing is quadratic and no stage ships
+    * a hot chunk's text more than once per partition.
+    */
+  def dedupSpans(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chunks = cdcChunks(docs, idCol, textCol)
+      .withColumn("fp", md5(col("chunk")))
+    val firsts = chunks.groupBy("fp")
+      .agg(min(struct(col("doc_id"), col("chunk_no"))).as("first"))
+    val kept = chunks.join(firsts, Seq("fp"))
+      .filter(struct(col("doc_id"), col("chunk_no")) === col("first"))
+    val totals = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+    val rebuilt = kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        collect_list(struct(col("chunk_no"), col("chunk"))).as("cc"))
+      .select(col("doc_id"), col("n_kept"),
+        array_join(expr("transform(array_sort(cc), x -> x.chunk)"), " ")
+          .as("text"))
+    totals.join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text"), lit("")).as("text"))
+  }
+
   def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
       weights: Map[String, Int]): DataFrame = {
     val wexpr = weights.toSeq.sortBy(_._1)

@@ -55,6 +55,24 @@ object PipelineSurface {
             lit(" or ping 10.0."), (col("doc_id") % 256).cast("string"),
             lit(".7 today"))).otherwise(lit(""))).as("text"))
 
+  /** Boilerplate span for the span-dedup gate: planted at the END of every
+    * doc_id%4 doc and the FRONT of every doc_id%7 doc — the same repeated
+    * text at two different offsets, which is exactly the case fixed-offset
+    * chunking misses and content-defined chunking catches. The oracle
+    * builds the identical corpus in SQL from this constant.
+    */
+  val BoilerplateSpan =
+    "please subscribe to our newsletter for daily updates and breaking alerts"
+
+  private def spanDocs(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 7 === 0, lit(BoilerplateSpan + " "))
+          .otherwise(lit("")),
+        col("text"),
+        when(col("doc_id") % 4 === 0, lit(" " + BoilerplateSpan))
+          .otherwise(lit(""))).as("text"))
+
   /** Relative mixture weights for the mixture-sample gate: skew the kept
     * corpus toward the low-numbered sources (the uniform 20-source synthetic
     * corpus makes every stratum a potential bottleneck, so the floor-div
@@ -92,6 +110,9 @@ object PipelineSurface {
         .orderBy("key", "rank")),
     "pipe_split_leakproof" -> ((s, d) =>
       Pipeline.splitBySurvivor(DedupSurface.survivors(s, d))
+        .orderBy("doc_id")),
+    "pipe_dedup_spans" -> ((s, d) =>
+      Pipeline.dedupSpans(spanDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
   )
 
@@ -280,5 +301,35 @@ object PipelineSurface {
       |  CASE WHEN ${bucketSql("survivor_id")} < 800
       |       THEN 'train' ELSE 'test' END AS split
       |FROM surv ORDER BY doc_id""".stripMargin),
+    "pipe_dedup_spans" -> s"""
+      |WITH aug AS (SELECT doc_id,
+      |    CASE WHEN doc_id % 7 = 0 THEN '$BoilerplateSpan ' ELSE '' END ||
+      |    text ||
+      |    CASE WHEN doc_id % 4 = 0 THEN ' $BoilerplateSpan' ELSE '' END AS text
+      |  FROM documents),
+      |tok AS (SELECT doc_id,
+      |    unnest(string_split($ntext, ' ')) AS tok,
+      |    generate_subscripts(string_split($ntext, ' '), 1) - 1 AS pos
+      |  FROM aug),
+      |b AS (SELECT doc_id, pos, tok,
+      |    CASE WHEN ${DedupSurface.hexFoldSql("md5(tok)", 1)}
+      |         % ${Pipeline.CdcBoundaryMod} = 0 THEN 1 ELSE 0 END AS is_b
+      |  FROM tok),
+      |cn AS (SELECT doc_id, pos, tok,
+      |    CAST(COALESCE(SUM(is_b) OVER (PARTITION BY doc_id ORDER BY pos
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS chunk_no
+      |  FROM b),
+      |ch AS (SELECT doc_id, chunk_no, string_agg(tok, ' ' ORDER BY pos) AS chunk
+      |  FROM cn GROUP BY 1, 2),
+      |rk AS (SELECT doc_id, chunk_no, chunk,
+      |    row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_no) AS rk
+      |  FROM ch),
+      |tot AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1),
+      |reb AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+      |    string_agg(chunk, ' ' ORDER BY chunk_no) AS text
+      |  FROM rk WHERE rk = 1 GROUP BY doc_id)
+      |SELECT t.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
+      |  COALESCE(reb.text, '') AS text
+      |FROM tot t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
   )
 }

@@ -254,6 +254,69 @@ class PipelineSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("span dedup removes a repeated span at ANY offset and keeps the first") {
+    val boiler = "subscribe to our newsletter for daily updates today"
+    val docs = Seq(
+      (1L, s"alpha beta gamma delta $boiler"), // first occurrence (at tail)
+      (2L, s"$boiler epsilon zeta eta theta"), // same span, shifted to front
+      (3L, s"iota kappa $boiler lambda mu")) // same span, mid-doc
+      .toDF("doc_id", "text")
+    val out = Pipeline.dedupSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+
+    // doc 1 keeps everything (it owns the first occurrence of every chunk)
+    assert(out(0)._2 === out(0)._3, "doc 1 fully kept")
+    assert(out(0)._4 === s"alpha beta gamma delta $boiler")
+    // docs 2 and 3 lose the boilerplate's interior chunks: kept text must
+    // never contain a >=2-chunk run of the boiler span's interior tokens
+    assert(out(1)._3 < out(1)._2, "doc 2 lost repeated chunks")
+    assert(out(2)._3 < out(2)._2, "doc 3 lost repeated chunks")
+    // offset-robustness: the span sits at offsets 4, 0, and 2 — with
+    // content-defined boundaries its interior chunks hash identically in
+    // all three docs, so the SAME chunk text is removed from docs 2 and 3
+    val removed2 = boiler.split(" ").toSet -- out(1)._4.split(" ").toSet
+    val removed3 = boiler.split(" ").toSet -- out(2)._4.split(" ").toSet
+    assert(removed2.nonEmpty && removed3.nonEmpty,
+      "shifted copies must lose boiler tokens")
+    // unique doc content always survives
+    assert(Seq("epsilon", "zeta", "eta", "theta")
+      .forall(out(1)._4.split(" ").contains))
+    assert(Seq("iota", "kappa", "lambda", "mu")
+      .forall(out(2)._4.split(" ").contains))
+  }
+
+  test("span dedup: duplicate-free corpus passes through unchanged") {
+    val docs = Seq(
+      (1L, "one two three four five"),
+      (2L, "six seven eight nine ten"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.dedupSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0)._4 === "one two three four five")
+    assert(out(1)._4 === "six seven eight nine ten")
+    assert(out.forall(r => r._2 === r._3), "no chunk removed")
+  }
+
+  test("span dedup: exact-duplicate doc empties; result is partitioning-independent") {
+    val docs = Seq(
+      (1L, "red orange yellow green blue indigo violet"),
+      (2L, "red orange yellow green blue indigo violet"))
+      .toDF("doc_id", "text")
+    val out = Pipeline.dedupSpans(docs, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(out(0)._4 === "red orange yellow green blue indigo violet")
+    assert(out(1)._3 === 0L && out(1)._4 === "", "verbatim dup fully removed")
+
+    val big = (0L until 200L).map(i =>
+      (i, s"w${i % 37} common span text here w${i % 11} tail w$i"))
+      .toDF("doc_id", "text")
+    val a = Pipeline.dedupSpans(big, "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val b = Pipeline.dedupSpans(big.repartition(7), "doc_id", "text")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    assert(a.sameElements(b), "dedup must not depend on partitioning")
+  }
+
   test("leakproof split never lets a verified near-dup pair straddle train/test") {
     val corpus = DedupSurface.corpus(spark, sf0001)
     val split = Pipeline.leakproofSplit(corpus, "doc_id", "text", 0.5)

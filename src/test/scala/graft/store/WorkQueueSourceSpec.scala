@@ -116,16 +116,22 @@ class WorkQueueSourceSpec extends SparkSpec {
 
   test("lease expiry: a dead holder's lock is taken over, a live one is not") {
     val dir = java.nio.file.Files.createTempDirectory("graft-lease").toString
-    // holder claims with a short lease, then "crashes" (never renews)
+    // live-lease rejection on its own item with a lease far longer than any
+    // suite-load scheduling delay (a short lease here flakes: if the second
+    // claim's job launches late, the lease has already expired and the
+    // takeover is legitimately accepted)
+    claimLeased(dir, Seq(("item_live", "lockLive", "w1", null, 600000L)))
+    claimLeased(dir, Seq(("item_live", "lockEarly", "w2", null, 60000L)))
+    // expiry takeover on a separate item: holder claims with a short lease,
+    // then "crashes" (never renews); the sleep only makes it MORE expired,
+    // so this direction cannot flake under load
     claimLeased(dir, Seq(("item_l", "lockOld", "dead-worker", null, 400L)))
-    // immediate takeover attempt: lease still live -> rejected
-    claimLeased(dir, Seq(("item_l", "lockEarly", "w2", null, 60000L)))
     Thread.sleep(900)
-    // lease long expired -> a FRESH claim takes the lock over
     claimLeased(dir, Seq(("item_l", "lockNew", "w3", null, 60000L)))
     val res = results(dir)
+    assert(res.contains(("item_live", "accepted", "lockLive")))
+    assert(res.contains(("item_live", "rejected", "lockLive"))) // live -> told holder
     assert(res.contains(("item_l", "accepted", "lockOld")))
-    assert(res.contains(("item_l", "rejected", "lockOld"))) // early try told holder
     assert(res.contains(("item_l", "accepted", "lockNew"))) // expired takeover
     val st = WorkQueueClaimWrite.lockState(dir, "item_l")
     assert(st.map(_._1) === Some("lockNew"))
