@@ -26,7 +26,9 @@ object SparkEntry {
       store.DerivedItems.nestedTaskRows(s, d).orderBy("itemID", "taskKey")),
   ) ++ ReferenceSurface.queries ++ MutationSurface.queries ++
     ExecutionSurface.queries ++ analytics.Relational.queries ++
-    analytics.Sessions.queries ++ analytics.Ranking.queries ++
+    analytics.Sessions.queries ++ analytics.TimeSeries.queries ++
+    analytics.Layout.queries ++ analytics.FuzzyJoin.queries ++
+    analytics.Ranking.queries ++
     text.TextSurface.queries ++ dedup.DedupSurface.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
     pipeline.PipelineSurface.queries
@@ -42,7 +44,9 @@ object SparkEntry {
         "\nSELECT * FROM ntasks ORDER BY itemID, taskKey"),
   ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles ++
     ExecutionSurface.oracles ++ analytics.Relational.oracles ++
-    analytics.Sessions.oracles ++ analytics.Ranking.oracles ++
+    analytics.Sessions.oracles ++ analytics.TimeSeries.oracles ++
+    analytics.Layout.oracles ++ analytics.FuzzyJoin.oracles ++
+    analytics.Ranking.oracles ++
     text.TextSurface.oracles ++ dedup.DedupSurface.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
     pipeline.PipelineSurface.oracles

@@ -1,0 +1,102 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Time-series regularization over the events stream: resample each key's
+  * irregular observations onto a fixed time grid and gap-fill by
+  * last-observation-carried-forward (LOCF) — the step every metrics /
+  * feature-engineering pipeline runs before joining event-derived series
+  * with anything sampled on a clock.
+  *
+  * All grid arithmetic is exact epoch-microsecond integer division (same
+  * convention as [[Sessions]]): bucket = us div step, so engines agree
+  * bit-for-bit and the observed `value` doubles are carried verbatim —
+  * never recomputed — into the output.
+  *
+  * Scale shape: ONE shuffle on the key; the per-bucket last-observation
+  * aggregate, the per-key grid bounds, the grid join, and the LOCF window
+  * all share that partitioning. The grid explode emits span/step rows per
+  * key on that key's task — the caller picks a step sane for the span
+  * (a year of seconds-resolution grid per key would be 3e7 rows on one
+  * task; resample hourly, then explode the hour into finer grain in a
+  * second pass if truly needed).
+  */
+object TimeSeries {
+
+  /** Gate grid step: 6 h over the one-month synthetic events span gives
+    * ~120 buckets/key with purchase observations in ~10% of them — both
+    * the observed and the gap-fill branch run on every key.
+    */
+  val GateStepMicros: Long = 6L * 3600 * 1000 * 1000
+
+  /** One row per (key, grid bucket) from the key's first to last observed
+    * bucket: `n_obs` observations landed in the bucket, `value` is the
+    * bucket's LAST observation (max (ts, event id) — deterministic under
+    * ties) carried forward through empty buckets, `is_gap` marks filled
+    * rows. The first bucket per key is observed by construction, so
+    * `value` is never null.
+    */
+  def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, stepMicros: Long): DataFrame = {
+    val obs0 = events.select(col(keyCol).as("key"), col(idCol).as("eid"),
+        unix_micros(col(tsCol)).as("us"), col(valueCol).as("value"))
+      .withColumn("bucket", expr(s"us div ${stepMicros}L"))
+    // (us, eid) is unique per event, so max(struct) picks one observation
+    // deterministically — order-free, partial-aggregatable
+    val obs = obs0.groupBy("key", "bucket")
+      .agg(count(lit(1)).as("n_obs"),
+        max(struct(col("us"), col("eid"), col("value"))).as("lastObs"))
+      .select(col("key"), col("bucket"), col("n_obs"),
+        col("lastObs.value").as("obs_value"))
+    val grid = obs.groupBy("key")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("key"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val w = Window.partitionBy("key").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .withColumn("is_gap", col("obs_value").isNull)
+      .select(col("key"), col("bucket"),
+        (col("bucket") * stepMicros).as("bucket_us"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        last("obs_value", ignoreNulls = true).over(w).as("value"),
+        col("is_gap"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_resample_locf" -> ((s, d) =>
+      resampleLocf(Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", "ts", "event_id", "value", GateStepMicros)
+        .orderBy("key", "bucket")))
+
+  /** DuckDB twin: identical bucket arithmetic over epoch_us; the
+    * deterministic "last observation" is the row_number twin of the
+    * Spark-side struct max, and LOCF is last_value IGNORE NULLS.
+    */
+  val oracles: Map[String, String] = Map(
+    "evt_resample_locf" -> s"""
+      |WITH e AS (SELECT user_id AS key, event_id AS eid, epoch_us(ts) AS us,
+      |    value, epoch_us(ts) // ${GateStepMicros} AS bucket
+      |  FROM events WHERE event_type = 'purchase'),
+      |cnt AS (SELECT key, bucket, CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM e GROUP BY 1, 2),
+      |rk AS (SELECT key, bucket, value,
+      |    row_number() OVER (PARTITION BY key, bucket ORDER BY us DESC, eid DESC) AS rn
+      |  FROM e),
+      |obs AS (SELECT key, bucket, n_obs, value AS obs_value
+      |  FROM cnt JOIN (SELECT key, bucket, value FROM rk WHERE rn = 1)
+      |  USING (key, bucket)),
+      |span AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM e GROUP BY 1),
+      |grid AS (SELECT key, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+      |j AS (SELECT g.key, g.bucket, o.n_obs, o.obs_value
+      |  FROM grid g LEFT JOIN obs o USING (key, bucket))
+      |SELECT key, bucket, bucket * ${GateStepMicros} AS bucket_us,
+      |  COALESCE(n_obs, 0) AS n_obs,
+      |  last_value(obs_value IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+      |  obs_value IS NULL AS is_gap
+      |FROM j ORDER BY key, bucket""".stripMargin)
+}

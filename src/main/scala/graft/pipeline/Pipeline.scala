@@ -331,6 +331,25 @@ object Pipeline {
         .otherwise("test"))
   }
 
+  /** Exactly-n-per-stratum deterministic sample (eval-set construction,
+    * per-source spot-check corpora): rank each stratum's docs by the id's
+    * multiplicative hash (id as tie-break) and keep the first n — a
+    * pseudo-random but reproducible choice, independent of partitioning.
+    * Unlike [[stratifiedSample]]'s rate filter this guarantees the exact
+    * count. The rank filter is `row_number() <= n`, so `RewriteWindowTopK`
+    * lowers it onto the TopKPerKey physical operator in GraftExtensions
+    * sessions — bounded heaps around the exchange, never a full per-stratum
+    * sort of a 100 TB stratum.
+    */
+  def samplePerStratum(docs: DataFrame, idCol: String, strataCol: String,
+      n: Int): DataFrame = {
+    val w = Window.partitionBy(strataCol)
+      .orderBy(col("hkey"), col(idCol).cast("long"))
+    docs.withColumn("hkey", hashBucket(col(idCol), 1 << 20))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= n)
+  }
+
   /** Expected chunk length (tokens) for content-defined chunking: a token
     * CLOSES a chunk iff its md5-derived 48-bit value ≡ 0 (mod this), so
     * chunks average `CdcBoundaryMod` tokens and boundaries depend only on

@@ -114,6 +114,10 @@ object PipelineSurface {
     "pipe_dedup_spans" -> ((s, d) =>
       Pipeline.dedupSpans(spanDocs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    "pipe_sample_exact_n" -> ((s, d) =>
+      Pipeline.samplePerStratum(Tables.documents(s, d)
+          .select("doc_id", "source"), "doc_id", "source", 20)
+        .orderBy("source", "rank")),
   )
 
   // ---- DuckDB fragments mirroring the Scala expressions ----
@@ -141,11 +145,13 @@ object PipelineSurface {
     .map { case (l, r) => s"WHEN lang = '$l' THEN $r" }
     .mkString("CASE ", " ", " ELSE 0 END")
 
-  /** SQL twin of `Pipeline.hashBucket(x, 1000)`: floorMod twice, with the
+  /** SQL twin of `Pipeline.hashBucket(x, denom)`: floorMod twice, with the
     * inner fold keeping the product under 2^62.
     */
-  private def bucketSql(x: String): String =
-    s"((($x % 2147483647 + 2147483647) % 2147483647) * 2654435761 % 1000 + 1000) % 1000"
+  private def bucketSqlD(x: String, denom: Long): String =
+    s"((($x % 2147483647 + 2147483647) % 2147483647) * 2654435761 % $denom + $denom) % $denom"
+
+  private def bucketSql(x: String): String = bucketSqlD(x, 1000L)
 
   /** SQL twin of [[piiDocs]] — continuation lines never START with `||`
     * (stripMargin would eat one pipe), so the concat operator trails.
@@ -331,5 +337,14 @@ object PipelineSurface {
       |SELECT t.doc_id, n_chunks, COALESCE(n_kept, 0) AS n_kept,
       |  COALESCE(reb.text, '') AS text
       |FROM tot t LEFT JOIN reb USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "pipe_sample_exact_n" -> s"""
+      |WITH h AS (SELECT doc_id, source,
+      |    ${bucketSqlD("doc_id", 1L << 20)} AS hkey
+      |  FROM documents),
+      |r AS (SELECT doc_id, source, hkey,
+      |    row_number() OVER (PARTITION BY source ORDER BY hkey, doc_id) AS rank
+      |  FROM h)
+      |SELECT doc_id, source, hkey, CAST(rank AS BIGINT) AS rank
+      |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
   )
 }

@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for the LLM-data-pipeline surface (BASELINE.json
@@ -102,6 +103,41 @@ object TextAnalysis {
     * shingle hash (rolling-fingerprint/winnowing representative) — short
     * docs fall back to the whole-doc hash.
     */
+  /** Salient-term extraction — the exact-integer core of tf-idf: each
+    * doc's top-k terms ranked by term frequency, document frequency
+    * ascending as the tie-break (rarer term = more salient), term text
+    * last. `tf`, `df`, and the corpus size `n_docs` ride along so any
+    * downstream weighting (idf, BM25 saturation) is one local expression —
+    * the RANKING itself stays in integer space, bit-reproducible on any
+    * engine/cluster (a float tf·idf rank would hinge on last-ulp ln()
+    * differences across libm implementations).
+    *
+    * Scale shape: tf is one explode→partial-agg on (doc, term); df
+    * re-aggregates the tf table by term (hot terms absorbed map-side);
+    * the df join back is term-co-partitioned; the per-doc rank filter is
+    * row_number()<=k, lowered onto TopKPerKey under GraftExtensions (no
+    * per-doc sort at scale). n_docs is a 1-row broadcast cross join, not
+    * a collect.
+    */
+  def topTermsPerDoc(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        explode(split(normalized(col(textCol)), " ")).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nDocs = docs.select(
+      countDistinct(col(idCol).cast("long")).as("n_docs"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .crossJoin(broadcast(nDocs))
+      .select("doc_id", "rank", "term", "tf", "df", "n_docs")
+  }
+
   def withFingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
     val tokens = split(normalized(col(textCol)), " ")
     docs

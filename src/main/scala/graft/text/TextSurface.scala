@@ -35,6 +35,9 @@ object TextSurface {
       TextAnalysis.withFingerprints(docs(s, d))
         .select("doc_id", "fp_md5", "fp_shingle_min")
         .orderBy("doc_id")),
+    "txt_salient_terms" -> ((s, d) =>
+      TextAnalysis.topTermsPerDoc(docs(s, d), "doc_id", "text", 5)
+        .orderBy("doc_id", "rank")),
   )
 
   private[graft] val padded = "' ' || lower(text) || ' '"
@@ -115,5 +118,20 @@ object TextSurface {
         |              i -> md5(array_to_string(list_slice(tokens, i, i + 4), ' '))))
         |       ELSE md5(ntext) END AS fp_shingle_min
         |FROM tok ORDER BY doc_id""".stripMargin,
+    "txt_salient_terms" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    unnest(string_split(trim(regexp_replace(lower(text), '\s+', ' ', 'g')), ' ')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+        |  FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM documents),
+        |r AS (SELECT doc_id, term, tf.tf, df.df,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, term ASC) AS rank
+        |  FROM tf JOIN df USING (term))
+        |SELECT doc_id, rank, term, tf, df, n_docs
+        |FROM r, nd WHERE rank <= 5 ORDER BY doc_id, rank""".stripMargin,
   )
 }

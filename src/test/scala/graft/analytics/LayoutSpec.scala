@@ -1,0 +1,64 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zValue interleaves bits exactly and bijects the tile grid") {
+    val rows = Seq((1L, 2L), (0L, 0L), (3L, 3L), (5L, 0L))
+      .toDF("a", "b")
+      .select(Layout.zValue($"a", $"b", 3).as("z")).as[Long].collect()
+    // a=001 -> z bits 0; b=010 -> z bit 3: z = 1 + 8 = 9
+    assert(rows(0) === 9L)
+    assert(rows(1) === 0L)
+    // a=011,b=011 -> z = 1+2+4+8 = 15
+    assert(rows(2) === 15L)
+    // a=101 -> bits 0 and 4: 1 + 16
+    assert(rows(3) === 17L)
+
+    val grid = (for (a <- 0 until 16; b <- 0 until 16) yield (a.toLong, b.toLong))
+      .toDF("a", "b").select(Layout.zValue($"a", $"b", 4).as("z"))
+      .as[Long].collect()
+    assert(grid.distinct.length === 256, "z is a bijection on the 4-bit grid")
+    assert(grid.min === 0L && grid.max === 255L)
+  }
+
+  test("zorderBy yields disjoint z-ranges whose tiles prune BOTH dimensions") {
+    val pts = (for (a <- 0L until 64L; b <- 0L until 64L) yield (a, b))
+      .toDF("a", "b")
+    val parts = Layout.zorderBy(pts, "a", "b", bits = 6, numFiles = 16)
+      .select(spark_partition_id().as("pid"), $"a", $"b", $"_z")
+      .groupBy("pid")
+      .agg(min("_z").as("zmin"), max("_z").as("zmax"),
+        min("a").as("amin"), max("a").as("amax"),
+        min("b").as("bmin"), max("b").as("bmax"),
+        count(lit(1)).as("n"))
+      .collect()
+    assert(parts.map(_.getAs[Long]("n")).sum === 64L * 64)
+    // range partitioning on z: partition z-ranges never overlap
+    val ranges = parts.map(r =>
+      (r.getAs[Long]("zmin"), r.getAs[Long]("zmax"))).sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo, _)) => assert(hi < lo, "z-ranges must be disjoint")
+      case _ =>
+    }
+    // the pruning claim: a filter on b ALONE (b < 8) touches few z-tiles,
+    // while a layout sorted by `a` only cannot prune it at all
+    val zHit = parts.count { r =>
+      r.getAs[Long]("bmin") < 8
+    }
+    assert(zHit <= parts.length / 2,
+      s"b-only box should prune most z-tiles, hit $zHit of ${parts.length}")
+
+    val aSorted = pts.repartitionByRange(16, $"a").sortWithinPartitions("a")
+      .select(spark_partition_id().as("pid"), $"b")
+      .groupBy("pid").agg(min("b").as("bmin")).collect()
+    val aHit = aSorted.count(_.getAs[Long]("bmin") < 8)
+    assert(aHit === aSorted.length,
+      "single-column layout cannot prune the other dimension")
+    assert(zHit < aHit, s"zorder ($zHit tiles) must beat a-sort ($aHit slabs)")
+  }
+}
