@@ -26,7 +26,8 @@ object SparkEntry {
       store.DerivedItems.nestedTaskRows(s, d).orderBy("itemID", "taskKey")),
   ) ++ ReferenceSurface.queries ++ MutationSurface.queries ++
     ExecutionSurface.queries ++ analytics.Relational.queries ++
-    analytics.Sessions.queries ++ analytics.TimeSeries.queries ++
+    analytics.Sessions.queries ++ analytics.Behavior.queries ++
+    analytics.TimeSeries.queries ++
     analytics.Layout.queries ++ analytics.FuzzyJoin.queries ++
     analytics.Ranking.queries ++
     text.TextSurface.queries ++ dedup.DedupSurface.queries ++
@@ -44,7 +45,8 @@ object SparkEntry {
         "\nSELECT * FROM ntasks ORDER BY itemID, taskKey"),
   ) ++ ReferenceSurface.oracles ++ MutationSurface.oracles ++
     ExecutionSurface.oracles ++ analytics.Relational.oracles ++
-    analytics.Sessions.oracles ++ analytics.TimeSeries.oracles ++
+    analytics.Sessions.oracles ++ analytics.Behavior.oracles ++
+    analytics.TimeSeries.oracles ++
     analytics.Layout.oracles ++ analytics.FuzzyJoin.oracles ++
     analytics.Ranking.oracles ++
     text.TextSurface.oracles ++ dedup.DedupSurface.oracles ++
