@@ -30,7 +30,8 @@ object SparkEntry {
     analytics.TimeSeries.queries ++
     analytics.Layout.queries ++ analytics.FuzzyJoin.queries ++
     analytics.Ranking.queries ++
-    text.TextSurface.queries ++ dedup.DedupSurface.queries ++
+    text.TextSurface.queries ++ text.Search.queries ++
+    text.HeavyHitters.queries ++ dedup.DedupSurface.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
     pipeline.PipelineSurface.queries
 
@@ -49,7 +50,8 @@ object SparkEntry {
     analytics.TimeSeries.oracles ++
     analytics.Layout.oracles ++ analytics.FuzzyJoin.oracles ++
     analytics.Ranking.oracles ++
-    text.TextSurface.oracles ++ dedup.DedupSurface.oracles ++
+    text.TextSurface.oracles ++ text.Search.oracles ++
+    text.HeavyHitters.oracles ++ dedup.DedupSurface.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
     pipeline.PipelineSurface.oracles
 }
