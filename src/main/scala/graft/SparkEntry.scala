@@ -29,7 +29,7 @@ object SparkEntry {
     analytics.Sessions.queries ++ analytics.Behavior.queries ++
     analytics.TimeSeries.queries ++
     analytics.Layout.queries ++ analytics.FuzzyJoin.queries ++
-    analytics.Ranking.queries ++
+    analytics.Ranking.queries ++ analytics.Graph.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
     text.HeavyHitters.queries ++ dedup.DedupSurface.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
@@ -49,7 +49,7 @@ object SparkEntry {
     analytics.Sessions.oracles ++ analytics.Behavior.oracles ++
     analytics.TimeSeries.oracles ++
     analytics.Layout.oracles ++ analytics.FuzzyJoin.oracles ++
-    analytics.Ranking.oracles ++
+    analytics.Ranking.oracles ++ analytics.Graph.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HeavyHitters.oracles ++ dedup.DedupSurface.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++

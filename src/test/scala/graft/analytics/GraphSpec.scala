@@ -1,0 +1,53 @@
+package graft.analytics
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def edgeDf(es: Seq[(Long, Long)]) =
+    es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }
+      .distinct.toDF("src", "dst")
+
+  private def naiveTriangles(es: Seq[(Long, Long)]): Long = {
+    val set = es.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+    val nodes = set.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+    (for {
+      a <- nodes; b <- nodes if a < b && set((a, b))
+      c <- nodes if b < c && set((b, c)) && set((a, c))
+    } yield 1).size.toLong
+  }
+
+  test("triangle count matches brute force on known graphs") {
+    // K4 has 4 triangles; plus a pendant edge and an isolated edge
+    val k4 = for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b)
+    val es = k4 ++ Seq((4L, 9L), (20L, 21L))
+    val got = Graph.triangleCount(edgeDf(es)).as[Long].head()
+    assert(got === 4L)
+    assert(got === naiveTriangles(es))
+  }
+
+  test("degree-ordered count agrees with brute force on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val es = Seq.fill(300)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val got = Graph.triangleCount(edgeDf(es)).as[Long].head()
+    assert(got === naiveTriangles(es))
+  }
+
+  test("hub nodes generate no wedges from themselves (star graph = 0 triangles)") {
+    // star: hub 0 connected to 1..50 — zero triangles, and the oriented
+    // adjacency must not square the hub
+    val es = (1L to 50L).map(i => (0L, i))
+    val got = Graph.triangleCount(edgeDf(es)).as[Long].head()
+    assert(got === 0L)
+  }
+
+  test("coOccurrenceEdges builds distinct ordered pairs per group") {
+    val df = Seq((1L, 10L), (1L, 20L), (1L, 10L), (1L, 30L), (2L, 10L),
+      (2L, 20L)).toDF("k", "item")
+    val es = Graph.coOccurrenceEdges(df, "k", "item")
+      .as[(Long, Long)].collect().toSet
+    assert(es === Set((10L, 20L), (10L, 30L), (20L, 30L)))
+  }
+}
