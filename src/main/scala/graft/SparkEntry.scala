@@ -32,6 +32,7 @@ object SparkEntry {
     analytics.Ranking.queries ++ analytics.Graph.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
     text.HeavyHitters.queries ++ dedup.DedupSurface.queries ++
+    dedup.SemanticDedup.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
     pipeline.PipelineSurface.queries
 
@@ -52,6 +53,7 @@ object SparkEntry {
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HeavyHitters.oracles ++ dedup.DedupSurface.oracles ++
+    dedup.SemanticDedup.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
     pipeline.PipelineSurface.oracles
 }

@@ -63,7 +63,7 @@ object SimSurface {
     * engines produce the bit-identical codebook) with empty centroids
     * keeping their previous vector.
     */
-  private def lloydCtes(k: Int, iters: Int): String = {
+  private[graft] def lloydCtes(k: Int, iters: Int): String = {
     val init = s"cent0 AS (SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT $k)"
     val rounds = (1 to iters).map { i =>
       val prev = s"cent${i - 1}"
