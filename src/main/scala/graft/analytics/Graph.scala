@@ -58,16 +58,25 @@ object Graph {
       when(srcLower, col("dst")).otherwise(col("src")).as("w"),
       when(srcLower, col("dd")).otherwise(col("ds")).as("dw"))
 
-    // wedges from each out-neighborhood, ordered by (deg, id) so each
-    // candidate pair appears once; close against the oriented edges
-    val x = adj.select(col("u"), col("w").as("v"), col("dw").as("dv"))
-    val y = adj.select(col("u"), col("w").as("w2"), col("dw").as("dw2"))
-    val wedges = x.join(y, "u")
-      .filter(col("dv") < col("dw2") || (col("dv") === col("dw2") && col("v") < col("w2")))
-      .select(col("v").as("u"), col("w2").as("w"))
-
-    wedges.join(adj.select("u", "w"), Seq("u", "w"))
-      .agg(count(lit(1)).as("n_triangles"))
+    // edge-iterator close: attach both endpoints' oriented out-neighbor
+    // lists to every oriented edge and count the intersection locally.
+    // Equivalent to the wedge join (a triangle {u,v,w} with rank
+    // u<v<w appears exactly as w ∈ adj(u) ∩ adj(v) at edge (u,v)), but the
+    // candidate wedges never hit an exchange: the only shuffled rows are
+    // the m edges and the n adjacency lists (each out-list is O(sqrt(m))
+    // under the orientation), and the intersection count is a single
+    // codegen stage feeding a partial sum
+    val adjList = adj.groupBy(col("u"))
+      .agg(collect_list(col("w")).as("nbrs"))
+    val closed = adj.select(col("u"), col("w"))
+      .join(adjList, Seq("u"))
+      .withColumnRenamed("nbrs", "nu")
+      .join(adjList.withColumnRenamed("u", "w"), Seq("w"))
+      .withColumnRenamed("nbrs", "nw")
+    // edges are distinct, so the intersection size is an exact count
+    closed
+      .select(size(array_intersect(col("nu"), col("nw"))).cast("long").as("tri"))
+      .agg(coalesce(sum("tri"), lit(0L)).as("n_triangles"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

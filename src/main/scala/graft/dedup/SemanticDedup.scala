@@ -75,9 +75,16 @@ object SemanticDedup {
 
     val dropped = pairs.select(col("drop_id").as("id")).distinct()
       .withColumn("hit", lit(true))
-    assigned.join(dropped, Seq("id"), "left")
+    // materialize eagerly so the trained-codebook checkpoint blocks can be
+    // released here (the nearDupSurvivors lifetime contract: a lazy return
+    // over `cents` would leak one codebook per invocation in a long-lived
+    // app)
+    val out = assigned.join(dropped, Seq("id"), "left")
       .select(col("id").as("vec_id"), col("cid"),
         coalesce(!col("hit"), lit(true)).as("kept"))
+      .localCheckpoint(true)
+    cents.unpersist()
+    out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
