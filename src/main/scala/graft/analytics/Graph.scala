@@ -79,22 +79,118 @@ object Graph {
       .agg(coalesce(sum("tri"), lit(0L)).as("n_triangles"))
   }
 
+  /** PageRank grid: contributions are quantized to 1e-9 before the
+    * per-node sum (BIGINT addition is order-free), so every round's rank
+    * vector is bit-identical on any partitioning and re-derivable by any
+    * engine — the same determinism device as the Lloyd codebook means.
+    */
+  val PrScale = 1000000000L
+  val PrDamping = 0.85
+  val PrIters = 3
+
+  /** Fixed-iteration PageRank on an undirected (src < dst) edge list (each
+    * edge contributes in both directions). Every node starts at rank 1;
+    * rank_{t+1}(v) = (1-d) + d * Σ_{u→v} q(rank_t(u) / outdeg(u)) with
+    * q = floor-to-1e-9 quantization applied to each contribution BEFORE
+    * the sum.
+    *
+    * Scale shape per round: one join of the rank vector against the edge
+    * list on the source key + one groupBy on the destination key — the
+    * canonical Pregel round as two shuffles, nothing driver-side (the loop
+    * is just plan construction; `localCheckpoint` truncates the growing
+    * lineage each round exactly like `trainCentroids`). Degenerate "rank
+    * sinks" don't arise on an undirected graph (every endpoint has
+    * degree ≥ 1).
+    */
+  def pageRank(edges: DataFrame, iters: Int = PrIters,
+      damping: Double = PrDamping): DataFrame = {
+    val dir = edges.select(col("src").as("u"), col("dst").as("v"))
+      .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("outdeg"))
+      .localCheckpoint(true)
+    var ranks = deg.select(col("u").as("node"), lit(1.0).as("pr"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val contrib = dir
+        .join(ranks.withColumnRenamed("node", "u"), Seq("u"))
+        .join(deg, Seq("u"))
+        .select(col("v").as("node"),
+          floor(col("pr") / col("outdeg") * PrScale).cast("long").as("qc"))
+      val next = contrib.groupBy("node")
+        .agg((lit(1.0) - damping) +
+          lit(damping) * (sum("qc").cast("double") / PrScale) as "pr")
+        .localCheckpoint(true)
+      ranks.unpersist()
+      ranks = next
+    }
+    deg.unpersist()
+    ranks
+  }
+
+  /** Top-20 parts by PageRank in the co-purchase graph (deterministic
+    * (pr desc, node) order) — the "most central catalog items" report.
+    */
+  def pageRankTop(edges: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    pageRank(edges)
+      .orderBy(col("pr").desc, col("node")).limit(k)
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("pr").desc, col("node"))))
+      .select("rank", "node", "pr")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) =>
       triangleCount(
-        coOccurrenceEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey"))))
+        coOccurrenceEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey"))),
+    "q_pagerank" -> ((s, d) =>
+      pageRankTop(
+        coOccurrenceEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey"), 20)
+        .orderBy("rank")))
 
-  /** Oracle counts each triangle once via the canonical a<b<c triple join —
-    * a different (quadratic-wedge) algorithm, which is the point: two
-    * independent formulations must agree on the exact count.
+  private val edgeCte =
+    """e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+      |      FROM lineitem a JOIN lineitem b
+      |        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)""".stripMargin
+
+  /** Unrolled PageRank rounds — the SQL twin of [[pageRank]]: identical
+    * quantize-before-sum arithmetic, and the teleport term is written
+    * `(1.0 - 0.85)` (not the literal 0.15) because IEEE `1.0 - 0.85`
+    * differs from the nearest double to 0.15 by one ulp and the Spark side
+    * computes the subtraction.
+    */
+  private def prRounds(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""r$i AS (
+         |  SELECT d.v AS node,
+         |    (CAST(1.0 AS DOUBLE) - CAST($PrDamping AS DOUBLE)) + CAST($PrDamping AS DOUBLE) *
+         |      (CAST(SUM(CAST(FLOOR(r.pr / g.outdeg * $PrScale) AS BIGINT)) AS DOUBLE) / $PrScale) AS pr
+         |  FROM dir d JOIN r${i - 1} r ON r.node = d.u JOIN deg g ON g.u = d.u
+         |  GROUP BY d.v)""".stripMargin
+    }
+    rounds.mkString(",\n")
+  }
+
+  /** Oracles: triangles via the canonical a<b<c triple join — a different
+    * (quadratic-wedge) algorithm, which is the point: two independent
+    * formulations must agree on the exact count. PageRank via unrolled
+    * rounds over the same quantized grid.
     */
   val oracles: Map[String, String] = Map(
-    "q_triangles" -> """
-      |WITH e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
-      |           FROM lineitem a JOIN lineitem b
-      |             ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    "q_triangles" -> s"""
+      |WITH $edgeCte
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM e e1
       |JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
-      |JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb""".stripMargin)
+      |JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb""".stripMargin,
+    "q_pagerank" -> s"""
+      |WITH $edgeCte,
+      |dir AS (SELECT pa AS u, pb AS v FROM e UNION ALL SELECT pb, pa FROM e),
+      |deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS outdeg FROM dir GROUP BY u),
+      |r0 AS (SELECT u AS node, CAST(1.0 AS DOUBLE) AS pr FROM deg),
+      |${prRounds(PrIters)}
+      |SELECT rank, node, pr FROM (
+      |  SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rank
+      |  FROM r$PrIters)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin)
 }

@@ -66,11 +66,66 @@ object TimeSeries {
         col("is_gap"))
   }
 
+  /** Anomaly window: stats over the 20 observations BEFORE each row (the
+    * row never dilutes its own baseline); z needs ≥5 of them.
+    */
+  val AnomalyWin = 20
+  val AnomalyMinObs = 5
+  val AnomalyZ = 3.0
+
+  /** Rolling z-score anomaly detection per key: each observation is scored
+    * against the mean/std of its trailing `win` PRECEDING observations
+    * (ordered by (ts, id) — deterministic under timestamp ties). Output
+    * adds (n_win, z, is_anomaly); z is null during the warm-up (< `minObs`
+    * trailing rows) and when the trailing window has zero variance.
+    *
+    * Determinism: the windowed moments are DECIMAL sums (value and value²
+    * at fixed scale — integer addition, so any engine's window-sum
+    * association, running vs segment-tree, yields the same bits), and only
+    * the final mean/var/z arithmetic runs in doubles, in one fixed
+    * expression order. A double window-sum would NOT be reproducible:
+    * Spark slides sequentially, other engines sum frames tree-wise.
+    *
+    * Scale shape: ONE shuffle on the key; the three frame aggregates share
+    * one window spec (single sort, single pass). Keys are (user, type) so
+    * no partition grows with corpus size.
+    */
+  def rollingAnomalies(events: DataFrame, keyCols: Seq[String], tsCol: String,
+      idCol: String, valueCol: String, win: Int = AnomalyWin,
+      minObs: Int = AnomalyMinObs, zThreshold: Double = AnomalyZ): DataFrame = {
+    val keys = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("us"), col(idCol))
+      .rowsBetween(-win, -1)
+    val base = events.select(
+      keys :+ col(idCol) :+ unix_micros(col(tsCol)).as("us") :+
+        col(valueCol).as("value"): _*)
+    val dec = col("value").cast("decimal(18,4)")
+    val scored = base
+      .withColumn("n_win", count(lit(1)).over(w))
+      .withColumn("s1", sum(dec).over(w).cast("double"))
+      .withColumn("s2", sum(dec * dec).over(w).cast("double"))
+    scored
+      .withColumn("mean", col("s1") / col("n_win"))
+      .withColumn("variance",
+        (col("s2") - col("s1") * col("s1") / col("n_win")) / col("n_win"))
+      .withColumn("z",
+        when(col("n_win") >= minObs && col("variance") > 0.0,
+          (col("value") - col("mean")) / sqrt(col("variance"))))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > zThreshold, lit(false)))
+      .drop("s1", "s2", "mean", "variance")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_resample_locf" -> ((s, d) =>
       resampleLocf(Tables.events(s, d).filter(col("event_type") === "purchase"),
         "user_id", "ts", "event_id", "value", GateStepMicros)
-        .orderBy("key", "bucket")))
+        .orderBy("key", "bucket")),
+    "evt_anomalies" -> ((s, d) =>
+      rollingAnomalies(Tables.events(s, d), Seq("user_id", "event_type"),
+        "ts", "event_id", "value")
+        .orderBy("user_id", "event_type", "us", "event_id")))
 
   /** DuckDB twin: identical bucket arithmetic over epoch_us; the
     * deterministic "last observation" is the row_number twin of the
@@ -98,5 +153,24 @@ object TimeSeries {
       |  last_value(obs_value IGNORE NULLS) OVER (PARTITION BY key ORDER BY bucket
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
       |  obs_value IS NULL AS is_gap
-      |FROM j ORDER BY key, bucket""".stripMargin)
+      |FROM j ORDER BY key, bucket""".stripMargin,
+    "evt_anomalies" -> s"""
+      |WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value
+      |  FROM events),
+      |f AS (SELECT *,
+      |    CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s2
+      |  FROM e
+      |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id
+      |    ROWS BETWEEN $AnomalyWin PRECEDING AND 1 PRECEDING)),
+      |g AS (SELECT *,
+      |    (s2 - s1 * s1 / n_win) / n_win AS variance, s1 / n_win AS mean
+      |  FROM f)
+      |SELECT user_id, event_type, event_id, us, value, n_win,
+      |  CASE WHEN n_win >= $AnomalyMinObs AND variance > 0.0
+      |       THEN (value - mean) / sqrt(variance) END AS z,
+      |  COALESCE(abs(CASE WHEN n_win >= $AnomalyMinObs AND variance > 0.0
+      |       THEN (value - mean) / sqrt(variance) END) > $AnomalyZ, FALSE) AS is_anomaly
+      |FROM g ORDER BY user_id, event_type, us, event_id""".stripMargin)
 }

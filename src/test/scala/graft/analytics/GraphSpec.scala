@@ -43,6 +43,30 @@ class GraphSpec extends SparkSpec {
     assert(got === 0L)
   }
 
+  test("pageRank keeps a regular graph exactly uniform") {
+    // cycle: every node outdeg 2, contribution pr/2 twice → pr stays 1.0
+    // bit-exactly (quantization of 0.5e9 is lossless)
+    val n = 12L
+    val cycle = (0L until n).map(i => (i, (i + 1) % n))
+    val pr = Graph.pageRank(edgeDf(cycle)).as[(Long, Double)].collect().toMap
+    assert(pr.size === n.toInt)
+    assert(pr.values.forall(_ === 1.0))
+  }
+
+  test("pageRank ranks the hub of a star highest and is partition-invariant") {
+    val es = (1L to 30L).map(i => (0L, i))
+    val one = Graph.pageRank(edgeDf(es).coalesce(1))
+      .as[(Long, Double)].collect().toMap
+    val many = Graph.pageRank(edgeDf(es).repartition(13))
+      .as[(Long, Double)].collect().toMap
+    assert(one === many, "quantized contributions must be partition-order-free")
+    val hub = one(0L)
+    assert((1L to 30L).forall(i => one(i) < hub))
+    // total mass is preserved up to quantization loss (each contribution
+    // floors away < 1e-9)
+    assert(math.abs(one.values.sum - 31.0) < 1e-3)
+  }
+
   test("coOccurrenceEdges builds distinct ordered pairs per group") {
     val df = Seq((1L, 10L), (1L, 20L), (1L, 10L), (1L, 30L), (2L, 10L),
       (2L, 20L)).toDF("k", "item")

@@ -63,4 +63,52 @@ class TimeSeriesSpec extends SparkSpec {
       assert(!rows.head._6 && !rows.last._6)
     }
   }
+
+  test("rollingAnomalies flags a planted outlier against its trailing window") {
+    // steady value 10.0 with jitter, one spike at the end
+    val vals = Seq(10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.2, 9.8, 100.0)
+    val events = vals.zipWithIndex.map { case (v, i) =>
+      (1L, "purchase", i.toLong, ts(i.toLong * 1000000), v)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    val out = TimeSeries.rollingAnomalies(events,
+        Seq("user_id", "event_type"), "ts", "event_id", "value",
+        win = 20, minObs = 5)
+      .orderBy("us")
+      .select("event_id", "n_win", "z", "is_anomaly")
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+    // warm-up: rows 0..4 have < 5 trailing obs -> no z
+    assert(out.take(5).forall(r => r._3.isEmpty && !r._4))
+    // the spike is scored against the stable window and flagged
+    val spike = out.last
+    assert(spike._1 === 8L && spike._2 === 8L)
+    assert(spike._3.exists(_ > 3.0) && spike._4)
+    // the stable rows in between are not flagged
+    assert(out.drop(5).dropRight(1).forall(!_._4))
+  }
+
+  test("rollingAnomalies: zero-variance window yields null z, never infinity") {
+    val events = (0 until 10).map(i =>
+      (1L, "x", i.toLong, ts(i.toLong * 1000000), 5.0))
+      .toDF("user_id", "event_type", "event_id", "ts", "value")
+    val out = TimeSeries.rollingAnomalies(events,
+        Seq("user_id", "event_type"), "ts", "event_id", "value",
+        win = 20, minObs = 3)
+      .select("z", "is_anomaly").as[(Option[Double], Boolean)].collect()
+    assert(out.forall(r => r._1.isEmpty && !r._2))
+  }
+
+  test("rollingAnomalies is partition-invariant (decimal window moments)") {
+    val rnd = new scala.util.Random(11)
+    val events = (0 until 400).map { i =>
+      (i % 7L, if (i % 2 == 0) "a" else "b", i.toLong,
+        ts(i.toLong * 777777), rnd.nextDouble() * 50)
+    }.toDF("user_id", "event_type", "event_id", "ts", "value")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TimeSeries.rollingAnomalies(df, Seq("user_id", "event_type"), "ts",
+        "event_id", "value")
+        .orderBy("user_id", "event_type", "us")
+        .as[(Long, String, Long, Long, Double, Long, Option[Double], Boolean)]
+        .collect().toSeq
+    assert(run(events.coalesce(1)) === run(events.repartition(17)))
+  }
 }
