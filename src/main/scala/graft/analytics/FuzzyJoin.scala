@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -30,6 +30,11 @@ object FuzzyJoin {
 
   /** Pairs (probe, corpus) within levenshtein `maxDist`, with the exact
     * distance as evidence. Complete by the length-blocking argument above.
+    *
+    * Kept as the reference/fallback form: the cell key degenerates when the
+    * length distribution is narrow (a real corpus of ~30-char product names
+    * has ~6 distinct cells, so the "blocked" join is nearly cartesian —
+    * 25.6 s at sf0.1). [[editDistanceJoinSegments]] is the production path.
     */
   def editDistanceJoin(corpus: DataFrame, probes: DataFrame,
       corpusCol: String, probeCol: String, maxDist: Int): DataFrame = {
@@ -44,6 +49,82 @@ object FuzzyJoin {
       .withColumn("dist", levenshtein(col(probeCol), col(corpusCol)))
       .filter(col("dist") <= maxDist)
       .drop("cell")
+  }
+
+  /** Segment (PassJoin-style) blocking: every corpus string splits into
+    * `maxDist + 1` contiguous segments (earlier segments shorter on
+    * uneven splits — fixed convention); at most `maxDist` edits can touch
+    * at most `maxDist` segments, so for any pair within the distance at
+    * least ONE corpus segment occurs VERBATIM in the probe, at a start
+    * position shifted by at most `maxDist` (Li et al., PassJoin, public
+    * technique). The probe side therefore explodes to its candidate
+    * (corpus-length, segment-index, shifted-substring) keys and candidates
+    * come from an equi-join on the segment VALUE — content blocking, which
+    * stays selective when every string has the same length and the cell
+    * key collapses.
+    *
+    * Scale shape: corpus emits maxDist+1 rows, probes O(maxDist³) rows —
+    * constant fan-outs, one equi-join whose key includes the segment
+    * string, a distinct on the (probe, corpus) pair (multiple segments can
+    * witness the same pair), then exact levenshtein on survivors only.
+    * Corpus strings shorter than maxDist+1 chars can't host the segments
+    * and are routed through the cell join (completeness preserved).
+    */
+  def editDistanceJoinSegments(corpus: DataFrame, probes: DataFrame,
+      corpusCol: String, probeCol: String, maxDist: Int): DataFrame = {
+    val parts = maxDist + 1
+    // segment bounds for a length-l corpus string: base = l div parts with
+    // the last (l mod parts) segments one longer; seg i (0-based) starts at
+    // 1 + i*base + max(0, i - (parts - rem)) — all expressible per row
+    def segLen(l: Column, i: Int): Column = {
+      val baseF = floor(l / lit(parts)).cast("long")
+      val rem = l.cast("long") % parts
+      baseF + when(lit(i) >= lit(parts) - rem, 1L).otherwise(0L)
+    }
+    def segStart(l: Column, i: Int): Column = {
+      val baseF = floor(l / lit(parts)).cast("long")
+      val rem = l.cast("long") % parts
+      // start = 1 + sum of lengths of segments 0..i-1
+      lit(1L) + lit(i) * baseF +
+        greatest(lit(0L), lit(i) - (lit(parts.toLong) - rem))
+    }
+
+    val longCorpus = corpus.filter(length(col(corpusCol)) >= parts)
+    val shortCorpus = corpus.filter(length(col(corpusCol)) < parts)
+
+    val cSegs = (0 until parts).map { i =>
+      val l = length(col(corpusCol)).cast("long")
+      longCorpus.select(col("*"),
+        l.as("cl"), lit(i).as("si"),
+        substring(col(corpusCol), segStart(l, i).cast("int"),
+          segLen(l, i).cast("int")).as("seg"))
+    }.reduce(_ unionAll _)
+
+    // probe side: candidate corpus lengths lt±d × segment indexes × start
+    // shifts — emit the substring the matching segment would have to be
+    val pKeys = probes
+      .withColumn("lt", length(col(probeCol)).cast("long"))
+      .withColumn("cl", explode(sequence(col("lt") - maxDist, col("lt") + maxDist)))
+      .filter(col("cl") >= parts)
+    val pSegs = (0 until parts).map { i =>
+      pKeys.select(col("*"), lit(i).as("si"),
+        segStart(col("cl"), i).as("ss"), segLen(col("cl"), i).as("sl"))
+    }.reduce(_ unionAll _)
+      .withColumn("lo", greatest(lit(1L), col("ss") - maxDist))
+      .withColumn("hi", least(col("ss") + maxDist, col("lt") - col("sl") + 1L))
+      .filter(col("lo") <= col("hi")) // guard: sequence() rejects lo > hi
+      .withColumn("p0", explode(sequence(col("lo"), col("hi"))))
+      .withColumn("seg", expr(s"substring($probeCol, cast(p0 as int), cast(sl as int))"))
+      .drop("lt", "ss", "sl", "lo", "hi", "p0")
+
+    val candidates = pSegs.join(cSegs, Seq("cl", "si", "seg"))
+      .drop("cl", "si", "seg")
+      .distinct()
+    candidates
+      .withColumn("dist", levenshtein(col(probeCol), col(corpusCol)))
+      .filter(col("dist") <= maxDist)
+      .unionByName(
+        editDistanceJoin(shortCorpus, probes, corpusCol, probeCol, maxDist))
   }
 
   /** Gate probes: every 10th part's name with one character deleted at a
@@ -62,7 +143,7 @@ object FuzzyJoin {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_fuzzy_join" -> ((s, d) =>
-      editDistanceJoin(
+      editDistanceJoinSegments(
         Tables.part(s, d).select("p_partkey", "p_name"),
         probeNames(s, d), "p_name", "probe", GateMaxDist)
         .select("probe_key", "probe", "p_partkey", "p_name", "dist")

@@ -38,4 +38,38 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(m(("aaba", "aaaa")) === 1)
     assert(m(("aaba", "abab")) === 2)
   }
+
+  test("segment blocking equals brute force (incl. short-string fallback)") {
+    val corpus = Seq("kettle", "kettles", "bottle", "bot", "throttle",
+      "cat", "caterpillar", "xy", "ab").toDF("name")
+    val probes = Seq("ketle", "botle", "ca", "dog", "caterpilar", "x", "b")
+      .toDF("probe")
+    val seg = FuzzyJoin.editDistanceJoinSegments(corpus, probes, "name", "probe", 2)
+      .select("probe", "name", "dist").as[(String, String, Int)]
+      .collect()
+    val brute = probes.crossJoin(corpus)
+      .withColumn("dist", levenshtein($"probe", $"name"))
+      .filter($"dist" <= 2)
+      .select("probe", "name", "dist").as[(String, String, Int)]
+      .collect().toSet
+    assert(seg.length === seg.distinct.length, "each pair emitted once")
+    assert(seg.toSet === brute, "segment blocking must lose no pair")
+  }
+
+  test("segment blocking equals cell blocking on a random typo corpus") {
+    val rnd = new scala.util.Random(5)
+    val words = Seq("olive", "navy", "powder", "misty", "chocolate", "plum")
+    def name() = Seq.fill(3)(words(rnd.nextInt(words.size))).mkString(" ")
+    val corpus = Seq.fill(120)(name()).distinct.toDF("name")
+    val probes = Seq.fill(40)(name()).distinct.map { s =>
+      val k = 1 + rnd.nextInt(s.length - 1)
+      s.take(k - 1) + s.drop(k) // one deletion
+    }.toDF("probe")
+    val a = FuzzyJoin.editDistanceJoinSegments(corpus, probes, "name", "probe", 2)
+      .select("probe", "name", "dist").as[(String, String, Int)].collect().toSet
+    val b = FuzzyJoin.editDistanceJoin(corpus, probes, "name", "probe", 2)
+      .select("probe", "name", "dist").as[(String, String, Int)].collect().toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
 }
