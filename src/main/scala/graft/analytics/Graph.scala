@@ -104,8 +104,12 @@ object Graph {
     */
   def pageRank(edges: DataFrame, iters: Int = PrIters,
       damping: Double = PrDamping): DataFrame = {
+    // checkpoint the directed edge list: every round joins against it, and
+    // a lazy plan would re-run the upstream edge construction (the
+    // co-occurrence self-join) once per round
     val dir = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+      .localCheckpoint(true)
     val deg = dir.groupBy("u").agg(count(lit(1)).as("outdeg"))
       .localCheckpoint(true)
     var ranks = deg.select(col("u").as("node"), lit(1.0).as("pr"))
@@ -124,6 +128,7 @@ object Graph {
       ranks = next
     }
     deg.unpersist()
+    dir.unpersist()
     ranks
   }
 
