@@ -35,4 +35,63 @@ object Stateful {
 
   /** Output mode required by mapGroupsWithState. */
   val outputMode: OutputMode = OutputMode.Update()
+
+  final case class Obs(user_id: Long, event_type: String, event_id: Long,
+      us: Long, value: Double)
+  final case class AnomalyState(ring: Seq[Long])
+  final case class ScoredObs(user_id: Long, event_type: String,
+      event_id: Long, us: Long, value: Double, n_win: Long,
+      z: Option[Double], is_anomaly: Boolean)
+
+  /** Streaming twin of [[graft.analytics.TimeSeries.rollingAnomalies]]:
+    * per-key rolling z-scores via `flatMapGroupsWithState`, state = a ring
+    * of the last `win` observations QUANTIZED to the same decimal(_,4)
+    * grid the batch operator sums (stored as scaled longs; integer sums +
+    * `BigDecimal.doubleValue` reproduce Spark's decimal→double cast
+    * bit-for-bit, which is what makes stream ≡ batch an exact assertion,
+    * not a tolerance). State per key is O(win) longs — bounded regardless
+    * of stream length.
+    *
+    * Events are scored in (us, event_id) order within each micro-batch;
+    * cross-batch order is the source's append order (parity holds when
+    * ingestion is time-ordered, the normal tail-the-log deployment — same
+    * caveat as every mapGroupsWithState pipeline).
+    */
+  def streamingAnomalies(events: Dataset[Obs], win: Int = 20,
+      minObs: Int = 5, zThreshold: Double = 3.0): Dataset[ScoredObs] = {
+    implicit val outEnc = Encoders.product[ScoredObs]
+    implicit val stateEnc = Encoders.product[AnomalyState]
+    def toScaled(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    def toDoubleAtScale(unscaled: Long, scale: Int): Double =
+      java.math.BigDecimal.valueOf(unscaled, scale).doubleValue()
+    events.groupByKey(e => (e.user_id, e.event_type))(
+        Encoders.tuple(Encoders.scalaLong, Encoders.STRING))
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (key: (Long, String), evs: Iterator[Obs], state: GroupState[AnomalyState]) =>
+          var ring = state.getOption.map(_.ring.toVector).getOrElse(Vector.empty)
+          val out = evs.toVector.sortBy(e => (e.us, e.event_id)).map { e =>
+            val n = ring.length.toLong
+            val z =
+              if (n >= minObs) {
+                // the scaled ring sums are the batch DECIMAL window sums;
+                // all double arithmetic below copies the batch expression
+                // order exactly
+                val s1 = toDoubleAtScale(ring.sum, 4)
+                val s2 = toDoubleAtScale(ring.map(x => x * x).sum, 8)
+                val mean = s1 / n
+                val variance = (s2 - s1 * s1 / n) / n
+                if (variance > 0.0) Some((e.value - mean) / math.sqrt(variance))
+                else None
+              } else None
+            ring = (ring :+ toScaled(e.value)).takeRight(win)
+            ScoredObs(e.user_id, e.event_type, e.event_id, e.us, e.value,
+              n, z, z.exists(zv => math.abs(zv) > zThreshold))
+          }
+          state.update(AnomalyState(ring))
+          out.iterator
+      }
+  }
 }

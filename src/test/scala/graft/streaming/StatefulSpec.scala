@@ -41,4 +41,41 @@ class StatefulSpec extends SparkSpec {
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
+
+  test("flatMapGroupsWithState streaming anomalies ≡ batch rollingAnomalies") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evDir = java.nio.file.Files.createTempDirectory("graft-anom-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+      .parquet(evDir.toString)
+      .select($"user_id", $"event_type", $"event_id",
+        expr("ts div 1000").as("us"), $"value")
+      .as[Stateful.Obs]
+    val q = Stateful.streamingAnomalies(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("anom_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("anom_stream")
+        .as[Stateful.ScoredObs].collect()
+        .map(r => (r.user_id, r.event_type, r.event_id) -> r).toMap
+      val batch = graft.analytics.TimeSeries.rollingAnomalies(
+          graft.Tables.events(spark, sf0001),
+          Seq("user_id", "event_type"), "ts", "event_id", "value")
+        .as[(Long, String, Long, Long, Double, Long, Option[Double], Boolean)]
+        .collect()
+        .map(r => (r._1, r._2, r._3) ->
+          Stateful.ScoredObs(r._1, r._2, r._3, r._4, r._5, r._6, r._7, r._8))
+        .toMap
+      assert(streamed.nonEmpty)
+      // exact equality including the double z column: the streaming ring
+      // reproduces the batch decimal window moments bit-for-bit
+      assert(streamed === batch)
+      assert(streamed.values.exists(_.z.isDefined))
+    } finally q.stop()
+  }
 }
