@@ -63,12 +63,20 @@ object FuzzyJoin {
     * stays selective when every string has the same length and the cell
     * key collapses.
     *
-    * Scale shape: corpus emits maxDist+1 rows, probes O(maxDist³) rows —
-    * constant fan-outs, one equi-join whose key includes the segment
-    * string, a distinct on the (probe, corpus) pair (multiple segments can
-    * witness the same pair), then exact levenshtein on survivors only.
-    * Corpus strings shorter than maxDist+1 chars can't host the segments
-    * and are routed through the cell join (completeness preserved).
+    * Scale shape: the whole match runs on DISTINCT strings — duplicated
+    * values (replicated catalogs, re-ingested batches) multiply ONLY the
+    * final fan-out joins, never the candidate join, whose volume would
+    * otherwise grow quadratically in the duplication factor (the 10×
+    * probe, where every name has 10 copies on each side, ran 100× the
+    * pair work before this collapse: 529 s → see SCALE_PROBE.md). On the
+    * distinct strings: corpus emits maxDist+1 rows, probes O(maxDist³)
+    * rows — constant fan-outs, one equi-join keyed on the segment VALUE, a
+    * distinct on the (probe, corpus) string pair (multiple segments can
+    * witness the same pair), exact levenshtein on survivors, then two
+    * string-keyed joins fan the verified pairs back out to the original
+    * rows. Corpus strings shorter than maxDist+1 chars can't host the
+    * segments and are routed through the cell join (completeness
+    * preserved). Corpus and probe column names must not overlap.
     */
   def editDistanceJoinSegments(corpus: DataFrame, probes: DataFrame,
       corpusCol: String, probeCol: String, maxDist: Int): DataFrame = {
@@ -89,8 +97,13 @@ object FuzzyJoin {
         greatest(lit(0L), lit(i) - (lit(parts.toLong) - rem))
     }
 
-    val longCorpus = corpus.filter(length(col(corpusCol)) >= parts)
-    val shortCorpus = corpus.filter(length(col(corpusCol)) < parts)
+    // collapse exact duplicates FIRST: all blocking/verification runs on
+    // distinct strings, duplication only multiplies the final fan-out
+    val cDist = corpus.select(col(corpusCol)).distinct()
+    val pDist = probes.select(col(probeCol)).distinct()
+
+    val longCorpus = cDist.filter(length(col(corpusCol)) >= parts)
+    val shortCorpus = cDist.filter(length(col(corpusCol)) < parts)
 
     val cSegs = (0 until parts).map { i =>
       val l = length(col(corpusCol)).cast("long")
@@ -102,7 +115,7 @@ object FuzzyJoin {
 
     // probe side: candidate corpus lengths lt±d × segment indexes × start
     // shifts — emit the substring the matching segment would have to be
-    val pKeys = probes
+    val pKeys = pDist
       .withColumn("lt", length(col(probeCol)).cast("long"))
       .withColumn("cl", explode(sequence(col("lt") - maxDist, col("lt") + maxDist)))
       .filter(col("cl") >= parts)
@@ -120,11 +133,14 @@ object FuzzyJoin {
     val candidates = pSegs.join(cSegs, Seq("cl", "si", "seg"))
       .drop("cl", "si", "seg")
       .distinct()
-    candidates
+    val verified = candidates
       .withColumn("dist", levenshtein(col(probeCol), col(corpusCol)))
       .filter(col("dist") <= maxDist)
       .unionByName(
-        editDistanceJoin(shortCorpus, probes, corpusCol, probeCol, maxDist))
+        editDistanceJoin(shortCorpus, pDist, corpusCol, probeCol, maxDist))
+
+    // fan the verified distinct-string pairs back out to the input rows
+    verified.join(probes, Seq(probeCol)).join(corpus, Seq(corpusCol))
   }
 
   /** Gate probes: every 10th part's name with one character deleted at a

@@ -72,4 +72,22 @@ class FuzzyJoinSpec extends SparkSpec {
     assert(a === b)
     assert(a.nonEmpty)
   }
+
+  test("segment blocking: duplicated strings multiply only the fan-out") {
+    // both sides carry exact duplicates; results must match brute force
+    // including the multiplicity (every input row pairs independently)
+    val corpus = Seq("kettle", "kettle", "bottle", "bottle", "bottle", "cat")
+      .toDF("name")
+    val probes = Seq("ketle", "ketle", "botle", "ca").toDF("probe")
+    val seg = FuzzyJoin.editDistanceJoinSegments(corpus, probes, "name", "probe", 2)
+      .select("probe", "name", "dist").as[(String, String, Int)]
+      .collect().sorted.toSeq
+    val brute = probes.crossJoin(corpus)
+      .withColumn("dist", levenshtein($"probe", $"name"))
+      .filter($"dist" <= 2)
+      .select("probe", "name", "dist").as[(String, String, Int)]
+      .collect().sorted.toSeq
+    assert(seg === brute, "duplicate rows must pair row-per-row, not collapse")
+    assert(seg.count(_ == ("ketle", "kettle", 1)) === 4, "2 probes x 2 corpus")
+  }
 }
