@@ -31,7 +31,8 @@ object SparkEntry {
     analytics.Layout.queries ++ analytics.FuzzyJoin.queries ++
     analytics.Ranking.queries ++ analytics.Graph.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
-    text.HeavyHitters.queries ++ dedup.DedupSurface.queries ++
+    text.HeavyHitters.queries ++ text.Bpe.queries ++
+    dedup.DedupSurface.queries ++
     dedup.SemanticDedup.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
     pipeline.PipelineSurface.queries
@@ -52,7 +53,8 @@ object SparkEntry {
     analytics.Layout.oracles ++ analytics.FuzzyJoin.oracles ++
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
-    text.HeavyHitters.oracles ++ dedup.DedupSurface.oracles ++
+    text.HeavyHitters.oracles ++ text.Bpe.oracles ++
+    dedup.DedupSurface.oracles ++
     dedup.SemanticDedup.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
     pipeline.PipelineSurface.oracles
