@@ -97,10 +97,42 @@ object Bpe {
       .select(col("round"), col("left"), col("right"), col("freq"))
   }
 
+  /** Tokenize a corpus with a trained merge table: apply the merges in
+    * training order (each application is the narrow position-independent
+    * map; the merge list rides the closure — it's model-sized, like a
+    * broadcast codebook). Returns one row per doc with the post-merge
+    * symbols and their count.
+    */
+  def tokenizeWithMerges(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        TextAnalysis.normalized(col(textCol)).as("ntext"))
+      .filter(col("ntext").isNotNull && col("ntext") =!= "")
+      .select(col("doc_id"), split(col("ntext"), " ").as("t"))
+    merges.foldLeft(base) { case (df, (a, b)) =>
+      df.withColumn("t", applyMergeUdf(col("t"), lit(a), lit(b)))
+    }.select(col("doc_id"), col("t").as("symbols"),
+      size(col("t")).cast("long").as("n_symbols"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_bpe_merges" -> ((s, d) =>
       trainMerges(Tables.documents(s, d), "text", GateRounds)
-        .orderBy("round")))
+        .orderBy("round")),
+    "pipe_bpe_tokens" -> ((s, d) => {
+      val spark = s
+      import spark.implicits._
+      val merges = trainMerges(Tables.documents(s, d), "text", GateRounds)
+        .orderBy("round")
+        .select("left", "right").as[(String, String)].collect().toSeq
+      tokenizeWithMerges(Tables.documents(s, d), "doc_id", "text", merges)
+        // fingerprint the symbol list (US-separator join) — scalar columns
+        // hash portably through the driver compare
+        .select(col("doc_id"), col("n_symbols"),
+          md5(concat_ws("\u001f", col("symbols"))).as("sym_md5"))
+        .orderBy("doc_id")
+    }))
 
   /** Unrolled-round mirror: each round re-counts adjacent pairs, picks the
     * (freq DESC, a, b) argmax, and applies the merge with the same
@@ -114,7 +146,7 @@ object Bpe {
          |        FROM tok${r - 1})
          |  WHERE a <> b GROUP BY a, b),
          |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
-         |tok$r AS (SELECT
+         |tok$r AS (SELECT doc_id,
          |  list_filter(
          |    list_transform(range(1, len(t) + 1), i ->
          |      CASE WHEN i < len(t) AND t[i] = m.a AND t[i + 1] = m.b
@@ -125,16 +157,23 @@ object Bpe {
          |  FROM tok${r - 1}, m$r m)""".stripMargin
     }.mkString(",\n")
 
-  val oracles: Map[String, String] = Map(
-    "pipe_bpe_merges" -> s"""
-      |WITH norm AS (SELECT
+  private val tokCtes = s"""norm AS (SELECT doc_id,
       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
       |  FROM documents WHERE text IS NOT NULL),
-      |tok0 AS (SELECT string_split(ntext, ' ') AS t
+      |tok0 AS (SELECT doc_id, string_split(ntext, ' ') AS t
       |         FROM norm WHERE ntext <> ''),
-      |${bpeRounds(GateRounds)}
+      |${bpeRounds(GateRounds)}""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "pipe_bpe_merges" -> s"""
+      |WITH $tokCtes
       |${(1 to GateRounds).map(r =>
            s"SELECT $r AS round, a AS \"left\", b AS \"right\", c AS freq FROM m$r")
           .mkString("", "\nUNION ALL\n", "")}
-      |ORDER BY round""".stripMargin)
+      |ORDER BY round""".stripMargin,
+    "pipe_bpe_tokens" -> s"""
+      |WITH $tokCtes
+      |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_symbols,
+      |  md5(array_to_string(t, chr(31))) AS sym_md5
+      |FROM tok$GateRounds ORDER BY doc_id""".stripMargin)
 }

@@ -57,4 +57,14 @@ class BpeSpec extends SparkSpec {
     assert(a === b)
     assert(a.size === 4)
   }
+
+  test("tokenizeWithMerges applies the trained table in order") {
+    val docs = Seq((1L, "a b c a b"), (2L, "c c a b")).toDF("doc_id", "text")
+    val out = Bpe.tokenizeWithMerges(docs, "doc_id", "text",
+        Seq(("a", "b"), ("a b", "c")))
+      .orderBy("doc_id")
+      .as[(Long, Seq[String], Long)].collect()
+    assert(out(0) === ((1L, Seq("a b c", "a b"), 2L)))
+    assert(out(1) === ((2L, Seq("c", "c", "a b"), 3L)))
+  }
 }
