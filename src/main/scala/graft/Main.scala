@@ -74,7 +74,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|monitor|reset|delete|corpus|sessions> --table PATH ...")
+      "usage: graft.Main <import|run|monitor|reset|delete|corpus|sessions|events|graph> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -165,7 +165,7 @@ object Main {
       // input corpus, --output the destination; each op is a deterministic
       // transform so re-runs produce byte-identical corpora
       val op = flags.getOrElse("op",
-        sys.error("--op <dedup|decontaminate|sample|mix|pack|split|redact|filter|report|prepare> required"))
+        sys.error("--op <dedup|decontaminate|sample|mix|pack|split|redact|filter|report|prepare|bpe|search|semdedup> required"))
       val docs = spark.read.parquet(table)
       val out = flags.getOrElse("output", sys.error("--output is required"))
       val idCol = flags.getOrElse("id-col", "doc_id")
@@ -235,6 +235,31 @@ object Main {
             .select("doc_id")
           docs.join(kept,
             docs(idCol).cast("long") === kept("doc_id"), "left_semi")
+        case "bpe" =>
+          // train the merge table; --tokenize-output additionally writes
+          // the corpus re-tokenized with it
+          val merges = graft.text.Bpe.trainMerges(docs, textCol,
+            flags.getOrElse("rounds", "64").toInt)
+          flags.get("tokenize-output").foreach { tokOut =>
+            import spark.implicits._
+            val mergeTable = merges.orderBy("round")
+              .select("left", "right").as[(String, String)].collect().toSeq
+            graft.text.Bpe.tokenizeWithMerges(docs, idCol, textCol, mergeTable)
+              .write.mode("overwrite").parquet(tokOut)
+          }
+          merges
+        case "search" =>
+          val terms = flags.getOrElse("terms",
+            sys.error("--terms a,b,c required")).split(',').toSeq
+          graft.text.Search.searchTopK(docs, idCol, textCol, terms,
+            flags.getOrElse("k", "20").toInt)
+        case "semdedup" =>
+          // input is an embeddings parquet (--vec-col); output is
+          // (vec_id, cid, kept)
+          graft.dedup.SemanticDedup.semanticDedup(docs, idCol,
+            flags.getOrElse("vec-col", "embedding"),
+            flags.getOrElse("clusters", "256").toInt,
+            flags.getOrElse("iters", "3").toInt, threshold)
         case other => sys.error(s"unknown corpus op: $other")
       }
       result.write.mode("overwrite").parquet(out)
@@ -250,6 +275,49 @@ object Main {
         flags.getOrElse("value-col", "value"),
         flags.getOrElse("gap-minutes", "30").toLong * 60L * 1000000L)
         .write.mode("overwrite").parquet(out)
+      println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
+    case "events" =>
+      // behavior analytics over an events parquet: --op funnel|cohorts|anomalies
+      val out = flags.getOrElse("output", sys.error("--output is required"))
+      val ev = spark.read.parquet(table)
+        .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      val userCol = flags.getOrElse("user-col", "user_id")
+      val typeCol = flags.getOrElse("type-col", "event_type")
+      val result = flags.getOrElse("op",
+        sys.error("--op <funnel|cohorts|anomalies> required")) match {
+        case "funnel" =>
+          graft.analytics.Behavior.funnel(ev, userCol, "ts", typeCol,
+            flags.getOrElse("steps", "view,click,purchase").split(',').toSeq,
+            flags.getOrElse("window-hours", "168").toLong * 3600L * 1000000L)
+        case "cohorts" =>
+          graft.analytics.Behavior.cohortRetention(ev, userCol, "ts", typeCol,
+            flags.getOrElse("cohort-event", "signup"))
+        case "anomalies" =>
+          graft.analytics.TimeSeries.rollingAnomalies(ev,
+            Seq(userCol, typeCol), "ts",
+            flags.getOrElse("id-col", "event_id"),
+            flags.getOrElse("value-col", "value"))
+        case other => sys.error(s"unknown events op: $other")
+      }
+      result.write.mode("overwrite").parquet(out)
+      println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
+    case "graph" =>
+      // graph analytics over a co-occurrence table: --key-col groups,
+      // --item-col nodes; --op triangles|pagerank
+      val out = flags.getOrElse("output", sys.error("--output is required"))
+      val edges = graft.analytics.Graph.coOccurrenceEdges(
+        spark.read.parquet(table),
+        flags.getOrElse("key-col", sys.error("--key-col is required")),
+        flags.getOrElse("item-col", sys.error("--item-col is required")))
+      val result = flags.getOrElse("op",
+        sys.error("--op <triangles|pagerank> required")) match {
+        case "triangles" => graft.analytics.Graph.triangleCount(edges)
+        case "pagerank" =>
+          graft.analytics.Graph.pageRankTop(edges,
+            flags.getOrElse("k", "100").toInt)
+        case other => sys.error(s"unknown graph op: $other")
+      }
+      result.write.mode("overwrite").parquet(out)
       println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
     case other => sys.error(s"unknown verb: $other")
   }

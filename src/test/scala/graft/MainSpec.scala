@@ -117,4 +117,43 @@ class MainSpec extends SparkSpec {
     assert(packed.columns.toSet ===
       Set("doc_id", "shard", "n_tokens", "offset", "first_window", "n_windows"))
   }
+
+  test("bpe, search, events, and graph verbs round-trip through parquet") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli2")
+    val docsP = s"$dir/docs"
+    Seq((1L, "alpha beta gamma alpha beta"), (2L, "alpha beta delta"),
+      (3L, "gamma delta epsilon"))
+      .toDF("doc_id", "text").write.parquet(docsP)
+
+    Main.run(spark, "corpus", docsP, Map("op" -> "bpe", "rounds" -> "2",
+      "output" -> s"$dir/merges", "tokenize-output" -> s"$dir/toks"))
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy("round").as[(Int, String, String, Long)].collect()
+    assert(merges.length === 2 && merges(0)._2 === "alpha" && merges(0)._3 === "beta")
+    assert(spark.read.parquet(s"$dir/toks").count() === 3)
+
+    Main.run(spark, "corpus", docsP, Map("op" -> "search",
+      "terms" -> "alpha,beta", "k" -> "5", "output" -> s"$dir/hits"))
+    val hits = spark.read.parquet(s"$dir/hits").orderBy("rank")
+      .select("doc_id").as[Long].collect()
+    assert(hits.toSeq === Seq(1L, 2L))
+
+    val evP = s"$dir/events"
+    (1 to 40).map(i => (i.toLong % 5, new java.sql.Timestamp(i * 60000L),
+        i.toLong, if (i % 3 == 0) "signup" else "view", i * 1.5))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+      .write.parquet(evP)
+    Main.run(spark, "events", evP, Map("op" -> "cohorts",
+      "output" -> s"$dir/cohorts"))
+    assert(spark.read.parquet(s"$dir/cohorts").count() >= 1)
+
+    val basketP = s"$dir/baskets"
+    Seq((1L, 10L), (1L, 20L), (1L, 30L), (2L, 10L), (2L, 20L))
+      .toDF("basket", "item").write.parquet(basketP)
+    Main.run(spark, "graph", basketP, Map("op" -> "triangles",
+      "key-col" -> "basket", "item-col" -> "item",
+      "output" -> s"$dir/tri"))
+    assert(spark.read.parquet(s"$dir/tri").as[Long].head() === 1L)
+  }
 }
