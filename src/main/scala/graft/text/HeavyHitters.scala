@@ -30,7 +30,7 @@ object HeavyHitters {
   /** Report threshold for the gate: tokens with frequency > n/64. */
   val GateK = 64
 
-  private[text] def mgUpdate(m: mutable.HashMap[String, Long], x: String,
+  private[graft] def mgUpdate(m: mutable.HashMap[String, Long], x: String,
       cap: Int): mutable.HashMap[String, Long] = {
     m.get(x) match {
       case Some(c) => m.update(x, c + 1)
@@ -46,7 +46,7 @@ object HeavyHitters {
     m
   }
 
-  private[text] def mgMerge(a: mutable.HashMap[String, Long],
+  private[graft] def mgMerge(a: mutable.HashMap[String, Long],
       b: mutable.HashMap[String, Long], cap: Int): mutable.HashMap[String, Long] = {
     b.foreach { case (k, c) => a.update(k, a.getOrElse(k, 0L) + c) }
     if (a.size > cap) {
@@ -62,7 +62,7 @@ object HeavyHitters {
   }
 
   /** Candidate set: keys of the merged MG sketch (size ≤ cap). */
-  private[text] def mgCandidates(items: Dataset[String], cap: Int): Set[String] =
+  private[graft] def mgCandidates(items: Dataset[String], cap: Int): Set[String] =
     items.rdd.treeAggregate(mutable.HashMap.empty[String, Long])(
       (m, x) => mgUpdate(m, x, cap),
       (a, b) => mgMerge(a, b, cap)).keySet.toSet

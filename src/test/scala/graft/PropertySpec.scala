@@ -4,6 +4,7 @@ import org.scalacheck.{Gen, Prop, Properties}
 import org.scalacheck.Prop.forAll
 
 import graft.dedup.Dedup
+import graft.text.HeavyHitters
 import graft.exec.{ScriptRunner, TimeKeeper}
 import graft.sim.Similarity
 
@@ -84,5 +85,29 @@ object GraftProps extends Properties("graft") {
       val stopConsistent = !tk.shouldStop ||
         (tk.wallSeconds > 60 || tk.forecastSeconds > 60)
       ok && stopConsistent
+    }
+
+  property("Misra-Gries retains every item above n/(cap+1), merged or not") =
+    forAll(Gen.listOf(Gen.choose(0, 30)), Gen.choose(4, 12),
+        Gen.choose(0, 100)) { (xs, cap, cut0) =>
+      val items = xs.map(i => s"i$i")
+      val n = items.size
+      // single-stream sketch
+      val whole = items.foldLeft(
+        scala.collection.mutable.HashMap.empty[String, Long])(
+        (m, x) => HeavyHitters.mgUpdate(m, x, cap))
+      // arbitrary split + merge
+      val cut = if (n == 0) 0 else cut0 % (n + 1)
+      val (l, r) = items.splitAt(cut)
+      val merged = HeavyHitters.mgMerge(
+        l.foldLeft(scala.collection.mutable.HashMap.empty[String, Long])(
+          (m, x) => HeavyHitters.mgUpdate(m, x, cap)),
+        r.foldLeft(scala.collection.mutable.HashMap.empty[String, Long])(
+          (m, x) => HeavyHitters.mgUpdate(m, x, cap)),
+        cap)
+      val freq = items.groupBy(identity).view.mapValues(_.size.toLong)
+      val heavy = freq.filter { case (_, c) => c * (cap + 1) > n }.keys.toSet
+      heavy.forall(whole.contains) && heavy.forall(merged.contains) &&
+        whole.size <= cap && merged.size <= cap
     }
 }

@@ -89,4 +89,14 @@ class BehaviorSpec extends SparkSpec {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
     assert(exchanges <= 1, s"expected <=1 hash exchange, got $exchanges:\n$plan")
   }
+
+  test("funnel stage counts are non-increasing on real event data") {
+    val out = Behavior.funnel(graft.Tables.events(spark, sf0001),
+        "user_id", "ts", "event_type")
+      .orderBy("stage_idx")
+      .as[(Int, String, Long, Double)].collect()
+    assert(out.length === 3 && out.head._3 > 0)
+    assert(out.sliding(2).forall(w => w(0)._3 >= w(1)._3),
+      "a later stage can never have more users than an earlier one")
+  }
 }

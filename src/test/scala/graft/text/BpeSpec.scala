@@ -67,4 +67,14 @@ class BpeSpec extends SparkSpec {
     assert(out(0) === ((1L, Seq("a b c", "a b"), 2L)))
     assert(out(1) === ((2L, Seq("c", "c", "a b"), 3L)))
   }
+
+  test("merge frequencies are non-increasing across rounds") {
+    val out = Bpe.trainMerges(
+        graft.Tables.documents(spark, sf0001).limit(100), "text", 5)
+      .orderBy("round")
+      .as[(Int, String, String, Long)].collect()
+    assert(out.nonEmpty)
+    assert(out.sliding(2).forall(w => w.length < 2 || w(0)._4 >= w(1)._4),
+      "a merged symbol pair can never become more frequent than the previous max")
+  }
 }
