@@ -46,8 +46,10 @@ object FuzzyJoin {
         explode(array(col("cell0") - 1, col("cell0"), col("cell0") + 1)))
       .drop("cell0")
     p.join(c, Seq("cell"))
-      .withColumn("dist", levenshtein(col(probeCol), col(corpusCol)))
-      .filter(col("dist") <= maxDist)
+      // banded threshold form: O(maxDist * n) per pair and early exit,
+      // returns -1 above the threshold
+      .withColumn("dist", levenshtein(col(probeCol), col(corpusCol), maxDist))
+      .filter(col("dist") >= 0)
       .drop("cell")
   }
 
@@ -134,8 +136,8 @@ object FuzzyJoin {
       .drop("cl", "si", "seg")
       .distinct()
     val verified = candidates
-      .withColumn("dist", levenshtein(col(probeCol), col(corpusCol)))
-      .filter(col("dist") <= maxDist)
+      .withColumn("dist", levenshtein(col(probeCol), col(corpusCol), maxDist))
+      .filter(col("dist") >= 0)
       .unionByName(
         editDistanceJoin(shortCorpus, pDist, corpusCol, probeCol, maxDist))
 
