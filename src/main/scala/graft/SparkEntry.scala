@@ -35,7 +35,7 @@ object SparkEntry {
     dedup.DedupSurface.queries ++
     dedup.SemanticDedup.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
-    pipeline.PipelineSurface.queries
+    pipeline.PipelineSurface.queries ++ pipeline.Snapshots.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -57,5 +57,5 @@ object SparkEntry {
     dedup.DedupSurface.oracles ++
     dedup.SemanticDedup.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
-    pipeline.PipelineSurface.oracles
+    pipeline.PipelineSurface.oracles ++ pipeline.Snapshots.oracles
 }
