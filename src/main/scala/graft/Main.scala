@@ -165,7 +165,7 @@ object Main {
       // input corpus, --output the destination; each op is a deterministic
       // transform so re-runs produce byte-identical corpora
       val op = flags.getOrElse("op",
-        sys.error("--op <dedup|decontaminate|sample|mix|pack|split|redact|filter|report|prepare|bpe|search|semdedup> required"))
+        sys.error("--op <dedup|decontaminate|sample|mix|pack|split|redact|filter|report|prepare|bpe|search|semdedup|diff> required"))
       val docs = spark.read.parquet(table)
       val out = flags.getOrElse("output", sys.error("--output is required"))
       val idCol = flags.getOrElse("id-col", "doc_id")
@@ -260,6 +260,14 @@ object Main {
             flags.getOrElse("vec-col", "embedding"),
             flags.getOrElse("clusters", "256").toInt,
             flags.getOrElse("iters", "3").toInt, threshold)
+        case "diff" =>
+          // --table = old snapshot, --other = new; compares --cols (or all
+          // non-key columns)
+          val other = spark.read.parquet(
+            flags.getOrElse("other", sys.error("--other is required")))
+          val cols = flags.get("cols").map(_.split(',').toSeq)
+            .getOrElse(docs.columns.filterNot(_ == idCol).toSeq)
+          graft.pipeline.Snapshots.diffSnapshots(docs, other, idCol, cols)
         case other => sys.error(s"unknown corpus op: $other")
       }
       result.write.mode("overwrite").parquet(out)

@@ -155,5 +155,16 @@ class MainSpec extends SparkSpec {
       "key-col" -> "basket", "item-col" -> "item",
       "output" -> s"$dir/tri"))
     assert(spark.read.parquet(s"$dir/tri").as[Long].head() === 1L)
+
+    val docs2P = s"$dir/docs2"
+    Seq((1L, "alpha beta gamma alpha beta"), (2L, "alpha beta CHANGED"),
+      (4L, "fresh row"))
+      .toDF("doc_id", "text").write.parquet(docs2P)
+    Main.run(spark, "corpus", docsP, Map("op" -> "diff",
+      "other" -> docs2P, "output" -> s"$dir/diff"))
+    val changes = spark.read.parquet(s"$dir/diff")
+      .select("key", "change").as[(Long, String)].collect().toMap
+    assert(changes === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
   }
 }
