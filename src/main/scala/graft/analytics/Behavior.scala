@@ -45,7 +45,13 @@ object Behavior {
     * stage roll-up then aggregates ~steps rows. At 100 TB this is a scan +
     * one user-keyed shuffle, identical to sessionization.
     */
-  def funnel(events: DataFrame, userCol: String, tsCol: String,
+  /** Per-user step completion times: one row per user, columns t0..t_{n-1}
+    * (null where the user never completed the step). t0 = earliest step-0
+    * event; t_i = earliest step-i event after t_{i-1} and within the
+    * window that started at t0. Exposed so the streaming twin can assert
+    * exact parity against the batch semantics.
+    */
+  def userStepTimes(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String] = GateSteps,
       windowMicros: Long = GateWindowMicros): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
@@ -55,8 +61,6 @@ object Behavior {
       unix_micros(col(tsCol)).as("us"),
       col(typeCol).as("etype"))
 
-    // t0 = earliest step-0 event; t_i = earliest step-i event after t_{i-1}
-    // and within the window that started at t0.
     val withSteps = steps.zipWithIndex.foldLeft(base) {
       case (df, (step, 0)) =>
         df.withColumn("t0", min(when(col("etype") === step, col("us"))).over(w))
@@ -67,10 +71,17 @@ object Behavior {
             col("us") <= col("t0") + windowMicros, col("us"))).over(w))
     }
 
-    val perUser = withSteps
+    withSteps
       .groupBy("user_id")
       .agg(steps.indices.map(i => first(s"t$i").as(s"t$i")).head,
         steps.indices.map(i => first(s"t$i").as(s"t$i")).tail: _*)
+  }
+
+  def funnel(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String] = GateSteps,
+      windowMicros: Long = GateWindowMicros): DataFrame = {
+    val perUser = userStepTimes(events, userCol, tsCol, typeCol, steps,
+      windowMicros)
 
     // one row per stage; users(i) = users whose t_i is set
     val stageCounts = perUser.select(

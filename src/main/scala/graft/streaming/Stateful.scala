@@ -94,4 +94,40 @@ object Stateful {
           out.iterator
       }
   }
+
+  final case class FunnelEvent(user_id: Long, event_type: String,
+      event_id: Long, us: Long)
+  final case class FunnelState(times: Seq[Long])
+  final case class FunnelProgress(user_id: Long, completed: Int,
+      times: Seq[Long])
+
+  /** Streaming twin of [[graft.analytics.Behavior.userStepTimes]]: per-user
+    * funnel progress via `mapGroupsWithState`. State is the completed-step
+    * timestamp prefix (O(steps) longs per user — bounded by design).
+    * Because events are applied in ascending (us, event_id) order, the
+    * FIRST qualifying event per step is exactly the batch window-min, so
+    * the final state equals the batch per-user step times EXACTLY
+    * (spec-asserted); same ingestion-order caveat as [[streamingAnomalies]].
+    */
+  def streamingFunnel(events: Dataset[FunnelEvent],
+      steps: Seq[String] = graft.analytics.Behavior.GateSteps,
+      windowMicros: Long = graft.analytics.Behavior.GateWindowMicros): Dataset[FunnelProgress] = {
+    implicit val outEnc = Encoders.product[FunnelProgress]
+    implicit val stateEnc = Encoders.product[FunnelState]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          var times = state.getOption.map(_.times.toVector).getOrElse(Vector.empty)
+          evs.toVector.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val k = times.length
+            if (k < steps.length && e.event_type == steps(k) &&
+              (k == 0 || (e.us > times(k - 1) &&
+                e.us <= times.head + windowMicros))) {
+              times = times :+ e.us
+            }
+          }
+          state.update(FunnelState(times))
+          FunnelProgress(uid, times.length, times)
+      }
+  }
 }

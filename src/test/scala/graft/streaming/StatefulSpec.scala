@@ -78,4 +78,38 @@ class StatefulSpec extends SparkSpec {
       assert(streamed.values.exists(_.z.isDefined))
     } finally q.stop()
   }
+
+  test("mapGroupsWithState streaming funnel ≡ batch userStepTimes") {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val evDir = java.nio.file.Files.createTempDirectory("graft-funnel-events")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
+      evDir.resolve("events.parquet"))
+    val stream = spark.readStream
+      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
+      .parquet(evDir.toString)
+      .select($"user_id", $"event_type", $"event_id",
+        expr("ts div 1000").as("us"))
+      .as[Stateful.FunnelEvent]
+    val q = Stateful.streamingFunnel(stream)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("funnel_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("funnel_stream")
+        .as[Stateful.FunnelProgress].collect()
+        .map(p => p.user_id -> p.times).toMap
+      val batch = graft.analytics.Behavior.userStepTimes(
+          graft.Tables.events(spark, sf0001), "user_id", "ts", "event_type")
+        .as[(Long, Option[Long], Option[Long], Option[Long])].collect()
+        .map { case (u, t0, t1, t2) =>
+          u -> Seq(t0, t1, t2).takeWhile(_.isDefined).flatten
+        }.toMap
+      assert(streamed.nonEmpty)
+      assert(streamed === batch,
+        "streaming funnel state diverges from the batch step times")
+      assert(streamed.values.exists(_.length == 3), "some user converts fully")
+    } finally q.stop()
+  }
 }
