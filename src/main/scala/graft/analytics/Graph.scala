@@ -106,7 +106,10 @@ object Graph {
       damping: Double = PrDamping): DataFrame = {
     // checkpoint the directed edge list: every round joins against it, and
     // a lazy plan would re-run the upstream edge construction (the
-    // co-occurrence self-join) once per round
+    // co-occurrence self-join) once per round. (Pre-partitioning it on `u`
+    // was tried and measured SLOWER at the 10x probe — the extra up-front
+    // shuffle isn't amortized because AQE re-plans each round's join
+    // anyway.)
     val dir = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
       .localCheckpoint(true)
