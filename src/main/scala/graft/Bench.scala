@@ -50,7 +50,7 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_reps":$reps,"method":"median_of_reps_first_rep_is_warmup","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
