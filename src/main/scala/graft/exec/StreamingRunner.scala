@@ -23,16 +23,26 @@ object StreamingRunner {
 
   /** foreachBatch dispatcher: run every todo item of the micro-batch,
     * append updated items to `resultPath` (an ItemStore-shaped table whose
-    * latest row per itemID is the current state).
+    * latest row per itemID is the current state). The append is
+    * [[ItemStore.commitBatch]] keyed by `batchId` — foreachBatch is
+    * at-least-once (a crash after the write replays the batch on restart),
+    * and a blind append would record the replayed batch's outcomes twice;
+    * the idempotent commit makes the outcome table exactly-once. A batch
+    * already marked committed skips execution entirely (no re-run of its
+    * scripts either).
     */
   def dispatcher(
       items: DataFrame,
       resultPath: String,
       config: Runner.RunConfig = Runner.RunConfig()): DataStreamWriter[org.apache.spark.sql.Row] =
     items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val (updated, outcomes) = Runner.processItems(batch, config)
-      try ItemStore.append(updated.select(WorkItem.schema.fieldNames.map(col): _*), resultPath)
-      finally { outcomes.unpersist(); () }
+      if (!ItemStore.batchCommitted(batch.sparkSession, resultPath, batchId)) {
+        val (updated, outcomes) = Runner.processItems(batch, config)
+        try ItemStore.commitBatch(
+          updated.select(WorkItem.schema.fieldNames.map(col): _*), resultPath, batchId)
+        finally { outcomes.unpersist(); () }
+        ()
+      }
     }
 
   /** Dispatcher that COEXISTS with external workers: before executing, the
@@ -61,6 +71,9 @@ object StreamingRunner {
       leaseMillis: Option[Long] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      // replay of a fully committed batch: its outcomes are already in the
+      // result table exactly once — skip claiming and execution entirely
+      if (!ItemStore.batchCommitted(spark, resultPath, batchId)) {
       val lockPrefix = s"lock-$instanceId-$batchId-"
       // claim every todo item of the batch via the conditional write path
       batch.filter(col("itemState") === "todo")
@@ -113,7 +126,10 @@ object StreamingRunner {
         val keep =
           if (lostIds.isEmpty) updated
           else updated.filter(!col("itemID").isin(lostIds: _*))
-        try ItemStore.append(keep.select(WorkItem.schema.fieldNames.map(col): _*), resultPath)
+        // batchId-idempotent commit: a replayed batch (post-append crash)
+        // publishes the same deterministic file names, never a second copy
+        try ItemStore.commitBatch(
+          keep.select(WorkItem.schema.fieldNames.map(col): _*), resultPath, batchId)
         finally { outcomes.unpersist(); () }
         // stop the heartbeat BEFORE pinning (a late renew would re-arm the
         // expiry), then convert every completed item's lock to non-expiring:
@@ -128,5 +144,6 @@ object StreamingRunner {
           }
         }
       } finally renewer.foreach(_._1.shutdownNow())
+      }
     }
 }

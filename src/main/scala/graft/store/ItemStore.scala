@@ -50,6 +50,69 @@ object ItemStore {
   /** Append newly imported items (`put_item` sink, batched — S8). */
   def append(items: DataFrame, path: String): Unit = save(items, path, SaveMode.Append)
 
+  /** Exactly-once append for streaming `foreachBatch`: `append` replayed
+    * after a post-write crash duplicates the batch (foreachBatch is
+    * at-least-once — Spark replays the last uncommitted batch on restart).
+    * This commit is idempotent in `batchId`:
+    *
+    *  1. a `_graft_commits/batch-<id>` marker short-circuits a replay of a
+    *     fully committed batch;
+    *  2. rows stage to a sibling dir (overwrite mode — a replayed partial
+    *     stage just rewrites it; readers of `path` never see staged files);
+    *  3. staged files move into the live partition dirs under DETERMINISTIC
+    *     `batch-<id>-part-N` names, deleting any same-batch leftovers first —
+    *     so a crash between move and marker re-moves the same names instead
+    *     of adding new ones;
+    *  4. the marker lands last.
+    *
+    * Every crash point therefore converges to exactly one copy of the
+    * batch's rows. On a transactional table format this is a single
+    * idempotent `MERGE`/`replaceWhere(batchId)`; plain parquet needs the
+    * marker dance. Returns false when the batch was already committed.
+    * The reference's analog is the lockID verify loop (`code/modifier.py:99-125`)
+    * that exists to stop double-execution; here the WRITE side gets the same
+    * guarantee.
+    */
+  /** Entry check for dispatchers: true iff `batchId` fully committed (its
+    * marker landed) — a replayed batch can then skip claim + execution, not
+    * just the write.
+    */
+  def batchCommitted(spark: SparkSession, path: String, batchId: Long): Boolean = {
+    val marker = new Path(new Path(path), s"_graft_commits/batch-$batchId")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
+  }
+
+  def commitBatch(items: DataFrame, path: String, batchId: Long): Boolean = {
+    val spark = items.sparkSession
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf)
+    val marker = new Path(root, s"_graft_commits/batch-$batchId")
+    if (fs.exists(marker)) return false
+    val stagingStr = s"$path.batch-$batchId.staging"
+    items.write.mode(SaveMode.Overwrite).partitionBy("itemState").parquet(stagingStr)
+    val staging = new Path(stagingStr)
+    fs.listStatus(staging)
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("itemState="))
+      .foreach { part =>
+        val dest = new Path(root, part.getPath.getName)
+        fs.mkdirs(dest)
+        fs.listStatus(dest)
+          .filter(_.getPath.getName.startsWith(s"batch-$batchId-"))
+          .foreach(f => fs.delete(f.getPath, false))
+        part.getPath.getFileSystem(hconf).listStatus(part.getPath)
+          .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            require(fs.rename(f, new Path(dest, f"batch-$batchId-part-$i%05d.parquet")),
+              s"failed to publish staged batch file $f")
+          }
+      }
+    fs.delete(staging, true)
+    fs.mkdirs(marker.getParent)
+    fs.create(marker, true).close()
+    true
+  }
+
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(WorkItem.schema).parquet(path)
 

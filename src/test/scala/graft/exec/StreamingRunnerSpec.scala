@@ -37,6 +37,126 @@ class StreamingRunnerSpec extends SparkSpec {
     assert(stdout === "1\n2\n")
   }
 
+  test("commitBatch is exactly-once under replay and partial-commit crashes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-eos").toFile
+    val store = dir.toPath.resolve("results").toString
+    def batch(n: Int) = spark.range(n)
+      .selectExpr("cast(id as string) as itemID", "'done' as itemState")
+    def count() = spark.read.parquet(store).count()
+
+    assert(ItemStore.commitBatch(batch(5), store, 0L))
+    assert(count() === 5)
+    // straight replay (crash after marker): short-circuits, no second copy
+    assert(!ItemStore.commitBatch(batch(5), store, 0L))
+    assert(count() === 5)
+    // crash BETWEEN file publish and marker: delete the marker to simulate,
+    // replay must converge to one copy (deterministic names replace, not add)
+    val fs = new org.apache.hadoop.fs.Path(store)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(store, "_graft_commits/batch-0"), false)
+    assert(ItemStore.commitBatch(batch(5), store, 0L))
+    assert(count() === 5)
+    // a NEW batch still appends
+    assert(ItemStore.commitBatch(batch(3), store, 1L))
+    assert(count() === 8)
+  }
+
+  test("dispatcher replay of a committed micro-batch appends outcomes exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-replay").toFile
+    val f = new java.io.File(dir, "items.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("itemID|taskID|TaskScript|TaskArgs")
+    w.println("R1|g|seq 2|")
+    w.close()
+    val store = dir.toPath.resolve("store").toString
+    val results = dir.toPath.resolve("results").toString
+    ItemStore.save(Importer.importFile(spark, f.getAbsolutePath, "|", Some(",")), store)
+
+    val q = StreamingRunner.dispatcher(
+      StreamingRunner.itemStream(spark, store), results)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dir.toPath.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(ItemStore.load(spark, results).count() === 1)
+
+    // simulate the at-least-once replay foreachBatch performs after a
+    // crash between the outcome write and the checkpoint commit: invoke the
+    // same micro-batch body again with the same batchId
+    val replayed = ItemStore.load(spark, store)
+    if (!ItemStore.batchCommitted(spark, results, 0L)) {
+      val (updated, outcomes) = Runner.processItems(replayed)
+      try ItemStore.commitBatch(
+        updated.select(graft.model.WorkItem.schema.fieldNames.map(col): _*), results, 0L)
+      finally { outcomes.unpersist(); () }
+    }
+    val out = ItemStore.load(spark, results)
+    assert(out.count() === 1, "replayed batch must not duplicate outcomes")
+    assert(out.select($"itemState").as[String].head() === "done")
+  }
+
+  test("claimed dispatcher suppresses an item whose lease was taken over mid-batch") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-steal").toFile
+    val f = new java.io.File(dir, "items.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("itemID|taskID|TaskScript|TaskArgs")
+    w.println("Slow|g|sleep 2|")
+    w.close()
+    val store = dir.toPath.resolve("store").toString
+    val results = dir.toPath.resolve("results").toString
+    val registry = dir.toPath.resolve("registry").toString
+    ItemStore.save(Importer.importFile(spark, f.getAbsolutePath, "|", Some(",")), store)
+
+    // worker A dispatches with a short lease; its script sleeps 2s
+    val q = StreamingRunner.claimedDispatcher(
+      StreamingRunner.itemStream(spark, store), results, registry, "worker-A",
+      leaseMillis = Some(600L))
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", dir.toPath.resolve("ckpt").toString)
+      .start()
+    val aDone = scala.concurrent.Future(q.processAllAvailable())(
+      scala.concurrent.ExecutionContext.global)
+
+    // wait until A holds the lock, then worker B takes the item over while
+    // A's script is still running. (The CAS swap below lands B in exactly
+    // the state an expired-lease takeover produces — the expiry CAS itself
+    // is covered at the connector level in WorkQueueSourceSpec; here we
+    // verify the DISPATCHER honors the loss.) A's next heartbeat renewal
+    // fails, the item joins A's lost set, and A must suppress its result.
+    val deadline = System.currentTimeMillis() + 30000
+    var aLock: Option[String] = None
+    while (aLock.isEmpty && System.currentTimeMillis() < deadline) {
+      aLock = graft.store.connector.WorkQueueClaimWrite.lockState(registry, "Slow")
+        .collect { case (l, _, _) if l.startsWith("lock-worker-A-") => l }
+      if (aLock.isEmpty) Thread.sleep(25)
+    }
+    assert(aLock.nonEmpty, "worker A never claimed the item")
+    Seq(("Slow", "b-lock", "worker-B", aLock.get))
+      .toDF("itemID", "lockID", "instanceID", "expectedLockID")
+      .write.format("graft.store.connector.WorkQueueSource")
+      .option("path", registry).mode("append").save()
+
+    try scala.concurrent.Await.result(aDone, scala.concurrent.duration.Duration(120, "s"))
+    finally q.stop()
+
+    // A's late result is suppressed: the outcome table has no row for the
+    // item A lost (B, the new holder, is responsible for its outcome)
+    val afterA = ItemStore.load(spark, results)
+    assert(afterA.filter($"itemID" === "Slow").isEmpty,
+      "worker A's result for a lost lease must be suppressed")
+    // the registry shows B as the holder, and A did NOT pin it non-expiring
+    val lock = graft.store.connector.WorkQueueClaimWrite.lockState(registry, "Slow")
+    assert(lock.exists(_._1 === "b-lock"), s"registry holder after takeover: $lock")
+
+    // worker B completes the item; exactly B's outcome lands in the table
+    ItemStore.append(
+      ItemStore.load(spark, store).withColumn("itemState", lit("done"))
+        .select(graft.model.WorkItem.schema.fieldNames.map(col): _*), results)
+    val out = ItemStore.load(spark, results).filter($"itemID" === "Slow")
+    assert(out.count() === 1)
+    assert(out.select($"itemState").as[String].head() === "done")
+  }
+
   test("claimed dispatcher skips items an external worker already holds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-srun2").toFile
     val f = new java.io.File(dir, "items.txt")
