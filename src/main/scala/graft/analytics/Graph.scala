@@ -55,8 +55,7 @@ object Graph {
     val srcLower = col("ds") < col("dd") || (col("ds") === col("dd") && col("src") < col("dst"))
     val adj = ranked.select(
       when(srcLower, col("src")).otherwise(col("dst")).as("u"),
-      when(srcLower, col("dst")).otherwise(col("src")).as("w"),
-      when(srcLower, col("dd")).otherwise(col("ds")).as("dw"))
+      when(srcLower, col("dst")).otherwise(col("src")).as("w"))
 
     // edge-iterator close: attach both endpoints' oriented out-neighbor
     // lists to every oriented edge and count the intersection locally.
@@ -112,11 +111,11 @@ object Graph {
     // anyway.)
     val dir = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.cut)
     val deg = dir.groupBy("u").agg(count(lit(1)).as("outdeg"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.cut)
     var ranks = deg.select(col("u").as("node"), lit(1.0).as("pr"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.cut)
     for (_ <- 1 to iters) {
       val contrib = dir
         .join(ranks.withColumnRenamed("node", "u"), Seq("u"))
@@ -126,7 +125,7 @@ object Graph {
       val next = contrib.groupBy("node")
         .agg((lit(1.0) - damping) +
           lit(damping) * (sum("qc").cast("double") / PrScale) as "pr")
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.cut)
       ranks.unpersist()
       ranks = next
     }

@@ -80,7 +80,12 @@ object Stateful {
                 // all double arithmetic below copies the batch expression
                 // order exactly
                 val s1 = toDoubleAtScale(ring.sum, 4)
-                val s2 = toDoubleAtScale(ring.map(x => x * x).sum, 8)
+                // squared scaled values can overflow Long (|v|~7e4 sustained
+                // over the window crosses 2^63); the batch side's DECIMAL
+                // window sums don't, so accumulate in BigInt to keep the
+                // spec-asserted exact stream ≡ batch parity at any magnitude
+                val s2 = new java.math.BigDecimal(
+                  ring.map(x => BigInt(x) * BigInt(x)).sum.bigInteger, 8).doubleValue()
                 val mean = s1 / n
                 val variance = (s2 - s1 * s1 / n) / n
                 if (variance > 0.0) Some((e.value - mean) / math.sqrt(variance))

@@ -74,19 +74,21 @@ object HeavyHitters {
   def frequentItems(items: Dataset[String], k: Int): DataFrame = {
     require(k >= 2, "threshold fraction 1/k needs k >= 2")
     val candidates = mgCandidates(items, 2 * k)
-    // exact pass: non-candidates collapse into one "other" bucket, so the
-    // exchange carries ≤ 2k+1 keys per map task and total n comes for free
-    // (the sentinel starts with a space, which no split-on-space token can)
+    // exact pass: non-candidates collapse into one structurally-tagged
+    // "other" bucket (is_cand=false, key=null), so the exchange carries
+    // ≤ 2k+1 keys per map task and total n comes for free. The tag is a
+    // column, not a sentinel string — no input item can collide with it.
+    val isCand = col("item").isInCollection(candidates)
     val grouped = items.toDF("item")
-      .groupBy(when(col("item").isInCollection(candidates), col("item"))
-        .otherwise(lit(" other")).as("item"))
+      .groupBy(isCand.as("is_cand"),
+        when(isCand, col("item")).as("key"))
       .agg(count(lit(1)).as("cnt"))
     // the total-n window runs over the ≤2k+1 aggregated rows, not the data
     grouped
       .withColumn("total", sum("cnt").over(
         org.apache.spark.sql.expressions.Window.partitionBy()))
-      .filter(col("item") =!= " other" && col("cnt") * k > col("total"))
-      .select(col("item"), col("cnt"))
+      .filter(col("is_cand") && col("cnt") * k > col("total"))
+      .select(col("key").as("item"), col("cnt"))
   }
 
   private def tokens(s: SparkSession, d: String): Dataset[String] = {
