@@ -330,16 +330,30 @@ object Relational {
     """SELECT o_orderpriority, COUNT(DISTINCT o_custkey) AS n_cust, COUNT(*) AS n_orders
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
-  /** approx_count_distinct (HLL++) — approximate by design, so no DuckDB
-    * oracle (driver records the weaker rows-only check); the exact variant
-    * above is the correctness anchor.
+  /** approx_count_distinct (HLL++) — approximate by design, so the sketch
+    * value itself can't be oracle-hashed. Instead the gate output carries
+    * the quantitative evidence: `err_bound_ok` is computed by comparing the
+    * HLL estimate against the exact distinct count inside Spark (3σ of the
+    * default 5% rsd → 15% bound), and the oracle emits a literal TRUE next
+    * to its own exact counts — the hash matches IFF the estimate is within
+    * bound AND the exact anchors agree. This upgrades the gate from
+    * rows-only to hash-checked without pretending the sketch is exact.
     */
   def approxDistinctParts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.lineitem(spark, sfDir)
       .groupBy(col("l_returnflag"))
       .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"),
         count(lit(1)).as("n"))
+      .select(col("l_returnflag"), col("exact_parts"), col("n"),
+        (abs(col("approx_parts") - col("exact_parts")) <=
+          col("exact_parts").cast("double") * lit(0.15)).as("err_bound_ok"))
       .orderBy(col("l_returnflag"))
+
+  val approxDistinctSql: String =
+    """SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_parts,
+      |  COUNT(*) AS n, TRUE AS err_bound_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   /** Semi/anti joins (EXISTS / NOT EXISTS — absent in the reference):
     * customers with an urgent order, and customers with no orders at all.
@@ -610,6 +624,9 @@ object Relational {
     "q_range_join_bands" -> rangeJoinSql,
     "q_salted_revenue" -> saltedRevenueSql,
     "q_distinct_customers" -> distinctCustomersSql,
+    // hash-checked error-bound form: oracle TRUE matches iff the HLL
+    // estimate is within 3σ of exact (see approxDistinctParts)
+    "q_approx_distinct_parts" -> approxDistinctSql,
     "q18_large_volume" -> q18Sql,
     "q_above_brand_avg" -> aboveBrandAvgSql,
   )

@@ -4,10 +4,11 @@ import org.apache.spark.sql.functions._
 
 import graft.SparkSpec
 
-/** The rows-only gate (`q_approx_distinct_parts`) has no value oracle by
-  * design (HLL sketches are engine-specific); this spec supplies the
-  * missing correctness bound: the estimate must sit within HLL's
-  * advertised error of the exact distinct count, per group.
+/** The `q_approx_distinct_parts` gate is hash-checked via its
+  * `err_bound_ok` column (HLL sketch values are engine-specific, so the
+  * gate compares the estimate to the exact count inside Spark and the
+  * oracle emits literal TRUE); this spec asserts the same bound directly
+  * plus the gate's output shape.
   */
 class ApproxDistinctSpec extends SparkSpec {
   import spark.implicits._
@@ -25,5 +26,12 @@ class ApproxDistinctSpec extends SparkSpec {
       // for fixed data, this guards regressions in how the gate is wired)
       assert(rel <= 0.15, s"$flag: approx $approx vs exact $exact (rel $rel)")
     }
+  }
+
+  test("gate output carries the bound as a column, true on every group") {
+    val out = Relational.approxDistinctParts(spark, sf0001)
+    assert(out.columns.toSeq ===
+      Seq("l_returnflag", "exact_parts", "n", "err_bound_ok"))
+    assert(out.filter(!$"err_bound_ok").isEmpty)
   }
 }
