@@ -93,35 +93,44 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "rank", "cos")
   }
 
-  /** IVF assignment: nearest centroid by cosine (ties → lowest centroid id).
-    * Centroids broadcast; assignment is a narrow scan of the corpus.
+  /** IVF assignment, top-n: each vector's `n` nearest centroids by cosine
+    * (ties → lowest centroid id), ranked. Centroids broadcast; assignment
+    * is a narrow scan of the input — no shuffle beyond the tiny rank
+    * window, which AQE coalesces.
     */
-  def ivfAssign(vecs: DataFrame, centroids: DataFrame, idCol: String,
-      vecCol: String): DataFrame = {
+  def ivfAssignTop(vecs: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String, n: Int): DataFrame = {
     val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
     vecs.select(col(idCol).as("id"), col(vecCol).as("vv"))
       .join(broadcast(c))
       .withColumn("ccos", graft.functions.CosineSimilarity.cosineSim(col("vv"), col("cv")))
       .withColumn("crank", row_number().over(w))
-      .filter(col("crank") === 1)
+      .filter(col("crank") <= n)
       .select(col("id"), col("cid"))
   }
 
-  /** IVF top-k: candidates share the query's inverted list (single-probe).
-    * The coarse quantizer here picks every 50th vector as a centroid —
-    * deterministic stand-in for k-means (plug a trained codebook in the same
-    * slot). The scale shape: centroid table broadcast, corpus partitioned by
-    * list id, probe = one partition's worth of candidates.
+  /** IVF home-list assignment (top-1). */
+  def ivfAssign(vecs: DataFrame, centroids: DataFrame, idCol: String,
+      vecCol: String): DataFrame = ivfAssignTop(vecs, centroids, idCol, vecCol, 1)
+
+  /** IVF top-k: candidates come from the query's `nprobe` nearest inverted
+    * lists (real IVF recall lives in nprobe, not the quantizer). The corpus
+    * is indexed ONCE into home lists; only the small QUERY side fans out
+    * nprobe-fold, so cost scales with queries·nprobe·list-size while the
+    * 100 TB side is scanned and partitioned exactly once. A corpus vector
+    * lives in one list, so no (query, neighbor) pair can arise twice — no
+    * dedup pass. The scale shape: centroid table broadcast, corpus
+    * partitioned by list id, probe = nprobe partitions' worth of candidates.
     */
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
-      idCol: String, vecCol: String, k: Int): DataFrame = {
+      idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
       .join(assigned.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(ivfAssign(queries, centroids, idCol, vecCol)
+      .join(ivfAssignTop(queries, centroids, idCol, vecCol, nprobe)
         .withColumnRenamed("id", "query_id"), Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
@@ -157,7 +166,7 @@ object Similarity {
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
     var cents = vecs.orderBy("id").limit(k)
       .select(col("id").as("cid"), col("v").as("cv"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.cut)
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(vecs, cents.select(col("cid").as("id"), col("cv").as("v")),
         "id", "v")
@@ -173,7 +182,7 @@ object Similarity {
       val next = cents.alias("old")
         .join(means.alias("new"), Seq("cid"), "left")
         .select(col("cid"), coalesce(col("new.cv"), col("old.cv")).as("cv"))
-        .localCheckpoint(true)
+        .transform(graft.plans.Lineage.cut)
       cents.unpersist() // drop the superseded round's checkpoint blocks
       cents = next
     }
