@@ -40,7 +40,7 @@ object Ranking {
     // offset. The checkpoint holds exactly the sorted input, nothing more.
     val sorted = df.repartitionByRange(n, keys: _*)
       .sortWithinPartitions(keys: _*)
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.cut)
     // metadata-sized action: one (pid, count) row per partition
     val counts = sorted.select(spark_partition_id().as("__pid"))
       .groupBy(col("__pid")).agg(count(lit(1)).as("c"))

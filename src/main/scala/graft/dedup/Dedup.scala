@@ -563,7 +563,7 @@ object Dedup {
       .join(matchedReps.select(col("new_id").as("rep_id"), col("survivor_id")),
         Seq("rep_id"))
       .select(col("b_id").as("doc_id"), col("survivor_id"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.cut)
     breps.unpersist()
     val rest = batch.join(matched,
       batch(idCol).cast("long") === matched("doc_id"), "left_anti")
@@ -604,7 +604,7 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.cut)
 
     def bidir(d: DataFrame): DataFrame =
       d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
@@ -642,7 +642,7 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      val next = smallStar(largeStar(e)).transform(graft.plans.Lineage.cut)
       val nextSig = signature(next)
       // release the superseded round's checkpoint blocks — otherwise every
       // round pins another copy of the edge set for the app lifetime
@@ -726,7 +726,7 @@ object Dedup {
       .join(comps, Seq("rep_id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("survivor_id"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.cut)
     reps.unpersist()
     out
   }

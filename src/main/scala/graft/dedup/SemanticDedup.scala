@@ -82,7 +82,7 @@ object SemanticDedup {
     val out = assigned.join(dropped, Seq("id"), "left")
       .select(col("id").as("vec_id"), col("cid"),
         coalesce(!col("hit"), lit(true)).as("kept"))
-      .localCheckpoint(true)
+      .transform(graft.plans.Lineage.cut)
     cents.unpersist()
     out
   }
