@@ -216,6 +216,39 @@ object Multimodal {
     }
   }
 
+  /** Hashing-trick embedder (the public feature-hashing construction): a
+    * REAL embedding function with engine-reproducible arithmetic, not a
+    * per-doc fingerprint. Per token of the whitespace-normalized lowercase
+    * text: dimension = md5-48(token) mod dim, signed ±1 by the next hash
+    * bit; the signed counts accumulate per dimension and the vector is
+    * L2-normalized. Tokens are hashed with the same portable md5 fold the
+    * dedup family uses ([[graft.dedup.Dedup.md5Bits48Jvm]]), integer
+    * accumulation is order-free, and sqrt/divide are correctly-rounded
+    * IEEE ops — so the DuckDB oracle re-derives the vectors bit-for-bit
+    * (gate `mm_embed_hashtrick`). Texts with no tokens embed to the zero
+    * vector.
+    */
+  final case class HashingEmbedder(dim: Int) extends TextEmbedder {
+    require(dim > 0, s"dim must be positive, got $dim")
+    def embed(texts: Seq[String]): Seq[Array[Double]] = texts.map { t =>
+      val norm = t.toLowerCase.replaceAll("\\s+", " ").trim
+      val acc = new Array[Long](dim)
+      if (norm.nonEmpty) norm.split(" ").foreach { tok =>
+        val h = graft.dedup.Dedup.md5Bits48Jvm(tok)
+        val j = (h % dim).toInt
+        acc(j) += (if ((h / dim) % 2 == 0) 1L else -1L)
+      }
+      var n2 = 0L
+      var i = 0
+      while (i < dim) { n2 += acc(i) * acc(i); i += 1 }
+      if (n2 == 0L) new Array[Double](dim)
+      else {
+        val nrm = math.sqrt(n2.toDouble)
+        acc.map(_.toDouble / nrm)
+      }
+    }
+  }
+
   /** Batched embedding inference over a text column — the plumbing of the
     * "embed the corpus" stage every similarity/clustering pipeline runs.
     * Partition-wise grouped iteration: the embedder sees fixed-size BATCHES

@@ -55,7 +55,22 @@ object MultimodalSurface {
           (0 until Multimodal.StubEmbedder.dim).map(j =>
             element_at(col("embedding"), j + 1).as(s"v$j")): _*)
         .orderBy("doc_id")),
+    // feature-hashing embedder through the same batching plumbing: signed
+    // token counts per hashed dimension, L2-normalized (real vector math,
+    // bit-reproduced by the oracle's identical integer + IEEE arithmetic)
+    "mm_embed_hashtrick" -> ((s, d) =>
+      Multimodal.embedBatch(Tables.documents(s, d), "doc_id", "text",
+        Multimodal.HashingEmbedder(HtDim))
+        .select(col("doc_id") +:
+          (0 until HtDim).map(j =>
+            element_at(col("embedding"), j + 1).as(s"v$j")): _*)
+        .orderBy("doc_id")),
   )
+
+  /** Gate dimensionality for the hashing-trick embedder (small so the
+    * oracle compares named scalar columns, like `mm_embed_batch`).
+    */
+  val HtDim = 8
 
   val oracles: Map[String, String] = Map(
     "mm_media" ->
@@ -116,5 +131,36 @@ object MultimodalSurface {
       |SELECT doc_id, ${(0 until Multimodal.StubEmbedder.dim).map(j =>
           s"(h * ${2 * j + 3} % 997) / 997.0 AS v$j").mkString(", ")}
       |FROM h48 ORDER BY doc_id""".stripMargin,
+    // HashingEmbedder mirror: per token h = first 48 md5 bits; dimension
+    // j = h mod dim, sign = ±1 by (h // dim) mod 2; signed counts pivot to
+    // columns, L2-normalized. A doc whose signed counts all cancel (or with
+    // no tokens) embeds to the zero vector — the CASE/COALESCE pair below.
+    "mm_embed_hashtrick" -> {
+      val d = HtDim
+      val cs = (0 until d)
+      s"""WITH base AS (
+        |  SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
+        |  FROM documents WHERE text IS NOT NULL),
+        |toks AS (
+        |  SELECT doc_id, unnest(string_split(ntext, ' ')) AS tok
+        |  FROM base WHERE ntext <> ''),
+        |hs AS (SELECT doc_id, ${graft.dedup.DedupSurface.hexFoldSql("md5(tok)", 1)} AS h
+        |  FROM toks),
+        |agg AS (SELECT doc_id, CAST(h % $d AS INT) AS j,
+        |    SUM(CASE WHEN (h // $d) % 2 = 0 THEN 1 ELSE -1 END) AS c
+        |  FROM hs GROUP BY doc_id, j),
+        |piv AS (SELECT doc_id,
+        |    ${cs.map(j => s"SUM(CASE WHEN j = $j THEN c ELSE 0 END) AS c$j").mkString(", ")}
+        |  FROM agg GROUP BY doc_id),
+        |nrm AS (SELECT doc_id,
+        |    ${cs.map(j => s"c$j").mkString(", ")},
+        |    sqrt(CAST(${cs.map(j => s"c$j*c$j").mkString(" + ")} AS DOUBLE)) AS nn
+        |  FROM piv)
+        |SELECT b.doc_id,
+        |  ${cs.map(j =>
+            s"COALESCE(CASE WHEN nn > 0 THEN CAST(c$j AS DOUBLE) / nn END, 0.0) AS v$j")
+            .mkString(", ")}
+        |FROM base b LEFT JOIN nrm USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
   )
 }

@@ -130,6 +130,75 @@ class MultimodalSpec extends SparkSpec {
       stub.map(f => f.mediaId -> f.checksum).toMap)
   }
 
+  test("ImageIoCodec decodes a real PNG through the same feature/resize pipelines") {
+    // paint a known 8x6 image and PNG-encode it — a REAL image payload
+    val w = 8; val h = 6
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var lumaPerMille = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = (x * 30, y * 40, (x + y) * 10)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b)
+      lumaPerMille += 299L * r + 587L * g + 114L * b
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val audio = Array[Byte](1, 2, 3, 4)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "image", png, Multimodal.MediaMeta(w, h, 0, 0)),
+      Multimodal.MediaRow(2L, "audio", audio, Multimodal.MediaMeta(0, 0, 16000, 1)))
+      .toDS().toDF()
+
+    // decode features: pixel count + mean BT.601 luma for the image; the
+    // audio row falls back to the stub byte arithmetic
+    val feats = Multimodal.extractFeatures(media, ImageIoCodec)
+      .collect().map(f => f.mediaId -> f).toMap
+    assert(feats(1L).byteLen === png.length.toLong)
+    assert(feats(1L).checksum === w.toLong * h)
+    assert(feats(1L).meanByte === lumaPerMille.toDouble / 1000.0 / (w * h))
+    val (stubSum, stubMean) = Multimodal.StubCodec.decodeFeatures("audio", audio)
+    assert(feats(2L).checksum === stubSum && feats(2L).meanByte === stubMean)
+
+    // resize: the output payload is a real PNG at the scaled dimensions
+    val resized = Multimodal.resizeWith(media, 2, ImageIoCodec)
+    val outPng = resized.filter($"mediaId" === 1L)
+      .select($"payload").as[Array[Byte]].head()
+    val decoded = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(outPng))
+    assert(decoded.getWidth === w / 2 && decoded.getHeight === h / 2)
+    assert(resized.filter($"mediaId" === 1L).select($"meta.width").as[Int].head() === w / 2)
+    // non-image payloads untouched
+    assert(resized.filter($"mediaId" === 2L).select($"payload").as[Array[Byte]]
+      .head().toSeq === audio.toSeq)
+  }
+
+  test("HashingEmbedder: unit vectors, reference arithmetic, layout invariance") {
+    val emb = Multimodal.HashingEmbedder(8)
+    // driver-side reference for one text: signed count per md5-hashed dim
+    val text = "The quick  brown fox\tjumps over the LAZY dog"
+    val toks = text.toLowerCase.replaceAll("\\s+", " ").trim.split(" ")
+    val ref = new Array[Long](8)
+    toks.foreach { t =>
+      val hh = graft.dedup.Dedup.md5Bits48Jvm(t)
+      ref((hh % 8).toInt) += (if ((hh / 8) % 2 == 0) 1L else -1L)
+    }
+    val nrm = math.sqrt(ref.map(x => x * x).sum.toDouble)
+    val got = emb.embed(Seq(text)).head
+    assert(got.toSeq === ref.map(_.toDouble / nrm).toSeq)
+    // unit norm (or exact zero for tokenless texts)
+    assert(math.abs(got.map(x => x * x).sum - 1.0) < 1e-12)
+    assert(emb.embed(Seq("   ")).head.toSeq === Seq.fill(8)(0.0))
+
+    // same batching invariance contract as the stub (reused shape)
+    val docs = (0L until 100L).map(i => (i, s"doc $i with words ${i % 7}"))
+      .toDF("doc_id", "text")
+    val a = Multimodal.embedBatch(docs.coalesce(1), "doc_id", "text", emb, 64)
+      .select($"doc_id", $"embedding").as[(Long, Seq[Double])].collect().toMap
+    val b = Multimodal.embedBatch(docs.repartition(7), "doc_id", "text", emb, 3)
+      .select($"doc_id", $"embedding").as[(Long, Seq[Double])].collect().toMap
+    assert(a === b)
+  }
+
   test("embedBatch calls the model in bounded batches and is batch-size invariant") {
     val docs = (0L until 257L).map(i => (i, s"text number $i"))
       .toDF("doc_id", "text")
