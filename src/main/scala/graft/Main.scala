@@ -36,6 +36,19 @@ object Main {
     * FileSystem, checked — an unchecked local rename after dropping the
     * original would risk silent data loss).
     */
+  /** Event-time column handling for the sessions/events verbs: an integral
+    * `ts` is epoch NANOS (the project's events parquet — [[Tables.events]]
+    * reads it as `timestamp_micros(ts div 1000)`), where a bare
+    * `cast("timestamp")` would interpret epoch SECONDS and land millennia
+    * off; string/timestamp columns cast normally.
+    */
+  private def withEventTime(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
+
   private def rewriteTable(spark: SparkSession, table: String,
       updated: org.apache.spark.sql.DataFrame): Unit = {
     val tmp = table + ".next"
@@ -242,9 +255,17 @@ object Main {
             flags.getOrElse("rounds", "64").toInt)
           flags.get("tokenize-output").foreach { tokOut =>
             import spark.implicits._
-            val mergeTable = merges.orderBy("round")
-              .select("left", "right").as[(String, String)].collect().toSeq
-            graft.text.Bpe.tokenizeWithMerges(docs, idCol, textCol, mergeTable)
+            // batches must re-apply per round, simultaneously — the same
+            // grouping the trainer used
+            val batches = merges
+              .orderBy(org.apache.spark.sql.functions.col("round"),
+                org.apache.spark.sql.functions.col("freq").desc,
+                org.apache.spark.sql.functions.col("left"),
+                org.apache.spark.sql.functions.col("right"))
+              .select("round", "left", "right").as[(Int, String, String)]
+              .collect().groupBy(_._1).toSeq.sortBy(_._1)
+              .map(_._2.map(r => (r._2, r._3)).toSeq)
+            graft.text.Bpe.tokenizeWithMerges(docs, idCol, textCol, batches)
               .write.mode("overwrite").parquet(tokOut)
           }
           merges
@@ -276,8 +297,7 @@ object Main {
       // sessionize an events parquet: --table the events table, --gap-minutes
       // the inactivity break, --output the per-session aggregate table
       val out = flags.getOrElse("output", sys.error("--output is required"))
-      graft.analytics.Sessions.sessionize(spark.read.parquet(table)
-          .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp")),
+      graft.analytics.Sessions.sessionize(withEventTime(spark.read.parquet(table)),
         flags.getOrElse("user-col", "user_id"), "ts",
         flags.getOrElse("id-col", "event_id"),
         flags.getOrElse("value-col", "value"),
@@ -287,8 +307,7 @@ object Main {
     case "events" =>
       // behavior analytics over an events parquet: --op funnel|cohorts|anomalies
       val out = flags.getOrElse("output", sys.error("--output is required"))
-      val ev = spark.read.parquet(table)
-        .withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      val ev = withEventTime(spark.read.parquet(table))
       val userCol = flags.getOrElse("user-col", "user_id")
       val typeCol = flags.getOrElse("type-col", "event_type")
       val result = flags.getOrElse("op",

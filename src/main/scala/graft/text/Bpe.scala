@@ -8,44 +8,62 @@ import graft.Tables
 /** Distributed BPE-style merge training over the corpus — the tokenizer-
   * vocabulary step of an LLM data pipeline (Sennrich et al. 2016, public
   * technique), at the word level: symbols start as whitespace tokens of
-  * the normalized text and each round merges the globally most frequent
-  * ADJACENT symbol pair into one symbol.
+  * the normalized text, and training repeatedly merges the most frequent
+  * ADJACENT symbol pairs.
+  *
+  * Merges are learned in BATCHES (the public "fast BPE" batching): each
+  * round takes the top-[[GateBatch]] pairs by (freq DESC, left, right) and
+  * keeps every pair that shares no symbol with a higher-ranked candidate —
+  * pairwise-disjoint symbols make the whole batch's occurrences
+  * non-overlapping, so the batch applies SIMULTANEOUSLY in one
+  * position-independent scan. That decouples merge count from shuffle
+  * count: m merges per round cost ONE pair-count shuffle, not m — the
+  * difference between 30k shuffles and ~4k for a real 30k-merge vocab.
   *
   * Variant for engine-reproducibility: self-pairs (a == b) are not merge
-  * candidates. For a != b, occurrences of (a, b) can never overlap, so
-  * "replace all occurrences" is position-independent and parallel — the
-  * merge application is a pure per-row map, identical in any engine, and
-  * the whole training run is expressible as unrolled SQL rounds (the
-  * DuckDB oracle re-trains the merge table and hash-checks it). Ties
-  * break (freq DESC, left ASC, right ASC).
+  * candidates (occurrences of a≠b pairs never overlap), the disjointness
+  * rule compares against all higher-RANKED candidates (kept or not — a
+  * one-shot rule with no sequential state), and ties break
+  * (freq DESC, left ASC, right ASC). Every step is a pure per-row map or
+  * a rank filter, so the DuckDB oracle re-trains the identical merge
+  * table as unrolled SQL rounds and hash-checks it.
   *
   * Scale shape per round: one explode of adjacent pairs + a partial-agg
-  * count (the only shuffle), a driver-side argmax of ONE row (exactly the
-  * codebook pattern of `trainCentroids` — the merge table is the model),
-  * then a narrow map applies the merge. State on the driver is O(rounds).
-  * `localCheckpoint` truncates the growing per-round lineage.
+  * count (the only shuffle), a driver-side argtop of ≤ [[GateBatch]] rows
+  * (the merge table is the model, exactly the codebook pattern of
+  * `trainCentroids`), then a narrow map applies the batch. Driver state is
+  * O(total merges). [[graft.plans.Lineage.cut]] truncates the per-round
+  * lineage.
   */
 object Bpe {
 
-  val GateRounds = 6
+  /** Gate rounds × candidate window: 3 rounds of up-to-8-candidate batches
+    * learn more merges than the old 6 single-merge rounds in half the
+    * shuffles.
+    */
+  val GateRounds = 3
+  val GateBatch = 8
 
   /** Adjacent symbol pairs of an array column, as (a, b) structs. */
   private def adjacentPairs(t: Column): Column =
     arrays_zip(slice(t, lit(1), greatest(size(t) - 1, lit(0))),
       slice(t, lit(2), greatest(size(t) - 1, lit(0))))
 
-  /** Apply one (a, b) -> "a b" merge to a symbol array. Safe to evaluate
-    * position-independently because a != b (no overlapping occurrences).
+  /** Apply a BATCH of (a, b) -> "a b" merges to a symbol array in one scan.
+    * Safe to evaluate position-independently: batch pairs have pairwise
+    * disjoint symbols and no self-pairs, so no two merge sites can overlap
+    * and a position matches at most one pair.
     */
-  private[text] val applyMergeUdf =
-    udf { (t: Seq[String], a: String, b: String) =>
+  private[text] val applyMergesUdf =
+    udf { (t: Seq[String], as: Seq[String], bs: Seq[String]) =>
       if (t == null) null
       else {
+        val pairs = as.zip(bs).toSet
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0
         while (i < t.length) {
-          if (i + 1 < t.length && t(i) == a && t(i + 1) == b) {
-            out += s"$a $b"
+          if (i + 1 < t.length && pairs.contains((t(i), t(i + 1)))) {
+            out += s"${t(i)} ${t(i + 1)}"
             i += 2
           } else {
             out += t(i)
@@ -56,40 +74,67 @@ object Bpe {
       }
     }
 
-  /** Train `rounds` merges; returns (round, left, right, freq) — the merge
-    * table, in training order. Stops early if no eligible pair remains.
+  /** The batch rule, driver-side: from the top-`batch` candidates in
+    * (freq DESC, a, b) order, keep each pair sharing no symbol with ANY
+    * higher-ranked candidate (kept or not). One-shot and deterministic —
+    * the SQL mirror is a rank self-join, not a sequential fold.
     */
-  def trainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+  private[text] def selectBatch(
+      top: Seq[(String, String, Long)]): Seq[(String, String, Long)] =
+    top.zipWithIndex.collect {
+      case ((a, b, c), i) if top.take(i).forall { case (ua, ub, _) =>
+        ua != a && ua != b && ub != a && ub != b } => (a, b, c)
+    }
+
+  /** Train up to `rounds` merge batches; returns (round, left, right, freq)
+    * — the merge table. Within a round, rows are the batch's kept pairs;
+    * application order within a batch is immaterial (disjoint symbols).
+    * Stops early if no eligible pair remains.
+    *
+    * Training runs on the DISTINCT token-array table with multiplicities
+    * (the word-frequency form of classic BPE, and the engine's standard
+    * exact-dup-collapse move): identical docs collapse into one weighted
+    * row before any per-round work, so an exact-duplicate-heavy corpus —
+    * the normal shape of a 100 TB crawl — pays per distinct doc, not per
+    * copy. Pair frequencies are identical by construction
+    * (Σ weights ≡ raw occurrence count).
+    */
+  def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
+      batch: Int = GateBatch): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     var toks = docs
       .select(TextAnalysis.normalized(col(textCol)).as("ntext"))
       .filter(col("ntext").isNotNull && col("ntext") =!= "")
       .select(split(col("ntext"), " ").as("t"))
-      .localCheckpoint(true)
+      .groupBy("t").agg(count(lit(1)).as("w"))
+      .transform(graft.plans.Lineage.cut)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
       val top = toks
-        .select(explode(adjacentPairs(col("t"))).as("p"))
-        .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"))
+        .select(col("w"), explode(adjacentPairs(col("t"))).as("p"))
+        .select(col("p").getField("0").as("a"), col("p").getField("1").as("b"),
+          col("w"))
         .filter(col("a") =!= col("b"))
-        .groupBy("a", "b").agg(count(lit(1)).as("c"))
+        .groupBy("a", "b").agg(sum("w").as("c"))
         .orderBy(col("c").desc, col("a"), col("b"))
-        .limit(1)
+        .limit(batch)
         .as[(String, String, Long)]
         .collect()
-      top.headOption match {
-        case None => exhausted = true
-        case Some((a, b, c)) =>
-          merges += ((round, a, b, c))
-          val next = toks
-            .select(applyMergeUdf(col("t"), lit(a), lit(b)).as("t"))
-            .localCheckpoint(true)
-          toks.unpersist()
-          toks = next
-          round += 1
+        .toSeq
+      if (top.isEmpty) exhausted = true
+      else {
+        val sel = selectBatch(top)
+        sel.foreach { case (a, b, c) => merges += ((round, a, b, c)) }
+        val next = toks
+          .select(applyMergesUdf(col("t"),
+            typedLit(sel.map(_._1)), typedLit(sel.map(_._2))).as("t"), col("w"))
+          .transform(graft.plans.Lineage.cut)
+        toks.unpersist()
+        toks = next
+        round += 1
       }
     }
     toks.unpersist()
@@ -97,21 +142,24 @@ object Bpe {
       .select(col("round"), col("left"), col("right"), col("freq"))
   }
 
-  /** Tokenize a corpus with a trained merge table: apply the merges in
-    * training order (each application is the narrow position-independent
-    * map; the merge list rides the closure — it's model-sized, like a
-    * broadcast codebook). Returns one row per doc with the post-merge
-    * symbols and their count.
+  /** Tokenize a corpus with a trained merge table: apply the merge BATCHES
+    * in round order, each batch in one simultaneous scan (sequential
+    * application of a batch is NOT equivalent — an earlier merge's output
+    * symbol can textually equal a later pair's operand; training applies
+    * batches simultaneously and so must tokenization). The batch list
+    * rides the closure — model-sized, like a broadcast codebook. Returns
+    * one row per doc with the post-merge symbols and their count.
     */
   def tokenizeWithMerges(docs: DataFrame, idCol: String, textCol: String,
-      merges: Seq[(String, String)]): DataFrame = {
+      batches: Seq[Seq[(String, String)]]): DataFrame = {
     val base = docs
       .select(col(idCol).as("doc_id"),
         TextAnalysis.normalized(col(textCol)).as("ntext"))
       .filter(col("ntext").isNotNull && col("ntext") =!= "")
       .select(col("doc_id"), split(col("ntext"), " ").as("t"))
-    merges.foldLeft(base) { case (df, (a, b)) =>
-      df.withColumn("t", applyMergeUdf(col("t"), lit(a), lit(b)))
+    batches.foldLeft(base) { case (df, batch) =>
+      df.withColumn("t", applyMergesUdf(col("t"),
+        typedLit(batch.map(_._1)), typedLit(batch.map(_._2))))
     }.select(col("doc_id"), col("t").as("symbols"),
       size(col("t")).cast("long").as("n_symbols"))
   }
@@ -119,42 +167,62 @@ object Bpe {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "pipe_bpe_merges" -> ((s, d) =>
       trainMerges(Tables.documents(s, d), "text", GateRounds)
-        .orderBy("round")),
+        .orderBy(col("round"), col("freq").desc, col("left"), col("right"))),
     "pipe_bpe_tokens" -> ((s, d) => {
       val spark = s
       import spark.implicits._
-      val merges = trainMerges(Tables.documents(s, d), "text", GateRounds)
-        .orderBy("round")
-        .select("left", "right").as[(String, String)].collect().toSeq
-      tokenizeWithMerges(Tables.documents(s, d), "doc_id", "text", merges)
+      val batches = trainMerges(Tables.documents(s, d), "text", GateRounds)
+        .orderBy(col("round"), col("freq").desc, col("left"), col("right"))
+        .select("round", "left", "right").as[(Int, String, String)].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map(_._2.map(r => (r._2, r._3)).toSeq)
+      tokenizeWithMerges(Tables.documents(s, d), "doc_id", "text", batches)
         // fingerprint the symbol list (US-separator join) — scalar columns
         // hash portably through the driver compare
         .select(col("doc_id"), col("n_symbols"),
-          md5(concat_ws("\u001f", col("symbols"))).as("sym_md5"))
+          md5(concat_ws("", col("symbols"))).as("sym_md5"))
         .orderBy("doc_id")
     }))
 
-  /** Unrolled-round mirror: each round re-counts adjacent pairs, picks the
-    * (freq DESC, a, b) argmax, and applies the merge with the same
-    * position-independent CASE map. `t[i+1]` past the end is NULL in
-    * DuckDB list indexing, guarded by `i < len(t)` anyway.
+  /** Unrolled-round mirror: each round re-counts adjacent pairs, takes the
+    * top-[[GateBatch]] by (freq DESC, a, b), keeps candidates disjoint from
+    * every higher-ranked one (the same one-shot rule as [[selectBatch]]),
+    * and applies the batch with the position-independent CASE map keyed on
+    * a chr(30)-composite pair list. When a round selects nothing, `ms` is
+    * NULL (aggregate over zero rows) and `list_contains(NULL, …)` is
+    * falsy, so tok$r passes through unchanged — mirroring Spark's early
+    * stop instead of emptying the token stream.
     */
-  private def bpeRounds(rounds: Int): String =
+  private def bpeRounds(rounds: Int, batch: Int): String =
     (1 to rounds).map { r =>
-      s"""p$r AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS c
-         |  FROM (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b
-         |        FROM tok${r - 1})
+      s"""p$r AS (SELECT a, b, CAST(SUM(w) AS BIGINT) AS c
+         |  FROM (SELECT unnest(t[1:len(t)-1]) AS a, unnest(t[2:len(t)]) AS b, w
+         |        FROM wtok${r - 1})
          |  WHERE a <> b GROUP BY a, b),
-         |m$r AS (SELECT a, b, c FROM p$r ORDER BY c DESC, a, b LIMIT 1),
+         |cand$r AS (SELECT a, b, c, row_number() OVER (ORDER BY c DESC, a, b) AS rk
+         |  FROM p$r ORDER BY c DESC, a, b LIMIT $batch),
+         |sel$r AS (SELECT a, b, c, rk FROM cand$r tt WHERE NOT EXISTS (
+         |    SELECT 1 FROM cand$r u WHERE u.rk < tt.rk
+         |      AND (u.a = tt.a OR u.a = tt.b OR u.b = tt.a OR u.b = tt.b))),
+         |ms$r AS (SELECT list(a || chr(30) || b) AS ms FROM sel$r),
+         |wtok$r AS (SELECT
+         |  list_filter(
+         |    list_transform(range(1, len(t) + 1), i ->
+         |      CASE WHEN i < len(t) AND list_contains(ms, t[i] || chr(30) || t[i + 1])
+         |             THEN t[i] || ' ' || t[i + 1]
+         |           WHEN i > 1 AND list_contains(ms, t[i - 1] || chr(30) || t[i]) THEN NULL
+         |           ELSE t[i] END),
+         |    x -> x IS NOT NULL) AS t, w
+         |  FROM wtok${r - 1}, ms$r),
          |tok$r AS (SELECT doc_id,
          |  list_filter(
          |    list_transform(range(1, len(t) + 1), i ->
-         |      CASE WHEN i < len(t) AND t[i] = m.a AND t[i + 1] = m.b
-         |             THEN m.a || ' ' || m.b
-         |           WHEN i > 1 AND t[i - 1] = m.a AND t[i] = m.b THEN NULL
+         |      CASE WHEN i < len(t) AND list_contains(ms, t[i] || chr(30) || t[i + 1])
+         |             THEN t[i] || ' ' || t[i + 1]
+         |           WHEN i > 1 AND list_contains(ms, t[i - 1] || chr(30) || t[i]) THEN NULL
          |           ELSE t[i] END),
          |    x -> x IS NOT NULL) AS t
-         |  FROM tok${r - 1}, m$r m)""".stripMargin
+         |  FROM tok${r - 1}, ms$r)""".stripMargin
     }.mkString(",\n")
 
   private val tokCtes = s"""norm AS (SELECT doc_id,
@@ -162,15 +230,16 @@ object Bpe {
       |  FROM documents WHERE text IS NOT NULL),
       |tok0 AS (SELECT doc_id, string_split(ntext, ' ') AS t
       |         FROM norm WHERE ntext <> ''),
-      |${bpeRounds(GateRounds)}""".stripMargin
+      |wtok0 AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS w FROM tok0 GROUP BY t),
+      |${bpeRounds(GateRounds, GateBatch)}""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "pipe_bpe_merges" -> s"""
       |WITH $tokCtes
       |${(1 to GateRounds).map(r =>
-           s"SELECT $r AS round, a AS \"left\", b AS \"right\", c AS freq FROM m$r")
+           s"SELECT $r AS round, a AS \"left\", b AS \"right\", c AS freq FROM sel$r")
           .mkString("", "\nUNION ALL\n", "")}
-      |ORDER BY round""".stripMargin,
+      |ORDER BY round, freq DESC, "left", "right"""".stripMargin,
     "pipe_bpe_tokens" -> s"""
       |WITH $tokCtes
       |SELECT doc_id, CAST(len(t) AS BIGINT) AS n_symbols,
