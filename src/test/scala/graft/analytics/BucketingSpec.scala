@@ -13,16 +13,12 @@ class BucketingSpec extends SparkSpec {
 
   test("bucketed tables join without a shuffle exchange") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-buckets").toString
-    graft.Tables.lineitem(spark, sf0001)
-      .select($"l_orderkey", $"l_quantity")
-      .write.mode("overwrite")
-      .option("path", s"$tmp/li").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("li_bucketed")
-    graft.Tables.orders(spark, sf0001)
-      .select($"o_orderkey", $"o_orderpriority")
-      .write.mode("overwrite")
-      .option("path", s"$tmp/ord").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("ord_bucketed")
+    Layout.writeBucketed(
+      graft.Tables.lineitem(spark, sf0001).select($"l_orderkey", $"l_quantity"),
+      "li_bucketed", s"$tmp/li", 8, Seq("l_orderkey"))
+    Layout.writeBucketed(
+      graft.Tables.orders(spark, sf0001).select($"o_orderkey", $"o_orderpriority"),
+      "ord_bucketed", s"$tmp/ord", 8, Seq("o_orderkey"))
     val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB")
     try {
       // force the sort-merge path so the bucket co-location is what's tested
