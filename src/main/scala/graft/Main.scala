@@ -87,7 +87,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|monitor|reset|delete|corpus|sessions|events|graph> --table PATH ...")
+      "usage: graft.Main <import|run|monitor|reset|delete|compact|corpus|sessions|events|graph> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -173,6 +173,12 @@ object Main {
         .select("itemState").distinct().collect().map(_.getString(0)).toSeq
       if (affected.nonEmpty)
         ItemStore.replacePartitions(Mutations.deleteItems(old, pred), table, affected)
+    case "compact" =>
+      // merge the small files streaming batch commits accumulate; commit
+      // markers survive, so replayed batches stay no-ops afterwards
+      ItemStore.compact(spark, table,
+        flags.getOrElse("files-per-partition", "1").toInt)
+      println(s"""{"rows": ${ItemStore.load(spark, table).count()}}""")
     case "corpus" =>
       // training-data pipeline ops over a documents parquet: --table is the
       // input corpus, --output the destination; each op is a deterministic

@@ -116,6 +116,30 @@ object ItemStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(WorkItem.schema).parquet(path)
 
+  /** Compact the store's data files: streaming [[commitBatch]] appends one
+    * file per micro-batch per state partition, and at streaming rates the
+    * partition dirs accumulate thousands of small files — the classic
+    * small-file problem. Rewrites every state partition into at most
+    * `filesPerPartition` files through the same stage-and-swap path as
+    * [[replacePartitions]].
+    *
+    * The `_graft_commits` markers are at the table root and survive the
+    * partition swap UNTOUCHED — deliberately: exactly-once depends on a
+    * replayed batchId still short-circuiting after its rows were compacted
+    * into anonymous files (spec-asserted). On a transactional table format
+    * this is OPTIMIZE/rewriteDataFiles.
+    */
+  def compact(spark: SparkSession, path: String,
+      filesPerPartition: Int = 1): Unit = {
+    import org.apache.spark.sql.functions.col
+    val current = load(spark, path)
+    val states = current.select("itemState").distinct()
+      .collect().map(_.getString(0)).toSeq
+    replacePartitions(
+      current.repartition(filesPerPartition, col("itemState")),
+      path, states)
+  }
+
   /** Partition-scoped persistence for mutations: rewrite ONLY the
     * `itemState` partitions named in `states`, leaving every other
     * partition's files untouched (byte-identical — spec-asserted). This is

@@ -97,4 +97,29 @@ class ItemStoreSpec extends SparkSpec {
     // no stale staging directory left behind
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(p + ".next")))
   }
+
+  test("compact merges streaming batch files and preserves exactly-once markers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+    val p = dir.resolve("store").toString
+    def batch(n: Int, state: String) = spark.range(n)
+      .selectExpr("cast(id as string) as itemID", s"'$state' as itemState")
+    // 6 micro-batches -> >= 6 data files across the state partitions
+    (0L until 6L).foreach { b =>
+      ItemStore.commitBatch(batch(10, if (b % 2 == 0) "done" else "todo"), p, b)
+    }
+    def dataFiles() = java.nio.file.Files.walk(java.nio.file.Paths.get(p))
+      .filter(f => f.toString.endsWith(".parquet")).count()
+    val before = dataFiles()
+    assert(before >= 6, s"expected one file per batch, saw $before")
+
+    ItemStore.compact(spark, p)
+    assert(dataFiles() < before)
+    val after = spark.read.parquet(p)
+    assert(after.count() === 60)
+
+    // exactly-once SURVIVES compaction: a replayed committed batch is
+    // still a no-op even though its named files were compacted away
+    assert(!ItemStore.commitBatch(batch(10, "done"), p, 0L))
+    assert(spark.read.parquet(p).count() === 60)
+  }
 }
