@@ -29,9 +29,22 @@ class StreamLogRouterSpec extends SparkSpec {
       === "dynamo_salvaged")
     val cloudwatch = spark.read.text(s"$filed/route=cloudwatch")
     assert(cloudwatch.count() === 1)
-    // gzip codec actually applied to the filed tier
+    // gzip codec actually applied to the filed tier (files live in the
+    // batch-owned partition dirs)
     val gz = new java.io.File(s"$filed/route=cloudwatch").listFiles()
+      .filter(_.isDirectory).flatMap(_.listFiles())
       .filter(_.getName.endsWith(".txt.gz"))
     assert(gz.nonEmpty)
+
+    // at-least-once replay is idempotent: a second stream over the same
+    // source with a FRESH checkpoint re-delivers everything as batch 0 —
+    // the batch-owned dynamic-overwrite partitions replace, never append
+    // (snapshot the counts first: the overwrite invalidates old listings)
+    val inlineBefore = inlined.count()
+    val q2 = LogRouter.streamSink(stream, "payload", filed, inline)
+      .trigger(Trigger.AvailableNow()).start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(spark.read.parquet(inline).count() === inlineBefore)
+    assert(spark.read.text(s"$filed/route=cloudwatch").count() === 1)
   }
 }
