@@ -114,6 +114,41 @@ object Pipeline {
       .select("doc_id", "shard", "n_tokens", "offset", "first_window", "n_windows")
   }
 
+  /** RAG-style fixed-window chunking with overlap: token windows of
+    * `chunkTokens` starting every `stride` tokens (overlap = chunkTokens -
+    * stride). Chunk starts are `i*stride` for `i ∈ [0, extra]` with
+    * `extra = ceil((n - chunkTokens)/stride)` (0 for short docs), so the
+    * final window always reaches the last token and no window starts past
+    * the end. Emits `(doc_id, chunk_id, n_tokens, chunk_md5)` — the md5 is
+    * over the space-joined window, the retrieval-index key shape.
+    *
+    * Scale shape: a narrow per-row explode — no shuffle at all; output row
+    * count is ~n_tokens/stride per doc. At 100 TB this runs at scan speed
+    * and the chunks land partitioned exactly as the input docs.
+    */
+  def chunkDocuments(docs: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int = 40, stride: Int = 30): DataFrame = {
+    require(chunkTokens > 0 && stride > 0 && stride <= chunkTokens,
+      s"need 0 < stride <= chunkTokens, got stride=$stride chunk=$chunkTokens")
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        TextAnalysis.normalized(col(textCol)).as("ntext"))
+      .filter(col("ntext").isNotNull && col("ntext") =!= "")
+      .select(col("doc_id"), split(col("ntext"), " ").as("toks"))
+      .withColumn("n_tok", size(col("toks")).cast("long"))
+      .withColumn("extra", when(col("n_tok") > chunkTokens,
+        expr(s"(n_tok - $chunkTokens + $stride - 1) div $stride"))
+        .otherwise(lit(0L)))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0L), col("extra"))).as("chunk_id"))
+      .withColumn("ctoks",
+        slice(col("toks"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkTokens)))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("ctoks")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("ctoks"))).as("chunk_md5"))
+  }
+
   /** Vocabulary building: the k most frequent word n-grams per key (e.g.
     * per language), ties broken lexicographically. Expressed as the
     * row_number()<=k rank-filter so `RewriteWindowTopK` lowers it onto the

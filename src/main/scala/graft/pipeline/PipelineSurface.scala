@@ -105,6 +105,9 @@ object PipelineSurface {
     "pipe_pack_sequences" -> ((s, d) =>
       Pipeline.packSequences(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    "pipe_chunk_overlap" -> ((s, d) =>
+      Pipeline.chunkDocuments(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id", "chunk_id")),
     "txt_top_ngrams" -> ((s, d) =>
       Pipeline.topNgramsPerKey(docs(s, d), "lang", "text")
         .orderBy("key", "rank")),
@@ -254,6 +257,25 @@ object PipelineSurface {
       |  tok_offset // 256 AS first_window,
       |  ((tok_offset + n_tokens - 1) // 256) - (tok_offset // 256) + 1 AS n_windows
       |FROM o ORDER BY doc_id""".stripMargin,
+    "pipe_chunk_overlap" -> """
+      |WITH norm AS (SELECT doc_id,
+      |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
+      |  FROM documents WHERE text IS NOT NULL),
+      |tk AS (SELECT doc_id, string_split(ntext, ' ') AS toks
+      |       FROM norm WHERE ntext <> ''),
+      |st AS (SELECT doc_id, toks,
+      |    CASE WHEN len(toks) > 40
+      |         THEN (CAST(len(toks) AS BIGINT) - 40 + 30 - 1) // 30
+      |         ELSE 0 END AS extra
+      |  FROM tk),
+      |ch AS (SELECT doc_id, toks, unnest(range(0, extra + 1)) AS chunk_id
+      |       FROM st),
+      |w AS (SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+      |        toks[(chunk_id * 30 + 1):(chunk_id * 30 + 40)] AS ctoks
+      |      FROM ch)
+      |SELECT doc_id, chunk_id, CAST(len(ctoks) AS BIGINT) AS n_tokens,
+      |  md5(array_to_string(ctoks, ' ')) AS chunk_md5
+      |FROM w ORDER BY doc_id, chunk_id""".stripMargin,
     "txt_top_ngrams" -> s"""
       |WITH g AS (SELECT lang AS key, unnest(${gramsSql(2)}) AS gram FROM documents),
       |c AS (SELECT key, gram, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1, 2),

@@ -330,4 +330,40 @@ class PipelineSpec extends SparkSpec {
       assert(byDoc(a) === byDoc(b), s"pair ($a,$b) straddles the split")
     }
   }
+
+  test("chunking covers every token, overlaps by chunk-stride, reaches the tail") {
+    def words(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words(100)),  // starts 0,30,60 → 40/40/40
+      (2L, words(45)),   // starts 0,30 → 40/15
+      (3L, words(10)),   // single short chunk
+      (4L, words(40)),   // exactly one full window, no extra chunk
+      (5L, ""),          // dropped
+      (6L, null.asInstanceOf[String])) // dropped
+      .toDF("doc_id", "text")
+    val out = Pipeline.chunkDocuments(docs, "doc_id", "text",
+      chunkTokens = 40, stride = 30)
+      .select($"doc_id", $"chunk_id", $"n_tokens").as[(Long, Long, Long)]
+      .collect().toSeq.sorted
+    assert(out === Seq(
+      (1L, 0L, 40L), (1L, 1L, 40L), (1L, 2L, 40L),
+      (2L, 0L, 40L), (2L, 1L, 15L),
+      (3L, 0L, 10L),
+      (4L, 0L, 40L)))
+    // the md5 is over the actual token window: doc 2 chunk 1 = tokens 31..45
+    val md5s = Pipeline.chunkDocuments(docs, "doc_id", "text", 40, 30)
+      .select($"doc_id", $"chunk_id", $"chunk_md5").as[(Long, Long, String)]
+      .collect().map { case (d, c, m) => (d, c) -> m }.toMap
+    val expect = java.security.MessageDigest.getInstance("MD5")
+      .digest((31 to 45).map(i => s"w$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(md5s((2L, 1L)) === expect)
+  }
+
+  test("chunking emits no shuffle: the plan has no exchange") {
+    val plan = Pipeline.chunkDocuments(
+      graft.Tables.documents(spark, sf0001), "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"chunking must stay narrow:\n$plan")
+  }
 }
