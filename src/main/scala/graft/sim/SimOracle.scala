@@ -22,6 +22,20 @@ object SimOracle {
     (1 to dims).map(d => s"${Similarity.planeNumerator(p, d)}/1000.0")
       .mkString("[", ", ", "]")
 
+  /** Int8 code list — mirror of [[Similarity.quantizeInt8]]'s expression
+    * structure op-for-op (normalize, scale, round-half-up, clamp).
+    */
+  def int8Sql(v: String): String =
+    s"""list_transform(range(1, len($v) + 1), i ->
+       |  CAST(GREATEST(-127, LEAST(127,
+       |    FLOOR($v[i] / sqrt(${dotSql(v, v)}) * 127.0 + 0.5))) AS BIGINT))""".stripMargin
+
+  /** Ascending left-fold integer dot over two BIGINT code lists. */
+  def intDotSql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |  list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i])),
+       |  (da, dx) -> da + dx)""".stripMargin
+
   /** P-bit sign-pattern bucket id — mirror of [[Similarity.lshBucket]]. */
   def bucketSql(v: String, planes: Int, dims: Int): String =
     (0 until planes).map { p =>

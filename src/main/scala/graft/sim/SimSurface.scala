@@ -45,6 +45,11 @@ object SimSurface {
     "sim_topk_heap" -> ((s, d) =>
       Similarity.heapTopK(queriesD(s, d), vecsD(s, d), "vec_id", "v", K)
         .orderBy("query_id", "rank")),
+    // int8-quantized ranking: approximate vs float cosine, but exactly
+    // deterministic (BIGINT scores) — hash-checked end to end
+    "sim_topk_int8" -> ((s, d) =>
+      Similarity.int8TopK(queriesD(s, d), vecsD(s, d), "vec_id", "v", K)
+        .orderBy("query_id", "rank")),
   )
 
   // ---- DuckDB mirrors ----
@@ -125,6 +130,19 @@ object SimSurface {
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
       |  FROM scored)
       |SELECT query_id, neighbor_id, bucket, rank, cos FROM ranked
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_int8" -> s"""WITH $vecsCte,
+      |qz AS (SELECT vec_id, ${SimOracle.int8Sql("v")} AS qv FROM v),
+      |q AS (SELECT vec_id AS query_id, qv AS qq FROM qz WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id,
+      |         ${SimOracle.intDotSql("q.qq", "c.qv")} AS idot
+      |  FROM q JOIN qz c ON c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, idot,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, rank, idot FROM ranked
       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "sim_topk_ivf" -> s"""WITH $vecsCte,
       |${lloydCtes(IvfK, IvfIters)},

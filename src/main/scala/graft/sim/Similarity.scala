@@ -206,6 +206,47 @@ object Similarity {
       .head().getDouble(0)
   }
 
+  /** Symmetric int8 scalar quantization (the "SQ8" every vector store
+    * offers): L2-normalize in double, then round each coordinate to
+    * `clamp(floor(x/‖v‖ · 127 + 0.5), ±127)`. At 100 TB this is the
+    * memory/IO lever — a 64-float embedding column becomes 64 bytes (4×
+    * smaller scans, int-SIMD dots), and because every op here is IEEE
+    * correctly-rounded the codes are bit-identical on any engine.
+    * Precondition: no zero vectors (‖v‖ > 0).
+    */
+  def quantizeInt8(vecs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    val nrm = sqrt(aggregate(v, lit(0.0), (acc, x) => acc + x * x))
+    vecs.select(col(idCol), transform(v, x =>
+      greatest(lit(-127L), least(lit(127L), floor(x / nrm * lit(127.0) + lit(0.5))))
+        .cast("int")).as("qv"))
+  }
+
+  /** Exact top-k over the int8-quantized corpus: rank by the integer dot
+    * product of the quantized codes (∝ cosine up to quantization error).
+    * After quantization NOTHING floats — the score is a BIGINT sum, so
+    * ranking is order-free and exactly reproducible, which is what lets
+    * the gate hash-check an approximate-by-quantization operator. Same
+    * broadcast-query / corpus-scanned-once shape as [[bruteForceTopK]].
+    */
+  def int8TopK(
+      queries: DataFrame, corpus: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val q = quantizeInt8(queries, idCol, vecCol)
+      .select(col(idCol).as("query_id"), col("qv").as("qq"))
+    val c = quantizeInt8(corpus, idCol, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("qv").as("qn"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("idot").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("idot", aggregate(
+        zip_with(col("qq"), col("qn"), (a, b) => (a * b).cast("long")),
+        lit(0L), (acc, x) => acc + x))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("idot"))
+  }
+
   /** Multi-probe bucket set: the home bucket plus `probes` hamming-1
     * neighbors obtained by flipping the sign bit of the LOWEST-|margin|
     * planes — the planes the vector sits closest to, i.e. exactly the ones
