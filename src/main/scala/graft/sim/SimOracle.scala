@@ -22,6 +22,11 @@ object SimOracle {
     (1 to dims).map(d => s"${Similarity.planeNumerator(p, d)}/1000.0")
       .mkString("[", ", ", "]")
 
+  /** Ascending left-fold L2² — mirror of [[ProductQuantization.l2Sq]]. */
+  def l2Sql(a: String, b: String): String =
+    s"""list_reduce(list_prepend(0.0, list_transform(range(1, len($a) + 1),
+       |  i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), (da, dx) -> da + dx)""".stripMargin
+
   /** Int8 code list — mirror of [[Similarity.quantizeInt8]]'s expression
     * structure op-for-op (normalize, scale, round-half-up, clamp).
     */

@@ -15,6 +15,11 @@ object SimSurface {
   // unrolled oracle tractable while exercising the full training path
   val IvfK = 16
   val IvfIters = 2
+  // PQ gate shape: 4 subspaces × 16 dims, 8 centroids each, two Lloyd
+  // rounds — the oracle re-trains all of it unrolled
+  val PqM = 4
+  val PqKsub = 8
+  val PqIters = 2
 
   private def vecsD(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -50,6 +55,15 @@ object SimSurface {
     "sim_topk_int8" -> ((s, d) =>
       Similarity.int8TopK(queriesD(s, d), vecsD(s, d), "vec_id", "v", K)
         .orderBy("query_id", "rank")),
+    // full PQ path: train per-subspace codebooks, encode the corpus to
+    // 4-code rows, ADC-rank — the oracle re-trains the identical codebooks
+    "sim_topk_pq" -> ((s, d) => {
+      val cb = ProductQuantization.trainCodebooks(
+        vecsD(s, d), "vec_id", "v", Dims, PqM, PqKsub, PqIters)
+      ProductQuantization.topK(queriesD(s, d), vecsD(s, d), cb,
+        "vec_id", "v", Dims, PqM, K)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   // ---- DuckDB mirrors ----
@@ -91,6 +105,53 @@ object SimSurface {
          |           FROM $prev p LEFT JOIN mc$i USING (cid))""".stripMargin
     }
     (init +: rounds).mkString(",\n")
+  }
+
+  /** Unrolled PQ mirror of `ProductQuantization`: per-subspace slices,
+    * donor init, `iters` L2-Lloyd rounds on the 1e-6 grid, dense code
+    * reindex, encode, ADC (grid-floored BIGINT subspace distances summed
+    * per candidate).
+    */
+  private[graft] def pqCtes(m: Int, ksub: Int, iters: Int, subDim: Int): String = {
+    def l2(a: String, b: String) = SimOracle.l2Sql(a, b)
+    val base = s"""subs AS (SELECT unnest(range(0, $m)) AS sub),
+      |sv AS (SELECT vec_id, sub,
+      |         v[(sub * $subDim + 1):(sub * $subDim + $subDim)] AS svec
+      |       FROM v CROSS JOIN subs),
+      |donors AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT $ksub),
+      |pc0 AS (SELECT s.sub, s.vec_id AS cid, s.svec AS cv
+      |        FROM sv s JOIN donors d ON d.vec_id = s.vec_id)""".stripMargin
+    val rounds = (1 to iters).map { r =>
+      s"""pa$r AS (SELECT id, sub, cid FROM (
+         |    SELECT s.vec_id AS id, s.sub, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+         |        ORDER BY ${l2("s.svec", "c.cv")} ASC, c.cid) AS rk
+         |    FROM sv s JOIN pc${r - 1} c ON c.sub = s.sub) WHERE rk = 1),
+         |pm$r AS (SELECT sub, cid, dim,
+         |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |      / (COUNT(*) * 1000000.0) AS mv
+         |  FROM (SELECT a.sub, a.cid, generate_subscripts(s.svec, 1) AS dim,
+         |          unnest(s.svec) AS x
+         |        FROM pa$r a JOIN sv s ON s.vec_id = a.id AND s.sub = a.sub)
+         |  GROUP BY sub, cid, dim),
+         |pmc$r AS (SELECT sub, cid, list(mv ORDER BY dim) AS cv
+         |          FROM pm$r GROUP BY sub, cid),
+         |pc$r AS (SELECT p.sub, p.cid, COALESCE(n.cv, p.cv) AS cv
+         |         FROM pc${r - 1} p
+         |         LEFT JOIN pmc$r n ON n.sub = p.sub AND n.cid = p.cid)""".stripMargin
+    }
+    val tail = s"""cb AS (SELECT sub, cv,
+      |    ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cid) - 1 AS code
+      |  FROM pc$iters),
+      |enc AS (SELECT id AS neighbor_id, sub, code FROM (
+      |    SELECT s.vec_id AS id, s.sub, c.code,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY ${l2("s.svec", "c.cv")} ASC, c.code) AS rk
+      |    FROM sv s JOIN cb c ON c.sub = s.sub) WHERE rk = 1),
+      |lutq AS (SELECT s.vec_id AS query_id, c.sub, c.code,
+      |    CAST(FLOOR(${l2("s.svec", "c.cv")} * 1000000.0) AS BIGINT) AS d
+      |  FROM sv s JOIN cb c ON c.sub = s.sub WHERE s.vec_id < 10)""".stripMargin
+    (Seq(base) ++ rounds ++ Seq(tail)).mkString(",\n")
   }
 
   private def bruteforceSql: String = s"""WITH $vecsCte,
@@ -143,6 +204,20 @@ object SimSurface {
       |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY idot DESC, neighbor_id) AS rank
       |  FROM scored)
       |SELECT query_id, neighbor_id, rank, idot FROM ranked
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_pq" -> s"""WITH $vecsCte,
+      |${pqCtes(PqM, PqKsub, PqIters, Dims / PqM)},
+      |adist AS (
+      |  SELECT l.query_id, e.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adist
+      |  FROM enc e JOIN lutq l ON l.sub = e.sub AND l.code = e.code
+      |  WHERE e.neighbor_id <> l.query_id
+      |  GROUP BY l.query_id, e.neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adist ASC, neighbor_id) AS rank
+      |  FROM adist)
+      |SELECT query_id, neighbor_id, rank, adist FROM ranked
       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "sim_topk_ivf" -> s"""WITH $vecsCte,
       |${lloydCtes(IvfK, IvfIters)},
