@@ -41,14 +41,36 @@ object ProductQuantization {
   private def subVec(v: Column, sub: Int, subDim: Int): Column =
     slice(v, sub * subDim + 1, subDim)
 
-  /** (id, sub, sv) — each vector exploded into its m subspace slices. */
-  private def subVectors(vecs: DataFrame, idCol: String, vecCol: String,
+  /** (keys…, sub, sv) — each vector exploded into its m subspace slices,
+    * carrying the given key columns through.
+    */
+  private def subVectors(df: DataFrame, keyCols: Seq[String], vecCol: String,
       m: Int, subDim: Int): DataFrame =
-    vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .select(col("id"), explode(array((0 until m).map { s =>
-        struct(lit(s).as("sub"), subVec(col("v"), s, subDim).as("sv"))
-      }: _*)).as("e"))
-      .select(col("id"), col("e.sub").as("sub"), col("e.sv").as("sv"))
+    df.select(keyCols.map(col) :+ explode(array((0 until m).map { s =>
+        struct(lit(s).as("sub"), subVec(col(vecCol), s, subDim).as("sv"))
+      }: _*)).as("e"): _*)
+      .select(keyCols.map(col) :+ col("e.sub").as("sub") :+
+        col("e.sv").as("sv"): _*)
+
+  /** Collapse per-(keys…, sub, code) grid distances `d` into one 2D
+    * `lut[sub][code]` array per key tuple.
+    */
+  private def adcLut(subDists: DataFrame, keyCols: Seq[String]): DataFrame =
+    subDists
+      .groupBy((keyCols :+ "sub").map(col): _*)
+      .agg(array_sort(collect_list(struct(col("code"), col("d")))).as("p"))
+      .select(keyCols.map(col) :+ col("sub") :+
+        transform(col("p"), x => x.getField("d")).as("row"): _*)
+      .groupBy(keyCols.map(col): _*)
+      .agg(array_sort(collect_list(struct(col("sub"), col("row")))).as("q"))
+      .select(keyCols.map(col) :+
+        transform(col("q"), x => x.getField("row")).as("lut"): _*)
+
+  /** ADC score: the integer sum of each code's looked-up subspace distance. */
+  private def adcDist(codes: Column, lut: Column): Column =
+    aggregate(
+      zip_with(codes, lut, (cd, row) => element_at(row, (cd + 1).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
 
   /** Nearest-centroid assignment per (vector, subspace): L2 ascending,
     * ties to the lowest `ord` (cid during training, dense code after).
@@ -72,7 +94,9 @@ object ProductQuantization {
       dims: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val subDim = dims / m
-    val sv = subVectors(corpus, idCol, vecCol, m, subDim).cache()
+    val sv = subVectors(
+      corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
+      Seq("id"), "v", m, subDim).cache()
     val donors = corpus.select(col(idCol).as("id")).orderBy("id").limit(ksub)
     var cents = sv.join(broadcast(donors), Seq("id"))
       .select(col("sub"), col("id").as("cid"), col("sv").as("cv"))
@@ -109,7 +133,9 @@ object ProductQuantization {
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
     val subDim = dims / m
-    val sv = subVectors(vecs, idCol, vecCol, m, subDim)
+    val sv = subVectors(
+      vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
+      Seq("id"), "v", m, subDim)
     assignSub(sv, codebooks, "code")
       .groupBy("id")
       .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("p"))
@@ -126,24 +152,81 @@ object ProductQuantization {
     val codes = encode(corpus, idCol, vecCol, codebooks, dims, m)
       .select(col("id").as("neighbor_id"), col("codes"))
     // lut[sub][code] as a 2D array per query — one broadcast row per query
-    val lut = subVectors(queries, idCol, vecCol, m, subDim)
-      .join(broadcast(codebooks), Seq("sub"))
-      .select(col("id").as("query_id"), col("sub"), col("code"),
-        floor(l2Sq(col("sv"), col("cv")) * DistGrid).cast("long").as("d"))
-      .groupBy("query_id", "sub")
-      .agg(array_sort(collect_list(struct(col("code"), col("d")))).as("p"))
-      .select(col("query_id"), col("sub"),
-        transform(col("p"), x => x.getField("d")).as("row"))
-      .groupBy("query_id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("row")))).as("q"))
-      .select(col("query_id"), transform(col("q"), x => x.getField("row")).as("lut"))
+    val lut = adcLut(
+      subVectors(
+        queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
+        Seq("query_id"), "v", m, subDim)
+        .join(broadcast(codebooks), Seq("sub"))
+        .select(col("query_id"), col("sub"), col("code"),
+          floor(l2Sq(col("sv"), col("cv")) * DistGrid).cast("long").as("d")),
+      Seq("query_id"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
     codes.join(broadcast(lut), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adist", aggregate(
-        zip_with(col("codes"), col("lut"),
-          (cd, row) => element_at(row, (cd + 1).cast("int"))),
-        lit(0L), (acc, x) => acc + x))
+      .withColumn("adist", adcDist(col("codes"), col("lut")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))
+  }
+
+  /** Residuals against a coarse (cid, cv) codebook: each vector joined to
+    * its top-1 cosine centroid ([[Similarity.ivfAssign]] semantics) minus
+    * that centroid — (id, cid, rv). Narrow: assignment broadcasts the
+    * centroids, the subtraction is per-row.
+    */
+  def residuals(vecs: DataFrame, coarse: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val assigned = Similarity.ivfAssign(vecs,
+      coarse.select(col("cid").as(idCol), col("cv").as(vecCol)),
+      idCol, vecCol)
+    vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .join(assigned, Seq("id"))
+      .join(broadcast(coarse), Seq("cid"))
+      .select(col("id"), col("cid"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+  }
+
+  /** IVFADC (classic IVF-PQ, Jégou et al.): corpus vectors live in their
+    * top-1 coarse list and are PQ-encoded as RESIDUALS against that list's
+    * centroid; a query probes its `nprobe` nearest lists and ranks each
+    * list's members by ADC against the query's residual FOR THAT LIST.
+    *
+    * This is the architecture that holds at 100 TB: the corpus is scanned
+    * and encoded ONCE into (cid, 4-code) rows partitioned by list; a query
+    * touches only nprobe lists via an equi-join on cid with a broadcast
+    * (query, cid)-keyed LUT; and because a corpus vector lives in exactly
+    * one list no (query, neighbor) pair can arise twice. Same BIGINT-grid
+    * determinism as [[topK]] — the gate hash-checks coarse training,
+    * residual PQ training, encoding, and probing end to end.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+    val subDim = dims / m
+    val cres = residuals(corpus, coarse, idCol, vecCol)
+    val codes = encode(cres, "id", "rv", codebooks, dims, m)
+      .join(cres.select(col("id"), col("cid")), Seq("id"))
+      .select(col("id").as("neighbor_id"), col("cid"), col("codes"))
+    val probes = Similarity.ivfAssignTop(queries,
+      coarse.select(col("cid").as(idCol), col("cv").as(vecCol)),
+      idCol, vecCol, nprobe)
+      .withColumnRenamed("id", "query_id")
+    val qres = queries.select(col(idCol).as("query_id"), col(vecCol).as("v"))
+      .join(probes, Seq("query_id"))
+      .join(broadcast(coarse), Seq("cid"))
+      .select(col("query_id"), col("cid"),
+        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    val lut = adcLut(
+      subVectors(qres, Seq("query_id", "cid"), "rv", m, subDim)
+        .join(broadcast(codebooks), Seq("sub"))
+        .select(col("query_id"), col("cid"), col("sub"), col("code"),
+          floor(l2Sq(col("sv"), col("cv")) * DistGrid).cast("long").as("d")),
+      Seq("query_id", "cid"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adist").asc, col("neighbor_id"))
+    codes.join(broadcast(lut), Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adist", adcDist(col("codes"), col("lut")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist"))

@@ -20,6 +20,10 @@ object SimSurface {
   val PqM = 4
   val PqKsub = 8
   val PqIters = 2
+  // IVFADC gate shape: 8 coarse lists, probe 2, residual-PQ with the same
+  // subspace geometry
+  val IvfPqNlist = 8
+  val IvfPqNprobe = 2
 
   private def vecsD(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
@@ -62,6 +66,19 @@ object SimSurface {
         vecsD(s, d), "vec_id", "v", Dims, PqM, PqKsub, PqIters)
       ProductQuantization.topK(queriesD(s, d), vecsD(s, d), cb,
         "vec_id", "v", Dims, PqM, K)
+        .orderBy("query_id", "rank")
+    }),
+    // IVFADC: trained coarse lists + residual-PQ codebooks + probed ADC —
+    // the oracle re-trains BOTH codebooks and re-derives the probe sets
+    "sim_topk_ivfpq" -> ((s, d) => {
+      val vecs = vecsD(s, d)
+      val coarse = Similarity.trainCentroids(
+        vecs, "vec_id", "v", IvfPqNlist, IvfIters)
+      val resid = ProductQuantization.residuals(vecs, coarse, "vec_id", "v")
+      val cb = ProductQuantization.trainCodebooks(
+        resid, "id", "rv", Dims, PqM, PqKsub, PqIters)
+      ProductQuantization.ivfPqTopK(queriesD(s, d), vecs, coarse, cb,
+        "vec_id", "v", Dims, PqM, K, IvfPqNprobe)
         .orderBy("query_id", "rank")
     }),
   )
@@ -107,18 +124,20 @@ object SimSurface {
     (init +: rounds).mkString(",\n")
   }
 
-  /** Unrolled PQ mirror of `ProductQuantization`: per-subspace slices,
-    * donor init, `iters` L2-Lloyd rounds on the 1e-6 grid, dense code
-    * reindex, encode, ADC (grid-floored BIGINT subspace distances summed
-    * per candidate).
+  /** Unrolled PQ-codebook training mirror of
+    * `ProductQuantization.trainCodebooks` over source table `src` with
+    * vector column `vec`: per-subspace slices, donor init, `iters`
+    * L2-Lloyd rounds on the 1e-6 grid, dense code reindex. Emits CTEs
+    * `subs`, `sv`, `pc0..pc$iters`, `cb`.
     */
-  private[graft] def pqCtes(m: Int, ksub: Int, iters: Int, subDim: Int): String = {
+  private[graft] def pqTrainCtes(m: Int, ksub: Int, iters: Int, subDim: Int,
+      src: String, vec: String): String = {
     def l2(a: String, b: String) = SimOracle.l2Sql(a, b)
     val base = s"""subs AS (SELECT unnest(range(0, $m)) AS sub),
       |sv AS (SELECT vec_id, sub,
-      |         v[(sub * $subDim + 1):(sub * $subDim + $subDim)] AS svec
-      |       FROM v CROSS JOIN subs),
-      |donors AS (SELECT vec_id FROM v ORDER BY vec_id LIMIT $ksub),
+      |         $vec[(sub * $subDim + 1):(sub * $subDim + $subDim)] AS svec
+      |       FROM $src CROSS JOIN subs),
+      |donors AS (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $ksub),
       |pc0 AS (SELECT s.sub, s.vec_id AS cid, s.svec AS cv
       |        FROM sv s JOIN donors d ON d.vec_id = s.vec_id)""".stripMargin
     val rounds = (1 to iters).map { r =>
@@ -142,8 +161,17 @@ object SimSurface {
     }
     val tail = s"""cb AS (SELECT sub, cv,
       |    ROW_NUMBER() OVER (PARTITION BY sub ORDER BY cid) - 1 AS code
-      |  FROM pc$iters),
-      |enc AS (SELECT id AS neighbor_id, sub, code FROM (
+      |  FROM pc$iters)""".stripMargin
+    (Seq(base) ++ rounds ++ Seq(tail)).mkString(",\n")
+  }
+
+  /** PQ-encode + per-query LUT tail shared by the PQ oracles: `enc`
+    * assigns each `sv` row its dense code, `lutq` is the grid-floored
+    * query distance table.
+    */
+  private def pqSearchCtes: String = {
+    def l2(a: String, b: String) = SimOracle.l2Sql(a, b)
+    s"""enc AS (SELECT id AS neighbor_id, sub, code FROM (
       |    SELECT s.vec_id AS id, s.sub, c.code,
       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
       |        ORDER BY ${l2("s.svec", "c.cv")} ASC, c.code) AS rk
@@ -151,8 +179,10 @@ object SimSurface {
       |lutq AS (SELECT s.vec_id AS query_id, c.sub, c.code,
       |    CAST(FLOOR(${l2("s.svec", "c.cv")} * 1000000.0) AS BIGINT) AS d
       |  FROM sv s JOIN cb c ON c.sub = s.sub WHERE s.vec_id < 10)""".stripMargin
-    (Seq(base) ++ rounds ++ Seq(tail)).mkString(",\n")
   }
+
+  private[graft] def pqCtes(m: Int, ksub: Int, iters: Int, subDim: Int): String =
+    pqTrainCtes(m, ksub, iters, subDim, "v", "v") + ",\n" + pqSearchCtes
 
   private def bruteforceSql: String = s"""WITH $vecsCte,
       |q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < 10),
@@ -212,6 +242,56 @@ object SimSurface {
       |  FROM enc e JOIN lutq l ON l.sub = e.sub AND l.code = e.code
       |  WHERE e.neighbor_id <> l.query_id
       |  GROUP BY l.query_id, e.neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adist ASC, neighbor_id) AS rank
+      |  FROM adist)
+      |SELECT query_id, neighbor_id, rank, adist FROM ranked
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+    "sim_topk_ivfpq" -> s"""WITH $vecsCte,
+      |${lloydCtes(IvfPqNlist, IvfIters)},
+      |cent AS (SELECT cid, cv FROM cent$IvfIters),
+      |assigned AS (
+      |  SELECT id, cid FROM (
+      |    SELECT v.vec_id AS id, cent.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cosSql("v.v", "cent.cv")} DESC, cent.cid) AS crank
+      |    FROM v CROSS JOIN cent)
+      |  WHERE crank = 1),
+      |rv AS (SELECT v.vec_id, a.cid,
+      |    list_transform(range(1, len(v.v) + 1), i -> v.v[i] - c.cv[i]) AS rv
+      |  FROM v JOIN assigned a ON a.id = v.vec_id JOIN cent c ON c.cid = a.cid),
+      |${pqTrainCtes(PqM, PqKsub, PqIters, Dims / PqM, "rv", "rv")},
+      |enc AS (SELECT id AS neighbor_id, sub, code FROM (
+      |    SELECT s.vec_id AS id, s.sub, c.code,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY ${SimOracle.l2Sql("s.svec", "c.cv")} ASC, c.code) AS rk
+      |    FROM sv s JOIN cb c ON c.sub = s.sub) WHERE rk = 1),
+      |ccodes AS (SELECT e.neighbor_id, r.cid, e.sub, e.code
+      |  FROM enc e JOIN rv r ON r.vec_id = e.neighbor_id),
+      |probes AS (
+      |  SELECT id AS query_id, cid FROM (
+      |    SELECT v.vec_id AS id, cent.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cosSql("v.v", "cent.cv")} DESC, cent.cid) AS crank
+      |    FROM v CROSS JOIN cent WHERE v.vec_id < 10)
+      |  WHERE crank <= $IvfPqNprobe),
+      |qrv AS (SELECT p.query_id, p.cid,
+      |    list_transform(range(1, len(v.v) + 1), i -> v.v[i] - c.cv[i]) AS qv2
+      |  FROM probes p JOIN v ON v.vec_id = p.query_id JOIN cent c ON c.cid = p.cid),
+      |qsv AS (SELECT query_id, cid, sub,
+      |    qv2[(sub * ${Dims / PqM} + 1):(sub * ${Dims / PqM} + ${Dims / PqM})] AS svec
+      |  FROM qrv CROSS JOIN subs),
+      |lut AS (SELECT q.query_id, q.cid, c.sub, c.code,
+      |    CAST(FLOOR(${SimOracle.l2Sql("q.svec", "c.cv")} * 1000000.0) AS BIGINT) AS d
+      |  FROM qsv q JOIN cb c ON c.sub = q.sub),
+      |adist AS (
+      |  SELECT l.query_id, cc.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adist
+      |  FROM ccodes cc
+      |  JOIN lut l ON l.cid = cc.cid AND l.sub = cc.sub AND l.code = cc.code
+      |  WHERE cc.neighbor_id <> l.query_id
+      |  GROUP BY l.query_id, cc.neighbor_id),
       |ranked AS (
       |  SELECT query_id, neighbor_id, adist,
       |    ROW_NUMBER() OVER (PARTITION BY query_id

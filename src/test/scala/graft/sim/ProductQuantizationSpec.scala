@@ -43,6 +43,31 @@ class ProductQuantizationSpec extends SparkSpec {
     assert(lo >= 0L && hi < Ksub.toLong, s"codes out of range [$lo, $hi]")
   }
 
+  test("IVFADC: one list per vector, no duplicate pairs, duplicate at min ADC") {
+    val queries = vecs.filter($"vec_id" < 20).cache()
+    val copies = queries.select(($"vec_id" + 100000L).as("vec_id"), $"v")
+    val corpus = vecs.unionByName(copies).cache()
+    val coarse = Similarity.trainCentroids(corpus, "vec_id", "v", 8, iters = 2)
+    val resid = ProductQuantization.residuals(corpus, coarse, "vec_id", "v")
+    // every corpus vector lands in exactly one list
+    assert(resid.count() === corpus.count())
+    val cb = ProductQuantization.trainCodebooks(
+      resid, "id", "rv", Dims, M, Ksub, iters = 2)
+    val top = ProductQuantization.ivfPqTopK(
+      queries, corpus, coarse, cb, "vec_id", "v", Dims, M, k = 50, nprobe = 2)
+      .select($"query_id", $"neighbor_id", $"adist")
+      .as[(Long, Long, Long)].collect()
+    assert(top.length === top.distinct.length, "duplicate (query, neighbor)")
+    // an exact copy shares the query's home list and residual, so its codes
+    // are the query's own per-subspace argmins — the global ADC minimum
+    top.groupBy(_._1).foreach { case (q, rows) =>
+      val copy = rows.find(_._2 === q + 100000L)
+      assert(copy.isDefined, s"planted duplicate of $q missing from top-50")
+      assert(copy.get._3 === rows.map(_._3).min,
+        s"duplicate of $q not at the minimum ADC distance")
+    }
+  }
+
   test("ADC: an exact duplicate attains the minimum asymmetric distance") {
     // an exact copy gets the query's own codes, and encoding picks the
     // per-subspace argmin — so its ADC distance is the global minimum
