@@ -411,6 +411,45 @@ object Dedup {
     }
   }
 
+  /** Asymmetric containment pairs: LSH band candidates verified on
+    * `max(|A∩B|/|A|, |A∩B|/|B|) >= threshold`, reporting BOTH directions.
+    * This catches the quote/excerpt relationships symmetric Jaccard is
+    * blind to — a 30-shingle excerpt fully embedded in a 300-shingle doc
+    * has Jaccard ≈ 0.1 but containment 1.0 — which is how a training
+    * corpus detects documents that merely quote, wrap, or re-publish
+    * other documents.
+    *
+    * Recall caveat (inherent, documented): candidates still come from
+    * minhash bands, whose collision probability tracks JACCARD, so a tiny
+    * doc deeply contained in a huge one may not band-collide; the
+    * production fix at extreme length skew is shingle-size-stratified
+    * banding or a prefix-filtered overlap join (public technique, PPJoin
+    * family). Verification itself is exact on the distinct shingle sets,
+    * and the oracle re-derives the identical candidate universe, so the
+    * gate is value-exact w.r.t. the banding.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String, threshold: Double,
+      bands: Int = 6, rowsPerBand: Int = 2,
+      bucketCap: Int = DefaultBucketCap,
+      skewSampleRate: Double = DefaultSkewSampleRate): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val thr = threshold
+    bucketLocalPairs[(Long, Long, Double, Double)](docs, idCol, textCol,
+      bands, rowsPerBand, withGrams = true, bucketCap, skewSampleRate) {
+      (ia, _, ga, ib, _, gb) =>
+      val seen = new java.util.HashSet[String](ga.length * 2)
+      ga.foreach(seen.add)
+      var inter = 0
+      gb.foreach(g => if (seen.contains(g)) inter += 1)
+      val ca = inter.toDouble / ga.length
+      val cb = inter.toDouble / gb.length
+      if (math.max(ca, cb) >= thr) Some((ia, ib, ca, cb)) else None
+    }
+      .toDF("doc_a", "doc_b", "containment_a", "containment_b")
+  }
+
   /** The typed bucket-local kernels encode ids as Long — fail LOUDLY on a
     * non-integral id column instead of letting a cast silently null it.
     */

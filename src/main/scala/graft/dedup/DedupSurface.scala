@@ -36,6 +36,21 @@ object DedupSurface {
       |  FROM documents WHERE doc_id % 10 = 5
       |)""".stripMargin
 
+  /** [[corpus]] ∪ 30-token excerpts of every …3 doc (id+600000): planted
+    * asymmetric positives — each excerpt is FULLY contained in its source
+    * (containment 1.0) while Jaccard-similar only in proportion to the
+    * source's length.
+    */
+  def containmentCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+    corpus(s, d).unionByName(docs.filter(col("doc_id") % 10 === 3)
+      .select((col("doc_id") + 600000).as("doc_id"),
+        array_join(slice(split(
+          graft.text.TextAnalysis.normalized(col("text")), " "), 1, 30), " ")
+          .as("text"),
+        col("lang")))
+  }
+
   /** The daily increment against the plain `documents` corpus: exact copies
     * (every 10th), tail-perturbed near copies (every …5), and a fresh
     * family (every 7th: a synthesized unique text at +400000 plus an exact
@@ -216,6 +231,11 @@ object DedupSurface {
     "dedup_lsh_candidates" -> ((s, d) =>
       Dedup.lshCandidates(corpus(s, d), "doc_id", "text")
         .orderBy("doc_a", "doc_b")),
+    // asymmetric containment over the excerpt-planted corpus: catches
+    // quote/excerpt pairs symmetric Jaccard is blind to
+    "dedup_containment" -> ((s, d) =>
+      Dedup.containmentPairs(containmentCorpus(s, d), "doc_id", "text", 0.8)
+        .orderBy("doc_a", "doc_b")),
     // 48-bit hamming-band bucketing (pigeonhole recall 1.0): wide enough
     // that bucket collisions are true near-dup clusters, not hash crowding
     // (the 16-bit variant went quadratic in the 10x scale probe)
@@ -292,6 +312,32 @@ object DedupSurface {
       |FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
       |WHERE len(list_intersect(ga.grams, gb.grams)) /
       |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    "dedup_containment" -> s"""WITH ccorpus AS (
+      |  SELECT doc_id, text, lang FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 200000, text || ' duplicated tail marker', lang
+      |  FROM documents WHERE doc_id % 10 = 5
+      |  UNION ALL
+      |  SELECT doc_id + 600000,
+      |    array_to_string(list_slice(string_split($ntext, ' '), 1, 30), ' '), lang
+      |  FROM documents WHERE doc_id % 10 = 3
+      |),
+      |corpus AS (SELECT * FROM ccorpus),
+      |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
+      |${minhashCtes(12)},
+      |${bandsCte(6, 2)},
+      |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      |         FROM bands a JOIN bands b ON ${bandJoinOn(2)})
+      |SELECT doc_a, doc_b,
+      |  len(list_intersect(ga.grams, gb.grams)) / len(ga.grams) AS containment_a,
+      |  len(list_intersect(ga.grams, gb.grams)) / len(gb.grams) AS containment_b
+      |FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
+      |WHERE GREATEST(
+      |    len(list_intersect(ga.grams, gb.grams)) / len(ga.grams),
+      |    len(list_intersect(ga.grams, gb.grams)) / len(gb.grams)) >= 0.8
       |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_lsh_candidates" -> s"""WITH $corpusCte,
       |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),

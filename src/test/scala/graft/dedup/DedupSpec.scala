@@ -276,6 +276,33 @@ class DedupSpec extends SparkSpec {
     assert(out.keys.forall(_ >= 100000L))
   }
 
+  test("containment catches an embedded excerpt that Jaccard verification rejects") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val excerpt = (1 to 26).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, base),
+      (2L, excerpt),                       // fully contained in doc 1
+      (3L, base),                          // exact copy of doc 1
+      (4L, "completely different words that share nothing at all here"))
+      .toDF("doc_id", "text")
+    val contained = Dedup.containmentPairs(docs, "doc_id", "text", 0.9)
+      .select($"doc_a", $"doc_b", $"containment_a", $"containment_b")
+      .as[(Long, Long, Double, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    // the excerpt pair: every excerpt shingle is in the base doc
+    assert(contained.contains((1L, 2L)), s"excerpt pair missing: $contained")
+    assert(contained((1L, 2L))._2 === 1.0, "excerpt fully contained in base")
+    assert(contained((1L, 2L))._1 < 0.9, "base is NOT contained in excerpt")
+    // the exact copy: contained both ways
+    assert(contained((1L, 3L)) === ((1.0, 1.0)))
+    // Jaccard at the same bar rejects the excerpt pair (24/38 ≈ 0.63)
+    val jac = Dedup.lshVerifiedPairs(docs, "doc_id", "text", 0.9)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(!jac.contains((1L, 2L)), "Jaccard should reject the excerpt pair")
+    assert(jac.contains((1L, 3L)))
+    assert(!contained.keySet.exists { case (a, b) => a == 4L || b == 4L })
+  }
+
   test("simhash is stable on identical text and near on perturbed text") {
     val sh = corpus.select($"doc_id", Dedup.simhash16($"text").as("sh"))
       .as[(Long, Long)].collect().toMap
