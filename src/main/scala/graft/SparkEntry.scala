@@ -32,7 +32,7 @@ object SparkEntry {
     analytics.Ranking.queries ++ analytics.Graph.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
     text.HeavyHitters.queries ++ text.Bpe.queries ++
-    text.Collocations.queries ++
+    text.Collocations.queries ++ text.LanguageModel.queries ++
     dedup.DedupSurface.queries ++
     dedup.SemanticDedup.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
@@ -55,7 +55,7 @@ object SparkEntry {
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HeavyHitters.oracles ++ text.Bpe.oracles ++
-    text.Collocations.oracles ++
+    text.Collocations.oracles ++ text.LanguageModel.oracles ++
     dedup.DedupSurface.oracles ++
     dedup.SemanticDedup.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
