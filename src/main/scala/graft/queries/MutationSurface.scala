@@ -54,6 +54,24 @@ object MutationSurface {
     // M5: task-key listing
     "pa_mut_task_keys" -> ((s, d) =>
       Mutations.listTaskKeys(nested(s, d)).orderBy("itemID", "taskKey")),
+    // SCD2 merge (absent in the reference — its updates destroy history):
+    // changed segments close + re-version, no-op re-deliveries stay put,
+    // new keys insert
+    "pa_scd2_merge" -> ((s, d) => {
+      val cust = graft.Tables.customer(s, d)
+        .select("c_custkey", "c_nationkey", "c_mktsegment")
+      val changes = cust.filter(col("c_custkey") % 7 === 0)
+        .withColumn("c_mktsegment", lit("MOVED"))
+        .unionByName(cust.filter(col("c_custkey") % 7 === 1))
+        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+          .select((col("c_custkey") + 1000000L).as("c_custkey"),
+            lit(99).cast("int").as("c_nationkey"),
+            lit("NEW").as("c_mktsegment")))
+        .withColumn("eff_us", lit(graft.ops.Scd2.GateEffUs))
+      graft.ops.Scd2.merge(graft.ops.Scd2.seed(cust), changes,
+          "c_custkey", Seq("c_nationkey", "c_mktsegment"))
+        .orderBy("c_custkey", "valid_from")
+    }),
   )
 
   private val items = DerivedItems.itemsCte
@@ -111,5 +129,40 @@ object MutationSurface {
     "pa_mut_task_keys" -> (items + ntasksSel +
       """
         |SELECT itemID, taskKey FROM ntasks ORDER BY itemID, taskKey""".stripMargin),
+    "pa_scd2_merge" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey, c_mktsegment FROM customer),
+        |chg AS (
+        |  SELECT c_custkey, c_nationkey, 'MOVED' AS c_mktsegment, 1000000 AS eff_us
+        |  FROM cust WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, c_nationkey, c_mktsegment, 1000000
+        |  FROM cust WHERE c_custkey % 7 = 1
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, CAST(99 AS INTEGER), 'NEW', 1000000
+        |  FROM cust WHERE c_custkey % 13 = 0
+        |),
+        |old_rows AS (
+        |  SELECT c.c_custkey, c.c_nationkey, c.c_mktsegment,
+        |    CAST(0 AS BIGINT) AS valid_from,
+        |    CASE WHEN g.c_custkey IS NOT NULL
+        |              AND (g.c_nationkey IS DISTINCT FROM c.c_nationkey
+        |                   OR g.c_mktsegment IS DISTINCT FROM c.c_mktsegment)
+        |         THEN CAST(g.eff_us AS BIGINT) END AS valid_to,
+        |    NOT (g.c_custkey IS NOT NULL
+        |         AND (g.c_nationkey IS DISTINCT FROM c.c_nationkey
+        |              OR g.c_mktsegment IS DISTINCT FROM c.c_mktsegment)) AS is_current
+        |  FROM cust c LEFT JOIN chg g ON c.c_custkey = g.c_custkey
+        |),
+        |new_rows AS (
+        |  SELECT g.c_custkey, g.c_nationkey, g.c_mktsegment,
+        |    CAST(g.eff_us AS BIGINT) AS valid_from,
+        |    CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+        |  FROM chg g LEFT JOIN cust c ON g.c_custkey = c.c_custkey
+        |  WHERE c.c_custkey IS NULL
+        |     OR g.c_nationkey IS DISTINCT FROM c.c_nationkey
+        |     OR g.c_mktsegment IS DISTINCT FROM c.c_mktsegment
+        |)
+        |SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows
+        |ORDER BY c_custkey, valid_from""".stripMargin,
   )
 }
