@@ -29,6 +29,7 @@ object SparkEntry {
     analytics.Sessions.queries ++ analytics.Behavior.queries ++
     analytics.TimeSeries.queries ++
     analytics.Layout.queries ++ analytics.FuzzyJoin.queries ++
+    analytics.BloomPrune.queries ++
     analytics.Ranking.queries ++ analytics.Graph.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
     text.HeavyHitters.queries ++ text.Bpe.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
     analytics.Sessions.oracles ++ analytics.Behavior.oracles ++
     analytics.TimeSeries.oracles ++
     analytics.Layout.oracles ++ analytics.FuzzyJoin.oracles ++
+    analytics.BloomPrune.oracles ++
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HeavyHitters.oracles ++ text.Bpe.oracles ++
