@@ -37,7 +37,8 @@ object SparkEntry {
     dedup.DedupSurface.queries ++
     dedup.SemanticDedup.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
-    pipeline.PipelineSurface.queries ++ pipeline.Snapshots.queries
+    pipeline.PipelineSurface.queries ++ pipeline.Snapshots.queries ++
+    store.VersionedTable.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -61,5 +62,6 @@ object SparkEntry {
     dedup.DedupSurface.oracles ++
     dedup.SemanticDedup.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
-    pipeline.PipelineSurface.oracles ++ pipeline.Snapshots.oracles
+    pipeline.PipelineSurface.oracles ++ pipeline.Snapshots.oracles ++
+    store.VersionedTable.oracles
 }

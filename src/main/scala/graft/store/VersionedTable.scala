@@ -1,0 +1,411 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, FileAlreadyExistsException}
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** A no-dependency transactional table: atomic versioned commits over plain
+  * parquet, snapshot-isolated reads, time travel, and stats-pruned
+  * copy-on-write MERGE/DELETE — the minimal lakehouse log
+  * (Delta/Iceberg-shaped, built from nothing but the filesystem).
+  *
+  * Why it exists: [[ItemStore.replacePartitions]] swaps directories, which
+  * is atomic per-partition but gives readers no consistent multi-file
+  * snapshot and no history. The reference has the same gap — a DynamoDB
+  * scan during a bulk mutation sees half-applied state
+  * (`code/manager.py:744-781` deletes items one by one). Here every commit
+  * is all-or-nothing and every version stays readable until vacuumed.
+  *
+  * Layout:
+  * {{{
+  *   table/_log/v<20-digit>.json   manifest: op, schema, file list + stats
+  *   table/data/<txn>/part-*.parquet
+  * }}}
+  *
+  * A manifest is a full snapshot (file list, not a delta of actions) — at
+  * a few thousand files per table that is kilobytes of JSON; the file-count
+  * regime where Delta needs checkpointed action logs is reachable only past
+  * ~10^6 files per table, by which point you want a real lakehouse format
+  * (documented production note, COVERAGE.md).
+  *
+  * Commit protocol — optimistic concurrency, version number = the CAS:
+  *  1. write data files under `data/<fresh-uuid>/` (invisible: no manifest
+  *     references them yet — a crashed writer leaks only unreferenced files
+  *     that vacuum sweeps);
+  *  2. write the manifest to a temp name, fsync;
+  *  3. publish atomically at `v<N+1>`: hard-link (local scheme — POSIX
+  *     `link(2)` fails-if-exists atomically) or rename-no-overwrite (HDFS
+  *     rename is an atomic namenode op that fails on an existing
+  *     destination). Exactly one concurrent committer wins version N+1;
+  *     losers re-read the new snapshot, rebase, and try N+2. On S3-style
+  *     stores with no atomic publish you put a lock service in front —
+  *     the same external-commit-service caveat Delta documents.
+  *
+  * Readers list `_log`, pick the max (or requested) version, and read
+  * exactly that manifest's files — writers never disturb them, and a
+  * half-finished commit is invisible (temp manifests are dot-prefixed).
+  *
+  * Per-file min/max column stats (long/int/string leaves, harvested from
+  * the parquet footers of just-written files at commit time) ride in the
+  * manifest, so MERGE/DELETE prune untouched files from the driver without
+  * opening a single footer — the file-skipping half of
+  * [[graft.analytics.Layout]]'s Z-order story, applied to mutations.
+  */
+object VersionedTable {
+
+  final case class FileEntry(path: String, rows: Long,
+      mins: Map[String, String], maxs: Map[String, String])
+  final case class Manifest(version: Long, op: String, schema: String,
+      files: List[FileEntry])
+  final case class Snapshot(version: Long, op: String, schema: StructType,
+      files: Seq[FileEntry])
+
+  private implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
+  private val MaxRetries = 20
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def logDir(root: String) = new Path(root, "_log")
+  private def vPath(root: String, v: Long) =
+    new Path(logDir(root), "v" + "%020d".format(v) + ".json")
+
+  // ---------------------------------------------------------------- log io
+
+  private def parseManifest(text: String): Manifest =
+    org.json4s.jackson.JsonMethods.parse(text).extract[Manifest]
+
+  private def listVersions(f: FileSystem, root: String): Seq[Long] = {
+    val dir = logDir(root)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v") && n.endsWith(".json"))
+      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
+      .sorted
+  }
+
+  def latestVersion(spark: SparkSession, root: String): Option[Long] =
+    listVersions(fs(spark, root), root).lastOption
+
+  def snapshot(spark: SparkSession, root: String,
+      version: Option[Long] = None): Snapshot = {
+    val f = fs(spark, root)
+    val versions = listVersions(f, root)
+    require(versions.nonEmpty, s"$root is not a versioned table (empty _log)")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v),
+      s"version $v of $root does not exist (have ${versions.head}..${versions.last}, vacuumed versions are gone)")
+    val p = vPath(root, v)
+    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(0, buf) finally in.close()
+    val text = new String(buf, StandardCharsets.UTF_8)
+    val m = parseManifest(text)
+    Snapshot(m.version, m.op, DataType.fromJson(m.schema).asInstanceOf[StructType],
+      m.files)
+  }
+
+  /** Atomic publish: exactly one committer of version `v` wins. */
+  private def casPublish(f: FileSystem, root: String, v: Long,
+      json: String): Boolean = {
+    val dir = logDir(root)
+    f.mkdirs(dir)
+    val tmp = new Path(dir, s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, true)
+    try { out.write(json.getBytes(StandardCharsets.UTF_8)); out.hflush() }
+    finally out.close()
+    val dest = vPath(root, v)
+    val won =
+      if (f.getScheme == "file") {
+        // POSIX link(2): atomic fail-if-exists — the only local-FS primitive
+        // that is a true CAS (rename overwrites, create-no-overwrite races)
+        try { Files.createLink(Paths.get(dest.toUri.getPath),
+          Paths.get(tmp.toUri.getPath)); true }
+        catch { case _: FileAlreadyExistsException => false }
+      } else !f.exists(dest) && f.rename(tmp, dest)
+    f.delete(tmp, false)
+    won
+  }
+
+  // ------------------------------------------------------------- data io
+
+  /** Write `df` under a fresh txn dir; return its file entries with
+    * footer-harvested min/max stats. Unreferenced until a manifest wins.
+    */
+  private def writeData(df: DataFrame, root: String): Seq[FileEntry] = {
+    val spark = df.sparkSession
+    val txn = s"data/txn-${UUID.randomUUID()}"
+    val dir = s"$root/$txn"
+    df.write.parquet(dir)
+    val f = fs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.getPath.getName.startsWith("part-"))
+      .map { s =>
+        val (rows, mins, maxs) = footerStats(s.getPath, conf)
+        FileEntry(s"$txn/${s.getPath.getName}", rows, mins, maxs)
+      }
+  }
+
+  /** One footer read per just-written file (bounded by files-per-commit):
+    * per-file row count + min/max for int/long/string leaf columns.
+    * Strings are compared/stored as UTF-8; other types carry no stats
+    * (never pruned on).
+    */
+  private def footerStats(p: Path,
+      conf: org.apache.hadoop.conf.Configuration): (Long, Map[String, String], Map[String, String]) = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+    try {
+      val blocks = reader.getFooter.getBlocks
+      import scala.jdk.CollectionConverters._
+      val rows = blocks.asScala.map(_.getRowCount).sum
+      val mins = scala.collection.mutable.Map.empty[String, String]
+      val maxs = scala.collection.mutable.Map.empty[String, String]
+      for (b <- blocks.asScala; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        val st = c.getStatistics
+        if (st != null && !st.isEmpty && st.hasNonNullValue) {
+          val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
+            case (a: java.lang.Number, b: java.lang.Number)
+                if !a.isInstanceOf[java.lang.Double] && !a.isInstanceOf[java.lang.Float] =>
+              (Some(a.longValue.toString), Some(b.longValue.toString))
+            case (a: org.apache.parquet.io.api.Binary, b: org.apache.parquet.io.api.Binary)
+                if c.getPrimitiveType.getLogicalTypeAnnotation ==
+                  org.apache.parquet.schema.LogicalTypeAnnotation.stringType() =>
+              (Some(a.toStringUsingUTF8), Some(b.toStringUsingUTF8))
+            case _ => (None, None)
+          }
+          (mn, mx) match {
+            case (Some(lo), Some(hi)) =>
+              mins.updateWith(name) {
+                case Some(cur) => Some(minOf(cur, lo, isNumeric(st)))
+                case None => Some(lo)
+              }
+              maxs.updateWith(name) {
+                case Some(cur) => Some(maxOf(cur, hi, isNumeric(st)))
+                case None => Some(hi)
+              }
+            case _ =>
+          }
+        }
+      }
+      (rows, mins.toMap, maxs.toMap)
+    } finally reader.close()
+  }
+
+  private def isNumeric(st: org.apache.parquet.column.statistics.Statistics[_]): Boolean =
+    st.genericGetMin.isInstanceOf[java.lang.Number]
+  private def minOf(a: String, b: String, num: Boolean): String =
+    if (num) { if (a.toLong <= b.toLong) a else b } else { if (a <= b) a else b }
+  private def maxOf(a: String, b: String, num: Boolean): String =
+    if (num) { if (a.toLong >= b.toLong) a else b } else { if (a >= b) a else b }
+
+  // ------------------------------------------------------------- commits
+
+  private def commitLoop(spark: SparkSession, root: String)(
+      attempt: Option[Snapshot] => (String, Seq[FileEntry], StructType)): Long = {
+    val f = fs(spark, root)
+    var tries = 0
+    while (tries < MaxRetries) {
+      val parent = listVersions(f, root).lastOption
+        .map(v => snapshot(spark, root, Some(v)))
+      val (op, files, schema) = attempt(parent)
+      val v = parent.map(_.version).getOrElse(0L) + 1
+      val m = Manifest(v, op, schema.json, files.toList)
+      if (casPublish(f, root, v, org.json4s.jackson.Serialization.write(m)))
+        return v
+      tries += 1
+    }
+    sys.error(s"commit to $root lost the version race $MaxRetries times")
+  }
+
+  /** Create a new table at `root` from `df` (version 1). */
+  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+    require(latestVersion(spark, root).isEmpty, s"$root already exists")
+    val files = writeData(df, root)
+    commitLoop(spark, root) { parent =>
+      require(parent.isEmpty, s"$root already exists")
+      ("create", files, df.schema)
+    }
+  }
+
+  /** Append `df` — data is written once; only the manifest rebases on a
+    * lost race (appends never conflict with each other).
+    */
+  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val files = writeData(df, root)
+    commitLoop(spark, root) { parent =>
+      val p = parent.getOrElse(sys.error(s"$root does not exist"))
+      ("append", p.files ++ files, p.schema)
+    }
+  }
+
+  /** Replace the table contents (last-writer-wins). */
+  def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
+    val files = writeData(df, root)
+    commitLoop(spark, root) { parent =>
+      require(parent.nonEmpty, s"$root does not exist")
+      ("overwrite", files, df.schema)
+    }
+  }
+
+  /** Read version `version` (default: latest) as a DataFrame. */
+  def read(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, root, version)
+    if (s.files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
+    else spark.read.schema(s.schema).parquet(s.files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  /** Commit log as a DataFrame (version, op, n_files, n_rows). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val f = fs(spark, root)
+    listVersions(f, root)
+      .map(v => snapshot(spark, root, Some(v)))
+      .map(s => (s.version, s.op, s.files.size.toLong, s.files.map(_.rows).sum))
+      .toDF("version", "op", "n_files", "n_rows")
+  }
+
+  // ------------------------------------------- stats-pruned merge/delete
+
+  /** File-level pruning: does `fe`'s `[min, max]` of `key` possibly
+    * intersect the batch's key range? Files with no stats for `key` are
+    * conservatively kept.
+    */
+  private def mightHit(fe: FileEntry, key: String, lo: Long, hi: Long): Boolean =
+    (fe.mins.get(key), fe.maxs.get(key)) match {
+      case (Some(mn), Some(mx)) => mx.toLong >= lo && mn.toLong <= hi
+      case _ => true
+    }
+
+  /** Copy-on-write upsert by `key` (a long/int column): files whose footer
+    * key-range cannot contain a batch key are carried forward BY REFERENCE —
+    * the 100 TB property: a merge touching one day's keys rewrites one
+    * day's files, not the table. Returns the committed version.
+    */
+  def merge(spark: SparkSession, root: String, updates: DataFrame,
+      key: String): Long =
+    rewriteHits(spark, root, updates, key, "merge") { (hitRows, upd) =>
+      hitRows.join(upd.select(col(key)), Seq(key), "left_anti")
+        .unionByName(upd)
+    }
+
+  /** Copy-on-write delete of every row whose `key` appears in `keys`. */
+  def deleteByKeys(spark: SparkSession, root: String, keys: DataFrame,
+      key: String): Long =
+    rewriteHits(spark, root, keys.select(col(key)), key, "delete") { (hitRows, ks) =>
+      hitRows.join(ks.select(col(key)), Seq(key), "left_anti")
+    }
+
+  private def rewriteHits(spark: SparkSession, root: String, batch: DataFrame,
+      key: String, op: String)(
+      rewrite: (DataFrame, DataFrame) => DataFrame): Long = {
+    require(Seq("long", "integer", "int", "short").exists(
+        batch.schema(key).dataType.typeName.startsWith),
+      s"stats-pruned $op needs an integral key column, got " +
+        batch.schema(key).dataType.typeName)
+    val b = batch.cache()
+    try {
+      val head = b
+        .agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+      if (head.isNullAt(0))  // empty batch: nothing to rewrite, but still
+        return commitLoop(spark, root) { parent =>  // a recorded commit
+          val p = parent.getOrElse(sys.error(s"$root does not exist"))
+          (op, p.files, p.schema)
+        }
+      val Row(lo: Long, hi: Long) = head
+      commitLoop(spark, root) { parent =>
+        val p = parent.getOrElse(sys.error(s"$root does not exist"))
+        val (hits, kept) = p.files.partition(mightHit(_, key, lo, hi))
+        val hitRows =
+          if (hits.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], p.schema)
+          else spark.read.schema(p.schema)
+            .parquet(hits.map(f => s"$root/${f.path}"): _*)
+        val out = rewrite(hitRows, b).select(p.schema.fieldNames.map(col): _*)
+        // a lost race re-runs this closure against the new parent: the
+        // rewritten files of the stale attempt stay unreferenced (vacuum
+        // sweeps them), so retries are safe if wasteful
+        (op, kept ++ writeData(out, root), p.schema)
+      }
+    } finally { b.unpersist(); () }
+  }
+
+  // -------------------------------------------------------------- vacuum
+
+  /** Drop all versions except the newest `retainVersions` (≥1) and delete
+    * every data file no surviving manifest references — including leaked
+    * files of crashed or raced writers. Time travel to vacuumed versions
+    * then fails cleanly (snapshot's require).
+    */
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Seq[String] = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val f = fs(spark, root)
+    val versions = listVersions(f, root)
+    require(versions.nonEmpty, s"$root is not a versioned table")
+    val keep = versions.takeRight(retainVersions)
+    val referenced = keep
+      .flatMap(v => snapshot(spark, root, Some(v)).files.map(_.path)).toSet
+    val dataDir = new Path(root, "data")
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    if (f.exists(dataDir)) {
+      for (txn <- f.listStatus(dataDir); file <- f.listStatus(txn.getPath)) {
+        val rel = s"data/${txn.getPath.getName}/${file.getPath.getName}"
+        if (!file.getPath.getName.startsWith("_") && !referenced.contains(rel)) {
+          f.delete(file.getPath, false)
+          removed += rel
+        }
+      }
+      // drop now-empty txn dirs
+      for (txn <- f.listStatus(dataDir)
+           if f.listStatus(txn.getPath).forall(_.getPath.getName.startsWith("_")))
+        f.delete(txn.getPath, true)
+    }
+    for (v <- versions.dropRight(retainVersions)) f.delete(vPath(root, v), false)
+    removed.toSeq
+  }
+
+  // ---------------------------------------------------------------- gate
+
+  /** Driver gate: a create → append → merge → delete transaction chain on a
+    * fresh table, read back at the final version. Every commit is the real
+    * protocol (CAS manifests, stats-pruned rewrites); the oracle replays
+    * the same chain relationally. The `+ 1000.0` is one IEEE double add of
+    * identical operands in both engines — bit-exact.
+    */
+  def mergeSnapshotGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-vt-gate").toString + "/t"
+    val part = graft.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+    create(spark, root, part.filter(col("p_partkey") % 3 === 0))
+    append(spark, root, part.filter(col("p_partkey") % 3 === 1))
+    merge(spark, root, part.filter(col("p_partkey") % 5 === 0)
+      .withColumn("p_retailprice", col("p_retailprice") + lit(1000.0)), "p_partkey")
+    deleteByKeys(spark, root,
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey"), "p_partkey")
+    read(spark, root).orderBy("p_partkey")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vt_merge_snapshot" -> (mergeSnapshotGate _))
+
+  val oracles: Map[String, String] = Map(
+    "vt_merge_snapshot" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_retailprice FROM part),
+        |base AS (SELECT * FROM p WHERE p_partkey % 3 IN (0, 1)),
+        |upd AS (SELECT p_partkey, p_brand, p_retailprice + 1000.0 AS p_retailprice
+        |        FROM p WHERE p_partkey % 5 = 0),
+        |m AS (SELECT * FROM base WHERE p_partkey % 5 <> 0
+        |      UNION ALL SELECT * FROM upd),
+        |f AS (SELECT * FROM m WHERE p_partkey % 7 <> 0)
+        |SELECT * FROM f ORDER BY p_partkey""".stripMargin)
+}

@@ -1,0 +1,132 @@
+package graft.store
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class VersionedTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp() = Files.createTempDirectory("graft-vt").toString
+
+  test("create / append / read round-trip with time travel and history") {
+    val root = tmp()
+    val v1 = VersionedTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    val v2 = VersionedTable.append(spark, root, Seq((3L, "c")).toDF("k", "s"))
+    assert((v1, v2) === ((1L, 2L)))
+
+    assert(VersionedTable.read(spark, root).orderBy("k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // snapshot isolation in time: v1 is still exactly v1
+    assert(VersionedTable.read(spark, root, Some(1L)).orderBy("k")
+      .as[(Long, String)].collect().toSeq === Seq((1L, "a"), (2L, "b")))
+
+    val hist = VersionedTable.history(spark, root)
+      .orderBy("version").as[(Long, String, Long, Long)].collect().toSeq
+    assert(hist.map(h => (h._1, h._2, h._4)) ===
+      Seq((1L, "create", 2L), (2L, "append", 3L)))
+  }
+
+  test("concurrent appends: every commit lands exactly once, versions contiguous") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((0L, 0L)).toDF("k", "v"))
+    val threads = (1 to 2).map { t =>
+      new Thread(() => {
+        for (i <- 1 to 3)
+          VersionedTable.append(spark, root,
+            Seq((t.toLong * 100 + i, t.toLong)).toDF("k", "v"))
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val rows = VersionedTable.read(spark, root).as[(Long, Long)].collect().toSeq
+    assert(rows.length === 7, s"expected 7 rows, got $rows")
+    assert(rows.map(_._1).distinct.length === 7, "no append may double-apply")
+    assert(VersionedTable.latestVersion(spark, root) === Some(7L),
+      "6 appends after create must land at versions 2..7 with no gaps")
+  }
+
+  test("merge upserts and carries non-intersecting files by reference") {
+    val root = tmp()
+    VersionedTable.create(spark, root,
+      spark.range(0, 100).select($"id".as("k"), lit("old").as("s")))
+    VersionedTable.append(spark, root,
+      spark.range(1000, 1100).select($"id".as("k"), lit("old").as("s")))
+    val lowFiles = VersionedTable.snapshot(spark, root).files
+      .filter(_.maxs.get("k").exists(_.toLong < 1000)).map(_.path).toSet
+    assert(lowFiles.nonEmpty)
+
+    val upd = spark.range(1050, 1150).select($"id".as("k"), lit("new").as("s"))
+    VersionedTable.merge(spark, root, upd, "k")
+
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() === 250)  // 100 low + 100 high (50 updated) + 50 inserts
+    assert(after.filter($"s" === "new").count() === 100)
+    assert(after.filter($"k" === 1050L && $"s" === "new").count() === 1)
+    assert(after.filter($"k" === 1049L && $"s" === "old").count() === 1)
+
+    // the low-range file was outside the update key range: same file entry,
+    // never rewritten
+    val newFiles = VersionedTable.snapshot(spark, root).files.map(_.path).toSet
+    assert(lowFiles.subsetOf(newFiles),
+      "files disjoint from the merge key range must be carried by reference")
+  }
+
+  test("deleteByKeys removes exactly the keyed rows, prunes disjoint files") {
+    val root = tmp()
+    VersionedTable.create(spark, root,
+      spark.range(0, 100).select($"id".as("k"), ($"id" * 2).as("v")))
+    VersionedTable.append(spark, root,
+      spark.range(1000, 1100).select($"id".as("k"), ($"id" * 2).as("v")))
+    val lowFiles = VersionedTable.snapshot(spark, root).files
+      .filter(_.maxs.get("k").exists(_.toLong < 1000)).map(_.path).toSet
+
+    VersionedTable.deleteByKeys(spark, root,
+      spark.range(1000, 1050).select($"id".as("k")), "k")
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() === 150)
+    assert(after.filter($"k" >= 1000L && $"k" < 1050L).count() === 0)
+    assert(lowFiles.subsetOf(
+      VersionedTable.snapshot(spark, root).files.map(_.path).toSet))
+  }
+
+  test("empty merge batch commits a no-op version") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    val v = VersionedTable.merge(spark, root,
+      Seq.empty[(Long, String)].toDF("k", "s"), "k")
+    assert(v === 2L)
+    assert(VersionedTable.read(spark, root).count() === 1)
+  }
+
+  test("vacuum sweeps unreferenced + leaked files; old versions fail cleanly") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    VersionedTable.overwrite(spark, root, Seq((2L, "b"), (3L, "c")).toDF("k", "s"))
+    // a crashed writer's leak: data files no manifest references
+    Seq((9L, "junk")).toDF("k", "s").write
+      .parquet(s"$root/data/txn-leaked-${java.util.UUID.randomUUID()}")
+
+    val removed = VersionedTable.vacuum(spark, root, retainVersions = 1)
+    assert(removed.nonEmpty, "v1's files and the leaked txn must be swept")
+
+    assert(VersionedTable.read(spark, root).orderBy("k")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "b"), (3L, "c")))
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(1L))
+    }
+    assert(err.getMessage.contains("vacuumed"))
+  }
+
+  test("readers of a pinned version are isolated from later commits") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    val pinned = VersionedTable.read(spark, root, Some(1L))
+    VersionedTable.overwrite(spark, root, Seq((2L, "b")).toDF("k", "s"))
+    VersionedTable.merge(spark, root, Seq((3L, "c")).toDF("k", "s"), "k")
+    // files of v1 still on disk (not vacuumed) — the pinned plan still reads v1
+    assert(pinned.as[(Long, String)].collect().toSeq === Seq((1L, "a")))
+  }
+}
