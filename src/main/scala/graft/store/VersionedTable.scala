@@ -374,6 +374,66 @@ object VersionedTable {
     removed.toSeq
   }
 
+  // ---------------------------------------------------------- change feed
+
+  /** CDC between two committed versions: one row per key present in either,
+    * classified added / removed / changed / unchanged by row fingerprint
+    * (delegates to [[graft.pipeline.Snapshots.diffSnapshots]] — one
+    * full-outer join on md5 fingerprints, never a row-by-row compare).
+    * This is what time travel buys downstream consumers: an incremental
+    * pipeline subscribes to `changeFeed(lastSeen, latest)` instead of
+    * re-reading the table.
+    */
+  def changeFeed(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, key: String): DataFrame = {
+    val schema = snapshot(spark, root, Some(toVersion)).schema
+    graft.pipeline.Snapshots.diffSnapshots(
+      read(spark, root, Some(fromVersion)),
+      read(spark, root, Some(toVersion)),
+      key, schema.fieldNames.filterNot(_ == key).toSeq)
+  }
+
+  // ------------------------------------------------------------ optimize
+
+  /** OPTIMIZE: compact small files and/or rewrite the table in Z-order —
+    * a layout-only commit (row set provably unchanged; spec-asserted).
+    *
+    * Compaction-only (`zorder = None`): files at or above `targetRows` are
+    * carried by reference; the small-file tail is read once and re-packed
+    * into `ceil(rows / targetRows)` files. This is the streaming-ingest
+    * antidote: [[graft.exec.StreamingRunner]]-style micro-batch appends
+    * leave a long tail of tiny files that would otherwise dominate task
+    * scheduling at 100 TB.
+    *
+    * With `zorder = Some((a, b))` the WHOLE table rewrites through
+    * [[graft.analytics.Layout.zorderBy]] — every output file covers a
+    * square-ish tile of the (a, b) plane, so the manifest's per-file
+    * min/max stats turn tight on BOTH columns and [[merge]]/[[deleteByKeys]]
+    * pruning (plus any scan-side file skipping) works on either dimension.
+    * Same contract as lakehouse `OPTIMIZE ... ZORDER BY`.
+    */
+  def optimize(spark: SparkSession, root: String, targetRows: Long,
+      zorder: Option[(String, String)] = None): Long =
+    commitLoop(spark, root) { parent =>
+      val p = parent.getOrElse(sys.error(s"$root does not exist"))
+      val (toRewrite, kept) = zorder match {
+        case Some(_) => (p.files, Seq.empty[FileEntry])
+        case None => p.files.partition(_.rows < targetRows)
+      }
+      if (toRewrite.isEmpty) ("optimize", p.files, p.schema)
+      else {
+        val rows = spark.read.schema(p.schema)
+          .parquet(toRewrite.map(f => s"$root/${f.path}"): _*)
+        val nOut = math.max(1L, (toRewrite.map(_.rows).sum + targetRows - 1) / targetRows).toInt
+        val packed = zorder match {
+          case Some((a, b)) =>
+            graft.analytics.Layout.zorderBy(rows, a, b, numFiles = nOut).drop("_z")
+          case None => rows.repartition(nOut)
+        }
+        ("optimize", kept ++ writeData(packed, root), p.schema)
+      }
+    }
+
   // ---------------------------------------------------------------- gate
 
   /** Driver gate: a create → append → merge → delete transaction chain on a

@@ -120,6 +120,19 @@ class VersionedTableSpec extends SparkSpec {
     assert(err.getMessage.contains("vacuumed"))
   }
 
+  test("changeFeed classifies adds, updates and deletes between versions") {
+    val root = tmp()
+    VersionedTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s"))
+    VersionedTable.merge(spark, root,
+      Seq((2L, "B"), (4L, "d")).toDF("k", "s"), "k")
+    VersionedTable.deleteByKeys(spark, root, Seq(3L).toDF("k"), "k")
+    val feed = VersionedTable.changeFeed(spark, root, 1L, 3L, "k")
+      .select("key", "change").as[(Long, String)].collect().toMap
+    assert(feed === Map(1L -> "unchanged", 2L -> "changed",
+      3L -> "removed", 4L -> "added"))
+  }
+
   test("readers of a pinned version are isolated from later commits") {
     val root = tmp()
     VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))
