@@ -81,4 +81,27 @@ object Scd2 {
       .withColumn("valid_from", lit(fromUs))
       .withColumn("valid_to", lit(null).cast("long"))
       .withColumn("is_current", lit(true))
+
+  /** Point-in-time (temporal) join: each fact row picks up the dimension
+    * VERSION that was valid at its own timestamp — the lookup every
+    * training-data audit needs ("which quality threshold / mixture weight
+    * was live when this shard was built?"). Produces all fact columns plus
+    * the dim attributes (bookkeeping columns dropped); facts with no valid
+    * version at their time keep nulls (left join).
+    *
+    * Plan shape: an equi-join on the key with the interval condition as a
+    * residual filter — the key join bounds candidates to each fact's own
+    * timeline (a handful of versions), so there is no range-explosion; a
+    * small dimension broadcasts as usual.
+    */
+  def pointInTime(facts: DataFrame, factKey: String, tsCol: String,
+      dim: DataFrame, dimKey: String): DataFrame = {
+    val attrs = dim.columns.filterNot(
+      Set(dimKey, "valid_from", "valid_to", "is_current"))
+    val cond = facts(factKey) === dim(dimKey) &&
+      dim("valid_from") <= facts(tsCol) &&
+      (dim("valid_to").isNull || facts(tsCol) < dim("valid_to"))
+    facts.join(dim, cond, "left")
+      .select(facts.columns.map(facts(_)) ++ attrs.map(dim(_)): _*)
+  }
 }

@@ -57,22 +57,40 @@ object MutationSurface {
     // SCD2 merge (absent in the reference — its updates destroy history):
     // changed segments close + re-version, no-op re-deliveries stay put,
     // new keys insert
-    "pa_scd2_merge" -> ((s, d) => {
-      val cust = graft.Tables.customer(s, d)
-        .select("c_custkey", "c_nationkey", "c_mktsegment")
-      val changes = cust.filter(col("c_custkey") % 7 === 0)
-        .withColumn("c_mktsegment", lit("MOVED"))
-        .unionByName(cust.filter(col("c_custkey") % 7 === 1))
-        .unionByName(cust.filter(col("c_custkey") % 13 === 0)
-          .select((col("c_custkey") + 1000000L).as("c_custkey"),
-            lit(99).cast("int").as("c_nationkey"),
-            lit("NEW").as("c_mktsegment")))
-        .withColumn("eff_us", lit(graft.ops.Scd2.GateEffUs))
-      graft.ops.Scd2.merge(graft.ops.Scd2.seed(cust), changes,
-          "c_custkey", Seq("c_nationkey", "c_mktsegment"))
-        .orderBy("c_custkey", "valid_from")
+    "pa_scd2_merge" -> ((s, d) =>
+      scd2GateDim(s, d).orderBy("c_custkey", "valid_from")),
+    // point-in-time join: even orders look the dimension up BEFORE the
+    // change batch's effective time, odd orders after — each side must see
+    // its own version
+    "pa_scd2_pit" -> ((s, d) => {
+      val facts = graft.Tables.orders(s, d).select(col("o_orderkey"),
+        col("o_custkey"),
+        when(col("o_orderkey") % 2 === 0, lit(500000L))
+          .otherwise(lit(1500000L)).as("ts_us"))
+      graft.ops.Scd2.pointInTime(facts, "o_custkey", "ts_us",
+          scd2GateDim(s, d), "c_custkey")
+        .orderBy("o_orderkey")
     }),
   )
+
+  /** The SCD2 gate dimension: customers seeded at t=0, one deterministic
+    * change batch merged at t=1e6 (segment moves, no-op re-deliveries,
+    * and brand-new keys).
+    */
+  private def scd2GateDim(s: SparkSession, d: String) = {
+    val cust = graft.Tables.customer(s, d)
+      .select("c_custkey", "c_nationkey", "c_mktsegment")
+    val changes = cust.filter(col("c_custkey") % 7 === 0)
+      .withColumn("c_mktsegment", lit("MOVED"))
+      .unionByName(cust.filter(col("c_custkey") % 7 === 1))
+      .unionByName(cust.filter(col("c_custkey") % 13 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"),
+          lit(99).cast("int").as("c_nationkey"),
+          lit("NEW").as("c_mktsegment")))
+      .withColumn("eff_us", lit(graft.ops.Scd2.GateEffUs))
+    graft.ops.Scd2.merge(graft.ops.Scd2.seed(cust), changes,
+      "c_custkey", Seq("c_nationkey", "c_mktsegment"))
+  }
 
   private val items = DerivedItems.itemsCte
   private val ntasksSel = DerivedItems.nestedTaskRowsCte.replaceFirst("^WITH ", ", ")
@@ -130,6 +148,20 @@ object MutationSurface {
       """
         |SELECT itemID, taskKey FROM ntasks ORDER BY itemID, taskKey""".stripMargin),
     "pa_scd2_merge" ->
+      (scd2DimCtes + "\nSELECT * FROM dim ORDER BY c_custkey, valid_from"),
+    "pa_scd2_pit" -> (scd2DimCtes +
+      """,
+        |facts AS (SELECT o_orderkey, o_custkey,
+        |  CAST(CASE WHEN o_orderkey % 2 = 0 THEN 500000 ELSE 1500000 END AS BIGINT) AS ts_us
+        |  FROM orders)
+        |SELECT f.o_orderkey, f.o_custkey, f.ts_us, d.c_nationkey, d.c_mktsegment
+        |FROM facts f LEFT JOIN dim d ON f.o_custkey = d.c_custkey
+        |  AND d.valid_from <= f.ts_us
+        |  AND (d.valid_to IS NULL OR f.ts_us < d.valid_to)
+        |ORDER BY o_orderkey""".stripMargin),
+  )
+
+  private def scd2DimCtes: String =
       """WITH cust AS (SELECT c_custkey, c_nationkey, c_mktsegment FROM customer),
         |chg AS (
         |  SELECT c_custkey, c_nationkey, 'MOVED' AS c_mktsegment, 1000000 AS eff_us
@@ -161,8 +193,6 @@ object MutationSurface {
         |  WHERE c.c_custkey IS NULL
         |     OR g.c_nationkey IS DISTINCT FROM c.c_nationkey
         |     OR g.c_mktsegment IS DISTINCT FROM c.c_mktsegment
-        |)
-        |SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows
-        |ORDER BY c_custkey, valid_from""".stripMargin,
-  )
+        |),
+        |dim AS (SELECT * FROM old_rows UNION ALL SELECT * FROM new_rows)""".stripMargin
 }

@@ -55,6 +55,25 @@ class Scd2Spec extends SparkSpec {
     assert(out.filter(!$"is_current").count() === 2)
   }
 
+  test("pointInTime picks the version valid at each fact's timestamp") {
+    val c1 = Seq((1L, "a2", 10, 500L)).toDF("k", "attr", "n", "eff_us")
+    val d = Scd2.merge(dim(), c1, "k", Seq("attr", "n"))
+    val facts = Seq(
+      (100L, 1L, 250L),  // before the change: sees "a"
+      (101L, 1L, 500L),  // exactly at eff: new version is valid FROM eff
+      (102L, 1L, 900L),  // after: sees "a2"
+      (103L, 7L, 500L),  // unknown key: null attrs survive the left join
+    ).toDF("fact_id", "k", "ts")
+    val out = Scd2.pointInTime(facts, "k", "ts", d, "k")
+      .orderBy("fact_id")
+      .as[(Long, Long, Long, Option[String], Option[Int])].collect().toSeq
+    assert(out === Seq(
+      (100L, 1L, 250L, Some("a"), Some(10)),
+      (101L, 1L, 500L, Some("a2"), Some(10)),
+      (102L, 1L, 900L, Some("a2"), Some(10)),
+      (103L, 7L, 500L, None, None)))
+  }
+
   test("history rows never join: plan keeps them out of the merge join") {
     val c1 = Seq((1L, "a2", 10, 500L)).toDF("k", "attr", "n", "eff_us")
     val once = Scd2.merge(dim(), c1, "k", Seq("attr", "n"))
