@@ -63,9 +63,15 @@ object VersionedTable {
   final case class FileEntry(path: String, rows: Long,
       mins: Map[String, String], maxs: Map[String, String])
   final case class Manifest(version: Long, op: String, schema: String,
-      files: List[FileEntry])
+      files: List[FileEntry], tags: List[String] = Nil)
   final case class Snapshot(version: Long, op: String, schema: StructType,
-      files: Seq[FileEntry])
+      files: Seq[FileEntry], tags: Seq[String] = Nil)
+
+  /** Thrown inside the commit CAS when an idempotence tag was already
+    * applied by a committed version — the signal that a replayed batch
+    * must NOT commit again.
+    */
+  private final class TagAlreadyApplied extends RuntimeException
 
   private implicit val formats: org.json4s.Formats = org.json4s.DefaultFormats
   private val MaxRetries = 20
@@ -109,7 +115,7 @@ object VersionedTable {
     val text = new String(buf, StandardCharsets.UTF_8)
     val m = parseManifest(text)
     Snapshot(m.version, m.op, DataType.fromJson(m.schema).asInstanceOf[StructType],
-      m.files)
+      m.files, m.tags)
   }
 
   /** Atomic publish: exactly one committer of version `v` wins. */
@@ -209,16 +215,28 @@ object VersionedTable {
 
   // ------------------------------------------------------------- commits
 
-  private def commitLoop(spark: SparkSession, root: String)(
+  /** Optimistic-concurrency commit: re-reads the parent snapshot, runs
+    * `attempt` against it, and publishes via the CAS; a lost race rebases
+    * and retries. Idempotence `tags` accumulate through every commit;
+    * `addTag` aborts (throws [[TagAlreadyApplied]]) if the parent already
+    * carries it — checked UNDER the CAS loop, so a replayed batch racing
+    * its own first commit cannot double-apply.
+    */
+  private def commitLoop(spark: SparkSession, root: String,
+      addTag: Option[String] = None)(
       attempt: Option[Snapshot] => (String, Seq[FileEntry], StructType)): Long = {
     val f = fs(spark, root)
     var tries = 0
     while (tries < MaxRetries) {
       val parent = listVersions(f, root).lastOption
         .map(v => snapshot(spark, root, Some(v)))
+      val parentTags = parent.map(_.tags).getOrElse(Seq.empty)
+      addTag.foreach(t =>
+        if (parentTags.contains(t)) throw new TagAlreadyApplied)
       val (op, files, schema) = attempt(parent)
       val v = parent.map(_.version).getOrElse(0L) + 1
-      val m = Manifest(v, op, schema.json, files.toList)
+      val m = Manifest(v, op, schema.json, files.toList,
+        (parentTags ++ addTag).toList)
       if (casPublish(f, root, v, org.json4s.jackson.Serialization.write(m)))
         return v
       tries += 1
@@ -238,13 +256,53 @@ object VersionedTable {
 
   /** Append `df` — data is written once; only the manifest rebases on a
     * lost race (appends never conflict with each other).
+    *
+    * `mergeSchema = true` widens the table schema with `df`'s new columns
+    * (existing files read them as null; common columns must keep their
+    * type). Default is strict: unknown columns in `df` are invisible to
+    * readers until declared — schema drift should be a choice, not an
+    * accident.
     */
-  def append(spark: SparkSession, root: String, df: DataFrame): Long = {
+  def append(spark: SparkSession, root: String, df: DataFrame,
+      mergeSchema: Boolean = false): Long = {
     val files = writeData(df, root)
     commitLoop(spark, root) { parent =>
       val p = parent.getOrElse(sys.error(s"$root does not exist"))
-      ("append", p.files ++ files, p.schema)
+      ("append", p.files ++ files, evolved(p.schema, df.schema, mergeSchema))
     }
+  }
+
+  private def evolved(table: StructType, incoming: StructType,
+      mergeSchema: Boolean): StructType = {
+    for (f <- incoming.fields; t <- table.fields if f.name == t.name)
+      require(f.dataType == t.dataType,
+        s"column ${f.name}: incoming ${f.dataType.simpleString} conflicts " +
+          s"with table ${t.dataType.simpleString}")
+    if (!mergeSchema) table
+    else StructType(table.fields ++
+      incoming.fields.filterNot(f => table.fieldNames.contains(f.name)))
+  }
+
+  /** Idempotent append for exactly-once streaming ingest: the commit
+    * carries `tag` (e.g. `"batch-<batchId>"`) and refuses — atomically,
+    * under the version CAS — if any committed version already applied it.
+    * Returns false (and leaves only unreferenced files for vacuum) when
+    * the tag was already applied: `foreachBatch` replays after a
+    * post-commit crash become no-ops, upgrading [[ItemStore.commitBatch]]'s
+    * marker dance to a single transactional commit.
+    */
+  def appendBatch(spark: SparkSession, root: String, df: DataFrame,
+      tag: String): Boolean = {
+    if (latestVersion(spark, root).isDefined &&
+        snapshot(spark, root).tags.contains(tag)) return false
+    val files = writeData(df, root)
+    try {
+      commitLoop(spark, root, Some(tag)) { parent =>
+        val p = parent.getOrElse(sys.error(s"$root does not exist"))
+        ("append", p.files ++ files, p.schema)
+      }
+      true
+    } catch { case _: TagAlreadyApplied => false }
   }
 
   /** Replace the table contents (last-writer-wins). */
