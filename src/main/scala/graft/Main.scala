@@ -352,6 +352,55 @@ object Main {
       }
       result.write.mode("overwrite").parquet(out)
       println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
+    case "vtable" =>
+      // transactional-table admin: <table> is the VersionedTable root;
+      // --op history|read|merge|delete|optimize|vacuum|feed
+      import graft.store.VersionedTable
+      flags.getOrElse("op", sys.error(
+        "--op <history|read|merge|delete|optimize|vacuum|feed> required")) match {
+        case "history" =>
+          VersionedTable.history(spark, table).orderBy("version")
+            .show(truncate = false)
+        case "read" =>
+          val out = flags.getOrElse("output", sys.error("--output is required"))
+          VersionedTable.read(spark, table, flags.get("version").map(_.toLong))
+            .write.mode("overwrite").parquet(out)
+          println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
+        case "merge" =>
+          val v = VersionedTable.merge(spark, table,
+            spark.read.parquet(flags.getOrElse("input",
+              sys.error("--input is required"))),
+            flags.getOrElse("key", sys.error("--key is required")))
+          println(s"""{"version": $v}""")
+        case "delete" =>
+          val v = VersionedTable.deleteByKeys(spark, table,
+            spark.read.parquet(flags.getOrElse("input",
+              sys.error("--input is required"))),
+            flags.getOrElse("key", sys.error("--key is required")))
+          println(s"""{"version": $v}""")
+        case "optimize" =>
+          val zo = (flags.get("zorder-a"), flags.get("zorder-b")) match {
+            case (Some(a), Some(b)) => Some((a, b))
+            case (None, None) => None
+            case _ => sys.error("--zorder-a and --zorder-b go together")
+          }
+          val v = VersionedTable.optimize(spark, table,
+            flags.getOrElse("target-rows", "1000000").toLong, zo)
+          println(s"""{"version": $v}""")
+        case "vacuum" =>
+          val removed = VersionedTable.vacuum(spark, table,
+            flags.getOrElse("retain", "7").toInt)
+          println(s"""{"removed_files": ${removed.size}}""")
+        case "feed" =>
+          val out = flags.getOrElse("output", sys.error("--output is required"))
+          VersionedTable.changeFeed(spark, table,
+            flags.getOrElse("from", sys.error("--from is required")).toLong,
+            flags.getOrElse("to", sys.error("--to is required")).toLong,
+            flags.getOrElse("key", sys.error("--key is required")))
+            .write.mode("overwrite").parquet(out)
+          println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
+        case other => sys.error(s"unknown vtable op: $other")
+      }
     case other => sys.error(s"unknown verb: $other")
   }
 }

@@ -167,4 +167,32 @@ class MainSpec extends SparkSpec {
     assert(changes === Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
   }
+
+  test("vtable verbs: merge / history / feed / optimize / vacuum / read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-vt").toString
+    val root = s"$dir/t"
+    store.VersionedTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+
+    Seq((2L, "B"), (3L, "c")).toDF("k", "s").write.parquet(s"$dir/upd")
+    Main.run(spark, "vtable", root,
+      Map("op" -> "merge", "input" -> s"$dir/upd", "key" -> "k"))
+    assert(store.VersionedTable.read(spark, root).orderBy("k")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "B"), (3L, "c")))
+
+    Main.run(spark, "vtable", root, Map("op" -> "feed", "from" -> "1",
+      "to" -> "2", "key" -> "k", "output" -> s"$dir/feed"))
+    val feed = spark.read.parquet(s"$dir/feed")
+      .select("key", "change").as[(Long, String)].collect().toMap
+    assert(feed === Map(1L -> "unchanged", 2L -> "changed", 3L -> "added"))
+
+    Main.run(spark, "vtable", root,
+      Map("op" -> "optimize", "target-rows" -> "1000"))
+    Main.run(spark, "vtable", root, Map("op" -> "vacuum", "retain" -> "1"))
+    Main.run(spark, "vtable", root,
+      Map("op" -> "read", "output" -> s"$dir/out"))
+    assert(spark.read.parquet(s"$dir/out").count() === 3)
+    Main.run(spark, "vtable", root, Map("op" -> "history"))
+  }
 }
