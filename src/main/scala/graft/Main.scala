@@ -357,7 +357,7 @@ object Main {
       // --op history|read|merge|delete|optimize|vacuum|feed
       import graft.store.VersionedTable
       flags.getOrElse("op", sys.error(
-        "--op <history|read|merge|delete|optimize|vacuum|feed> required")) match {
+        "--op <history|read|merge|delete|optimize|vacuum|feed|fsck> required")) match {
         case "history" =>
           VersionedTable.history(spark, table).orderBy("version")
             .show(truncate = false)
@@ -391,6 +391,10 @@ object Main {
           val removed = VersionedTable.vacuum(spark, table,
             flags.getOrElse("retain", "7").toInt)
           println(s"""{"removed_files": ${removed.size}}""")
+        case "fsck" =>
+          val bad = VersionedTable.fsck(spark, table)
+            .filter(col("status") =!= "ok").count()
+          println(s"""{"bad_files": $bad}""")
         case "feed" =>
           val out = flags.getOrElse("output", sys.error("--output is required"))
           VersionedTable.changeFeed(spark, table,

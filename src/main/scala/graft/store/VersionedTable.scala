@@ -432,6 +432,26 @@ object VersionedTable {
     removed.toSeq
   }
 
+  // ----------------------------------------------------------------- fsck
+
+  /** Integrity audit of the latest snapshot: re-opens every referenced
+    * file's footer and reports `ok` / `missing` / `row_drift` per file.
+    * One footer read per file, driver-side — same cost class as a commit's
+    * stats harvest; run it like you run vacuum, not per query.
+    */
+  def fsck(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val s = snapshot(spark, root)
+    val f = fs(spark, root)
+    val conf = spark.sparkContext.hadoopConfiguration
+    s.files.map { fe =>
+      val p = new Path(s"$root/${fe.path}")
+      if (!f.exists(p)) (fe.path, "missing")
+      else if (footerStats(p, conf)._1 != fe.rows) (fe.path, "row_drift")
+      else (fe.path, "ok")
+    }.toDF("file", "status")
+  }
+
   // ---------------------------------------------------------- change feed
 
   /** CDC between two committed versions: one row per key present in either,

@@ -172,6 +172,44 @@ class MultimodalSpec extends SparkSpec {
       .head().toSeq === audio.toSeq)
   }
 
+  test("WavCodec decodes a real WAV; JdkCodec routes image+audio to real decoders") {
+    // synthesize a 100 Hz square wave: mean |amplitude| is EXACTLY amp/32768
+    val rate = 8000f
+    val n = 800
+    val amp: Short = 12000
+    val pcm = new Array[Byte](n * 2)
+    for (i <- 0 until n) {
+      val s: Short = if ((i / 40) % 2 == 0) amp else (-amp).toShort
+      pcm(2 * i) = (s & 0xff).toByte          // little-endian
+      pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val wav = bos.toByteArray
+
+    val (cnt, mean) = WavCodec.decodeFeatures("audio", wav)
+    assert(cnt === n.toLong)
+    assert(mean === amp.toDouble / 32768.0)
+
+    // through the Spark pipeline, mixed with a non-decodable payload
+    val junk = Array[Byte](9, 9, 9, 9)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "audio", wav, Multimodal.MediaMeta(0, 0, 8000, 1)),
+      Multimodal.MediaRow(2L, "audio", junk, Multimodal.MediaMeta(0, 0, 0, 1)))
+      .toDS().toDF()
+    val feats = Multimodal.extractFeatures(media, JdkCodec)
+      .collect().map(f => f.mediaId -> f).toMap
+    assert(feats(1L).checksum === n.toLong)
+    assert(feats(1L).meanByte === amp.toDouble / 32768.0)
+    val (stubSum, stubMean) = Multimodal.StubCodec.decodeFeatures("audio", junk)
+    assert(feats(2L).checksum === stubSum && feats(2L).meanByte === stubMean,
+      "undecodable audio must fall back to the stub, not crash the batch")
+  }
+
   test("HashingEmbedder: unit vectors, reference arithmetic, layout invariance") {
     val emb = Multimodal.HashingEmbedder(8)
     // driver-side reference for one text: signed count per md5-hashed dim

@@ -133,6 +133,18 @@ class VersionedTableSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("fsck reports missing files and is clean on a healthy table") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    assert(VersionedTable.fsck(spark, root)
+      .filter($"status" =!= "ok").count() === 0)
+    val victim = VersionedTable.snapshot(spark, root).files.head.path
+    new java.io.File(s"$root/$victim").delete()
+    val report = VersionedTable.fsck(spark, root)
+      .as[(String, String)].collect().toMap
+    assert(report(victim) === "missing")
+  }
+
   test("readers of a pinned version are isolated from later commits") {
     val root = tmp()
     VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))
