@@ -34,6 +34,7 @@ object SparkEntry {
     text.TextSurface.queries ++ text.Search.queries ++
     text.HeavyHitters.queries ++ text.Bpe.queries ++
     text.Collocations.queries ++ text.LanguageModel.queries ++
+    text.QualityClassifier.queries ++ text.ImportanceSampler.queries ++
     dedup.DedupSurface.queries ++
     dedup.SemanticDedup.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HeavyHitters.oracles ++ text.Bpe.oracles ++
     text.Collocations.oracles ++ text.LanguageModel.oracles ++
+    text.QualityClassifier.oracles ++ text.ImportanceSampler.oracles ++
     dedup.DedupSurface.oracles ++
     dedup.SemanticDedup.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
