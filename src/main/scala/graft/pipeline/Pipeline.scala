@@ -87,6 +87,29 @@ object Pipeline {
       .filter(col("bucket") < rate)
   }
 
+  /** Per-source document cap — the "domain capping" step of public
+    * pretraining recipes (RefinedWeb/Dolma bound any one domain's share of
+    * the corpus so a single crawl-heavy site cannot dominate training):
+    * keep at most `cap` documents per source, survivors chosen by the same
+    * deterministic id-hash priority as [[stratifiedSample]] (id tie-break),
+    * so the kept set is stable across runs, partitionings, and engines —
+    * a re-crawl keeps the same documents. Appends the 1-based `rank`.
+    *
+    * Scale shape: lowered onto the [[graft.plans.TopKPerKey]] physical
+    * operator — each map partition retains ≤cap rows per source BEFORE the
+    * exchange, so a skewed 100 TB crawl ships cap·partitions rows per
+    * domain instead of the domain's full contents (the skew this operator
+    * exists to remove is exactly the skew a groupBy would die on).
+    */
+  def capPerSource(docs: DataFrame, idCol: String, sourceCol: String,
+      cap: Int): DataFrame = {
+    val prioritized = docs
+      .select(col(idCol), col(sourceCol))
+      .withColumn("priority", hashBucket(col(idCol), 1000000))
+    graft.plans.TopKPerKey.topK(prioritized, Seq(sourceCol),
+      Seq(("priority", true), (idCol, true)), cap)
+  }
+
   /** Sequence packing (concatenate-and-chunk): assign each document its
     * token span in fixed-size context windows, the way LLM training shards
     * pack text. Docs are sharded by id, laid out in id order within the

@@ -105,6 +105,11 @@ object PipelineSurface {
     "pipe_pack_sequences" -> ((s, d) =>
       Pipeline.packSequences(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    "pipe_domain_cap" -> ((s, d) =>
+      Pipeline.capPerSource(
+        Tables.documents(s, d).select(col("doc_id"), col("source")),
+        "doc_id", "source", 10)
+        .orderBy("source", "rank")),
     "pipe_chunk_overlap" -> ((s, d) =>
       Pipeline.chunkDocuments(docs(s, d), "doc_id", "text")
         .orderBy("doc_id", "chunk_id")),
@@ -284,6 +289,15 @@ object PipelineSurface {
       |      FROM c)
       |SELECT key, gram, n, rank FROM r WHERE rank <= 10
       |ORDER BY key, rank""".stripMargin,
+    "pipe_domain_cap" -> s"""
+      |WITH p AS (SELECT doc_id, source,
+      |    ${bucketSqlD("doc_id", 1000000L)} AS priority FROM documents),
+      |r AS (SELECT doc_id, source, priority,
+      |        row_number() OVER (PARTITION BY source
+      |                           ORDER BY priority ASC, doc_id ASC) AS rank
+      |      FROM p)
+      |SELECT doc_id, source, priority, rank FROM r WHERE rank <= 10
+      |ORDER BY source, rank""".stripMargin,
     "pipe_corpus_report" -> s"""
       |WITH feat AS (SELECT doc_id, source,
       |    CAST(length(text) AS BIGINT) AS n_chars_m,

@@ -46,6 +46,38 @@ class PipelineSpec extends SparkSpec {
     assert(enKept > 200 && enKept < 300, s"en kept $enKept of 500 at rate 0.5")
   }
 
+  test("capPerSource keeps the cap-lowest-priority docs per source, partition-independently") {
+    val docs = (0L until 400L).map(i => (i, s"src${i % 4}"))
+      .toDF("doc_id", "source")
+    val capped = Pipeline.capPerSource(docs, "doc_id", "source", 7)
+      .select($"doc_id", $"source", $"priority", $"rank")
+      .as[(Long, String, Long, Long)].collect()
+    // cap enforced, ranks dense 1..7 per source
+    val bySource = capped.groupBy(_._2)
+    assert(bySource.keySet === Set("src0", "src1", "src2", "src3"))
+    bySource.foreach { case (src, rows) =>
+      assert(rows.length === 7, s"$src kept ${rows.length}")
+      assert(rows.map(_._4).sorted.sameElements(1L to 7L), s"$src ranks dense")
+    }
+    // survivors are exactly the 7 priority-minimal ids per source (id tie-break)
+    val expected = (0L until 400L).map(i => (i, s"src${i % 4}"))
+      .groupBy(_._2).flatMap { case (src, rows) =>
+        rows.map { case (id, _) =>
+          (id, src, java.lang.Math.floorMod(
+            java.lang.Math.floorMod(id, 2147483647L) * 2654435761L, 1000000L))
+        }.sortBy(r => (r._3, r._1)).take(7)
+      }.map(r => (r._1, r._2)).toSet
+    assert(capped.map(r => (r._1, r._2)).toSet === expected)
+    // kept set independent of input partitioning
+    val repart = Pipeline.capPerSource(docs.repartition(13), "doc_id", "source", 7)
+      .select($"doc_id", $"source").as[(Long, String)].collect().toSet
+    assert(repart === expected, "kept set must not depend on partitioning")
+    // rides the TopKPerKey physical operator: no per-key Sort of the corpus
+    val plan = Pipeline.capPerSource(docs, "doc_id", "source", 7)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TopKPerKeyPartial"), s"expected TopKPerKey lowering:\n$plan")
+  }
+
   test("sequence packing covers every token exactly once per shard") {
     val docs = Seq(
       (0L, Seq.fill(100)("tok").mkString(" ")), // 100 tokens
