@@ -76,12 +76,54 @@ object LanguageModel {
           .cast("long").as("lm_avg_q"))
   }
 
+  /** CCNet-style perplexity bucketing: label every scored document
+    * `head` / `middle` / `tail` by which LM-score tercile it falls in
+    * WITHIN its language (the public CCNet recipe buckets each language
+    * by Wikipedia-LM perplexity terciles and trains preferentially on the
+    * head). Cutoffs are EXACT rank-arithmetic quantiles — the score at
+    * rank ceil(n/3) and ceil(2n/3) of the best-first order (id
+    * tie-break) — so the labeling is value-deterministic on any engine;
+    * score ties at a cutoff all take the better bucket.
+    *
+    * Scale shape: the ranked pass runs over the SCORED table (one row per
+    * doc, one shuffle on lang — same shape as the exact-quantile gate);
+    * the cutoff table is two values per language, broadcast back onto a
+    * narrow labeling join. The corpus text itself is never re-shuffled.
+    */
+  def ccnetBuckets(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String): DataFrame = {
+    val scored = score(docs, idCol, textCol)
+      .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("lm_avg_q"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("lm_avg_q").desc, col("doc_id"))
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val cutoffs = scored
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .groupBy(col("lang"))
+      .agg(
+        max(when(col("rn") === ceil(col("n") / lit(3.0)), col("lm_avg_q")))
+          .as("c_head"),
+        max(when(col("rn") === ceil(col("n") * lit(2.0) / lit(3.0)),
+          col("lm_avg_q"))).as("c_mid"))
+    scored.join(broadcast(cutoffs), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("lm_avg_q"),
+        when(col("lm_avg_q") >= col("c_head"), lit("head"))
+          .when(col("lm_avg_q") >= col("c_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("bucket"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "txt_lm_score" -> ((s, d) =>
-      score(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")))
+      score(Tables.documents(s, d), "doc_id", "text").orderBy("doc_id")),
+    "txt_ccnet_buckets" -> ((s, d) =>
+      ccnetBuckets(Tables.documents(s, d), "doc_id", "lang", "text")
+        .orderBy("doc_id")))
 
-  val oracles: Map[String, String] = Map(
-    "txt_lm_score" -> """
+  /** Shared CTE chain re-deriving the trained model + per-doc sums in SQL. */
+  private val lmCtes: String = """
       |WITH norm AS (SELECT doc_id,
       |    trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS ntext
       |  FROM documents WHERE text IS NOT NULL),
@@ -105,9 +147,34 @@ object LanguageModel {
       |  CROSS JOIN vv),
       |o AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
       |        CAST(SUM(q) AS BIGINT) AS lm_sum_q
-      |      FROM sc GROUP BY doc_id)
+      |      FROM sc GROUP BY doc_id)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "txt_lm_score" -> (lmCtes + """
       |SELECT doc_id, n_bigrams, lm_sum_q,
       |  CAST(FLOOR(CAST(lm_sum_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
       |    AS lm_avg_q
-      |FROM o ORDER BY doc_id""".stripMargin)
+      |FROM o ORDER BY doc_id""".stripMargin),
+    "txt_ccnet_buckets" -> (lmCtes + """
+      |, l AS (SELECT o.doc_id, d.lang,
+      |    CAST(FLOOR(CAST(lm_sum_q AS DOUBLE) / CAST(n_bigrams AS DOUBLE)) AS BIGINT)
+      |      AS lm_avg_q
+      |  FROM o JOIN documents d USING (doc_id)),
+      |r AS (SELECT doc_id, lang, lm_avg_q,
+      |    CAST(row_number() OVER (PARTITION BY lang
+      |                            ORDER BY lm_avg_q DESC, doc_id) AS BIGINT) AS rn,
+      |    CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS n
+      |  FROM l),
+      |c AS (SELECT lang,
+      |    MAX(CASE WHEN rn = CAST(CEIL(n / 3.0) AS BIGINT)
+      |        THEN lm_avg_q END) AS c_head,
+      |    MAX(CASE WHEN rn = CAST(CEIL(n * 2.0 / 3.0) AS BIGINT)
+      |        THEN lm_avg_q END) AS c_mid
+      |  FROM r GROUP BY lang)
+      |SELECT l.doc_id, l.lang, l.lm_avg_q,
+      |  CASE WHEN l.lm_avg_q >= c.c_head THEN 'head'
+      |       WHEN l.lm_avg_q >= c.c_mid THEN 'middle'
+      |       ELSE 'tail' END AS bucket
+      |FROM l JOIN c USING (lang)
+      |ORDER BY doc_id""".stripMargin))
 }

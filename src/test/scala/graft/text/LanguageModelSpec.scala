@@ -39,4 +39,32 @@ class LanguageModelSpec extends SparkSpec {
     assert(out(1L) > out(3L),
       "the doc of corpus-frequent bigrams must out-score the rare one")
   }
+
+  test("ccnet buckets tercile each language by score, monotone and partition-independent") {
+    // 9 en docs with a graded mix of corpus-common and rare bigrams, plus a
+    // de group small enough to exercise the ceil boundaries (n=3).
+    val corpus = (
+      (1L to 9L).map(i =>
+        (i, "en", (Seq.fill((10 - i).toInt)("a b") ++ Seq.fill(i.toInt)(s"r$i x$i")).mkString(" "))) ++
+      Seq((21L, "de", "u v u v u v"), (22L, "de", "u v w z"), (23L, "de", "w z y t"))
+    ).toDF("doc_id", "lang", "text")
+    val out = LanguageModel.ccnetBuckets(corpus, "doc_id", "lang", "text")
+      .select($"doc_id", $"lang", $"lm_avg_q", $"bucket")
+      .as[(Long, String, Long, String)].collect()
+    assert(out.length === 12, "every scored doc is labeled exactly once")
+    // buckets are value-monotone within each language
+    out.groupBy(_._2).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._4).view.mapValues(_.map(_._3)).toMap
+      assert(byBucket.keySet === Set("head", "middle", "tail"), s"$lang: $byBucket")
+      assert(byBucket("head").min > byBucket("middle").max, s"$lang head>middle")
+      assert(byBucket("middle").min > byBucket("tail").max, s"$lang middle>tail")
+    }
+    // de (n=3) splits 1/1/1 at the exact ceil ranks
+    assert(out.filter(_._2 == "de").groupBy(_._4).view.mapValues(_.length).toMap
+      === Map("head" -> 1, "middle" -> 1, "tail" -> 1))
+    // labeling is independent of input partitioning
+    val repart = LanguageModel.ccnetBuckets(corpus.repartition(7), "doc_id", "lang", "text")
+      .select($"doc_id", $"bucket").as[(Long, String)].collect().toSet
+    assert(repart === out.map(r => (r._1, r._4)).toSet)
+  }
 }
