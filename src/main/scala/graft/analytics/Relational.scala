@@ -355,6 +355,47 @@ object Relational {
       |  COUNT(*) AS n, TRUE AS err_bound_ok
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Mergeable approximate quantiles — the 100 TB scale path the EXACT
+    * rank-arithmetic gate ([[langLengthQuantiles]]) cannot take: exact
+    * per-group quantiles need a per-group total order (a distributed sort
+    * of the whole group), while `percentile_approx`'s Greenwald–Khanna
+    * sketch is a bounded-size partial aggregate — each partition folds its
+    * rows into a sketch, sketches merge associatively on the exchange, and
+    * the rank-error guarantee `|rank(est) − p·n| ≤ n/accuracy` holds after
+    * any merge order. Like the HLL gate, estimates are engine-specific, so
+    * the gate verifies the GUARANTEE in-engine: a second pass counts each
+    * estimate's true rank and emits the bound check the oracle pins to
+    * literal TRUE — a FALSE anywhere hash-fails the gate.
+    */
+  def approxQuantilesPrice(spark: SparkSession, sfDir: String): DataFrame = {
+    val acc = 10000 // rank error ≤ n/acc per GK guarantee
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"), col("l_extendedprice").as("v"))
+    val sk = li.groupBy(col("l_returnflag"))
+      .agg(percentile_approx(col("v"), array(lit(0.5), lit(0.9)), lit(acc))
+        .as("aq"), count(lit(1)).as("n"))
+    li.join(broadcast(sk), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(col("n")).as("n"),
+        sum(when(col("v") <= col("aq")(0), lit(1L)).otherwise(lit(0L)))
+          .as("r50"),
+        sum(when(col("v") <= col("aq")(1), lit(1L)).otherwise(lit(0L)))
+          .as("r90"))
+      .select(col("l_returnflag"), col("n"),
+        (abs(col("r50") - col("n") * lit(0.5)) <=
+          col("n").cast("double") / lit(acc.toDouble) + lit(1.0))
+          .as("median_bound_ok"),
+        (abs(col("r90") - col("n") * lit(0.9)) <=
+          col("n").cast("double") / lit(acc.toDouble) + lit(1.0))
+          .as("p90_bound_ok"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val approxQuantilesSql: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  TRUE AS median_bound_ok, TRUE AS p90_bound_ok
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Semi/anti joins (EXISTS / NOT EXISTS — absent in the reference):
     * customers with an urgent order, and customers with no orders at all.
     */
@@ -543,6 +584,7 @@ object Relational {
     "q_salted_revenue" -> (saltedRevenueByPriority _),
     "q_distinct_customers" -> (distinctCustomers _),
     "q_approx_distinct_parts" -> (approxDistinctParts _),
+    "q_approx_quantiles_price" -> (approxQuantilesPrice _),
     "q18_large_volume" -> (q18LargeVolume _),
     "q_above_brand_avg" -> (aboveBrandAverageParts _),
   )
@@ -627,6 +669,7 @@ object Relational {
     // hash-checked error-bound form: oracle TRUE matches iff the HLL
     // estimate is within 3σ of exact (see approxDistinctParts)
     "q_approx_distinct_parts" -> approxDistinctSql,
+    "q_approx_quantiles_price" -> approxQuantilesSql,
     "q18_large_volume" -> q18Sql,
     "q_above_brand_avg" -> aboveBrandAvgSql,
   )
