@@ -112,11 +112,13 @@ class WorkQueueTable(path: String, tableSchema: StructType = WorkQueueSource.sch
 }
 
 class WorkQueueScanBuilder(path: String)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
 
   private var stateFilter: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = WorkQueueSource.schema
+  private var countByState = false
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept exactly ONE itemState equality; a second (possibly conflicting)
@@ -132,8 +134,94 @@ class WorkQueueScanBuilder(path: String)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new WorkQueueScan(path, stateFilter, required)
+  /** The monitor's poll — `GROUP BY itemState` + `COUNT(*)` — is answered
+    * from the source without materializing a single item row: one line-count
+    * per state directory (the DynamoDB-connector analog is a per-GSI-key
+    * `Select COUNT` query, which DynamoDB serves from the index without
+    * returning items). COMPLETE pushdown: the scan emits exactly one
+    * pre-aggregated row per state, so Spark plans no aggregate at all over
+    * the queue — at any queue size the monitor moves `n_states` rows.
+    */
+  private def canPushCount(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    agg.groupByExpressions.length == 1 && agg.aggregateExpressions.length == 1 &&
+      (agg.groupByExpressions()(0) match {
+        case f: org.apache.spark.sql.connector.expressions.NamedReference =>
+          f.fieldNames.sameElements(Array("itemState"))
+        case _ => false
+      }) &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    canPushCount(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    countByState = canPushCount(agg)
+    countByState
+  }
+
+  override def build(): Scan =
+    if (countByState) new WorkQueueCountScan(path, stateFilter)
+    else new WorkQueueScan(path, stateFilter, required)
 }
+
+/** Complete-pushdown scan for `COUNT(*) GROUP BY itemState`: one input
+  * partition per (pruned) state directory, each emitting a single
+  * `(itemState, count)` row from raw line counts — no CSV parsing, no row
+  * materialization, no Spark-side aggregate.
+  */
+class WorkQueueCountScan(path: String, state: Option[String]) extends Scan with Batch {
+
+  // pushed-aggregate contract: group-by columns first, then aggregate columns
+  override def readSchema(): StructType = StructType(Seq(
+    StructField("itemState", StringType),
+    StructField("count(*)", LongType, nullable = false)))
+
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"WorkQueueCountScan(path=$path, pushedState=$state, pushedAggregation=count(*) group by itemState)"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val base = new java.io.File(path)
+    Option(base.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("itemState="))
+      .filter(f => state.forall(s =>
+        WorkQueueSource.unescapePartitionValue(f.getName.stripPrefix("itemState=")) == s))
+      .map(dir => WorkQueueStatePartition(dir.getAbsolutePath,
+        WorkQueueSource.unescapePartitionValue(dir.getName.stripPrefix("itemState=")))
+        : InputPartition)
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[WorkQueueStatePartition]
+        new PartitionReader[InternalRow] {
+          private var emitted = false
+          override def next(): Boolean =
+            if (emitted) false
+            else {
+              emitted = true
+              true
+            }
+          override def get(): InternalRow = {
+            val n = Option(new java.io.File(p.dir).listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".csv"))
+              .map { f =>
+                val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+                try src.getLines().length.toLong finally src.close()
+              }.sum
+            InternalRow.fromSeq(Seq(UTF8String.fromString(p.state), n))
+          }
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+final case class WorkQueueStatePartition(dir: String, state: String) extends InputPartition
 
 class WorkQueueScan(path: String, state: Option[String], required: StructType)
     extends Scan with Batch {

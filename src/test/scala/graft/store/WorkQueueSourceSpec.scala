@@ -47,6 +47,23 @@ class WorkQueueSourceSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("state-count aggregate pushes down completely (index COUNT analog)") {
+    val q = queue.groupBy($"itemState").count()
+    val viaConnector = q.as[(String, Long)].collect().toMap
+    val direct = DerivedItems.items(spark, sf0001)
+      .groupBy($"itemState").count().as[(String, Long)].collect().toMap
+    assert(viaConnector === direct)
+    // the plan carries the complete-pushdown scan and NO aggregate over rows
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WorkQueueCountScan"), plan.take(800))
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown must leave no Spark-side aggregate:\n${plan.take(800)}")
+    // composes with the pushed state filter: single pruned directory
+    val one = queue.filter($"itemState" === "todo").groupBy($"itemState").count()
+    assert(one.as[(String, Long)].collect().toMap === direct.view.filterKeys(_ == "todo").toMap)
+    assert(one.queryExecution.executedPlan.toString.contains("pushedState=Some(todo)"))
+  }
+
   private def claim(dir: String, rows: Seq[(String, String, String, String)]): Unit =
     rows.toDF("itemID", "lockID", "instanceID", "expectedLockID")
       .write.format("graft.store.connector.WorkQueueSource")
