@@ -13,9 +13,10 @@ import graft.Tables
   * sessions separated by >= `gap` of inactivity, then aggregate per session.
   *
   * All time arithmetic happens in epoch-MICROSECOND longs (`unix_micros`),
-  * never raw nanos (the events parquet is TIMESTAMP(NANOS); see
-  * [[graft.Tables.events]]) and never doubles — so the session boundary
-  * decision is exact integer comparison, bit-identical in any engine.
+  * never raw file-encoded units (the events parquet has shipped as both
+  * TIMESTAMP(NANOS) and TIMESTAMP(MICROS); see [[graft.Tables.events]]) and
+  * never doubles — so the session boundary decision is exact integer
+  * comparison, bit-identical in any engine.
   *
   * The break rule is `delta >= gap` (an event exactly `gap` later starts a
   * new session), which is precisely Structured Streaming's
@@ -90,8 +91,10 @@ object Sessions {
         .orderBy("user_id", "sess_idx")))
 
   /** DuckDB twin: identical lag/running-sum/aggregate chain over
-    * `epoch_us(ts)`. The events view carries TIMESTAMP_NS; epoch_us floors
-    * nanos to micros exactly like the Spark-side `ts div 1000` load path.
+    * `epoch_us(ts)`. `epoch_us` yields the same micros whether the events
+    * view carries TIMESTAMP_NS (floored, matching the Spark-side
+    * `ts div 1000` load path) or TIMESTAMP micros (identity), so the oracle
+    * tracks [[graft.Tables.normalizeEventTs]] for either file encoding.
     */
   val oracles: Map[String, String] = Map(
     "evt_sessions" -> s"""

@@ -32,15 +32,7 @@ class SessionsSpec extends SparkSpec {
   }
 
   test("streaming session_window sessions ≡ batch sessionize on closed sessions") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evDir = java.nio.file.Files.createTempDirectory("graft-sess")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      evDir.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .parquet(evDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream("graft-sess")
     val q = graft.streaming.Monitors.runToMemory(
       Sessions.sessionWindowStream(raw, "user_id", "ts", "value", gap = "24 hours"),
       "sess_stream", "append")

@@ -83,16 +83,7 @@ class MonitorsSpec extends SparkSpec {
   }
 
   test("windowed event counts with watermark run append-mode (T5)") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // file stream sources need a directory, not a single file
-    val evDir = java.nio.file.Files.createTempDirectory("graft-events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      evDir.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .parquet(evDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream("graft-events")
     val q = Monitors.runToMemory(
       Monitors.eventWindowCounts(raw), "event_windows", "append")
     try {

@@ -9,14 +9,7 @@ class StatefulSpec extends SparkSpec {
   import spark.implicits._
 
   test("mapGroupsWithState running totals match the batch aggregation") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evDir = java.nio.file.Files.createTempDirectory("graft-sf-events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      evDir.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .parquet(evDir.toString)
+    val stream = eventsStream("graft-sf-events")
       .select($"user_id", $"event_type", $"value")
       .as[Stateful.UserEvent]
     val q = Stateful.runningUserTotals(stream)
@@ -43,16 +36,9 @@ class StatefulSpec extends SparkSpec {
   }
 
   test("flatMapGroupsWithState streaming anomalies ≡ batch rollingAnomalies") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evDir = java.nio.file.Files.createTempDirectory("graft-anom-events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      evDir.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .parquet(evDir.toString)
+    val stream = eventsStream("graft-anom-events")
       .select($"user_id", $"event_type", $"event_id",
-        expr("ts div 1000").as("us"), $"value")
+        unix_micros($"ts").as("us"), $"value")
       .as[Stateful.Obs]
     val q = Stateful.streamingAnomalies(stream)
       .writeStream.outputMode("update")
@@ -80,16 +66,9 @@ class StatefulSpec extends SparkSpec {
   }
 
   test("mapGroupsWithState streaming funnel ≡ batch userStepTimes") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evDir = java.nio.file.Files.createTempDirectory("graft-funnel-events")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      evDir.resolve("events.parquet"))
-    val stream = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .parquet(evDir.toString)
+    val stream = eventsStream("graft-funnel-events")
       .select($"user_id", $"event_type", $"event_id",
-        expr("ts div 1000").as("us"))
+        unix_micros($"ts").as("us"))
       .as[Stateful.FunnelEvent]
     val q = Stateful.streamingFunnel(stream)
       .writeStream.outputMode("update")

@@ -13,16 +13,9 @@ class StreamEnrichSpec extends SparkSpec {
   import spark.implicits._
 
   test("stream-static broadcast join equals the batch join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evDir = java.nio.file.Files.createTempDirectory("graft-enrich")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      evDir.resolve("events.parquet"))
     val dim = graft.Tables.region(spark, sf0001)
       .select($"r_regionkey".as("band"), $"r_name")
-    val stream = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .parquet(evDir.toString)
+    val stream = eventsStream("graft-enrich")
       .withColumn("band", $"user_id" % 5)
       .join(broadcast(dim), Seq("band"))
       .select($"event_id", $"r_name")
@@ -40,15 +33,7 @@ class StreamEnrichSpec extends SparkSpec {
   }
 
   test("watermarked stream-stream join matches the batch interval join") {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val evDir = java.nio.file.Files.createTempDirectory("graft-ssj")
-    java.nio.file.Files.copy(
-      java.nio.file.Paths.get(s"$sf0001/events.parquet"),
-      evDir.resolve("events.parquet"))
-    val raw = spark.readStream
-      .schema("event_id long, ts long, user_id long, event_type string, value double, props string")
-      .parquet(evDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = eventsStream("graft-ssj")
     val q = Monitors.runToMemory(
       Monitors.purchaseClickJoin(raw, "24 hours"), "ssj", "append")
     try {

@@ -8,8 +8,9 @@ offsets (offset = replica * (max_key + 1), applied to the key and every
 foreign key that references it), so join selectivities and group sizes
 match a genuinely larger scale factor. region/nation are fixed-size dims
 and are copied once. Schemas are preserved exactly (pyarrow passthrough)
-— in particular events.ts stays TIMESTAMP(NANOS), which graft.Tables
-special-cases on read.
+— in particular events.ts keeps whatever encoding the generator shipped
+(TIMESTAMP(NANOS) historically, TIMESTAMP(MICROS) currently); graft.Tables
+normalizes either on read.
 
 Text/embedding payloads are replicated verbatim: replicas become exact
 duplicates, which the dedup operators are SUPPOSED to find — output and
