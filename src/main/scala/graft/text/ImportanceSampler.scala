@@ -65,14 +65,43 @@ object ImportanceSampler {
   /** Importance log-ratio per raw doc: `lr_q = floor((sum_tgt − sum_raw) /
     * n_bigrams)` on the 1e-6 grid (length-normalized so long docs don't
     * dominate on sum magnitude alone).
+    *
+    * Both models score in ONE pass over the raw bigram stream: the two
+    * models' count tables merge first (vocab-sized joins that reuse the
+    * groupBy partitioning), so the stream — the only corpus-sized side —
+    * pays two joins and one doc aggregate instead of four joins, two
+    * aggregates and a doc_id re-join of two scored tables. Arithmetic per
+    * bigram is identical to [[scoreAgainst]] run twice, so results are
+    * hash-equal; only the plan shape changes.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val tgt = scoreAgainst(raw, target, idCol, textCol)
-      .withColumnRenamed("sum_q", "sum_tgt")
-    val self = scoreAgainst(raw, raw, idCol, textCol)
-      .select(col("doc_id"), col("sum_q").as("sum_raw"))
-    tgt.join(self, Seq("doc_id"))
+    val rawBg = LanguageModel.bigrams(raw, idCol, textCol)
+    val (tC12, tC1, tV) = stats(target, idCol, textCol)
+    val (rC12, rC1, rV) = stats(raw, idCol, textCol)
+    // raw counts are a superset of the stream's keys (they are built from
+    // the same stream), so the merge is a LEFT join from the raw side and
+    // the stream join below can be inner
+    val c12m = rC12.withColumnRenamed("c12", "r_c12")
+      .join(tC12.withColumnRenamed("c12", "t_c12"), Seq("w1", "w2"), "left")
+    val c1m = rC1.withColumnRenamed("c1", "r_c1")
+      .join(tC1.withColumnRenamed("c1", "t_c1"), Seq("w1"), "left")
+    val qT = floor(log(
+      (coalesce(col("t_c12"), lit(0L)).cast("double") + lit(1.0)) /
+        (coalesce(col("t_c1"), lit(0L)).cast("double") +
+          col("t_v").cast("double"))) * lit(Grid)).cast("long")
+    val qR = floor(log(
+      (col("r_c12").cast("double") + lit(1.0)) /
+        (col("r_c1").cast("double") + col("r_v").cast("double")))
+      * lit(Grid)).cast("long")
+    rawBg.join(c12m, Seq("w1", "w2"))
+      .join(c1m, Seq("w1"))
+      .crossJoin(broadcast(rV.select(col("v").as("r_v"))))
+      .crossJoin(broadcast(tV.select(col("v").as("t_v"))))
+      .select(col("doc_id"), qT.as("qt"), qR.as("qr"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("qt")).as("sum_tgt"),
+        sum(col("qr")).as("sum_raw"))
       .select(col("doc_id"), col("n_bigrams"),
         floor((col("sum_tgt") - col("sum_raw")).cast("double") /
           col("n_bigrams").cast("double")).cast("long").as("lr_q"))

@@ -88,14 +88,18 @@ object LanguageModel {
     * Scale shape: the ranked pass runs over the SCORED table (one row per
     * doc, one shuffle on lang — same shape as the exact-quantile gate);
     * the cutoff table is two values per language, broadcast back onto a
-    * narrow labeling join. The corpus text itself is never re-shuffled.
+    * narrow labeling join. The scored table feeds BOTH the cutoff pass and
+    * the labeling join, so it is materialized once via
+    * [[graft.plans.Lineage.cut]] — without the cut, the whole LM scoring
+    * pipeline (bigram explode + model joins) re-executes for each consumer.
+    * The corpus text itself is never re-shuffled.
     */
   def ccnetBuckets(docs: DataFrame, idCol: String, langCol: String,
       textCol: String): DataFrame = {
-    val scored = score(docs, idCol, textCol)
+    val scored = graft.plans.Lineage.cut(score(docs, idCol, textCol)
       .join(docs.select(col(idCol).as("doc_id"), col(langCol).as("lang")),
         Seq("doc_id"))
-      .select(col("doc_id"), col("lang"), col("lm_avg_q"))
+      .select(col("doc_id"), col("lang"), col("lm_avg_q")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("lm_avg_q").desc, col("doc_id"))
     val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
