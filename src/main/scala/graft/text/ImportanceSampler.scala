@@ -49,15 +49,22 @@ object ImportanceSampler {
   def scoreAgainst(docs: DataFrame, statsDocs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val (c12, c1, vocab) = stats(statsDocs, idCol, textCol)
+    val dBg = LanguageModel.bigrams(docs, idCol, textCol)
+    // q is a pure function of (c12, c1, V): compute it once per DISTINCT
+    // bigram of the scored stream (left joins supply the unseen-bigram
+    // smoothing), then the corpus-sized stream pays one join + one doc
+    // aggregate instead of two per-occurrence model joins
     val q = floor(log(
       (coalesce(col("c12"), lit(0L)).cast("double") + lit(1.0)) /
         (coalesce(col("c1"), lit(0L)).cast("double") + col("v").cast("double")))
       * lit(Grid)).cast("long")
-    LanguageModel.bigrams(docs, idCol, textCol)
+    val qTable = dBg.groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
       .join(c12, Seq("w1", "w2"), "left")
       .join(c1, Seq("w1"), "left")
       .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), q.as("q"))
+      .select(col("w1"), col("w2"), q.as("q"))
+    dBg.join(qTable, Seq("w1", "w2"))
+      .select(col("doc_id"), col("q"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("sum_q"))
   }
@@ -66,26 +73,21 @@ object ImportanceSampler {
     * n_bigrams)` on the 1e-6 grid (length-normalized so long docs don't
     * dominate on sum magnitude alone).
     *
-    * Both models score in ONE pass over the raw bigram stream: the two
-    * models' count tables merge first (vocab-sized joins that reuse the
-    * groupBy partitioning), so the stream — the only corpus-sized side —
-    * pays two joins and one doc aggregate instead of four joins, two
-    * aggregates and a doc_id re-join of two scored tables. Arithmetic per
-    * bigram is identical to [[scoreAgainst]] run twice, so results are
-    * hash-equal; only the plan shape changes.
+    * Both models score in ONE pass over the raw bigram stream: per-bigram
+    * log-probs under both models are pure functions of the count tables,
+    * so they are computed once per DISTINCT bigram on a merged q table
+    * (vocab-sized joins that reuse the groupBy partitioning); the stream —
+    * the only corpus-sized side — pays ONE join and one doc aggregate
+    * instead of four per-occurrence joins, two aggregates and a doc_id
+    * re-join of two scored tables. Arithmetic per bigram is identical to
+    * [[scoreAgainst]] run twice, so results are hash-equal; only the plan
+    * shape changes.
     */
   def importanceWeights(raw: DataFrame, target: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val rawBg = LanguageModel.bigrams(raw, idCol, textCol)
     val (tC12, tC1, tV) = stats(target, idCol, textCol)
     val (rC12, rC1, rV) = stats(raw, idCol, textCol)
-    // raw counts are a superset of the stream's keys (they are built from
-    // the same stream), so the merge is a LEFT join from the raw side and
-    // the stream join below can be inner
-    val c12m = rC12.withColumnRenamed("c12", "r_c12")
-      .join(tC12.withColumnRenamed("c12", "t_c12"), Seq("w1", "w2"), "left")
-    val c1m = rC1.withColumnRenamed("c1", "r_c1")
-      .join(tC1.withColumnRenamed("c1", "t_c1"), Seq("w1"), "left")
     val qT = floor(log(
       (coalesce(col("t_c12"), lit(0L)).cast("double") + lit(1.0)) /
         (coalesce(col("t_c1"), lit(0L)).cast("double") +
@@ -94,11 +96,18 @@ object ImportanceSampler {
       (col("r_c12").cast("double") + lit(1.0)) /
         (col("r_c1").cast("double") + col("r_v").cast("double")))
       * lit(Grid)).cast("long")
-    rawBg.join(c12m, Seq("w1", "w2"))
-      .join(c1m, Seq("w1"))
+    // raw counts cover every key of the stream (they are built from it),
+    // so target-side joins are LEFT (unseen-bigram smoothing via coalesce)
+    // and the stream join below can be inner
+    val qm = rC12.withColumnRenamed("c12", "r_c12")
+      .join(tC12.withColumnRenamed("c12", "t_c12"), Seq("w1", "w2"), "left")
+      .join(rC1.withColumnRenamed("c1", "r_c1"), Seq("w1"))
+      .join(tC1.withColumnRenamed("c1", "t_c1"), Seq("w1"), "left")
       .crossJoin(broadcast(rV.select(col("v").as("r_v"))))
       .crossJoin(broadcast(tV.select(col("v").as("t_v"))))
-      .select(col("doc_id"), qT.as("qt"), qR.as("qr"))
+      .select(col("w1"), col("w2"), qT.as("qt"), qR.as("qr"))
+    rawBg.join(qm, Seq("w1", "w2"))
+      .select(col("doc_id"), col("qt"), col("qr"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("qt")).as("sum_tgt"),
         sum(col("qr")).as("sum_raw"))

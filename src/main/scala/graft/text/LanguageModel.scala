@@ -51,29 +51,45 @@ object LanguageModel {
     * `lm_sum_q` the BIGINT sum of grid-floored `ln P(w2|w1)` and
     * `lm_avg_q = floor(lm_sum_q / n_bigrams)` (floor-division via double
     * so both engines round toward -inf on the negative sums).
+    *
+    * `q` is a pure function of `(c12, c1, V)`, so it is computed once per
+    * DISTINCT bigram on the count TABLE (c12 ⋈ c1 — vocab-sized, the c1
+    * join reuses c12's partitioning) rather than per occurrence on the
+    * stream: the corpus-sized bigram stream then pays exactly one join
+    * (against the q table, whose exchange Spark reuses from the c12 build)
+    * and one doc aggregate. Same arithmetic per bigram, hash-equal scores.
     */
   def score(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val bg = bigrams(docs, idCol, textCol)
-    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
-    val vocab = docs
-      .select(TextAnalysis.normalized(col(textCol)).as("ntext"))
-      .filter(col("ntext").isNotNull && col("ntext") =!= "")
-      .select(explode(split(col("ntext"), " ")).as("tok"))
-      .agg(count_distinct(col("tok")).as("v"))
-    val q = floor(log(
-      (col("c12").cast("double") + lit(1.0)) /
-        (col("c1").cast("double") + col("v").cast("double"))) * lit(Grid))
-      .cast("long")
-    bg.join(c12, Seq("w1", "w2"))
-      .join(c1, Seq("w1"))
-      .crossJoin(broadcast(vocab))
-      .select(col("doc_id"), q.as("q"))
+    val qTable = qPerBigram(bg, vocabSize(docs, textCol))
+    bg.join(qTable, Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("q")).as("lm_sum_q"))
       .select(col("doc_id"), col("n_bigrams"), col("lm_sum_q"),
         floor(col("lm_sum_q").cast("double") / col("n_bigrams").cast("double"))
           .cast("long").as("lm_avg_q"))
+  }
+
+  /** One-row distinct-token vocab size of `docs`. */
+  private[text] def vocabSize(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .select(TextAnalysis.normalized(col(textCol)).as("ntext"))
+      .filter(col("ntext").isNotNull && col("ntext") =!= "")
+      .select(explode(split(col("ntext"), " ")).as("tok"))
+      .agg(count_distinct(col("tok")).as("v"))
+
+  /** (w1, w2, q): grid-floored `ln P(w2|w1)` per DISTINCT bigram of the
+    * `bg` stream, under the model trained on that same stream.
+    */
+  private[text] def qPerBigram(bg: DataFrame, vocab: DataFrame): DataFrame = {
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum(col("c12")).as("c1"))
+    c12.join(c1, Seq("w1"))
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), floor(log(
+        (col("c12").cast("double") + lit(1.0)) /
+          (col("c1").cast("double") + col("v").cast("double"))) * lit(Grid))
+        .cast("long").as("q"))
   }
 
   /** CCNet-style perplexity bucketing: label every scored document
