@@ -32,6 +32,7 @@ object SparkEntry {
     analytics.BloomPrune.queries ++
     analytics.Ranking.queries ++ analytics.Graph.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
+    text.HybridSearch.queries ++
     text.HeavyHitters.queries ++ text.Bpe.queries ++
     text.Collocations.queries ++ text.LanguageModel.queries ++
     text.QualityClassifier.queries ++ text.ImportanceSampler.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
     analytics.BloomPrune.oracles ++
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
+    text.HybridSearch.oracles ++
     text.HeavyHitters.oracles ++ text.Bpe.oracles ++
     text.Collocations.oracles ++ text.LanguageModel.oracles ++
     text.QualityClassifier.oracles ++ text.ImportanceSampler.oracles ++

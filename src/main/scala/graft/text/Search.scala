@@ -148,7 +148,7 @@ object Search {
       bm25TopK(Tables.documents(s, d), "doc_id", "text", GateTerms, GateK)
         .orderBy("rank")))
 
-  private val termList = GateTerms.map(t => s"'$t'").mkString("(", ", ", ")")
+  private[text] val termList = GateTerms.map(t => s"'$t'").mkString("(", ", ", ")")
 
   val oracles: Map[String, String] = Map(
     "txt_search" -> s"""
@@ -167,7 +167,16 @@ object Search {
       |SELECT rank, doc_id, score FROM r WHERE rank <= $GateK
       |ORDER BY rank""".stripMargin,
     "txt_bm25" -> s"""
-      |WITH norm AS (SELECT doc_id,
+      |WITH ${bm25RankedCtes(termList)}
+      |SELECT rank, doc_id, score FROM bm25r WHERE rank <= $GateK
+      |ORDER BY rank""".stripMargin)
+
+  /** BM25 oracle CTE chain ending in `bm25r` = (doc_id, score, rank) —
+    * shared with the hybrid-RRF oracle ([[HybridSearch]]) so the scoring
+    * SQL exists in exactly one place.
+    */
+  private[text] def bm25RankedCtes(termListSql: String): String =
+    s"""norm AS (SELECT doc_id,
       |    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS ntext
       |  FROM documents WHERE text IS NOT NULL),
       |t AS (SELECT doc_id, unnest(string_split(ntext, ' ')) AS term
@@ -176,7 +185,7 @@ object Search {
       |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
       |                 CAST(SUM(dl) AS BIGINT) AS tot FROM dls),
       |p AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
-      |      FROM t WHERE term IN $termList GROUP BY doc_id, term),
+      |      FROM t WHERE term IN $termListSql GROUP BY doc_id, term),
       |dfs AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM p GROUP BY term),
       |c AS (SELECT p.doc_id, CAST(FLOOR(
       |    ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
@@ -190,8 +199,6 @@ object Search {
       |  FROM p JOIN dfs USING (term) JOIN dls USING (doc_id) CROSS JOIN stats),
       |d AS (SELECT doc_id, CAST(SUM(contrib) AS BIGINT) AS score
       |      FROM c GROUP BY doc_id),
-      |r AS (SELECT doc_id, score,
-      |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM d)
-      |SELECT rank, doc_id, score FROM r WHERE rank <= $GateK
-      |ORDER BY rank""".stripMargin)
+      |bm25r AS (SELECT doc_id, score,
+      |        row_number() OVER (ORDER BY score DESC, doc_id) AS rank FROM d)""".stripMargin
 }
