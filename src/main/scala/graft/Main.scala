@@ -254,6 +254,36 @@ object Main {
             .select("doc_id")
           docs.join(kept,
             docs(idCol).cast("long") === kept("doc_id"), "left_semi")
+        case "dsir" =>
+          // DSIR selection: keep the --k docs whose dual-bigram-LM
+          // importance ratio most favors the curated --target corpus
+          val target = spark.read.parquet(flags.getOrElse("target",
+            sys.error("--target is required")))
+          val selected = graft.text.ImportanceSampler.dsirSelect(docs,
+            target, idCol, textCol, flags.getOrElse("k", "10000").toInt)
+            .select("doc_id")
+          docs.join(selected,
+            docs(idCol).cast("long") === selected("doc_id"), "left_semi")
+        case "quality" =>
+          // engine-trained logistic quality filter: --label-col/--pos-label
+          // supervise training; keep docs with P(quality) >= --min-score
+          // (1e-6 grid units, so 500000 = 0.5)
+          val scored = graft.text.QualityClassifier.trainAndScore(docs,
+            idCol, textCol, flags.getOrElse("label-col", "lang"),
+            flags.getOrElse("pos-label", "en"))
+            .filter(col("score_q") >=
+              flags.getOrElse("min-score", "500000").toLong)
+            .select("doc_id")
+          docs.join(scored,
+            docs(idCol).cast("long") === scored("doc_id"), "left_semi")
+        case "ccnet" =>
+          // CCNet perplexity bucketing: keep the --keep terciles (default
+          // head) within each --lang-col language
+          val keep = flags.getOrElse("keep", "head").split(',').toSeq
+          val b = graft.text.LanguageModel.ccnetBuckets(docs, idCol,
+            flags.getOrElse("lang-col", "lang"), textCol)
+            .filter(col("bucket").isin(keep: _*)).select("doc_id")
+          docs.join(b, docs(idCol).cast("long") === b("doc_id"), "left_semi")
         case "bpe" =>
           // train the merge table; --tokenize-output additionally writes
           // the corpus re-tokenized with it
@@ -278,8 +308,27 @@ object Main {
         case "search" =>
           val terms = flags.getOrElse("terms",
             sys.error("--terms a,b,c required")).split(',').toSeq
-          graft.text.Search.searchTopK(docs, idCol, textCol, terms,
-            flags.getOrElse("k", "20").toInt)
+          val k = flags.getOrElse("k", "20").toInt
+          // --mode and (conjunctive tf, default) | bm25 | hybrid (BM25 ⊕
+          // embedding-cosine fused by RRF; needs --embeddings + --query-vec)
+          flags.getOrElse("mode", "and") match {
+            case "and" =>
+              graft.text.Search.searchTopK(docs, idCol, textCol, terms, k)
+            case "bm25" =>
+              graft.text.Search.bm25TopK(docs, idCol, textCol, terms, k)
+            case "hybrid" =>
+              val vecs = spark.read.parquet(flags.getOrElse("embeddings",
+                  sys.error("--embeddings is required for hybrid")))
+                .select(col(flags.getOrElse("vec-id-col", "vec_id")).as("vec_id"),
+                  transform(col(flags.getOrElse("vec-col", "embedding")),
+                    x => x.cast("double")).as("v"))
+              val qid = flags.getOrElse("query-vec",
+                sys.error("--query-vec is required for hybrid")).toLong
+              graft.text.HybridSearch.hybridRrfTopK(docs, idCol, textCol,
+                terms, k, vecs.filter(col("vec_id") === qid), vecs,
+                "vec_id", "v", k, k)
+            case other => sys.error(s"unknown search mode: $other")
+          }
         case "semdedup" =>
           // input is an embeddings parquet (--vec-col); output is
           // (vec_id, cid, kept)

@@ -139,6 +139,19 @@ class MainSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(hits.toSeq === Seq(1L, 2L))
 
+    // hybrid mode: doc 2 is in both the lexical list (has alpha+beta) and
+    // the vector list (nearest to query vec 1), so it must fuse to rank 1
+    val embP = s"$dir/embs"
+    Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)),
+      (3L, Array(0.0f, 1.0f)))
+      .toDF("vec_id", "embedding").write.parquet(embP)
+    Main.run(spark, "corpus", docsP, Map("op" -> "search", "mode" -> "hybrid",
+      "terms" -> "alpha,beta", "k" -> "3", "embeddings" -> embP,
+      "query-vec" -> "1", "output" -> s"$dir/hybrid_hits"))
+    val hh = spark.read.parquet(s"$dir/hybrid_hits").orderBy("rank")
+      .select("doc_id").as[Long].collect()
+    assert(hh.length === 3 && hh.head === 2L)
+
     val evP = s"$dir/events"
     (1 to 40).map(i => (i.toLong % 5, new java.sql.Timestamp(i * 60000L),
         i.toLong, if (i % 3 == 0) "signup" else "view", i * 1.5))
@@ -166,6 +179,48 @@ class MainSpec extends SparkSpec {
       .select("key", "change").as[(Long, String)].collect().toMap
     assert(changes === Map(1L -> "unchanged", 2L -> "changed",
       3L -> "removed", 4L -> "added"))
+  }
+
+  test("selection verbs: ccnet / dsir / quality keep corpus subsets") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-sel")
+    val docsP = s"$dir/docs"
+    // graded fluency within the en language so LM scores actually spread:
+    // shared-phrase docs score high (common bigrams), unique-token docs low
+    val rows = (1 to 12).map { i =>
+      val text =
+        if (i % 2 == 1) s"zzz qqq xxx $i yyy www vvv"
+        else if (i <= 4) "the cat sat on the mat and the cat sat"
+        else if (i <= 8) s"the cat sat on xq$i mat qq$i"
+        else s"xr$i qs$i tu$i vw$i xy$i zk$i"
+      (i.toLong, text, if (i % 2 == 0) "en" else "xx")
+    }
+    rows.toDF("doc_id", "text", "lang").write.parquet(docsP)
+
+    // ccnet: keeping every tercile must return the whole corpus
+    Main.run(spark, "corpus", docsP, Map("op" -> "ccnet",
+      "keep" -> "head,middle,tail", "output" -> s"$dir/all"))
+    assert(spark.read.parquet(s"$dir/all").count() === 12)
+    // keeping only the head keeps a strict per-language subset
+    Main.run(spark, "corpus", docsP, Map("op" -> "ccnet",
+      "output" -> s"$dir/head"))
+    val head = spark.read.parquet(s"$dir/head").count()
+    assert(head > 0 && head < 12)
+
+    // dsir toward the en half: k=4 rows survive, all selected rows exist
+    val targetP = s"$dir/target"
+    rows.filter(_._3 == "en").toDF("doc_id", "text", "lang")
+      .write.parquet(targetP)
+    Main.run(spark, "corpus", docsP, Map("op" -> "dsir",
+      "target" -> targetP, "k" -> "4", "output" -> s"$dir/dsir"))
+    val dsir = spark.read.parquet(s"$dir/dsir")
+    assert(dsir.count() === 4)
+
+    // quality: trained on lang=en labels; a permissive threshold keeps a
+    // non-empty subset
+    Main.run(spark, "corpus", docsP, Map("op" -> "quality",
+      "min-score" -> "1", "output" -> s"$dir/qual"))
+    assert(spark.read.parquet(s"$dir/qual").count() > 0)
   }
 
   test("vtable verbs: merge / history / feed / optimize / vacuum / read") {
