@@ -192,7 +192,18 @@ object Main {
       def threshold = flags.getOrElse("threshold", "0.5").toDouble
       val result = op match {
         case "dedup" =>
-          graft.dedup.Dedup.dedupedCorpus(docs, idCol, textCol, threshold)
+          // --survivor quality keeps each cluster's highest-quality member
+          // instead of the arbitrary min-id one
+          flags.getOrElse("survivor", "min-id") match {
+            case "min-id" =>
+              graft.dedup.Dedup.dedupedCorpus(docs, idCol, textCol, threshold)
+            case "quality" =>
+              val scored = graft.text.TextAnalysis.withQuality(docs, textCol)
+              graft.dedup.Dedup.dedupedCorpusByScore(scored, idCol, textCol,
+                "quality", threshold)
+                .select(docs.columns.map(col): _*)
+            case other => sys.error(s"--survivor must be min-id|quality, got $other")
+          }
         case "decontaminate" =>
           val eval = spark.read.parquet(
             flags.getOrElse("eval", sys.error("--eval is required")))

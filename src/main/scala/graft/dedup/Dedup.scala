@@ -784,6 +784,118 @@ object Dedup {
       docs(idCol).cast("long") === survivors("doc_id"), "left_semi")
   }
 
+  /** Re-elect each cluster's canonical survivor as the member with the
+    * HIGHEST score (ties → lowest id) instead of the cluster-minimum id —
+    * the "keep the best-quality duplicate" policy an LLM-corpus pipeline
+    * wants (the min-id survivor is arbitrary; the highest-quality one
+    * preserves the most training value per cluster).
+    *
+    * `clusters` is a (doc_id, survivor_id) map as produced by
+    * [[nearDupSurvivors]] (survivor_id = cluster label); `scored` carries
+    * `idCol` + `scoreCol`. Docs whose score is NULL never win the election;
+    * a cluster whose members are all score-NULL keeps its min-id label.
+    *
+    * Scale shape: one groupBy on the cluster label (argmax as a single
+    * `max(struct(score, -id))` pass — no per-cluster window) plus one
+    * shuffle join mapping members to the elected survivor. Everything is
+    * linear in docs; nothing re-touches text.
+    */
+  def electByScore(clusters: DataFrame, scored: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val sc = scored.select(col(idCol).cast("long").as("doc_id"),
+      col(scoreCol).as("__score"))
+    val member = clusters.select(col("doc_id"), col("survivor_id"))
+      .join(sc, Seq("doc_id"), "left")
+    // max over (score, -id) structs = highest score, ties to the LOWEST id;
+    // filtering NULL scores keeps them from sorting below every real score
+    // in one engine and above it in another
+    val best = member.filter(col("__score").isNotNull)
+      .groupBy("survivor_id")
+      .agg(max(struct(col("__score").as("s"), (-col("doc_id")).as("ni"))).as("b"))
+      .select(col("survivor_id"), (-col("b.ni")).as("best_id"))
+    member.join(best, Seq("survivor_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("best_id"), col("survivor_id")).as("survivor_id"))
+  }
+
+  /** [[nearDupSurvivors]] with quality-aware election: cluster via
+    * MinHash+LSH+CC exactly as before, then map every doc to its cluster's
+    * highest-`scoreCol` member. `docs` must already carry the score column
+    * (e.g. `TextAnalysis.withQuality(docs)` → "quality").
+    */
+  def survivorsByScore(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, threshold: Double, bands: Int = 6,
+      rowsPerBand: Int = 2): DataFrame =
+    electByScore(nearDupSurvivors(docs, idCol, textCol, threshold, bands, rowsPerBand),
+      docs, idCol, scoreCol)
+
+  /** [[dedupedCorpus]] under the quality-aware election: keeps each
+    * cluster's highest-`scoreCol` row instead of its min-id row. `docs`
+    * must carry the score column; the output is the corresponding subset
+    * of `docs` rows.
+    */
+  def dedupedCorpusByScore(docs: DataFrame, idCol: String, textCol: String,
+      scoreCol: String, threshold: Double, bands: Int = 6,
+      rowsPerBand: Int = 2): DataFrame = {
+    val surv = survivorsByScore(docs, idCol, textCol, scoreCol, threshold,
+      bands, rowsPerBand)
+      .filter(col("doc_id") === col("survivor_id"))
+      .select(col("doc_id"))
+    docs.join(surv, docs(idCol).cast("long") === surv("doc_id"), "left_semi")
+  }
+
+  /** Plan (bands, rowsPerBand) for a target Jaccard threshold under a
+    * signature budget: minimize `fnWeight·FN + (1-fnWeight)·FP` where
+    * `FN = ∫_t^1 (1 - P(s)) ds`, `FP = ∫_0^t P(s) ds` and
+    * `P(s) = 1 - (1 - s^r)^b` is the banding S-curve (Mining of Massive
+    * Datasets §3.4; the same objective as the public datasketch
+    * `_optimal_param`). Choosing (b, r) by hand is the #1 LSH cost lever at
+    * scale — too many bands explodes candidate pairs (FP → wasted verify
+    * compute), too many rows drops true near-dups (FN).
+    *
+    * Deterministic by construction: fixed 1e-3 midpoint integration grid;
+    * ties break toward the smaller signature (fewer hashes per row), then
+    * toward more bands (recall).
+    */
+  def planBands(threshold: Double, maxHashes: Int,
+      fnWeight: Double = 0.5): (Int, Int) = {
+    require(threshold > 0.0 && threshold < 1.0,
+      s"threshold must be in (0,1), got $threshold")
+    require(maxHashes >= 1, s"maxHashes must be >= 1, got $maxHashes")
+    require(fnWeight >= 0.0 && fnWeight <= 1.0,
+      s"fnWeight must be in [0,1], got $fnWeight")
+    val step = 1e-3
+    var best = (1, 1)
+    var bestCost = Double.MaxValue
+    for (b <- 1 to maxHashes; r <- 1 to maxHashes / b) {
+      var fp = 0.0
+      var fn = 0.0
+      var s = step / 2
+      while (s < 1.0) {
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r), b)
+        if (s < threshold) fp += p * step else fn += (1.0 - p) * step
+        s += step
+      }
+      val cost = (1.0 - fnWeight) * fp + fnWeight * fn
+      val (bb, br) = best
+      val better = cost < bestCost - 1e-12 ||
+        (cost <= bestCost + 1e-12 &&
+          (b * r < bb * br || (b * r == bb * br && b > bb)))
+      if (better) { best = (b, r); bestCost = math.min(cost, bestCost) }
+    }
+    best
+  }
+
+  /** [[lshVerifiedPairs]] with (bands, rowsPerBand) chosen by [[planBands]]
+    * for the requested threshold and signature budget.
+    */
+  def lshVerifiedPairsPlanned(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxHashes: Int = 12,
+      fnWeight: Double = 0.5): DataFrame = {
+    val (b, r) = planBands(threshold, maxHashes, fnWeight)
+    lshVerifiedPairs(docs, idCol, textCol, threshold, b, r)
+  }
+
   val HashMod = 2147483647L // 2^31 - 1
 
   /** Portable token hash: left fold (acc*31 + codepoint) % (2^31-1). */

@@ -245,6 +245,13 @@ object DedupSurface {
     // near-dup clustering: verified pairs → connected components → every
     // doc mapped to its cluster's canonical survivor (recursive-CTE oracle)
     "dedup_survivors" -> ((s, d) => survivors(s, d).orderBy("doc_id")),
+    // quality-aware survivor election: same clusters, but each cluster's
+    // canonical doc is its highest-quality member (ties -> lowest id) —
+    // "keep the best duplicate", not "keep the arbitrary min-id one"
+    "dedup_survivors_quality" -> ((s, d) =>
+      Dedup.electByScore(survivors(s, d),
+        graft.text.TextAnalysis.withQuality(corpus(s, d)), "doc_id", "quality")
+        .orderBy("doc_id")),
     // incremental dedup: the daily batch checks band buckets against the
     // existing corpus (never re-pairing it), leftovers cluster among
     // themselves
@@ -268,6 +275,30 @@ object DedupSurface {
     "dedup_survivors" -> (survivorsCtes + """
       |SELECT id AS doc_id, MIN(lab) AS survivor_id FROM reach
       |GROUP BY id ORDER BY doc_id""".stripMargin),
+    // same reachability fixpoint; the survivor is re-elected per cluster as
+    // the max-quality member (score arithmetic kept in sync with the
+    // txt_quality oracle), ties to the lowest id, all-NULL clusters keep
+    // their min-id label
+    "dedup_survivors_quality" -> (survivorsCtes + s""",
+      |clus AS (SELECT id AS doc_id, MIN(lab) AS cl FROM reach GROUP BY id),
+      |qfeat AS (
+      |  SELECT doc_id,
+      |    CAST(length(text) AS BIGINT) AS n_chars_m,
+      |    CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+      |    CAST(length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g')) AS BIGINT) AS n_punct,
+      |    CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+      |    CAST(${graft.text.TextSurface.allStops} AS BIGINT) AS n_stop
+      |  FROM corpus),
+      |qsc AS (SELECT doc_id,
+      |  (n_alpha / n_chars_m) * 0.4 + least(n_stop * 10.0 / n_tokens, 1.0) * 0.3
+      |    + (1.0 - n_punct / n_chars_m) * 0.2 + least(n_chars_m / 500.0, 1.0) * 0.1 AS score
+      |  FROM qfeat),
+      |qmx AS (SELECT cl, MAX(score) AS ms FROM clus JOIN qsc USING (doc_id) GROUP BY cl),
+      |qbest AS (SELECT cl, MIN(qsc.doc_id) AS survivor_id
+      |          FROM clus JOIN qsc USING (doc_id) JOIN qmx USING (cl)
+      |          WHERE qsc.score = qmx.ms GROUP BY cl)
+      |SELECT c.doc_id, COALESCE(b.survivor_id, c.cl) AS survivor_id
+      |FROM clus c LEFT JOIN qbest b USING (cl) ORDER BY doc_id""".stripMargin),
     "dedup_incremental" -> s"""WITH RECURSIVE $incBatchCte,
       |allg AS (SELECT doc_id, text FROM documents
       |         UNION ALL SELECT doc_id, text FROM incbatch),

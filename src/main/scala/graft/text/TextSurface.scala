@@ -45,7 +45,8 @@ object TextSurface {
     s"(length($padded) - length(replace($padded, '$needle', ''))) // ${needle.length}"
   private[graft] def score(lang: String): String =
     TextAnalysis.stopwords(lang).map(occ).mkString("(", " + ", ")")
-  private val allStops =
+  // shared with the quality-aware survivor oracle in DedupSurface
+  private[graft] val allStops =
     TextAnalysis.stopwords.keys.toSeq.sorted.flatMap(TextAnalysis.stopwords)
       .map(occ).mkString("(", " + ", ")")
 

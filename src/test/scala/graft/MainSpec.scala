@@ -118,6 +118,34 @@ class MainSpec extends SparkSpec {
       Set("doc_id", "shard", "n_tokens", "offset", "first_window", "n_windows"))
   }
 
+  test("corpus dedup --survivor quality keeps the best duplicate, not the min id") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-quality").toString
+    val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango " +
+      "uniform victor whiskey xray yankee zulu one two three four five six " +
+      "seven eight nine ten eleven twelve thirteen fourteen")
+    val docs = Seq(
+      // lower id but junk-punctuation tail -> lower quality
+      (1L, base + " !!! ??? ,,,", "en"),
+      // higher id, stopword-rich alpha tail -> higher quality
+      (2L, base + " the and of", "en"),
+      (3L, "une phrase totalement differente ici pour tester", "fr"))
+      .toDF("doc_id", "text", "lang")
+    docs.write.parquet(s"$dir/corpus")
+
+    Main.run(spark, "corpus", s"$dir/corpus",
+      Map("op" -> "dedup", "survivor" -> "quality", "output" -> s"$dir/best"))
+    val kept = spark.read.parquet(s"$dir/best")
+    assert(kept.columns.toSet === Set("doc_id", "text", "lang"),
+      "quality policy returns a pure subset of the input schema")
+    assert(kept.select($"doc_id").as[Long].collect().toSet === Set(2L, 3L))
+
+    Main.run(spark, "corpus", s"$dir/corpus",
+      Map("op" -> "dedup", "output" -> s"$dir/minid"))
+    assert(spark.read.parquet(s"$dir/minid")
+      .select($"doc_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("bpe, search, events, and graph verbs round-trip through parquet") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cli2")

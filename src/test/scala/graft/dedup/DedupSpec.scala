@@ -310,4 +310,78 @@ class DedupSpec extends SparkSpec {
     val hamming = java.lang.Long.bitCount(sh(5L) ^ sh(200005L))
     assert(hamming <= 3, s"near copy hamming $hamming")
   }
+
+  test("electByScore keeps the highest-score member, ties to the lowest id") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("doc_id", "survivor_id")
+    val scores = Seq((1L, 0.2), (2L, 0.9), (3L, 0.9), (10L, 0.5), (11L, 0.5),
+      (20L, 0.1)).toDF("doc_id", "q")
+    val out = Dedup.electByScore(clusters, scores, "doc_id", "q")
+      .as[(Long, Long)].collect().toMap
+    // cluster {1,2,3}: 2 and 3 tie at 0.9 -> 2 wins (lowest id among max)
+    assert(out(1L) === 2L && out(2L) === 2L && out(3L) === 2L)
+    // cluster {10,11}: tie at 0.5 -> 10
+    assert(out(10L) === 10L && out(11L) === 10L)
+    assert(out(20L) === 20L) // singleton keeps itself
+  }
+
+  test("electByScore: NULL scores never win; all-NULL clusters keep the min-id label") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (5L, 5L), (6L, 5L))
+      .toDF("doc_id", "survivor_id")
+    // doc 1 (lower id) has NULL score; doc 2 is scored -> 2 must win
+    val scores = Seq((1L, Option.empty[Double]), (2L, Some(0.1)),
+      (5L, None), (6L, None)).toDF("doc_id", "q")
+    val out = Dedup.electByScore(clusters, scores, "doc_id", "q")
+      .as[(Long, Long)].collect().toMap
+    assert(out(1L) === 2L && out(2L) === 2L)
+    assert(out(5L) === 5L && out(6L) === 5L) // all-NULL -> min-id label kept
+  }
+
+  test("survivorsByScore elects within the same clusters and maximizes quality") {
+    val scored = graft.text.TextAnalysis.withQuality(corpus)
+    val base = Dedup.nearDupSurvivors(corpus, "doc_id", "text", 0.5)
+      .withColumnRenamed("survivor_id", "lab")
+    val out = Dedup.survivorsByScore(scored, "doc_id", "text", "quality", 0.5)
+    // the elected survivor lives in the SAME cluster as the doc it replaces
+    val withLabs = out.join(base, "doc_id")
+      .join(base.select($"doc_id".as("survivor_id"), $"lab".as("surv_lab")),
+        "survivor_id")
+    assert(withLabs.filter($"lab" =!= $"surv_lab").count() === 0)
+    // no member outscores its cluster's elected survivor
+    val q = scored.select($"doc_id", $"quality")
+    val beaten = out.join(q, "doc_id")
+      .join(q.select($"doc_id".as("survivor_id"), $"quality".as("surv_q")),
+        "survivor_id")
+      .filter($"quality" > $"surv_q")
+    assert(beaten.count() === 0)
+    // exact copies tie on quality -> the lower id of the pair is elected
+    val byDoc = out.as[(Long, Long)].collect().toMap
+    assert(byDoc(100000L) === byDoc(0L))
+    assert(byDoc(0L) <= 100000L)
+  }
+
+  test("planBands minimizes the S-curve FP+FN area; thresholds steer bands vs rows") {
+    // values verified against an independent integration of
+    // P(s) = 1 - (1 - s^r)^b over the same grid
+    assert(Dedup.planBands(0.5, 12) === ((4, 3)))
+    assert(Dedup.planBands(0.8, 12) === ((2, 6))) // higher t -> more rows
+    assert(Dedup.planBands(0.3, 12) === ((6, 2))) // lower t -> more bands
+    // the gate's hand-tuned (6,2) at t=0.5 is exactly the RECALL-weighted
+    // optimum — the planner makes that trade-off explicit
+    assert(Dedup.planBands(0.5, 12, fnWeight = 0.9) === ((6, 2)))
+    assert(Dedup.planBands(0.5, 12, fnWeight = 0.1) === ((2, 5)))
+    // a bigger budget buys a sharper curve, never a worse plan
+    assert(Dedup.planBands(0.9, 128) === ((5, 25)))
+  }
+
+  test("planned LSH pairs equal the explicit-parameter call") {
+    val (b, r) = Dedup.planBands(0.5, 12)
+    val planned = Dedup.lshVerifiedPairsPlanned(corpus, "doc_id", "text", 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val explicit = Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5, b, r)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(planned === explicit)
+    // exact copies share every band under any plan
+    assert(planned.contains((0L, 100000L)))
+  }
 }
