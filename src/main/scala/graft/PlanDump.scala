@@ -45,7 +45,8 @@ object PlanDump {
       "pa_scd2_pit" -> ("temporal lookup = equi-join on the key with the interval as residual filter; no range explosion, dim broadcasts"),
       "txt_lr_quality" -> ("scoring pass of the engine-trained LR: driver-held weights constant-fold into a narrow scan-speed projection, zero data exchanges before the output ordering"),
       "pipe_dsir_select" -> ("per-doc log-ratio under two bigram models in ONE stream pass: both models' log-probs sit on a merged per-DISTINCT-bigram q table, the corpus-sized bigram stream pays one join + one doc aggregate; the cross BNLJ broadcasts ONE-ROW smoothing-totals aggregates; selection is TakeOrderedAndProject, no global sort"),
-      "txt_hybrid_rrf" -> ("RRF fusion of the BM25 and cosine lists: both retrievals end in TakeOrderedAndProject (k rows); the fusion full-outer join touches only those two k-row tables, never the corpus"))
+      "txt_hybrid_rrf" -> ("RRF fusion of the BM25 and cosine lists: both retrievals end in TakeOrderedAndProject (k rows); the fusion full-outer join touches only those two k-row tables, never the corpus"),
+      "dedup_survivors_quality" -> ("quality election over the cluster map: one max(struct(score,-id)) partial/final aggregate on the cluster label (sort-based — struct buffers aren't hash-aggregable — but map-side combined to <=|clusters| rows before the single exchange) + one member join; no window, no text re-scan past the quality projection"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")
     out.append("Generated by `graft.PlanDump`. What to look for is noted per query;\n")
