@@ -184,7 +184,7 @@ object Main {
       // input corpus, --output the destination; each op is a deterministic
       // transform so re-runs produce byte-identical corpora
       val op = flags.getOrElse("op",
-        sys.error("--op <dedup|decontaminate|sample|mix|pack|split|redact|filter|report|prepare|bpe|search|semdedup|diff> required"))
+        sys.error("--op <dedup|decontaminate|sample|mix|pack|shuffle|split|redact|filter|report|prepare|bpe|search|semdedup|diff> required"))
       val docs = spark.read.parquet(table)
       val out = flags.getOrElse("output", sys.error("--output is required"))
       val idCol = flags.getOrElse("id-col", "doc_id")
@@ -224,6 +224,11 @@ object Main {
           graft.pipeline.Pipeline.packSequences(docs, idCol, textCol,
             flags.getOrElse("window", "2048").toInt,
             flags.getOrElse("shards", "64").toInt)
+        case "shuffle" =>
+          // deterministic epoch shuffle: exact global training-order
+          // positions under a seeded portable hash
+          graft.pipeline.Pipeline.shuffleCorpus(docs, idCol,
+            flags.getOrElse("seed", "epoch0"))
         case "split" =>
           graft.pipeline.Pipeline.leakproofSplit(docs, idCol, textCol, threshold,
             flags.getOrElse("train-permille", "800").toInt)

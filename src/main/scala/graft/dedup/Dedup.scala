@@ -548,10 +548,14 @@ object Dedup {
       textCol: String, threshold: Double,
       bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
     requireIntegralId(corpus, idCol)
-    requireIntegralId(batch, idCol)
+    dedupAgainstIndex(bandIndex(corpus, idCol, textCol, bands, rowsPerBand),
+      batch, idCol, textCol, threshold, bands, rowsPerBand)
+  }
+
+  private def bandRowsFor(d: DataFrame, side: String, idCol: String,
+      textCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val sigsOf = minhashSigsUdf(bands * rowsPerBand)
-    def bandRows(d: DataFrame, side: String): DataFrame = d
-      .filter(col(textCol).isNotNull)
+    d.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as(s"${side}_id"),
         distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol)))
           .as(s"${side}_grams"))
@@ -560,20 +564,49 @@ object Dedup {
         explode(array((0 until bands).map(lit): _*)).as("j"), col("__sigs"))
       .select(col(s"${side}_id"), col(s"${side}_grams"), col("j"),
         slice(col("__sigs"), col("j") * rowsPerBand + 1, lit(rowsPerBand)).as("bkey"))
-    // collapse corpus exact-duplicates to one representative per
-    // normalized-text fingerprint BEFORE banding — the same skew-proofing
-    // nearDupSurvivors applies: at web scale the corpus carries huge exact
-    // clusters whose members share every band, so an uncollapsed index
-    // multiplies candidate verification by the cluster size. Results are
-    // identical: any matched corpus doc's rep matches too (same normalized
-    // text ⇒ same grams ⇒ same jaccard), and the rep IS its group's min id,
-    // so min-over-reps == min-over-all-matched.
+  }
+
+  /** The PERSISTABLE corpus band index [[dedupAgainst]] joins daily batches
+    * against: (old_id, old_grams, j, bkey) — one row per (exact-dup
+    * representative, band), plain parquet-writable columns. At 100 TB this
+    * is the artifact you compute ONCE over the corpus, store next to it,
+    * and reload every day — re-deriving shingles + signatures for an
+    * unchanged corpus per batch is the dominant incremental cost this
+    * removes. The (bands, rowsPerBand) used to build the index are a
+    * contract: [[dedupAgainstIndex]] must be called with the same values
+    * (bkey slice widths and band ids must line up for the equi-join).
+    *
+    * Corpus exact-duplicates are collapsed to one representative per
+    * normalized-text fingerprint BEFORE banding — the same skew-proofing
+    * [[nearDupSurvivors]] applies: at web scale the corpus carries huge
+    * exact clusters whose members share every band, so an uncollapsed index
+    * multiplies candidate verification by the cluster size. Results are
+    * identical: any matched corpus doc's rep matches too (same normalized
+    * text ⇒ same grams ⇒ same jaccard), and the rep IS its group's min id,
+    * so min-over-reps == min-over-all-matched.
+    */
+  def bandIndex(corpus: DataFrame, idCol: String, textCol: String,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    requireIntegralId(corpus, idCol)
     val corpusReps = corpus
       .filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("__cid"), col(textCol).as("__ctext"),
         md5(TextAnalysis.normalized(col(textCol))).as("__fp"))
       .groupBy("__fp")
       .agg(min("__cid").as(idCol), min_by(col("__ctext"), col("__cid")).as(textCol))
+    bandRowsFor(corpusReps, "old", idCol, textCol, bands, rowsPerBand)
+  }
+
+  /** [[dedupAgainst]] taking a prebuilt (possibly parquet-reloaded)
+    * [[bandIndex]] instead of the raw corpus. (bands, rowsPerBand) must
+    * match the values the index was built with.
+    */
+  def dedupAgainstIndex(index: DataFrame, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double,
+      bands: Int = 6, rowsPerBand: Int = 2): DataFrame = {
+    requireIntegralId(batch, idCol)
+    def bandRows(d: DataFrame, side: String): DataFrame =
+      bandRowsFor(d, side, idCol, textCol, bands, rowsPerBand)
     // the batch side collapses the same way: its exact-dup groups share
     // every band too, and two batch docs with identical normalized text
     // have identical match sets, hence the same survivor — so only the
@@ -588,7 +621,7 @@ object Dedup {
       .cache()
     val matchedReps = bandRows(
         breps.select(col("rep_id").as(idCol), col("rep_text").as(textCol)), "new")
-      .join(bandRows(corpusReps, "old"), Seq("j", "bkey"))
+      .join(index, Seq("j", "bkey"))
       .withColumn("jac", jaccardUdf(col("new_grams"), col("old_grams")))
       .filter(col("jac") >= threshold)
       .groupBy(col("new_id"))

@@ -110,6 +110,27 @@ object Pipeline {
       Seq(("priority", true), (idCol, true)), cap)
   }
 
+  /** Deterministic global training-order shuffle: every doc gets an exact
+    * global position (`shuffle_pos`, 0-based) under a seeded portable hash
+    * of its id — the order you stream 100 TB of training data in, fully
+    * reproducible across runs, partitionings, and engines (md5 string
+    * arithmetic on both sides of the oracle). Changing the seed is a fresh
+    * epoch-level reshuffle.
+    *
+    * Scale shape: a distributed ORDER BY on the hash key (range partition +
+    * partition-local sort) with positions assigned by the prefix-sum
+    * machinery of [[graft.analytics.Ranking.globalRowNumber]] — no
+    * single-partition window anywhere; the driver only ever sees the
+    * partition-count vector.
+    */
+  def shuffleCorpus(docs: DataFrame, idCol: String, seed: String): DataFrame =
+    graft.analytics.Ranking.globalRowNumber(
+      docs.withColumn("__shufkey",
+        md5(concat_ws(":", lit(seed), col(idCol).cast("string")))),
+      Seq(col("__shufkey"), col(idCol)))
+      .withColumn("shuffle_pos", col("rn") - 1)
+      .drop("__shufkey", "rn")
+
   /** Sequence packing (concatenate-and-chunk): assign each document its
     * token span in fixed-size context windows, the way LLM training shards
     * pack text. Docs are sharded by id, laid out in id order within the

@@ -105,6 +105,12 @@ object PipelineSurface {
     "pipe_pack_sequences" -> ((s, d) =>
       Pipeline.packSequences(docs(s, d), "doc_id", "text")
         .orderBy("doc_id")),
+    // deterministic epoch shuffle: exact global positions under a seeded
+    // portable hash, assigned by prefix-sum ranking (no global window)
+    "pipe_shuffle_corpus" -> ((s, d) =>
+      Pipeline.shuffleCorpus(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id", "epoch0")
+        .orderBy("doc_id")),
     "pipe_domain_cap" -> ((s, d) =>
       Pipeline.capPerSource(
         Tables.documents(s, d).select(col("doc_id"), col("source")),
@@ -247,6 +253,12 @@ object PipelineSurface {
       |FROM documents
       |WHERE ${bucketSql("doc_id")} < ($rateSql)
       |ORDER BY doc_id""".stripMargin,
+    "pipe_shuffle_corpus" -> """
+      |SELECT doc_id,
+      |  ROW_NUMBER() OVER (
+      |    ORDER BY md5('epoch0:' || CAST(doc_id AS VARCHAR)), doc_id) - 1
+      |    AS shuffle_pos
+      |FROM documents ORDER BY doc_id""".stripMargin,
     "pipe_pack_sequences" -> """
       |WITH t AS (
       |  SELECT doc_id,

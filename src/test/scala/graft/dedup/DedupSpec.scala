@@ -276,6 +276,24 @@ class DedupSpec extends SparkSpec {
     assert(out.keys.forall(_ >= 100000L))
   }
 
+  test("bandIndex round-trips through parquet and dedupAgainstIndex matches dedupAgainst") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text", $"lang")
+    val batch = DedupSurface.incBatch(spark, sf0001)
+    val direct = Dedup.dedupAgainst(docs, batch, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toMap
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-bandidx").toString
+    Dedup.bandIndex(docs, "doc_id", "text").write.parquet(s"$dir/index")
+    val loaded = spark.read.parquet(s"$dir/index")
+    // the persisted artifact is plain columns: (rep id, grams, band, key)
+    assert(loaded.columns.toSet === Set("old_id", "old_grams", "j", "bkey"))
+    val viaIndex = Dedup.dedupAgainstIndex(loaded, batch, "doc_id", "text", 0.5)
+      .as[(Long, Long)].collect().toMap
+    assert(viaIndex === direct,
+      "a reloaded index must reproduce the from-scratch incremental result")
+  }
+
   test("containment catches an embedded excerpt that Jaccard verification rejects") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val excerpt = (1 to 26).map(i => s"tok$i").mkString(" ")

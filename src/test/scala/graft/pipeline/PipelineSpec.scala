@@ -398,4 +398,22 @@ class PipelineSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"chunking must stay narrow:\n$plan")
   }
+
+  test("shuffleCorpus: exact permutation, seed-deterministic, partitioning-invariant") {
+    val docs = graft.Tables.documents(spark, sf0001).select($"doc_id")
+    val n = docs.count()
+    val a = Pipeline.shuffleCorpus(docs, "doc_id", "epoch0")
+      .as[(Long, Long)].collect().toMap
+    // positions are exactly 0..n-1: a permutation, no gaps, no dups
+    assert(a.values.toSeq.sorted === (0L until n))
+    // same seed on a different partitioning -> identical position map
+    val b = Pipeline.shuffleCorpus(docs.repartition(7), "doc_id", "epoch0")
+      .as[(Long, Long)].collect().toMap
+    assert(b === a)
+    // a different seed is a genuinely different epoch order
+    val c = Pipeline.shuffleCorpus(docs, "doc_id", "epoch1")
+      .as[(Long, Long)].collect().toMap
+    assert(c !== a)
+    assert(c.values.toSeq.sorted === (0L until n))
+  }
 }
