@@ -146,6 +146,46 @@ object Graph {
       .select("rank", "node", "pr")
   }
 
+  /** Co-occurrence edges seen in at least `minSupport` distinct groups —
+    * the thresholded ("frequently bought together") graph. Support counting
+    * is one groupBy on the (src, dst) pair after the co-partitioned
+    * self-join; because (k, item) rows are distinct, `count(*)` per pair IS
+    * the distinct-group support. At scale the threshold is what keeps the
+    * graph sparse: raw co-occurrence on web-scale baskets is a hairball,
+    * support ≥ s prunes it to the signal edges before any graph algorithm
+    * runs — the same shape as a shuffle-once frequent-itemset pass.
+    */
+  def frequentCoEdges(df: DataFrame, keyCol: String, itemCol: String,
+      minSupport: Long): DataFrame = {
+    val a = df.select(col(keyCol).as("k"), col(itemCol).as("src")).distinct()
+    val b = df.select(col(keyCol).as("k"), col(itemCol).as("dst")).distinct()
+    a.join(b, "k")
+      .filter(col("src") < col("dst"))
+      .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select("src", "dst")
+  }
+
+  /** Connected components of an undirected (src, dst) edge list — the
+    * public graph form of the star-contraction kernel the dedup clustering
+    * runs ([[graft.dedup.Dedup.connectedComponents]]: alternating
+    * large-star/small-star, O(log n) rounds, exact post-verification
+    * against the input edges). Vertices are the edge endpoints; returns
+    * one (node, component) row per vertex with `component` = min node id
+    * in its component.
+    */
+  def components(edges: DataFrame): DataFrame = {
+    val verts = edges.select(col("src").cast("long").as("id"))
+      .unionByName(edges.select(col("dst").cast("long").as("id")))
+      .distinct()
+    graft.dedup.Dedup.connectedComponents(
+        edges.select(col("src").as("doc_a"), col("dst").as("doc_b")), verts)
+      .select(col("id").as("node"), col("component"))
+  }
+
+  /** Gate support threshold: pairs co-occurring in ≥ 2 orders. */
+  val CcMinSupport = 2L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) =>
       triangleCount(
@@ -153,7 +193,12 @@ object Graph {
     "q_pagerank" -> ((s, d) =>
       pageRankTop(
         coOccurrenceEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey"), 20)
-        .orderBy("rank")))
+        .orderBy("rank")),
+    "q_components" -> ((s, d) =>
+      components(
+        frequentCoEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+          CcMinSupport))
+        .orderBy("node")))
 
   private val edgeCte =
     """e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -199,5 +244,23 @@ object Graph {
       |SELECT rank, node, pr FROM (
       |  SELECT node, pr, row_number() OVER (ORDER BY pr DESC, node) AS rank
       |  FROM r$PrIters)
-      |WHERE rank <= 20 ORDER BY rank""".stripMargin)
+      |WHERE rank <= 20 ORDER BY rank""".stripMargin,
+    // components via recursive min-label closure — a different algorithm
+    // than the Spark side's star contraction, which is the point: the
+    // fixpoints of two independent formulations must agree exactly
+    "q_components" -> s"""
+      |WITH RECURSIVE e0 AS (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $CcMinSupport),
+      |nodes AS (SELECT DISTINCT u AS id FROM e0
+      |          UNION SELECT DISTINCT v FROM e0),
+      |edges AS (SELECT u AS src, v AS dst FROM e0 UNION SELECT v, u FROM e0),
+      |reach(id, lab) AS (
+      |  SELECT id, id FROM nodes
+      |  UNION
+      |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
+      |SELECT CAST(id AS BIGINT) AS node, CAST(MIN(lab) AS BIGINT) AS component
+      |FROM reach GROUP BY id ORDER BY node""".stripMargin)
 }

@@ -66,6 +66,55 @@ object TimeSeries {
         col("is_gap"))
   }
 
+  /** Linear-interpolation variant of [[resampleLocf]]: empty buckets
+    * between two observed buckets take the straight line between the
+    * surrounding observations instead of carrying the left one forward —
+    * the gap-fill a numeric feature series (sensor readings, spend rates)
+    * wants where LOCF steps would bias downstream windows.
+    *
+    * Determinism: the interpolation runs in ONE fixed double-expression
+    * order — `pv + (nv - pv) * (Δbucket / span)` with both bucket deltas
+    * exact small integers in double — so any engine reproduces the bits.
+    * The grid spans first..last OBSERVED bucket per key, so every gap row
+    * has both neighbors and `value` is never null.
+    *
+    * Scale shape: identical to LOCF — one shuffle on the key; the
+    * backward (prev obs) and forward (next obs) scans are two frames over
+    * the same window ordering, one sort.
+    */
+  def resampleLerp(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, stepMicros: Long): DataFrame = {
+    val obs0 = events.select(col(keyCol).as("key"), col(idCol).as("eid"),
+        unix_micros(col(tsCol)).as("us"), col(valueCol).as("value"))
+      .withColumn("bucket", expr(s"us div ${stepMicros}L"))
+    val obs = obs0.groupBy("key", "bucket")
+      .agg(count(lit(1)).as("n_obs"),
+        max(struct(col("us"), col("eid"), col("value"))).as("lastObs"))
+      .select(col("key"), col("bucket"), col("n_obs"),
+        col("lastObs.value").as("obs_value"))
+    val grid = obs.groupBy("key")
+      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
+      .select(col("key"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
+    val ord = Window.partitionBy("key").orderBy("bucket")
+    val back = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
+    val obBucket = when(col("obs_value").isNotNull, col("bucket"))
+    grid.join(obs, Seq("key", "bucket"), "left")
+      .withColumn("is_gap", col("obs_value").isNull)
+      .withColumn("pv", last("obs_value", ignoreNulls = true).over(back))
+      .withColumn("pb", last(obBucket, ignoreNulls = true).over(back))
+      .withColumn("nv", first("obs_value", ignoreNulls = true).over(fwd))
+      .withColumn("nb", first(obBucket, ignoreNulls = true).over(fwd))
+      .select(col("key"), col("bucket"),
+        (col("bucket") * stepMicros).as("bucket_us"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        when(!col("is_gap"), col("obs_value"))
+          .otherwise(col("pv") + (col("nv") - col("pv")) *
+            ((col("bucket") - col("pb")).cast("double") /
+              (col("nb") - col("pb")).cast("double"))).as("value"),
+        col("is_gap"))
+  }
+
   /** Anomaly window: stats over the 20 observations BEFORE each row (the
     * row never dilutes its own baseline); z needs ≥5 of them.
     */
@@ -122,6 +171,10 @@ object TimeSeries {
       resampleLocf(Tables.events(s, d).filter(col("event_type") === "purchase"),
         "user_id", "ts", "event_id", "value", GateStepMicros)
         .orderBy("key", "bucket")),
+    "evt_resample_lerp" -> ((s, d) =>
+      resampleLerp(Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", "ts", "event_id", "value", GateStepMicros)
+        .orderBy("key", "bucket")),
     "evt_anomalies" -> ((s, d) =>
       rollingAnomalies(Tables.events(s, d), Seq("user_id", "event_type"),
         "ts", "event_id", "value")
@@ -154,6 +207,42 @@ object TimeSeries {
       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
       |  obs_value IS NULL AS is_gap
       |FROM j ORDER BY key, bucket""".stripMargin,
+    // lerp twin: identical grid CTEs; prev/next neighbors via
+    // IGNORE NULLS frames, interpolation in the same expression order as
+    // the Spark side (pv + (nv - pv) * (Δ / span)) so doubles match bits
+    "evt_resample_lerp" -> s"""
+      |WITH e AS (SELECT user_id AS key, event_id AS eid, epoch_us(ts) AS us,
+      |    value, epoch_us(ts) // ${GateStepMicros} AS bucket
+      |  FROM events WHERE event_type = 'purchase'),
+      |cnt AS (SELECT key, bucket, CAST(COUNT(*) AS BIGINT) AS n_obs
+      |  FROM e GROUP BY 1, 2),
+      |rk AS (SELECT key, bucket, value,
+      |    row_number() OVER (PARTITION BY key, bucket ORDER BY us DESC, eid DESC) AS rn
+      |  FROM e),
+      |obs AS (SELECT key, bucket, n_obs, value AS obs_value
+      |  FROM cnt JOIN (SELECT key, bucket, value FROM rk WHERE rn = 1)
+      |  USING (key, bucket)),
+      |span AS (SELECT key, MIN(bucket) AS b0, MAX(bucket) AS b1 FROM e GROUP BY 1),
+      |grid AS (SELECT key, unnest(range(b0, b1 + 1)) AS bucket FROM span),
+      |j AS (SELECT g.key, g.bucket, o.n_obs, o.obs_value
+      |  FROM grid g LEFT JOIN obs o USING (key, bucket)),
+      |nn AS (SELECT *,
+      |    last_value(obs_value IGNORE NULLS) OVER wb AS pv,
+      |    last_value(CASE WHEN obs_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wb AS pb,
+      |    first_value(obs_value IGNORE NULLS) OVER wf AS nv,
+      |    first_value(CASE WHEN obs_value IS NOT NULL THEN bucket END IGNORE NULLS) OVER wf AS nb
+      |  FROM j
+      |  WINDOW wb AS (PARTITION BY key ORDER BY bucket
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+      |    wf AS (PARTITION BY key ORDER BY bucket
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+      |SELECT key, bucket, bucket * ${GateStepMicros} AS bucket_us,
+      |  COALESCE(n_obs, 0) AS n_obs,
+      |  CASE WHEN obs_value IS NOT NULL THEN obs_value
+      |       ELSE pv + (nv - pv) * (CAST(bucket - pb AS DOUBLE) / CAST(nb - pb AS DOUBLE))
+      |  END AS value,
+      |  obs_value IS NULL AS is_gap
+      |FROM nn ORDER BY key, bucket""".stripMargin,
     "evt_anomalies" -> s"""
       |WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value
       |  FROM events),

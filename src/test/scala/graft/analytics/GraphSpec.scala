@@ -74,4 +74,42 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(es === Set((10L, 20L), (10L, 30L), (20L, 30L)))
   }
+
+  test("frequentCoEdges keeps only pairs with distinct-group support >= s") {
+    // pair (10,20) in groups 1,2; (10,30) only in group 1 (twice via dup
+    // rows, which must NOT count as support 2)
+    val df = Seq((1L, 10L), (1L, 20L), (1L, 30L), (1L, 30L),
+      (2L, 10L), (2L, 20L)).toDF("k", "item")
+    val es = Graph.frequentCoEdges(df, "k", "item", 2L)
+      .as[(Long, Long)].collect().toSet
+    assert(es === Set((10L, 20L)))
+  }
+
+  test("components labels every vertex with its component minimum") {
+    // two components {1,2,3,4} (a chain) and {10,11}; chain exercises
+    // multi-round contraction
+    val es = edgeDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    val got = Graph.components(es).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("components matches a union-find fixpoint on a random graph") {
+    val rnd = new scala.util.Random(11)
+    val es = Seq.fill(120)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    // driver-side union-find reference
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(x => x -> find(x)).toMap
+    val got = Graph.components(edgeDf(es)).as[(Long, Long)].collect().toMap
+    assert(got === want)
+  }
 }

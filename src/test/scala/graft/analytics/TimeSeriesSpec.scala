@@ -64,6 +64,50 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("resampleLerp: straight-line fill between observed buckets") {
+    val step = 10L * 1000 * 1000
+    // key 1: obs 10.0 at bucket 0 and 40.0 at bucket 3 — gaps at 1, 2
+    // interpolate to 20.0, 30.0; key 2 single bucket passes through
+    val events = Seq(
+      (1L, 100L, ts(1L * 1000 * 1000), 10.0),
+      (1L, 102L, ts(35L * 1000 * 1000), 40.0),
+      (2L, 200L, ts(50L * 1000 * 1000), 7.5))
+      .toDF("user_id", "event_id", "ts", "value")
+    val out = TimeSeries.resampleLerp(events, "user_id", "ts", "event_id",
+        "value", step)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().sortBy(r => (r._1, r._2))
+    val k1 = out.filter(_._1 == 1L)
+    assert(k1.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(k1.map(_._5).toSeq === Seq(10.0, 20.0, 30.0, 40.0))
+    assert(k1.map(_._6).toSeq === Seq(false, true, true, false))
+    val k2 = out.filter(_._1 == 2L)
+    assert(k2.length === 1 && k2(0)._5 === 7.5 && !k2(0)._6)
+  }
+
+  test("resampleLerp: observed buckets keep their exact value; partition-invariant") {
+    val step = 1000L * 1000
+    val rnd = new scala.util.Random(3)
+    val events = (1 to 400).map { i =>
+      (i % 5L, i.toLong, ts(rnd.nextInt(60) * 1000000L + i), rnd.nextDouble() * 100)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val a = TimeSeries.resampleLerp(events, "user_id", "ts", "event_id", "value", step)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSet
+    val b = TimeSeries.resampleLerp(events.repartition(7), "user_id", "ts",
+        "event_id", "value", step)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().toSet
+    assert(a === b, "identical bits on any input partitioning")
+    // gap rows sit between their neighbors' values (line segment property)
+    val locf = TimeSeries.resampleLocf(events, "user_id", "ts", "event_id", "value", step)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect()
+    val obsByKey = locf.filter(!_._6).groupBy(_._1)
+    a.filter(_._6).foreach { g =>
+      val obs = obsByKey(g._1).map(r => (r._2, r._5)).sortBy(_._1)
+      val pv = obs.filter(_._1 < g._2).last._2
+      val nv = obs.find(_._1 > g._2).get._2
+      assert(g._5 >= math.min(pv, nv) - 1e-9 && g._5 <= math.max(pv, nv) + 1e-9)
+    }
+  }
+
   test("rollingAnomalies flags a planted outlier against its trailing window") {
     // steady value 10.0 with jitter, one spike at the end
     val vals = Seq(10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.2, 9.8, 100.0)
