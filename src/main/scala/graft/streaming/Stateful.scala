@@ -100,6 +100,56 @@ object Stateful {
       }
   }
 
+  final case class ShardTok(shard: Int, term: String)
+  final case class MgShardState(keys: Seq[String], counts: Seq[Long], n: Long)
+  final case class MgCandidate(shard: Int, n_shard: Long, term: String, cnt: Long)
+
+  /** Streaming twin of [[graft.text.HeavyHitters]]' candidate pass: a
+    * mergeable Misra–Gries sketch per SHARD maintained across
+    * micro-batches. Shard by a hash of the item (`pmod(hash(term), S)`) so
+    * every occurrence of a term lands in one shard: the per-shard MG
+    * retention bound (every term with shard frequency > n_shard/(cap+1)
+    * survives) then implies the GLOBAL bound, because a term's shard
+    * frequency IS its global frequency and n_shard ≤ n. The union of shard
+    * sketches is therefore a superset of the exact heavy hitters at
+    * threshold n/(cap+1) — same guarantee chain as the batch
+    * `treeAggregate`, with micro-batches playing the role of partitions
+    * (MG updates ARE the stream-merge: processing batch B into state S
+    * equals merging sketch(B) into S at unbounded intermediate capacity,
+    * and the bound survives either way).
+    *
+    * State per shard is O(cap) strings+longs — bounded for the stream's
+    * lifetime; `shards` is the parallelism knob (state ops scale out by
+    * key). Each trigger emits the shard's full snapshot (update mode):
+    * candidates with their lower-bound counters plus the shard's exact
+    * item total `n_shard`, so a downstream exact pass can threshold
+    * against Σ n_shard. Counters are lower bounds within n_shard/(cap+1)
+    * of truth (spec-asserted); the exact verify join stays a batch
+    * concern, exactly as in the two-pass batch operator.
+    */
+  def streamingHeavyHitterCandidates(toks: Dataset[ShardTok],
+      cap: Int): Dataset[MgCandidate] = {
+    implicit val outEnc = Encoders.product[MgCandidate]
+    implicit val stEnc = Encoders.product[MgShardState]
+    toks.groupByKey(_.shard)(Encoders.scalaInt)
+      .flatMapGroupsWithState(OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        (shard: Int, ts: Iterator[ShardTok], state: GroupState[MgShardState]) =>
+          val prev = state.getOption.getOrElse(MgShardState(Nil, Nil, 0L))
+          val m = scala.collection.mutable.HashMap.empty[String, Long]
+          prev.keys.iterator.zip(prev.counts.iterator).foreach { case (k, c) =>
+            m.update(k, c)
+          }
+          var n = prev.n
+          ts.foreach { t =>
+            graft.text.HeavyHitters.mgUpdate(m, t.term, cap)
+            n += 1
+          }
+          val snap = m.toArray
+          state.update(MgShardState(snap.map(_._1).toSeq, snap.map(_._2).toSeq, n))
+          snap.iterator.map { case (k, c) => MgCandidate(shard, n, k, c) }
+      }
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String,
       event_id: Long, us: Long)
   final case class FunnelState(times: Seq[Long])

@@ -91,4 +91,73 @@ class StatefulSpec extends SparkSpec {
       assert(streamed.values.exists(_.length == 3), "some user converts fully")
     } finally q.stop()
   }
+
+  test("streaming MG sketch retains every exact heavy hitter; counters are valid lower bounds") {
+    val k = 64
+    val cap = 2 * k
+    val shards = 8
+    // token stream over the documents table (file stream, one batch per
+    // trigger), sharded by term hash so each term lives in one shard
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val docDir = java.nio.file.Files.createTempDirectory("graft-hh-docs")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf0001/documents.parquet"),
+      docDir.resolve("documents.parquet"))
+    val docSchema = spark.read.parquet(docDir.toString).schema
+    val toks = spark.readStream.schema(docSchema).parquet(docDir.toString)
+      .select(graft.text.TextAnalysis.normalized($"text").as("ntext"))
+      .filter($"ntext".isNotNull && $"ntext" =!= "")
+      .select(explode(split($"ntext", " ")).as("term"))
+      .select(pmod(hash($"term"), lit(shards)).cast("int").as("shard"), $"term")
+      .as[Stateful.ShardTok]
+    val q = Stateful.streamingHeavyHitterCandidates(toks, cap)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("hh_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      // final snapshot per shard = the rows at that shard's max n_shard
+      val rows = spark.table("hh_stream")
+        .as[Stateful.MgCandidate].collect()
+      val lastN = rows.groupBy(_.shard).view.mapValues(_.map(_.n_shard).max).toMap
+      val fin = rows.filter(r => r.cnt > 0 && r.n_shard == lastN(r.shard))
+      val candByTerm = fin.map(r => r.term -> r.cnt).toMap
+      assert(fin.map(_.term).distinct.length === fin.length,
+        "a term must appear in exactly one shard's sketch")
+      // per-shard sketch stays within capacity
+      fin.groupBy(_.shard).foreach { case (_, rs) => assert(rs.length <= cap) }
+
+      // exact truth from the batch side
+      val exact = graft.Tables.documents(spark, sf0001)
+        .select(graft.text.TextAnalysis.normalized($"text").as("ntext"))
+        .filter($"ntext".isNotNull && $"ntext" =!= "")
+        .select(explode(split($"ntext", " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .as[(String, Long)].collect().toMap
+      val n = exact.values.sum
+      val nShardByTerm = fin.map(r => r.term -> r.n_shard).toMap
+
+      // retention: every exact heavy hitter above the MG threshold survives
+      val hitters = exact.filter { case (_, c) => c * (cap + 1) > n }.keySet
+      assert(hitters.nonEmpty, "gate data must have at least one heavy hitter")
+      assert(hitters.subsetOf(candByTerm.keySet),
+        s"lost heavy hitters: ${hitters -- candByTerm.keySet}")
+      // counters are lower bounds within n_shard/(cap+1) of the truth
+      candByTerm.foreach { case (t, c) =>
+        val f = exact(t)
+        assert(c <= f, s"MG counter for $t overshoots the exact count")
+        assert(f - c <= nShardByTerm(t) / (cap + 1) + 1,
+          s"MG undercount for $t exceeds the n/(cap+1) bound")
+      }
+      // batch exact operator agrees with thresholding the stream output
+      val batchHitters = graft.text.HeavyHitters.frequentItems(
+          graft.Tables.documents(spark, sf0001)
+            .select(graft.text.TextAnalysis.normalized($"text").as("ntext"))
+            .filter($"ntext".isNotNull && $"ntext" =!= "")
+            .select(explode(split($"ntext", " ")).as("term")).as[String], k)
+        .as[(String, Long)].collect().toMap
+      assert(batchHitters.keySet.subsetOf(candByTerm.keySet),
+        "stream candidate set must cover the exact >n/k answer (cap = 2k)")
+    } finally q.stop()
+  }
 }
