@@ -60,12 +60,19 @@ import org.apache.spark.sql.types.{DataType, StructType}
   */
 object VersionedTable {
 
+  /** `blooms`: per-column encoded [[KeyBloom]] ("m:base64"), present only
+    * for the table's declared bloom columns on files small enough for the
+    * manifest-size cap; absent = conservatively unprunable.
+    */
   final case class FileEntry(path: String, rows: Long,
-      mins: Map[String, String], maxs: Map[String, String])
+      mins: Map[String, String], maxs: Map[String, String],
+      blooms: Map[String, String] = Map.empty)
   final case class Manifest(version: Long, op: String, schema: String,
-      files: List[FileEntry], tags: List[String] = Nil)
+      files: List[FileEntry], tags: List[String] = Nil,
+      bloomCols: List[String] = Nil)
   final case class Snapshot(version: Long, op: String, schema: StructType,
-      files: Seq[FileEntry], tags: Seq[String] = Nil)
+      files: Seq[FileEntry], tags: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil)
 
   /** Thrown inside the commit CAS when an idempotence tag was already
     * applied by a committed version — the signal that a replayed batch
@@ -115,7 +122,7 @@ object VersionedTable {
     val text = new String(buf, StandardCharsets.UTF_8)
     val m = parseManifest(text)
     Snapshot(m.version, m.op, DataType.fromJson(m.schema).asInstanceOf[StructType],
-      m.files, m.tags)
+      m.files, m.tags, m.bloomCols)
   }
 
   /** Atomic publish: exactly one committer of version `v` wins. */
@@ -145,19 +152,54 @@ object VersionedTable {
   /** Write `df` under a fresh txn dir; return its file entries with
     * footer-harvested min/max stats. Unreferenced until a manifest wins.
     */
-  private def writeData(df: DataFrame, root: String): Seq[FileEntry] = {
+  private def writeData(df: DataFrame, root: String,
+      bloomCols: Seq[String] = Nil): Seq[FileEntry] = {
     val spark = df.sparkSession
     val txn = s"data/txn-${UUID.randomUUID()}"
     val dir = s"$root/$txn"
     df.write.parquet(dir)
     val f = fs(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
-    f.listStatus(new Path(dir)).toSeq
+    val entries = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.getPath.getName.startsWith("part-"))
       .map { s =>
         val (rows, mins, maxs) = footerStats(s.getPath, conf)
         FileEntry(s"$txn/${s.getPath.getName}", rows, mins, maxs)
       }
+    val cols = bloomCols.filter(df.schema.fieldNames.contains)
+    if (cols.isEmpty) entries else attachBlooms(spark, dir, entries, cols)
+  }
+
+  /** One extra columnar pass per bloom column over the just-written txn
+    * dir (bounded by files-per-commit): per-file key sets aggregated into
+    * [[KeyBloom]] bit arrays, distributed via `aggregateByKey` on the file
+    * name — the driver only ever receives O(files × m/8) bytes of bloom,
+    * never keys. All files in one commit share the bloom size `m`, sized
+    * for the largest file; commits whose largest file exceeds the
+    * manifest-size cap attach no blooms (range stats still recorded).
+    */
+  private def attachBlooms(spark: SparkSession, dir: String,
+      entries: Seq[FileEntry], cols: Seq[String]): Seq[FileEntry] = {
+    val m = KeyBloom.bitsFor(entries.map(_.rows).max)
+    if (m < 0) return entries
+    val words = m / 64
+    cols.foldLeft(entries) { (es, c) =>
+      val perFile = spark.read.parquet(dir)
+        .select(input_file_name().as("f"), col(c).cast("long").as("k"))
+        .filter(col("k").isNotNull)
+        .rdd
+        .map(r => (r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1),
+          r.getLong(1)))
+        .aggregateByKey(new Array[Long](words))(
+          (a, k) => KeyBloom.add(a, m, k), KeyBloom.or)
+        .collect().toMap
+      es.map { e =>
+        val name = e.path.substring(e.path.lastIndexOf('/') + 1)
+        perFile.get(name)
+          .map(arr => e.copy(blooms = e.blooms + (c -> KeyBloom.encode(m, arr))))
+          .getOrElse(e)
+      }
+    }
   }
 
   /** One footer read per just-written file (bounded by files-per-commit):
@@ -223,7 +265,8 @@ object VersionedTable {
     * its own first commit cannot double-apply.
     */
   private def commitLoop(spark: SparkSession, root: String,
-      addTag: Option[String] = None)(
+      addTag: Option[String] = None,
+      setBloomCols: Option[Seq[String]] = None)(
       attempt: Option[Snapshot] => (String, Seq[FileEntry], StructType)): Long = {
     val f = fs(spark, root)
     var tries = 0
@@ -236,7 +279,9 @@ object VersionedTable {
       val (op, files, schema) = attempt(parent)
       val v = parent.map(_.version).getOrElse(0L) + 1
       val m = Manifest(v, op, schema.json, files.toList,
-        (parentTags ++ addTag).toList)
+        (parentTags ++ addTag).toList,
+        setBloomCols.orElse(parent.map(_.bloomCols))
+          .getOrElse(Seq.empty).toList)
       if (casPublish(f, root, v, org.json4s.jackson.Serialization.write(m)))
         return v
       tries += 1
@@ -244,11 +289,17 @@ object VersionedTable {
     sys.error(s"commit to $root lost the version race $MaxRetries times")
   }
 
-  /** Create a new table at `root` from `df` (version 1). */
-  def create(spark: SparkSession, root: String, df: DataFrame): Long = {
+  /** Create a new table at `root` from `df` (version 1). `bloomKeys`
+    * declares the integral columns every subsequent commit builds
+    * per-file [[KeyBloom]]s for — the point-lookup / targeted-merge
+    * file-skipping index (immutable table property, like Delta's
+    * dataSkipping configuration).
+    */
+  def create(spark: SparkSession, root: String, df: DataFrame,
+      bloomKeys: Seq[String] = Nil): Long = {
     require(latestVersion(spark, root).isEmpty, s"$root already exists")
-    val files = writeData(df, root)
-    commitLoop(spark, root) { parent =>
+    val files = writeData(df, root, bloomKeys)
+    commitLoop(spark, root, setBloomCols = Some(bloomKeys)) { parent =>
       require(parent.isEmpty, s"$root already exists")
       ("create", files, df.schema)
     }
@@ -265,7 +316,7 @@ object VersionedTable {
     */
   def append(spark: SparkSession, root: String, df: DataFrame,
       mergeSchema: Boolean = false): Long = {
-    val files = writeData(df, root)
+    val files = writeData(df, root, snapshot(spark, root).bloomCols)
     commitLoop(spark, root) { parent =>
       val p = parent.getOrElse(sys.error(s"$root does not exist"))
       ("append", p.files ++ files, evolved(p.schema, df.schema, mergeSchema))
@@ -293,9 +344,10 @@ object VersionedTable {
     */
   def appendBatch(spark: SparkSession, root: String, df: DataFrame,
       tag: String): Boolean = {
-    if (latestVersion(spark, root).isDefined &&
-        snapshot(spark, root).tags.contains(tag)) return false
-    val files = writeData(df, root)
+    val head = if (latestVersion(spark, root).isDefined)
+      Some(snapshot(spark, root)) else None
+    if (head.exists(_.tags.contains(tag))) return false
+    val files = writeData(df, root, head.map(_.bloomCols).getOrElse(Nil))
     try {
       commitLoop(spark, root, Some(tag)) { parent =>
         val p = parent.getOrElse(sys.error(s"$root does not exist"))
@@ -307,11 +359,37 @@ object VersionedTable {
 
   /** Replace the table contents (last-writer-wins). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
-    val files = writeData(df, root)
+    val files = writeData(df, root, snapshot(spark, root).bloomCols)
     commitLoop(spark, root) { parent =>
       require(parent.nonEmpty, s"$root does not exist")
       ("overwrite", files, df.schema)
     }
+  }
+
+  /** The files a point lookup `key = value` must read at `version`:
+    * range-pruned by footer min/max, then bloom-pruned. With
+    * hash-distributed keys, range stats overlap on every file and prune
+    * nothing — the bloom is what turns "open every file" into "open ~1
+    * file" (FPR extras only), which is the 100 TB point-read story.
+    */
+  def candidateFiles(spark: SparkSession, root: String, key: String,
+      value: Long, version: Option[Long] = None): Seq[String] = {
+    val s = snapshot(spark, root, version)
+    s.files.filter(fe => mightHit(fe, key, value, value) &&
+        fe.blooms.get(key).forall(KeyBloom.mightContain(_, value)))
+      .map(_.path)
+  }
+
+  /** Point lookup reading only [[candidateFiles]]. */
+  def pointLookup(spark: SparkSession, root: String, key: String,
+      value: Long, version: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, root, version)
+    val files = candidateFiles(spark, root, key, value, version)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
+    else spark.read.schema(s.schema)
+      .parquet(files.map(p => s"$root/$p"): _*)
+      .filter(col(key).cast("long") === value)
   }
 
   /** Read version `version` (default: latest) as a DataFrame. */
@@ -344,6 +422,25 @@ object VersionedTable {
       case (Some(mn), Some(mx)) => mx.toLong >= lo && mn.toLong <= hi
       case _ => true
     }
+
+  /** Bloom refinement on top of range pruning: with a small probe key set
+    * (None = too many keys, stay conservative) a file survives only if
+    * some probe key might be in its bloom. Files without a bloom for `key`
+    * are kept. Never prunes a true hit (bloom has no false negatives).
+    */
+  private def bloomMightHit(fe: FileEntry, key: String,
+      probe: Option[Array[Long]]): Boolean =
+    (fe.blooms.get(key), probe) match {
+      case (Some(enc), Some(ks)) => ks.exists(KeyBloom.mightContain(enc, _))
+      case _ => true
+    }
+
+  /** Max batch keys collected to the driver for bloom probing during
+    * MERGE/DELETE — a targeted mutation ("fix these rows") gets per-file
+    * bloom pruning; a bulk one falls back to range-only pruning and never
+    * pulls a large key set to the driver.
+    */
+  val BloomProbeMax = 10000
 
   /** Copy-on-write upsert by `key` (a long/int column): files whose footer
     * key-range cannot contain a batch key are carried forward BY REFERENCE —
@@ -381,9 +478,17 @@ object VersionedTable {
           (op, p.files, p.schema)
         }
       val Row(lo: Long, hi: Long) = head
+      // probe keys for bloom pruning, bounded: limit(max+1) detects "too
+      // many" without ever collecting more than the cap
+      val probeRows = b.select(col(key).cast("long").as("k"))
+        .filter(col("k").isNotNull).distinct()
+        .limit(BloomProbeMax + 1).collect()
+      val probe = if (probeRows.length > BloomProbeMax) None
+        else Some(probeRows.map(_.getLong(0)))
       commitLoop(spark, root) { parent =>
         val p = parent.getOrElse(sys.error(s"$root does not exist"))
-        val (hits, kept) = p.files.partition(mightHit(_, key, lo, hi))
+        val (hits, kept) = p.files.partition(fe =>
+          mightHit(fe, key, lo, hi) && bloomMightHit(fe, key, probe))
         val hitRows =
           if (hits.isEmpty)
             spark.createDataFrame(spark.sparkContext.emptyRDD[Row], p.schema)
@@ -393,7 +498,7 @@ object VersionedTable {
         // a lost race re-runs this closure against the new parent: the
         // rewritten files of the stale attempt stay unreferenced (vacuum
         // sweeps them), so retries are safe if wasteful
-        (op, kept ++ writeData(out, root), p.schema)
+        (op, kept ++ writeData(out, root, p.bloomCols), p.schema)
       }
     } finally { b.unpersist(); () }
   }
@@ -508,7 +613,7 @@ object VersionedTable {
             graft.analytics.Layout.zorderBy(rows, a, b, numFiles = nOut).drop("_z")
           case None => rows.repartition(nOut)
         }
-        ("optimize", kept ++ writeData(packed, root), p.schema)
+        ("optimize", kept ++ writeData(packed, root, p.bloomCols), p.schema)
       }
     }
 
