@@ -31,6 +31,7 @@ object SparkEntry {
     analytics.Layout.queries ++ analytics.FuzzyJoin.queries ++
     analytics.BloomPrune.queries ++
     analytics.Ranking.queries ++ analytics.Graph.queries ++
+    analytics.Hll.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
     text.HybridSearch.queries ++
     text.HeavyHitters.queries ++ text.Bpe.queries ++
@@ -58,6 +59,7 @@ object SparkEntry {
     analytics.Layout.oracles ++ analytics.FuzzyJoin.oracles ++
     analytics.BloomPrune.oracles ++
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
+    analytics.Hll.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HybridSearch.oracles ++
     text.HeavyHitters.oracles ++ text.Bpe.oracles ++
