@@ -1,0 +1,100 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+
+/** Table profiling: one row of data-quality stats per column — row count,
+  * null count, exact distinct count, lexical min/max — the audit a
+  * pipeline runs before trusting a new drop of data (the corpus-level
+  * twin is [[graft.pipeline.Pipeline.corpusReport]]; this one is
+  * schema-generic).
+  *
+  * Shape: ONE aggregate pass producing every column's stats as a single
+  * row, then a driver-side unpivot of that bounded row into per-column
+  * output rows (O(columns), never O(data)). Multiple exact
+  * `count_distinct`s compile to one Expand + one exchange (input
+  * replicated #distinct-aggs times) — fine for profiling runs; at 100 TB
+  * swap the exact distincts for [[Hll.registers]] sketches per column
+  * (same output contract, one narrow pass, mergeable across days) —
+  * that's why both live in this package.
+  *
+  * min/max are emitted as engine-portable strings: integral and string
+  * columns directly, timestamps via a fixed format; float/double min/max
+  * are left NULL (cross-engine float-to-string formatting is not
+  * canonical, and a profile wants exact evidence or none).
+  */
+object Profile {
+
+  def profile(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val fields = df.schema.fields.toSeq
+    def minMax(f: StructField): (Column, Column) = {
+      val c = col(f.name)
+      f.dataType match {
+        case LongType | IntegerType | ShortType | ByteType =>
+          (min(c).cast("string"), max(c).cast("string"))
+        case StringType => (min(c), max(c))
+        case TimestampType | TimestampNTZType =>
+          (date_format(min(c), "yyyy-MM-dd HH:mm:ss"),
+            date_format(max(c), "yyyy-MM-dd HH:mm:ss"))
+        case _ => (lit(null).cast("string"), lit(null).cast("string"))
+      }
+    }
+    val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
+      val (mn, mx) = minMax(f)
+      Seq(count(col(f.name)).as(s"${f.name}__nn"),
+        count_distinct(col(f.name)).as(s"${f.name}__nd"),
+        mn.as(s"${f.name}__mn"), mx.as(s"${f.name}__mx"))
+    }
+    val r = df.agg(aggs.head, aggs.tail: _*).head()
+    val n = r.getAs[Long]("__n")
+    val rows = fields.map { f =>
+      Row(f.name, n, n - r.getAs[Long](s"${f.name}__nn"),
+        r.getAs[Long](s"${f.name}__nd"),
+        r.getAs[String](s"${f.name}__mn"), r.getAs[String](s"${f.name}__mx"))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(
+        StructField("column", StringType, nullable = false),
+        StructField("n_rows", LongType, nullable = false),
+        StructField("n_nulls", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("min_value", StringType, nullable = true),
+        StructField("max_value", StringType, nullable = true))))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_lineitem" -> ((s, d) =>
+      profile(Tables.lineitem(s, d)).orderBy("column")))
+
+  /** Oracle: one SELECT per column, UNION ALL — the relational spelling of
+    * the same unpivot.
+    */
+  private def colSql(name: String, kind: String): String = {
+    val (mn, mx) = kind match {
+      case "int" => (s"CAST(MIN($name) AS VARCHAR)", s"CAST(MAX($name) AS VARCHAR)")
+      case "str" => (s"MIN($name)", s"MAX($name)")
+      case "ts" => (s"strftime(MIN($name), '%Y-%m-%d %H:%M:%S')",
+        s"strftime(MAX($name), '%Y-%m-%d %H:%M:%S')")
+      case _ => ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)")
+    }
+    s"""SELECT '$name' AS "column", COUNT(*) AS n_rows,
+       |  COUNT(*) - COUNT($name) AS n_nulls,
+       |  CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
+       |  $mn AS min_value, $mx AS max_value FROM lineitem""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "q_profile_lineitem" -> (Seq(
+      colSql("l_orderkey", "int"), colSql("l_partkey", "int"),
+      colSql("l_suppkey", "int"), colSql("l_linenumber", "int"),
+      colSql("l_quantity", "dbl"), colSql("l_extendedprice", "dbl"),
+      colSql("l_discount", "dbl"), colSql("l_tax", "dbl"),
+      colSql("l_returnflag", "str"), colSql("l_linestatus", "str"),
+      colSql("l_shipdate", "ts"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")))
+}
