@@ -41,7 +41,7 @@ object SparkEntry {
     dedup.SemanticDedup.queries ++
     sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
     pipeline.PipelineSurface.queries ++ pipeline.Snapshots.queries ++
-    store.VersionedTable.queries
+    store.VersionedTable.queries ++ store.Ivm.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -69,5 +69,5 @@ object SparkEntry {
     dedup.SemanticDedup.oracles ++
     sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
     pipeline.PipelineSurface.oracles ++ pipeline.Snapshots.oracles ++
-    store.VersionedTable.oracles
+    store.VersionedTable.oracles ++ store.Ivm.oracles
 }

@@ -576,6 +576,49 @@ object VersionedTable {
       key, schema.fieldNames.filterNot(_ == key).toSeq)
   }
 
+  /** Row-level change feed WITH VALUES between two versions, for
+    * incremental downstream maintenance ([[Ivm]]): one row per key whose
+    * row was added / removed / changed, carrying the full old and new rows
+    * as structs (NULL on the missing side).
+    *
+    * The 100 TB property is file-level pruning BEFORE the diff: carried-by-
+    * reference files are identical in both versions by construction (same
+    * path = same immutable bytes), so only files that entered or left the
+    * manifest are read — a pruned MERGE that rewrote one day's files
+    * yields a feed join over one day's rows, not a table-wide full-outer
+    * join. Compaction rewrites (same rows, new files) survive correctness:
+    * rewritten-but-equal rows fingerprint as unchanged and are dropped.
+    */
+  def changeFeedRows(spark: SparkSession, root: String, fromVersion: Long,
+      toVersion: Long, key: String): DataFrame = {
+    val sFrom = snapshot(spark, root, Some(fromVersion))
+    val sTo = snapshot(spark, root, Some(toVersion))
+    require(sFrom.schema == sTo.schema,
+      "changeFeedRows across a schema change is not supported")
+    val fromPaths = sFrom.files.map(_.path).toSet
+    val toPaths = sTo.files.map(_.path).toSet
+    val left = (fromPaths -- toPaths).toSeq.sorted   // rows possibly removed
+    val entered = (toPaths -- fromPaths).toSeq.sorted // rows possibly added
+    def readFiles(paths: Seq[String]): DataFrame =
+      if (paths.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sTo.schema)
+      else spark.read.schema(sTo.schema).parquet(paths.map(p => s"$root/$p"): _*)
+    val cols = sTo.schema.fieldNames.toSeq
+    val o = readFiles(left)
+      .select(col(key).as("key"), struct(cols.map(col): _*).as("old"))
+    val n = readFiles(entered)
+      .select(col(key).as("key"), struct(cols.map(col): _*).as("new"))
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("change",
+        when(col("old").isNull, lit("added"))
+          .when(col("new").isNull, lit("removed"))
+          .when(md5(to_json(col("old"))) =!= md5(to_json(col("new"))),
+            lit("changed"))
+          .otherwise(lit("unchanged")))
+      .filter(col("change") =!= "unchanged")
+      .select(col("key"), col("change"), col("old"), col("new"))
+  }
+
   // ------------------------------------------------------------ optimize
 
   /** OPTIMIZE: compact small files and/or rewrite the table in Z-order —
