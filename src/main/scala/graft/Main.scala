@@ -87,7 +87,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|monitor|reset|delete|compact|corpus|sessions|events|graph> --table PATH ...")
+      "usage: graft.Main <import|run|monitor|reset|delete|compact|corpus|sessions|events|graph|profile|vtable> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -395,6 +395,28 @@ object Main {
             Seq(userCol, typeCol), "ts",
             flags.getOrElse("id-col", "event_id"),
             flags.getOrElse("value-col", "value"))
+        case "resample" =>
+          // fixed-grid regularization: --step-minutes grid, --fill locf|lerp
+          val step = flags.getOrElse("step-minutes", "360").toLong * 60000000L
+          val (key, id, value) = (userCol,
+            flags.getOrElse("id-col", "event_id"),
+            flags.getOrElse("value-col", "value"))
+          flags.getOrElse("fill", "locf") match {
+            case "locf" =>
+              graft.analytics.TimeSeries.resampleLocf(ev, key, "ts", id, value, step)
+            case "lerp" =>
+              graft.analytics.TimeSeries.resampleLerp(ev, key, "ts", id, value, step)
+            case other => sys.error(s"unknown fill mode: $other")
+          }
+        case "distinct" =>
+          // mergeable HLL distinct-count sketch: --group-col buckets the
+          // count (e.g. a month column derived upstream), --item-col the
+          // counted key
+          graft.analytics.Hll.estimate(
+            graft.analytics.Hll.registers(spark.read.parquet(table),
+              Seq(flags.getOrElse("group-col", typeCol)),
+              flags.getOrElse("item-col", userCol)),
+            Seq(flags.getOrElse("group-col", typeCol)))
         case other => sys.error(s"unknown events op: $other")
       }
       result.write.mode("overwrite").parquet(out)
@@ -413,9 +435,25 @@ object Main {
         case "pagerank" =>
           graft.analytics.Graph.pageRankTop(edges,
             flags.getOrElse("k", "100").toInt)
+        case "components" =>
+          // --min-support prunes the co-occurrence graph to pairs seen in
+          // at least that many groups before labeling
+          graft.analytics.Graph.components(
+            graft.analytics.Graph.frequentCoEdges(
+              spark.read.parquet(table),
+              flags.getOrElse("key-col", sys.error("--key-col is required")),
+              flags.getOrElse("item-col", sys.error("--item-col is required")),
+              flags.getOrElse("min-support", "2").toLong))
         case other => sys.error(s"unknown graph op: $other")
       }
       result.write.mode("overwrite").parquet(out)
+      println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
+    case "profile" =>
+      // data-quality audit: one stats row per column of the input parquet
+      val out = flags.getOrElse("output", sys.error("--output is required"))
+      graft.analytics.Profile.profile(spark.read.parquet(table))
+        .orderBy("column")
+        .write.mode("overwrite").parquet(out)
       println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
     case "vtable" =>
       // transactional-table admin: <table> is the VersionedTable root;
@@ -468,6 +506,19 @@ object Main {
             flags.getOrElse("key", sys.error("--key is required")))
             .write.mode("overwrite").parquet(out)
           println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
+        case "lookup" =>
+          // bloom/range-pruned point read: --key column, --value long
+          val df = VersionedTable.pointLookup(spark, table,
+            flags.getOrElse("key", sys.error("--key is required")),
+            flags.getOrElse("value", sys.error("--value is required")).toLong,
+            flags.get("version").map(_.toLong))
+          val cand = VersionedTable.candidateFiles(spark, table,
+            flags.getOrElse("key", ""),
+            flags.getOrElse("value", "0").toLong,
+            flags.get("version").map(_.toLong))
+          flags.get("output").foreach(o =>
+            df.write.mode("overwrite").parquet(o))
+          println(s"""{"rows": ${df.count()}, "files_read": ${cand.size}}""")
         case other => sys.error(s"unknown vtable op: $other")
       }
     case other => sys.error(s"unknown verb: $other")

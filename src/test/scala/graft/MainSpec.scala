@@ -278,4 +278,46 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/out").count() === 3)
     Main.run(spark, "vtable", root, Map("op" -> "history"))
   }
+
+  test("profile, graph components, events resample and vtable lookup verbs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-r5").toString
+
+    // profile: one row per column
+    Seq((1L, "x"), (2L, null)).toDF("k", "s").write.parquet(s"$dir/in")
+    Main.run(spark, "profile", s"$dir/in", Map("output" -> s"$dir/prof"))
+    val prof = spark.read.parquet(s"$dir/prof")
+      .select("column", "n_nulls").as[(String, Long)].collect().toMap
+    assert(prof === Map("k" -> 0L, "s" -> 1L))
+
+    // graph components over a basket table with --min-support
+    Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 30L), (3L, 40L),
+      (4L, 30L), (4L, 40L)).toDF("basket", "sku").write.parquet(s"$dir/b")
+    Main.run(spark, "graph", s"$dir/b", Map("op" -> "components",
+      "key-col" -> "basket", "item-col" -> "sku",
+      "min-support" -> "2", "output" -> s"$dir/cc"))
+    val cc = spark.read.parquet(s"$dir/cc")
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(10L -> 10L, 20L -> 10L, 30L -> 30L, 40L -> 30L))
+
+    // events resample --fill lerp over an integral-ts events table
+    Seq((1L, 0L * 60000000000L, 1L, "m", 10.0),
+      (2L, 30L * 60000000000L, 1L, "m", 40.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/ev")
+    Main.run(spark, "events", s"$dir/ev", Map("op" -> "resample",
+      "fill" -> "lerp", "step-minutes" -> "10", "output" -> s"$dir/rs"))
+    val rs = spark.read.parquet(s"$dir/rs")
+      .select("bucket", "value").as[(Long, Double)].collect().toMap
+    assert(rs === Map(0L -> 10.0, 1L -> 20.0, 2L -> 30.0, 3L -> 40.0))
+
+    // vtable lookup on a bloom-indexed table
+    val root = s"$dir/vt"
+    store.VersionedTable.create(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s"), bloomKeys = Seq("k"))
+    Main.run(spark, "vtable", root,
+      Map("op" -> "lookup", "key" -> "k", "value" -> "2",
+        "output" -> s"$dir/hit"))
+    assert(spark.read.parquet(s"$dir/hit")
+      .as[(Long, String)].collect().toSeq === Seq((2L, "b")))
+  }
 }
