@@ -46,7 +46,13 @@ object PlanDump {
       "txt_lr_quality" -> ("scoring pass of the engine-trained LR: driver-held weights constant-fold into a narrow scan-speed projection, zero data exchanges before the output ordering"),
       "pipe_dsir_select" -> ("per-doc log-ratio under two bigram models in ONE stream pass: both models' log-probs sit on a merged per-DISTINCT-bigram q table, the corpus-sized bigram stream pays one join + one doc aggregate; the cross BNLJ broadcasts ONE-ROW smoothing-totals aggregates; selection is TakeOrderedAndProject, no global sort"),
       "txt_hybrid_rrf" -> ("RRF fusion of the BM25 and cosine lists: both retrievals end in TakeOrderedAndProject (k rows); the fusion full-outer join touches only those two k-row tables, never the corpus"),
-      "dedup_survivors_quality" -> ("quality election over the cluster map: one max(struct(score,-id)) partial/final aggregate on the cluster label (sort-based — struct buffers aren't hash-aggregable — but map-side combined to <=|clusters| rows before the single exchange) + one member join; no window, no text re-scan past the quality projection"))
+      "dedup_survivors_quality" -> ("quality election over the cluster map: one max(struct(score,-id)) partial/final aggregate on the cluster label (sort-based — struct buffers aren't hash-aggregable — but map-side combined to <=|clusters| rows before the single exchange) + one member join; no window, no text re-scan past the quality projection"),
+      "q4_late_orders" -> ("grouped EXISTS as LEFT SEMI: equi-keyed on orderkey with the shipdate inequality as join residual — no per-order subquery, fact legs stay hash/SMJ under AQE"),
+      "q7_volume_shipping" -> ("nation dims filtered to 2 rows and broadcast on BOTH legs; fact joins shuffle on their natural keys; year extraction rides the final groupBy"),
+      "q10_returned_items" -> ("returnflag + order-quarter filters pushed to the scans; 25-row nation broadcast; customer-attribute grouping rides the custkey shuffle; top-20 is TakeOrderedAndProject"),
+      "q_components" -> ("frequent-edge build: co-partitioned self-join + one pair-count groupBy; the star-contraction labeling runs per-round join+groupBy with lineage cut, never a diameter-length chain"),
+      "q_hll_orders_month" -> ("register build is ONE narrow shuffle keyed (month, bucket) with partial MAX; estimate collapses <=64 register rows per group — no count_distinct Expand anywhere"),
+      "evt_resample_lerp" -> ("one shuffle on the key: bucket agg, grid bounds, grid join and BOTH neighbor scans (back/forward frames) share the partitioning and a single window sort"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")
     out.append("Generated by `graft.PlanDump`. What to look for is noted per query;\n")
