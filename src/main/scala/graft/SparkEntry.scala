@@ -34,7 +34,7 @@ object SparkEntry {
     analytics.Hll.queries ++ analytics.Profile.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
     text.HybridSearch.queries ++
-    text.HeavyHitters.queries ++ text.Bpe.queries ++
+    text.HeavyHitters.queries ++ text.CountMin.queries ++ text.Bpe.queries ++
     text.Collocations.queries ++ text.LanguageModel.queries ++
     text.QualityClassifier.queries ++ text.ImportanceSampler.queries ++
     dedup.DedupSurface.queries ++
@@ -62,7 +62,7 @@ object SparkEntry {
     analytics.Hll.oracles ++ analytics.Profile.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HybridSearch.oracles ++
-    text.HeavyHitters.oracles ++ text.Bpe.oracles ++
+    text.HeavyHitters.oracles ++ text.CountMin.oracles ++ text.Bpe.oracles ++
     text.Collocations.oracles ++ text.LanguageModel.oracles ++
     text.QualityClassifier.oracles ++ text.ImportanceSampler.oracles ++
     dedup.DedupSurface.oracles ++

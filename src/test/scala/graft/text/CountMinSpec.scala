@@ -1,0 +1,52 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class CountMinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def itemsDf(xs: Seq[String]) = xs.toDF("item")
+
+  test("CMS estimates are one-sided: est >= true count, excess within e*n/w") {
+    val rnd = new scala.util.Random(5)
+    // skewed stream: token-i frequency ~ 1/i
+    val stream = (1 to 200).flatMap(i => Seq.fill(400 / i + 1)(s"tok$i"))
+    val shuffled = rnd.shuffle(stream)
+    val cms = CountMin.sketch(itemsDf(shuffled), "item")
+    val probes = itemsDf(stream.distinct)
+    val est = CountMin.estimate(cms, probes, "item")
+      .as[(String, Long)].collect().toMap
+    val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = stream.size.toLong
+    truth.foreach { case (t, c) =>
+      assert(est(t) >= c, s"CMS must never undercount ($t)")
+      assert(est(t) - c <= math.ceil(math.E * n / CountMin.GateWidth).toLong,
+        s"excess for $t beyond the e*n/w bound")
+    }
+  }
+
+  test("cell-wise merge equals the direct sketch; partition-invariant") {
+    val a = itemsDf(Seq.fill(100)("x") ++ Seq("y", "z"))
+    val b = itemsDf(Seq.fill(50)("y") ++ Seq("x"))
+    val direct = CountMin.sketch(a.union(b), "item")
+      .as[(Int, Int, Long)].collect().toSet
+    val merged = CountMin.merge(
+        CountMin.sketch(a, "item").unionByName(CountMin.sketch(b, "item")))
+      .as[(Int, Int, Long)].collect().toSet
+    assert(direct === merged)
+    val repart = CountMin.sketch(a.union(b).repartition(7), "item")
+      .as[(Int, Int, Long)].collect().toSet
+    assert(direct === repart)
+    // sketch is bounded by d*w cells
+    assert(direct.size <= CountMin.GateDepth * CountMin.GateWidth)
+  }
+
+  test("absent items estimate only collision mass, never negative") {
+    val cms = CountMin.sketch(itemsDf(Seq.fill(10)("present")), "item")
+    val est = CountMin.estimate(cms, itemsDf(Seq("absent-1", "absent-2")), "item")
+      .as[(String, Long)].collect().toMap
+    est.values.foreach(v => assert(v >= 0L && v <= 10L))
+  }
+}
