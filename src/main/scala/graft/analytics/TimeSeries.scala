@@ -115,6 +115,39 @@ object TimeSeries {
         col("is_gap"))
   }
 
+  /** Gate hopping shape: 6 h windows every 2 h (overlap factor 3). */
+  val GateHopSizeMicros: Long = 6L * 3600 * 1000 * 1000
+  val GateHopSlideMicros: Long = 2L * 3600 * 1000 * 1000
+
+  /** Hopping (sliding) event-time windows: each event lands in
+    * `size/slide` overlapping windows — the alert/rate shape tumbling
+    * windows can't express (`pa_monitor_windows` is the tumbling member of
+    * the family, `evt_sessions` the session member). Window starts are
+    * exact epoch-micros arithmetic: the last start ≤ us is
+    * `(us div slide) * slide`; the event also belongs to the size/slide−1
+    * earlier starts still covering it. The explode factor is the overlap
+    * factor (a constant), then ONE shuffle keyed (window, group) with
+    * partial aggregation — identical semantics to Structured Streaming's
+    * `window(ts, size, slide)` groupBy, which is the streaming twin
+    * (spec-asserted batch ≡ stream).
+    */
+  def hoppingWindowAgg(events: DataFrame, groupCol: String, tsCol: String,
+      valueCol: String, sizeMicros: Long, slideMicros: Long): DataFrame = {
+    require(sizeMicros % slideMicros == 0,
+      "window size must be a multiple of the slide (same rule as Spark's window())")
+    val k = sizeMicros / slideMicros
+    events.select(col(groupCol).as("grp"), unix_micros(col(tsCol)).as("us"),
+        col(valueCol).as("value"))
+      .withColumn("w0", expr(s"(us div ${slideMicros}L) * ${slideMicros}L"))
+      .withColumn("window_start",
+        explode(sequence(col("w0") - lit((k - 1) * slideMicros), col("w0"),
+          lit(slideMicros))))
+      .groupBy(col("window_start"), col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("total"))
+      .select(col("window_start"), col("grp"), col("n"), col("total"))
+  }
+
   /** Anomaly window: stats over the 20 observations BEFORE each row (the
     * row never dilutes its own baseline); z needs ≥5 of them.
     */
@@ -175,6 +208,10 @@ object TimeSeries {
       resampleLerp(Tables.events(s, d).filter(col("event_type") === "purchase"),
         "user_id", "ts", "event_id", "value", GateStepMicros)
         .orderBy("key", "bucket")),
+    "evt_hopping_windows" -> ((s, d) =>
+      hoppingWindowAgg(Tables.events(s, d), "event_type", "ts", "value",
+        GateHopSizeMicros, GateHopSlideMicros)
+        .orderBy("window_start", "grp")),
     "evt_anomalies" -> ((s, d) =>
       rollingAnomalies(Tables.events(s, d), Seq("user_id", "event_type"),
         "ts", "event_id", "value")
@@ -243,6 +280,18 @@ object TimeSeries {
       |  END AS value,
       |  obs_value IS NULL AS is_gap
       |FROM nn ORDER BY key, bucket""".stripMargin,
+    "evt_hopping_windows" -> s"""
+      |WITH e AS (SELECT event_type AS grp, epoch_us(ts) AS us, value
+      |  FROM events),
+      |x AS (SELECT grp, value,
+      |    unnest(range((us // ${GateHopSlideMicros}) * ${GateHopSlideMicros}
+      |        - ${(GateHopSizeMicros / GateHopSlideMicros - 1) * GateHopSlideMicros},
+      |      (us // ${GateHopSlideMicros}) * ${GateHopSlideMicros} + 1,
+      |      ${GateHopSlideMicros})) AS window_start
+      |  FROM e)
+      |SELECT window_start, grp, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |FROM x GROUP BY 1, 2 ORDER BY window_start, grp""".stripMargin,
     "evt_anomalies" -> s"""
       |WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value
       |  FROM events),

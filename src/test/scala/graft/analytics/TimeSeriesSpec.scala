@@ -2,6 +2,8 @@ package graft.analytics
 
 import java.sql.Timestamp
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 class TimeSeriesSpec extends SparkSpec {
@@ -106,6 +108,39 @@ class TimeSeriesSpec extends SparkSpec {
       val nv = obs.find(_._1 > g._2).get._2
       assert(g._5 >= math.min(pv, nv) - 1e-9 && g._5 <= math.max(pv, nv) + 1e-9)
     }
+  }
+
+  test("hoppingWindowAgg ≡ Spark window() groupBy, batch and streaming") {
+    import org.apache.spark.sql.streaming.Trigger
+    val size = "6 hours"
+    val slide = "2 hours"
+    val ev = graft.Tables.events(spark, sf0001)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, String, Long, Double)].collect().toSet
+
+    val mine = norm(TimeSeries.hoppingWindowAgg(ev, "event_type", "ts",
+      "value", TimeSeries.GateHopSizeMicros, TimeSeries.GateHopSlideMicros)
+      .select($"window_start", $"grp", $"n", $"total"))
+
+    def sparkWindowed(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(window($"ts", size, slide), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum($"value".cast("decimal(18,4)")).cast("double").as("total"))
+        .select(unix_micros($"window.start").as("window_start"),
+          $"event_type", $"n", $"total")
+
+    assert(mine === norm(sparkWindowed(ev)),
+      "integer-arithmetic hopping windows must equal Spark's window()")
+
+    val q = sparkWindowed(eventsStream("graft-hop-events"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hop_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      assert(mine === norm(spark.table("hop_stream")),
+        "streaming twin diverged from the batch hopping windows")
+    } finally q.stop()
   }
 
   test("rollingAnomalies flags a planted outlier against its trailing window") {
