@@ -41,6 +41,18 @@ object KeyBloom {
     }
   }
 
+  /** Key derivation for STRING bloom columns: top 60 bits of md5 — the
+    * same value as the engine's portable `conv(substr(md5(s),1,15),16,10)`
+    * construction, computed identically on driver (point lookups) and
+    * executors (bloom builds). Strings hash to a key; the bloom machinery
+    * below is unchanged.
+    */
+  def stringKey(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    java.nio.ByteBuffer.wrap(d).getLong >>> 4
+  }
+
   private def mix(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L
     z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L

@@ -183,13 +183,23 @@ object VersionedTable {
     val m = KeyBloom.bitsFor(entries.map(_.rows).max)
     if (m < 0) return entries
     val words = m / 64
+    val data = spark.read.parquet(dir)
     cols.foldLeft(entries) { (es, c) =>
-      val perFile = spark.read.parquet(dir)
-        .select(input_file_name().as("f"), col(c).cast("long").as("k"))
+      // integral columns bloom their value; string columns bloom
+      // KeyBloom.stringKey (the same md5-60 a driver-side lookup derives)
+      val isString = data.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType
+      val keyed = data
+        .select(input_file_name().as("f"), col(c).as("k"))
         .filter(col("k").isNotNull)
         .rdd
-        .map(r => (r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1),
-          r.getLong(1)))
+        .map { r =>
+          val file = r.getString(0).substring(r.getString(0).lastIndexOf('/') + 1)
+          val k = if (isString) KeyBloom.stringKey(r.getString(1))
+            else r.getAs[Number](1).longValue
+          (file, k)
+        }
+      val perFile = keyed
         .aggregateByKey(new Array[Long](words))(
           (a, k) => KeyBloom.add(a, m, k), KeyBloom.or)
         .collect().toMap
@@ -390,6 +400,36 @@ object VersionedTable {
     else spark.read.schema(s.schema)
       .parquet(files.map(p => s"$root/$p"): _*)
       .filter(col(key).cast("long") === value)
+  }
+
+  /** String-key variants: the bloom probes [[KeyBloom.stringKey]] (the
+    * hash [[attachBlooms]] built string blooms with) and the range check
+    * compares the footer min/max strings lexically — URL / fingerprint /
+    * natural-key point reads without a surrogate id.
+    */
+  def candidateFilesString(spark: SparkSession, root: String, key: String,
+      value: String, version: Option[Long] = None): Seq[String] = {
+    val s = snapshot(spark, root, version)
+    val h = KeyBloom.stringKey(value)
+    s.files.filter { fe =>
+      val rangeHit = (fe.mins.get(key), fe.maxs.get(key)) match {
+        case (Some(mn), Some(mx)) => mn <= value && value <= mx
+        case _ => true
+      }
+      rangeHit && fe.blooms.get(key).forall(KeyBloom.mightContain(_, h))
+    }.map(_.path)
+  }
+
+  /** Point lookup by string key reading only [[candidateFilesString]]. */
+  def pointLookupString(spark: SparkSession, root: String, key: String,
+      value: String, version: Option[Long] = None): DataFrame = {
+    val s = snapshot(spark, root, version)
+    val files = candidateFilesString(spark, root, key, value, version)
+    if (files.isEmpty)
+      spark.createDataFrame(spark.sparkContext.emptyRDD[Row], s.schema)
+    else spark.read.schema(s.schema)
+      .parquet(files.map(p => s"$root/$p"): _*)
+      .filter(col(key) === value)
   }
 
   /** Read version `version` (default: latest) as a DataFrame. */
