@@ -31,6 +31,7 @@ object SparkEntry {
     analytics.Layout.queries ++ analytics.FuzzyJoin.queries ++
     analytics.BloomPrune.queries ++
     analytics.Ranking.queries ++ analytics.Graph.queries ++
+    analytics.TpchShapes.queries ++
     analytics.Hll.queries ++ analytics.Profile.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
     text.HybridSearch.queries ++
@@ -59,6 +60,7 @@ object SparkEntry {
     analytics.Layout.oracles ++ analytics.FuzzyJoin.oracles ++
     analytics.BloomPrune.oracles ++
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
+    analytics.TpchShapes.oracles ++
     analytics.Hll.oracles ++ analytics.Profile.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HybridSearch.oracles ++

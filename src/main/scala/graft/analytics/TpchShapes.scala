@@ -1,0 +1,349 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** The remaining classic TPC-H plan shapes the engine had not yet gated:
+  * correlated-subquery decorrelation (min-per-group, scalar-average,
+  * EXISTS/NOT-EXISTS chains), outer-join count distributions, disjunctive
+  * join residuals, and conditional-ratio aggregates. The reference has none
+  * of these (SURVEY.md §2.3/§2.4 "absent" rows) — they exist so a user of
+  * the reference who graduates to relational analytics finds every classic
+  * decorrelation shape present and oracle-checked.
+  *
+  * Exactness playbook (same as [[Relational]]): money/quantity columns are
+  * exact 2-decimal doubles, so sums/averages run through decimal casts and
+  * threshold comparisons are cross-multiplied (`x·n > Σ`) instead of
+  * dividing — boundary rows can otherwise flip under a different double
+  * summation order and break oracle hash parity.
+  */
+object TpchShapes {
+
+  private def revenue = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+    .cast("decimal(24,6)")
+
+  /** TPC-H Q2 analog (min-cost supplier): for each size-15 part, the
+    * ASIA-region offer rows achieving the minimum `l_extendedprice`
+    * (lineitem stands in for partsupp — testdata has no partsupp table).
+    *
+    * The correlated `price = (SELECT MIN(price) ... same part)` subquery
+    * decorrelates into a window MIN over `l_partkey`: ONE shuffle of the
+    * filtered offers, no self-join back (the join-back formulation scans
+    * offers twice). Region suppliers and size-15 parts are broadcast —
+    * both are heavily filtered dims (supplier×1/5 regions, part×1/50
+    * sizes); the offer leg is never broadcast (grows with sf). Min and the
+    * equality filter are on raw doubles — no arithmetic, so exact.
+    */
+  def q2MinCostSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val asiaNations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey", "n_name")
+    val supp = Tables.supplier(spark, sfDir)
+      .join(broadcast(asiaNations), col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    val parts = Tables.part(spark, sfDir).filter(col("p_size") === 15)
+      .select("p_partkey", "p_brand")
+    val offers = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+    offers
+      .withColumn("min_price",
+        min(col("l_extendedprice")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("l_extendedprice") === col("min_price"))
+      .select(col("p_partkey"), col("p_brand"), col("s_name"),
+        col("s_acctbal"), col("n_name"), col("min_price"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  val q2Sql: String =
+    """WITH offers AS (
+      |  SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, l_extendedprice
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  JOIN region ON n_regionkey = r_regionkey
+      |  WHERE p_size = 15 AND r_name = 'ASIA')
+      |SELECT p_partkey, p_brand, s_name, s_acctbal, n_name,
+      |       l_extendedprice AS min_price
+      |FROM offers o
+      |WHERE l_extendedprice = (SELECT MIN(l_extendedprice) FROM offers i
+      |                         WHERE i.p_partkey = o.p_partkey)
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q13 analog (customer order-count distribution): how many
+    * customers placed 0, 1, 2, … non-urgent orders. The classic trap is
+    * joining customer×orders THEN counting — one joined row per order.
+    * Aggregating orders by `o_custkey` FIRST means the left join carries
+    * one row per customer on each side; at sf100 that is 15 M rows joined
+    * to 15 M pre-aggregated counts instead of 150 M order rows. The LEFT
+    * join keeps zero-order customers (the `c_count = 0` bucket).
+    */
+  def q13CustomerDistribution(spark: SparkSession, sfDir: String): DataFrame = {
+    val cnt = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+    Tables.customer(spark, sfDir).select("c_custkey")
+      .join(cnt, col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+      .groupBy(col("c_count")).agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13Sql: String =
+    """SELECT c_count, COUNT(*) AS custdist
+      |FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** TPC-H Q14 analog (promotion effect): the percentage of one month's
+    * revenue from PROMO-type parts. Conditional-numerator / total-
+    * denominator in ONE aggregate over the joined month slice — no second
+    * pass for the denominator. The month filter is pushed to the lineitem
+    * scan; the part side carries only (partkey, is-promo bit). Both sums
+    * are exact decimals; the final ratio is one double division both
+    * engines evaluate on identical operands.
+    */
+  def q14PromoRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val part = Tables.part(spark, sfDir)
+      .select(col("p_partkey"), (col("p_type") === "PROMO").as("is_promo"))
+    li.join(part, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("is_promo"), revenue).otherwise(lit(0).cast("decimal(24,6)")))
+          .cast("double").as("promo_revenue"),
+        sum(revenue).cast("double").as("total_revenue"))
+      .select(
+        (lit(100.0) * col("promo_revenue") / col("total_revenue"))
+          .as("promo_pct"),
+        col("promo_revenue"), col("total_revenue"))
+  }
+
+  val q14Sql: String =
+    """SELECT 100.0 * promo_revenue / total_revenue AS promo_pct,
+      |       promo_revenue, total_revenue
+      |FROM (
+      |  SELECT
+      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
+      |      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) AS promo_revenue,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |      AS DOUBLE) AS total_revenue
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00')""".stripMargin
+
+  /** TPC-H Q15 analog (top supplier): supplier(s) with the maximum revenue
+    * over 1997Q1. The scalar `= (SELECT MAX(...))` subquery becomes a
+    * 1-row max aggregate broadcast back onto the per-supplier revenue
+    * table — no global window (a whole-table window would single-partition
+    * the revenue table; the broadcast join keeps it distributed). Ties all
+    * surface, exactly as the view-based original. Revenue is an exact
+    * decimal, so the max-equality never flips under summation order.
+    */
+  def q15TopSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(revenue).as("rev"))
+    val top = rev.join(broadcast(rev.agg(max(col("rev")).as("max_rev"))),
+      col("rev") === col("max_rev"))
+    top.join(Tables.supplier(spark, sfDir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("rev").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15Sql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(rev AS DOUBLE) AS total_revenue
+      |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      |WHERE rev = (SELECT MAX(rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q19 analog (disjunctive predicates): revenue over an OR of
+    * three (brand, size-band, quantity-band) conjunctions. The plan trick:
+    * the UNION BOUNDS of the disjunction (brand ∈ {3 brands}, size ≤ 15,
+    * quantity ≤ 30) are pushed to the two scans as plain conjunctive
+    * filters — the scans skip everything no branch could accept — and the
+    * exact disjunction evaluates once as the join residual. Without the
+    * bound extraction the lineitem scan reads every row at 100 TB.
+    */
+  def q19DisjunctiveBands(spark: SparkSession, sfDir: String): DataFrame = {
+    val part = Tables.part(spark, sfDir)
+      .filter(col("p_brand").isin("Brand#1", "Brand#12", "Brand#23") &&
+        col("p_size").between(1, 15))
+      .select("p_partkey", "p_brand", "p_size")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_quantity").between(1, 30))
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val branch =
+      (col("p_brand") === "Brand#1" && col("p_size").between(1, 5) &&
+        col("l_quantity").between(1, 11)) ||
+      (col("p_brand") === "Brand#12" && col("p_size").between(1, 10) &&
+        col("l_quantity").between(10, 20)) ||
+      (col("p_brand") === "Brand#23" && col("p_size").between(1, 15) &&
+        col("l_quantity").between(20, 30))
+    li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .filter(branch)
+      .agg(sum(revenue).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
+  val q19Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |    AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5
+      |       AND l_quantity BETWEEN 1 AND 11)
+      |   OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 10
+      |       AND l_quantity BETWEEN 10 AND 20)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin
+
+  /** TPC-H Q21 analog (suppliers who kept orders waiting): suppliers who
+    * were the ONLY one to fail (returnflag 'R' stands in for
+    * receipt-after-commit — testdata has no receipt/commit dates) in a
+    * multi-supplier order, with how often. The correlated
+    * `EXISTS(other supplier) AND NOT EXISTS(other failed supplier)` chain
+    * decorrelates into per-order counting — and the count runs in TWO
+    * stages: first collapse lineitem to one row per (order, supplier)
+    * (partial-agg friendly), then per order count suppliers and failed
+    * suppliers. That avoids Spark's count-DISTINCT expand over the raw
+    * lineitem stream; the second shuffle only carries the collapsed pairs.
+    * An order qualifies when ≥2 suppliers touched it and exactly one
+    * failed; `max(when(failed, suppkey))` is well-defined precisely
+    * because n_failed = 1.
+    */
+  def q21LoneFailedSupplier(spark: SparkSession, sfDir: String): DataFrame = {
+    val perPair = Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_orderkey"), col("l_suppkey"))
+      .agg(max(when(col("l_returnflag") === "R", 1).otherwise(0)).as("failed"))
+    val perOrder = perPair.groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("failed")).as("n_failed"),
+        max(when(col("failed") === 1, col("l_suppkey"))).as("failed_supp"))
+      .filter(col("n_supp") >= 2 && col("n_failed") === 1)
+    perOrder.groupBy(col("failed_supp"))
+      .agg(count(lit(1)).as("numwait"))
+      .join(Tables.supplier(spark, sfDir),
+        col("failed_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  // COUNT(DISTINCT l1.l_orderkey), not COUNT(*): numwait counts ORDERS kept
+  // waiting — a supplier with two failed lines in one order waited once
+  val q21Sql: String =
+    """SELECT s_name, CAST(COUNT(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1
+      |WHERE s_suppkey = l1.l_suppkey AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
+  /** TPC-H Q22 analog (dormant high-balance customers): customers in six
+    * target nations whose balance beats the global positive-balance
+    * average and who placed no order since mid-2000, counted per nation.
+    *
+    * Decorrelation: the scalar `> (SELECT AVG(...))` subquery becomes a
+    * 1-row (Σ, n) aggregate broadcast onto the candidates, compared as
+    * `bal·n > Σ` in decimal (an average double would make boundary
+    * customers order-dependent). The `NOT EXISTS(recent order)` becomes a
+    * LEFT ANTI join against the date-filtered orders — the filter is
+    * pushed to the orders scan, and only (o_custkey) survives to the
+    * shuffle. For huge key sets the bloom-prefiltered anti join
+    * ([[BloomPrune]]) is the drop-in upgrade.
+    */
+  def q22DormantCustomers(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+    val global = cust.filter(col("c_acctbal") > 0)
+      .agg(sum(col("c_acctbal").cast("decimal(18,4)")).as("s"),
+        count(lit(1)).as("n"))
+    val cand = cust
+      .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11))
+      .join(broadcast(global))
+      .filter(col("c_acctbal").cast("decimal(18,4)") * col("n") > col("s"))
+      .select("c_custkey", "c_nationkey", "c_acctbal")
+    val recent = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("2000-07-01").cast("timestamp"))
+      .select("o_custkey")
+    cand.join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_custs"),
+        sum(col("c_acctbal").cast("decimal(18,4)")).cast("double")
+          .as("total_acctbal"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("n_custs"), col("total_acctbal"))
+      .orderBy("n_name")
+  }
+
+  val q22Sql: String =
+    """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
+      |  AND CAST(c_acctbal AS DECIMAL(18,4)) *
+      |      (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0) >
+      |      (SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) FROM customer
+      |       WHERE c_acctbal > 0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-07-01 00:00:00')
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_min_cost_supplier" -> (q2MinCostSupplier _),
+    "q13_customer_distribution" -> (q13CustomerDistribution _),
+    "q14_promo_revenue" -> (q14PromoRevenue _),
+    "q15_top_supplier" -> (q15TopSupplier _),
+    "q19_disjunctive_bands" -> (q19DisjunctiveBands _),
+    "q21_lone_failed_supplier" -> (q21LoneFailedSupplier _),
+    "q22_dormant_customers" -> (q22DormantCustomers _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q2_min_cost_supplier" -> q2Sql,
+    "q13_customer_distribution" -> q13Sql,
+    "q14_promo_revenue" -> q14Sql,
+    "q15_top_supplier" -> q15Sql,
+    "q19_disjunctive_bands" -> q19Sql,
+    "q21_lone_failed_supplier" -> q21Sql,
+    "q22_dormant_customers" -> q22Sql,
+  )
+}

