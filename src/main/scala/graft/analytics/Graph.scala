@@ -186,6 +186,46 @@ object Graph {
   /** Gate support threshold: pairs co-occurring in ≥ 2 orders. */
   val CcMinSupport = 2L
 
+  /** k-core subgraph of an undirected (src < dst) edge list: iteratively
+    * peel nodes of induced-degree < k until fixpoint; returns the
+    * surviving (node, degree-within-core) rows. Classic iterative
+    * refinement: each round is one groupBy (degrees) + two semi joins
+    * (restrict both endpoints to survivors) — all keyed on node id, no
+    * driver-side graph state; lineage cut per round ([[graft.plans.Lineage]],
+    * so cluster runs can elect reliable checkpoints). Early-stops on
+    * fixpoint (directed-edge count unchanged); bounded by `maxRounds` —
+    * a round count both the engine and the unrolled-CTE oracle share, so
+    * results agree even on inputs that haven't converged by the bound
+    * (post-fixpoint rounds are identities).
+    */
+  def kCore(edges: DataFrame, k: Int, maxRounds: Int = KcoreRounds): DataFrame = {
+    var dir = graft.plans.Lineage.cut(
+      edges.select(col("src").as("u"), col("dst").as("v"))
+        .unionByName(edges.select(col("dst").as("u"), col("src").as("v"))))
+    var m = dir.count()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val keep = dir.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k).select("u")
+      val next = graft.plans.Lineage.cut(
+        dir.join(keep, Seq("u"), "left_semi")
+          .join(keep.withColumnRenamed("u", "v"), Seq("v"), "left_semi"))
+      val m2 = next.count()
+      dir.unpersist()
+      dir = next
+      converged = m2 == m
+      m = m2
+      round += 1
+    }
+    dir.groupBy(col("u").cast("long").as("node"))
+      .agg(count(lit(1)).as("degree"))
+  }
+
+  /** Gate core order and round bound (sf0.01 reaches fixpoint in 11). */
+  val KcoreK = 3
+  val KcoreRounds = 12
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) =>
       triangleCount(
@@ -198,6 +238,11 @@ object Graph {
       components(
         frequentCoEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
           CcMinSupport))
+        .orderBy("node")),
+    "q_kcore" -> ((s, d) =>
+      kCore(
+        frequentCoEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
+          CcMinSupport), KcoreK)
         .orderBy("node")))
 
   private val edgeCte =
@@ -262,5 +307,26 @@ object Graph {
       |  UNION
       |  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id)
       |SELECT CAST(id AS BIGINT) AS node, CAST(MIN(lab) AS BIGINT) AS component
-      |FROM reach GROUP BY id ORDER BY node""".stripMargin)
+      |FROM reach GROUP BY id ORDER BY node""".stripMargin,
+    // k-core via unrolled peeling rounds sharing the engine's round bound:
+    // rounds past the fixpoint are identities, so engine early-stop and
+    // the oracle's fixed unroll agree on any input. Every CTE is
+    // MATERIALIZED — each round references its predecessor twice, and
+    // inlining would re-evaluate the chain exponentially
+    "q_kcore" -> s"""
+      |WITH e0 AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $CcMinSupport),
+      |dir AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |n0 AS MATERIALIZED (SELECT DISTINCT u AS id FROM dir),
+      |${(1 to KcoreRounds).map(r =>
+          s"""n$r AS MATERIALIZED (SELECT u AS id FROM dir
+             |  JOIN n${r - 1} a ON u = a.id JOIN n${r - 1} b ON v = b.id
+             |  GROUP BY u HAVING COUNT(*) >= $KcoreK)""".stripMargin)
+         .mkString(",\n")}
+      |SELECT CAST(u AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
+      |FROM dir JOIN n$KcoreRounds a ON u = a.id JOIN n$KcoreRounds b ON v = b.id
+      |GROUP BY u ORDER BY node""".stripMargin)
 }

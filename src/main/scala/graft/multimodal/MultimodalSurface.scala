@@ -65,12 +65,58 @@ object MultimodalSurface {
           (0 until HtDim).map(j =>
             element_at(col("embedding"), j + 1).as(s"v$j")): _*)
         .orderBy("doc_id")),
+    // REAL codec round trip: WAV bytes written and re-parsed by javax.sound
+    "mm_audio" -> (audioFeatures _),
   )
 
   /** Gate dimensionality for the hashing-trick embedder (small so the
     * oracle compares named scalar columns, like `mm_embed_batch`).
     */
   val HtDim = 8
+
+  /** Deterministic PCM16 test signal for the audio gate: n = 64 + id%193
+    * samples, s_i = ((id+1)·2654435761 + i·40503) mod 2¹⁶ − 2¹⁵ — all
+    * positive-BIGINT arithmetic so the oracle reproduces it verbatim.
+    */
+  private[multimodal] def synthSamples(docId: Long): Array[Short] = {
+    val n = 64 + (docId % 193).toInt
+    Array.tabulate(n)(i =>
+      ((((docId + 1) * 2654435761L + i * 40503L) % 65536L) - 32768L).toShort)
+  }
+
+  /** Real-container audio dataflow: synthesize PCM → wrap in a RIFF/WAVE
+    * payload ([[WavCodec.synthWav]]) → re-parse through the actual
+    * `javax.sound` reader ([[WavCodec.decodeSamples]]) → integer-exact
+    * features (sample count, Σ|s|, zero crossings). The payload exists as
+    * a genuine binary column between the two UDFs — the same shape as
+    * bytes loaded from object storage — so the gate proves the decode
+    * path, not just the arithmetic. Narrow per-row work, no shuffle until
+    * the final sort.
+    */
+  private def audioFeatures(s: SparkSession, d: String): DataFrame = {
+    val synth = udf((id: Long) => WavCodec.synthWav(synthSamples(id)))
+    val stats = udf((payload: Array[Byte]) =>
+      WavCodec.decodeSamples(payload).map { sm =>
+        var sumAbs = 0L
+        var zc = 0L
+        var i = 0
+        while (i < sm.length) {
+          sumAbs += math.abs(sm(i).toLong)
+          if (i > 0 && sm(i - 1) * sm(i) < 0) zc += 1
+          i += 1
+        }
+        (sm.length.toLong, sumAbs, zc)
+      })
+    Tables.documents(s, d).filter(col("doc_id") % 3 === 1)
+      .select(col("doc_id"), synth(col("doc_id")).as("wav"))
+      .select(col("doc_id"),
+        octet_length(col("wav")).cast("long").as("wav_bytes"),
+        stats(col("wav")).as("st"))
+      .select(col("doc_id"), col("wav_bytes"),
+        col("st._1").as("n_samples"), col("st._2").as("sum_abs"),
+        col("st._3").as("zero_crossings"))
+      .orderBy("doc_id")
+  }
 
   val oracles: Map[String, String] = Map(
     "mm_media" ->
@@ -162,5 +208,25 @@ object MultimodalSurface {
             .mkString(", ")}
         |FROM base b LEFT JOIN nrm USING (doc_id) ORDER BY doc_id""".stripMargin
     },
+    // the engine's WAV payload is 44 header bytes + 2n PCM bytes; features
+    // re-derive from the same generator formula — hash parity proves the
+    // container round trip recovered every sample exactly
+    "mm_audio" ->
+      """WITH a AS (
+        |  SELECT doc_id, 64 + doc_id % 193 AS n
+        |  FROM documents WHERE doc_id % 3 = 1),
+        |s AS (
+        |  SELECT doc_id, n,
+        |    list_transform(range(0, n),
+        |      i -> ((doc_id + 1) * 2654435761 + i * 40503) % 65536 - 32768)
+        |      AS sm
+        |  FROM a)
+        |SELECT doc_id, CAST(44 + 2 * n AS BIGINT) AS wav_bytes,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(list_sum(list_transform(sm, x -> abs(x))) AS BIGINT) AS sum_abs,
+        |  CAST(COALESCE(list_sum(list_transform(range(1, n),
+        |    i -> CASE WHEN sm[CAST(i AS INT)] * sm[CAST(i + 1 AS INT)] < 0
+        |         THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -23,8 +23,12 @@ import javax.sound.sampled.{AudioFormat, AudioSystem}
   */
 object WavCodec extends Multimodal.MediaCodec {
 
-  /** (sampleCount, sumAbs) over 16-bit PCM frames; None if not decodable. */
-  private def pcmStats(payload: Array[Byte]): Option[(Long, Long)] =
+  /** Decoded 16-bit PCM frames via the real `javax.sound` parser; None if
+    * the payload is not a PCM_SIGNED 16-bit stream. This is the parsed-
+    * container path — header fields (endianness, data offset) come from
+    * the codec, not from assumptions about the writer.
+    */
+  def decodeSamples(payload: Array[Byte]): Option[Array[Short]] =
     try {
       val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(payload))
       try {
@@ -34,21 +38,44 @@ object WavCodec extends Multimodal.MediaCodec {
         else {
           val bytes = in.readAllBytes()
           val big = fmt.isBigEndian
+          val out = new Array[Short](bytes.length / 2)
           var i = 0
-          var n = 0L
-          var sumAbs = 0L
           while (i + 1 < bytes.length) {
-            val s =
+            out(i / 2) =
               if (big) ((bytes(i) << 8) | (bytes(i + 1) & 0xff)).toShort
               else ((bytes(i + 1) << 8) | (bytes(i) & 0xff)).toShort
-            sumAbs += math.abs(s.toLong)
-            n += 1
             i += 2
           }
-          Some((n, sumAbs))
+          Some(out)
         }
       } finally in.close()
     } catch { case _: Exception => None }
+
+  /** Minimal canonical RIFF/WAVE container around PCM_SIGNED 16-bit LE
+    * mono samples — the writer half of the round trip `decodeSamples`
+    * re-parses. Hand-rolled (44-byte header) so the bytes are
+    * deterministic; `javax.sound` reads it back like any interchange WAV.
+    */
+  def synthWav(samples: Array[Short], sampleRate: Int = 8000): Array[Byte] = {
+    val dataSize = samples.length * 2
+    val buf = java.nio.ByteBuffer.allocate(44 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(sampleRate).putInt(sampleRate * 2)
+      .putShort(2).putShort(16) // block align, bits/sample
+      .put("data".getBytes("US-ASCII")).putInt(dataSize)
+    samples.foreach(buf.putShort)
+    buf.array()
+  }
+
+  /** (sampleCount, sumAbs) over 16-bit PCM frames; None if not decodable. */
+  private def pcmStats(payload: Array[Byte]): Option[(Long, Long)] =
+    decodeSamples(payload).map { s =>
+      (s.length.toLong, s.foldLeft(0L)((a, x) => a + math.abs(x.toLong)))
+    }
 
   override def decodeFeatures(kind: String, payload: Array[Byte]): (Long, Double) =
     (if (kind == "audio") pcmStats(payload) else None) match {

@@ -112,4 +112,25 @@ class GraphSpec extends SparkSpec {
     val got = Graph.components(edgeDf(es)).as[(Long, Long)].collect().toMap
     assert(got === want)
   }
+
+  test("kCore peels cascades: pendant chain unravels, cycle survives intact") {
+    // triangle 1-2-3 with a pendant path 3-4-5-6: for k=2 the path peels
+    // one node per round (6, then 5, then 4) — a genuine cascade — and the
+    // triangle remains with every degree exactly 2
+    val es = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+    val core = Graph.kCore(edgeDf(es), 2).as[(Long, Long)].collect().toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3 empties it
+    assert(Graph.kCore(edgeDf(es), 3).count() === 0L)
+  }
+
+  test("kCore early-stop result equals a deliberately over-unrolled run") {
+    val edges = Graph.frequentCoEdges(
+      graft.Tables.lineitem(spark, sf0001), "l_orderkey", "l_partkey", 2L)
+    val a = Graph.kCore(edges, Graph.KcoreK, maxRounds = Graph.KcoreRounds)
+      .as[(Long, Long)].collect().toSet
+    val b = Graph.kCore(edges, Graph.KcoreK, maxRounds = 30)
+      .as[(Long, Long)].collect().toSet
+    assert(a === b)
+  }
 }

@@ -263,4 +263,52 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.embedBatch(withNull, "doc_id", "text")
       .select($"doc_id").as[Long].collect().toSet === Set(1L))
   }
+
+  test("synthWav ↔ decodeSamples: lossless PCM16 container round trip") {
+    // edge amplitudes included: Short.MinValue has no positive negation
+    val samples = Array[Short](0, 1, -1, 32767, -32768, 12345, -12345, 7)
+    val wav = WavCodec.synthWav(samples)
+    assert(WavCodec.decodeSamples(wav).get.toSeq === samples.toSeq)
+    // the hand-rolled container is a real interchange WAV: javax.sound's
+    // own parser reports the declared format
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(in.getFormat.getSampleRate === 8000f &&
+      in.getFormat.getSampleSizeInBits === 16 && !in.getFormat.isBigEndian)
+    in.close()
+    // empty stream round-trips too
+    assert(WavCodec.decodeSamples(WavCodec.synthWav(Array.empty[Short]))
+      .get.isEmpty)
+    // cross-writer: AudioSystem.write's WAV of the same samples decodes to
+    // the same values (container-parsing, not byte-layout luck)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (sm, i) =>
+      pcm(2 * i) = (sm & 0xff).toByte
+      pcm(2 * i + 1) = ((sm >> 8) & 0xff).toByte
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    assert(WavCodec.decodeSamples(bos.toByteArray).get.toSeq === samples.toSeq)
+  }
+
+  test("mm_audio gate: partition-layout invariant, features match a driver re-derivation") {
+    val gate = MultimodalSurface.queries("mm_audio")
+    val out = gate(spark, sf0001)
+      .select($"doc_id", $"n_samples", $"sum_abs", $"zero_crossings")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out.nonEmpty)
+    // driver-side reference from the same generator, through real decode
+    out.take(20).foreach { case (id, n, sumAbs, zc) =>
+      val sm = WavCodec.decodeSamples(
+        WavCodec.synthWav(Array.tabulate((64 + id % 193).toInt)(i =>
+          ((((id + 1) * 2654435761L + i * 40503L) % 65536L) - 32768L).toShort))).get
+      assert(n === sm.length.toLong)
+      assert(sumAbs === sm.map(x => math.abs(x.toLong)).sum)
+      assert(zc === sm.sliding(2).count(p => p(0) * p(1) < 0).toLong)
+    }
+  }
 }
