@@ -62,6 +62,41 @@ object Ranking {
     }(org.apache.spark.sql.Encoders.row(schema))
   }
 
+  /** Exact global running (inclusive) prefix sum of `weight` in `keys`
+    * order — [[globalRowNumber]] generalized from counts to weights, same
+    * three-pass shape: range-repartition + local sort, a metadata-sized
+    * per-partition weight-sum collect, broadcast offsets, then one narrow
+    * partition-local accumulation. Powers weighted layout decisions
+    * (systematic/PPS sampling, size-balanced sharding) that would
+    * otherwise need a single-partition window. `keys` must be a total
+    * order; `weight` must be a non-negative integral column.
+    */
+  def globalPrefixSum(df: DataFrame, keys: Seq[Column], weight: Column,
+      partitions: Int = 0): DataFrame = {
+    val n = if (partitions > 0) partitions
+      else df.sparkSession.sessionState.conf.numShufflePartitions
+    val sorted = df.withColumn("__w", weight.cast("long"))
+      .repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+      .transform(graft.plans.Lineage.cut)
+    val sums = sorted.select(spark_partition_id().as("__pid"), col("__w"))
+      .groupBy(col("__pid")).agg(sum(col("__w")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until n).scanLeft(0L) { (acc, p) =>
+      acc + sums.getOrElse(p, 0L)
+    }.toArray
+    val wIdx = sorted.schema.fieldIndex("__w")
+    val schema = sorted.schema.add("cumw", org.apache.spark.sql.types.LongType,
+      nullable = false)
+    sorted.mapPartitions { it =>
+      var c = offsets(org.apache.spark.TaskContext.getPartitionId())
+      it.map { r =>
+        c += r.getLong(wIdx)
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ c)
+      }
+    }(org.apache.spark.sql.Encoders.row(schema))
+  }
+
   /** Rank statistics over per-customer order value: global row number,
     * percent_rank, cume_dist, and decile — all derived from [[globalRowNumber]]
     * by exact arithmetic (the sort key is unique, so rank == row_number and

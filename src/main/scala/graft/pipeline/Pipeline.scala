@@ -507,6 +507,30 @@ object Pipeline {
         coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** Systematic probability-proportional-to-size sampling: lay documents
+    * on a line in id order, each occupying an interval of its own weight
+    * (e.g. characters or tokens), and pick every document whose interval
+    * contains a multiple of `stride`. Inclusion probability = w/stride
+    * (for w < stride) with zero variance in the achieved total weight —
+    * the classic systematic PPS design, here fully deterministic (fixed
+    * phase, id order) so any two runs on any partitioning agree row-for-
+    * row. All integer arithmetic: a document at cumulative weight c with
+    * weight w is selected iff ⌊c/stride⌋ > ⌊(c−w)/stride⌋.
+    *
+    * Scale shape: the cumulative weight comes from
+    * [[graft.analytics.Ranking.globalPrefixSum]] (range partition + local
+    * sort + metadata-sized offset collect) — no single-partition window,
+    * no driver-side data rows. Zero-weight documents are never selected
+    * (their interval is empty).
+    */
+  def ppsSample(docs: DataFrame, idCol: String, weightCol: String,
+      stride: Long): DataFrame =
+    graft.analytics.Ranking.globalPrefixSum(
+        docs.select(col(idCol), col(weightCol).cast("long").as("w")),
+        Seq(col(idCol)), col("w"))
+      .filter(expr(s"cumw div $stride > (cumw - w) div $stride"))
+      .select(col(idCol), col("w"), col("cumw"))
+
   def mixtureSample(docs: DataFrame, idCol: String, strataCol: String,
       weights: Map[String, Int]): DataFrame = {
     val wexpr = weights.toSeq.sortBy(_._1)

@@ -132,7 +132,18 @@ object PipelineSurface {
       Pipeline.samplePerStratum(Tables.documents(s, d)
           .select("doc_id", "source"), "doc_id", "source", 20)
         .orderBy("source", "rank")),
+    // systematic PPS: every doc whose weight interval contains a multiple
+    // of the stride — inclusion ∝ n_chars, deterministic on any layout
+    "pipe_sample_pps" -> ((s, d) =>
+      Pipeline.ppsSample(Tables.documents(s, d).select("doc_id", "n_chars"),
+        "doc_id", "n_chars", PpsStride)
+        .orderBy("doc_id")),
   )
+
+  /** PPS stride: ~1/2048 of the corpus character mass per pick; all gate
+    * weights sit far below it, so no certainty selections.
+    */
+  val PpsStride = 2048L
 
   // ---- DuckDB fragments mirroring the Scala expressions ----
 
@@ -394,5 +405,15 @@ object PipelineSurface {
       |  FROM h)
       |SELECT doc_id, source, hkey, CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
+    // the distributed prefix sum re-derived as a plain window cumsum —
+    // what globalPrefixSum replaces at scale
+    "pipe_sample_pps" -> s"""
+      |WITH c AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS w,
+      |    CAST(SUM(CAST(n_chars AS BIGINT)) OVER (ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumw
+      |  FROM documents)
+      |SELECT doc_id, w, cumw FROM c
+      |WHERE cumw // $PpsStride > (cumw - w) // $PpsStride
+      |ORDER BY doc_id""".stripMargin,
   )
 }

@@ -416,4 +416,46 @@ class PipelineSpec extends SparkSpec {
     assert(c !== a)
     assert(c.values.toSeq.sorted === (0L until n))
   }
+
+  test("ppsSample: zero-variance pick count, layout invariance, weight edge cases") {
+    val docs = (1L to 400L).map(i => (i, 1L + (i * 37) % 97))
+      .toDF("doc_id", "w")
+    val stride = 512L
+    val total = docs.agg(sum($"w")).as[Long].head()
+    val picks = Pipeline.ppsSample(docs, "doc_id", "w", stride)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // systematic design: exactly ⌊W/stride⌋ multiples of stride in (0, W]
+    assert(picks.length.toLong === total / stride)
+    // partition-layout invariance: same rows from any input layout
+    val picks2 = Pipeline.ppsSample(docs.repartition(13), "doc_id", "w", stride)
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(picks2 === picks)
+    // cumw is the true running total in id order
+    var c = 0L
+    val cumByid = (1L to 400L).map { i =>
+      c += 1L + (i * 37) % 97; i -> c
+    }.toMap
+    picks.foreach { case (id, w, cw) =>
+      assert(cw === cumByid(id) && w === 1L + (id * 37) % 97)
+    }
+    // zero-weight docs never picked; a doc spanning >= stride always is
+    val edge = Seq((1L, 0L), (2L, 600L), (3L, 0L), (4L, 600L))
+      .toDF("doc_id", "w")
+    val ids = Pipeline.ppsSample(edge, "doc_id", "w", 512L)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids === Set(2L, 4L))
+  }
+
+  test("globalPrefixSum matches a single-partition window cumsum") {
+    val df = (1L to 1000L).map(i => (i * 7 % 1000, i % 13)).toDF("k", "w")
+      .distinct()
+    val got = graft.analytics.Ranking
+      .globalPrefixSum(df, Seq($"k", $"w"), $"w", partitions = 7)
+      .select($"k", $"w", $"cumw")
+      .as[(Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+    val rows = df.as[(Long, Long)].collect().toSeq.sortBy(identity)
+    var acc = 0L
+    val want = rows.map { case (k, w) => acc += w; (k, w, acc) }
+    assert(got === want)
+  }
 }
