@@ -194,12 +194,26 @@ object Mutations {
 
   /** J2 log↔store reconciliation (`managing-item-logs.py:150-204`): upsert
     * incoming parsed-log rows into an existing table keyed by `keys`; the
-    * reference's UNIQUE-violation-means-already-loaded becomes an anti-join
-    * (existing rows win). MERGE INTO shape without a transactional store.
+    * reference's UNIQUE-violation-means-already-loaded means existing rows
+    * win. MERGE INTO shape without a transactional store.
+    *
+    * ONE exchange: union both sides with a priority tag and keep each key
+    * group's minimum-priority rows (all existing rows; incoming rows only
+    * where no existing key matches). The anti-join formulation paid a
+    * second shuffle for the existing side's key-distinct; the window pays
+    * only the shared partition-by-keys exchange. Duplicate keys on either
+    * side behave identically to the anti-join form (every existing
+    * duplicate kept; every incoming duplicate kept when the key is new).
     */
-  def upsertByKey(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame =
-    existing.unionByName(
-      incoming.join(existing.select(keys.map(col): _*).distinct(), keys, "left_anti"))
+  def upsertByKey(existing: DataFrame, incoming: DataFrame, keys: Seq[String]): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+    existing.withColumn("__pri", lit(0))
+      .unionByName(incoming.withColumn("__pri", lit(1)))
+      .withColumn("__min_pri", min(col("__pri")).over(w))
+      .filter(col("__pri") === col("__min_pri"))
+      .drop("__pri", "__min_pri")
+  }
 
   /** Exploded post-mutation task view (for oracle checks and exports). */
   def explodeTasks(items: DataFrame): DataFrame =

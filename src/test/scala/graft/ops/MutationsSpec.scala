@@ -78,4 +78,27 @@ class MutationsSpec extends SparkSpec {
     assert(Mutations.explodeTasks(cleared).count() === 0)
     assert(cleared.filter(size(map_keys($"log")) > 0).count() === 0)
   }
+
+  test("upsertByKey (one-shuffle window form) ≡ anti-join form, incl. duplicates (J2)") {
+    // keys: k1 only existing (duplicated), k2 both sides, k3 only incoming
+    // (duplicated), k4 neither-dup overlap
+    val existing = Seq(("k1", "e1"), ("k1", "e1b"), ("k2", "e2"), ("k4", "e4"))
+      .toDF("k", "v")
+    val incoming = Seq(("k2", "i2"), ("k3", "i3"), ("k3", "i3b"), ("k4", "i4"))
+      .toDF("k", "v")
+    val got = Mutations.upsertByKey(existing, incoming, Seq("k"))
+      .as[(String, String)].collect().toSeq.sorted
+    val antiForm = existing.unionByName(
+        incoming.join(existing.select("k").distinct(), Seq("k"), "left_anti"))
+      .as[(String, String)].collect().toSeq.sorted
+    assert(got === antiForm)
+    assert(got === Seq(("k1", "e1"), ("k1", "e1b"), ("k2", "e2"),
+      ("k3", "i3"), ("k3", "i3b"), ("k4", "e4")))
+    // composite keys route through the same window
+    val e2c = Seq(("a", 1, "x")).toDF("k1", "k2", "v")
+    val i2c = Seq(("a", 1, "y"), ("a", 2, "z")).toDF("k1", "k2", "v")
+    assert(Mutations.upsertByKey(e2c, i2c, Seq("k1", "k2"))
+      .as[(String, Int, String)].collect().toSet ===
+      Set(("a", 1, "x"), ("a", 2, "z")))
+  }
 }
