@@ -31,7 +31,7 @@ object SparkEntry {
     analytics.Layout.queries ++ analytics.FuzzyJoin.queries ++
     analytics.BloomPrune.queries ++
     analytics.Ranking.queries ++ analytics.Graph.queries ++
-    analytics.TpchShapes.queries ++
+    analytics.TpchShapes.queries ++ analytics.WindowSuite.queries ++
     analytics.Hll.queries ++ analytics.Profile.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
     text.HybridSearch.queries ++
@@ -60,7 +60,7 @@ object SparkEntry {
     analytics.Layout.oracles ++ analytics.FuzzyJoin.oracles ++
     analytics.BloomPrune.oracles ++
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
-    analytics.TpchShapes.oracles ++
+    analytics.TpchShapes.oracles ++ analytics.WindowSuite.oracles ++
     analytics.Hll.oracles ++ analytics.Profile.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HybridSearch.oracles ++

@@ -199,7 +199,45 @@ object TimeSeries {
       .drop("s1", "s2", "mean", "variance")
   }
 
+  /** Exponentially weighted moving average, exact on an integer grid.
+    * True EWMA is a recurrence (`s_i = α·x_i + (1-α)·s_{i-1}`) — not
+    * window-expressible and numerically order-fragile. The engine form
+    * truncates the exponential tail at `EwmaLags` trailing events (weight
+    * 2^-16 beyond ≈ nothing) which makes it a fixed-frame window: weight
+    * 2^(15-k) on the k-th lag, value quantized to a decimal(.,4) grid, so
+    * numerator and denominator are exact BIGINTs on ANY partitioning and
+    * the smoothed value is one IEEE division of exactly-representable
+    * longs — bit-identical in the oracle, no floating accumulation order
+    * anywhere. One shuffle (the per-user window); the `EwmaLags` lag
+    * columns live inside a single window spec, evaluated in one pass.
+    */
+  def ewma(events: DataFrame, keyCol: String, tsCol: String, idCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("us"), col(idCol))
+    val base = events.select(col(keyCol), col(idCol),
+      unix_micros(col(tsCol)).as("us"),
+      (col(valueCol).cast("decimal(18,4)") * 10000).cast("long").as("xq"))
+    def lagK(k: Int) = if (k == 0) col("xq") else lag(col("xq"), k).over(w)
+    val num = (0 until EwmaLags).map { k =>
+      coalesce(lagK(k), lit(0L)) * (1L << (EwmaLags - 1 - k))
+    }.reduce(_ + _)
+    val den = (0 until EwmaLags).map { k =>
+      when(lagK(k).isNotNull, 1L << (EwmaLags - 1 - k)).otherwise(0L)
+    }.reduce(_ + _)
+    base.withColumn("ewma_num", num).withColumn("ewma_den", den)
+      .withColumn("ewma",
+        col("ewma_num").cast("double") / col("ewma_den").cast("double") / 10000.0)
+      .drop("xq")
+  }
+
+  /** Exponential-tail truncation depth: 16 lags, weights 2^15 … 2^0. */
+  val EwmaLags = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_ewma" -> ((s, d) =>
+      ewma(Tables.events(s, d).filter(col("event_type") === "purchase"),
+        "user_id", "ts", "event_id", "value")
+        .orderBy("user_id", "us", "event_id")),
     "evt_resample_locf" -> ((s, d) =>
       resampleLocf(Tables.events(s, d).filter(col("event_type") === "purchase"),
         "user_id", "ts", "event_id", "value", GateStepMicros)
@@ -221,7 +259,32 @@ object TimeSeries {
     * deterministic "last observation" is the row_number twin of the
     * Spark-side struct max, and LOCF is last_value IGNORE NULLS.
     */
+  /** The EWMA oracle expands the same lag pyramid under a named window;
+    * integer weights and one final double division, like the engine.
+    */
+  private val ewmaSql: String = {
+    def lagK(k: Int) = if (k == 0) "xq" else s"LAG(xq, $k) OVER w"
+    val num = (0 until EwmaLags)
+      .map(k => s"COALESCE(${lagK(k)}, 0) * ${1L << (EwmaLags - 1 - k)}")
+      .mkString(" + ")
+    val den = (0 until EwmaLags)
+      .map(k =>
+        s"CASE WHEN ${lagK(k)} IS NOT NULL THEN ${1L << (EwmaLags - 1 - k)} ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us,
+       |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq
+       |  FROM events WHERE event_type = 'purchase'),
+       |l AS (SELECT user_id, event_id, us,
+       |    $num AS ewma_num,
+       |    $den AS ewma_den
+       |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+       |SELECT user_id, event_id, us, ewma_num, ewma_den,
+       |  CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) / 10000.0 AS ewma
+       |FROM l ORDER BY user_id, us, event_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "evt_ewma" -> ewmaSql,
     "evt_resample_locf" -> s"""
       |WITH e AS (SELECT user_id AS key, event_id AS eid, epoch_us(ts) AS us,
       |    value, epoch_us(ts) // ${GateStepMicros} AS bucket

@@ -190,4 +190,35 @@ class TimeSeriesSpec extends SparkSpec {
         .collect().toSeq
     assert(run(events.coalesce(1)) === run(events.repartition(17)))
   }
+
+  test("ewma: integer num/den match a driver fold; approximates the true recurrence") {
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val xs = (0 until 60).map(i => math.sin(i * 0.7) * 100 + i)
+    val df = xs.zipWithIndex.map { case (v, i) =>
+      (1L, i.toLong, new java.sql.Timestamp(ts0.getTime + i * 60000L), v)
+    }.toDF("user_id", "event_id", "ts", "value")
+    val got = TimeSeries.ewma(df, "user_id", "ts", "event_id", "value")
+      .orderBy("us").select("ewma_num", "ewma_den", "ewma")
+      .as[(Long, Long, Double)].collect().toSeq
+    // driver fold over the same quantized grid
+    val xq = xs.map(v =>
+      (BigDecimal(v).setScale(4, BigDecimal.RoundingMode.HALF_UP) * 10000).toLongExact)
+    got.zipWithIndex.foreach { case ((num, den, e), i) =>
+      val ks = (0 to math.min(i, TimeSeries.EwmaLags - 1))
+      val wantNum = ks.map(k => xq(i - k) * (1L << (TimeSeries.EwmaLags - 1 - k))).sum
+      val wantDen = ks.map(k => 1L << (TimeSeries.EwmaLags - 1 - k)).sum
+      assert((num, den) === (wantNum, wantDen))
+      assert(e === num.toDouble / den.toDouble / 10000.0)
+      // truncated-tail EWMA tracks the true α=1/2 recurrence: the dropped
+      // tail weighs 2^-EwmaLags of a bounded signal
+      if (i >= TimeSeries.EwmaLags) {
+        val trueEwma = xs.take(i + 1).reduceLeft((s, x) => 0.5 * x + 0.5 * s)
+        assert(math.abs(e - trueEwma) < 1e-2, s"row $i: $e vs $trueEwma")
+      }
+    }
+    // partition-layout invariance
+    val a = TimeSeries.ewma(df.repartition(7), "user_id", "ts", "event_id", "value")
+      .orderBy("us").select("ewma_num").as[Long].collect().toSeq
+    assert(a === got.map(_._1))
+  }
 }
