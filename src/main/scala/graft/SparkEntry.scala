@@ -33,6 +33,7 @@ object SparkEntry {
     analytics.Ranking.queries ++ analytics.Graph.queries ++
     analytics.TpchShapes.queries ++ analytics.WindowSuite.queries ++
     analytics.Hll.queries ++ analytics.Profile.queries ++
+    analytics.Theta.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
     text.HybridSearch.queries ++
     text.HeavyHitters.queries ++ text.CountMin.queries ++ text.Bpe.queries ++
@@ -62,6 +63,7 @@ object SparkEntry {
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
     analytics.TpchShapes.oracles ++ analytics.WindowSuite.oracles ++
     analytics.Hll.oracles ++ analytics.Profile.oracles ++
+    analytics.Theta.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
     text.HybridSearch.oracles ++
     text.HeavyHitters.oracles ++ text.CountMin.oracles ++ text.Bpe.oracles ++
