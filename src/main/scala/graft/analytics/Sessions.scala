@@ -84,11 +84,45 @@ object Sessions {
       .select(col("user_id"), col("n_events"), col("start_us"), col("end_us"),
         col("total_value"))
 
+  /** Markov transition counts between consecutive event types WITHIN a
+    * session (same gap rule as [[sessionize]]: a gap ≥ `gapMicros` breaks
+    * the chain, so no transition crosses a session boundary). Output: one
+    * row per observed (from, to) pair with its count, the from-type's
+    * outgoing total, and the transition probability — counts and totals
+    * exact integers, the probability one IEEE division. Plan: the per-user
+    * lag window (one shuffle, shared with sessionization in a combined
+    * pipeline) then a tiny (|types|²-bounded) aggregate.
+    */
+  def sessionTransitions(events: DataFrame, userCol: String, tsCol: String,
+      idCol: String, typeCol: String,
+      gapMicros: Long = DefaultGapMicros): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"), col("event_id"))
+    val hops = events
+      .select(col(userCol).as("user_id"), col(idCol).as("event_id"),
+        unix_micros(col(tsCol)).as("us"), col(typeCol).as("etype"))
+      .withColumn("prev_type", lag("etype", 1).over(w))
+      .withColumn("prev_us", lag("us", 1).over(w))
+      .filter(col("prev_type").isNotNull &&
+        col("us") - col("prev_us") < gapMicros)
+    val counts = hops
+      .groupBy(col("prev_type").as("from_type"), col("etype").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy(col("from_type"))
+      .agg(sum(col("n")).as("n_from"))
+    counts.join(broadcast(totals), Seq("from_type"))
+      .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
+      .select("from_type", "to_type", "n", "n_from", "p")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "evt_sessions" -> ((s, d) =>
       sessionize(Tables.events(s, d), "user_id", "ts", "event_id", "value",
         GateGapMicros)
-        .orderBy("user_id", "sess_idx")))
+        .orderBy("user_id", "sess_idx")),
+    "evt_transitions" -> ((s, d) =>
+      sessionTransitions(Tables.events(s, d), "user_id", "ts", "event_id",
+        "event_type", GateGapMicros)
+        .orderBy("from_type", "to_type")))
 
   /** DuckDB twin: identical lag/running-sum/aggregate chain over
     * `epoch_us(ts)`. `epoch_us` yields the same micros whether the events
@@ -111,5 +145,21 @@ object Sessions {
       |  MIN(us) AS start_us, MAX(us) AS end_us,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, sess_idx
-      |ORDER BY user_id, sess_idx""".stripMargin)
+      |ORDER BY user_id, sess_idx""".stripMargin,
+    "evt_transitions" -> s"""
+      |WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
+      |  FROM events),
+      |h AS (SELECT event_type AS to_type,
+      |    lag(event_type) OVER w AS from_type,
+      |    us - lag(us) OVER w AS gap
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |c AS (SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM h WHERE from_type IS NOT NULL AND gap < ${GateGapMicros}
+      |  GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      |  FROM c GROUP BY 1)
+      |SELECT from_type, to_type, n, n_from,
+      |  CAST(n AS DOUBLE) / CAST(n_from AS DOUBLE) AS p
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY from_type, to_type""".stripMargin)
 }

@@ -56,4 +56,30 @@ class SessionsSpec extends SparkSpec {
         "streaming sessions diverge from the batch operator")
     } finally q.stop()
   }
+
+  test("sessionTransitions: chains break at the gap, probabilities sum to 1 per from-type") {
+    val t0 = 1700000000000000L
+    def ts(us: Long) = new java.sql.Timestamp(us / 1000)
+    // user 1: a→b→(GAP)→a→c ⇒ transitions a→b, a→c; user 2: b→b
+    val gap = 1000000L * 3600
+    val rows = Seq(
+      (1L, 1L, t0, "a"), (1L, 2L, t0 + 1000L, "b"),
+      (1L, 3L, t0 + gap * 2, "a"), (1L, 4L, t0 + gap * 2 + 5L, "c"),
+      (2L, 5L, t0, "b"), (2L, 6L, t0 + 10L, "b"))
+      .map { case (u, id, us, ty) => (u, id, ts(us), ty) }
+      .toDF("user_id", "event_id", "ts", "event_type")
+    val got = Sessions.sessionTransitions(rows, "user_id", "ts", "event_id",
+      "event_type", gap)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4, r._5)).toMap
+    assert(got === Map(
+      ("a", "b") -> (1L, 2L, 0.5), ("a", "c") -> (1L, 2L, 0.5),
+      ("b", "b") -> (1L, 1L, 1.0)))
+    // on real data: per-from probabilities sum to 1 exactly in count space
+    val real = Sessions.sessionTransitions(graft.Tables.events(spark, sf0001),
+      "user_id", "ts", "event_id", "event_type", Sessions.GateGapMicros)
+    val sums = real.groupBy($"from_type")
+      .agg((sum($"n") === max($"n_from")).as("ok"))
+    assert(sums.filter(!$"ok").count() === 0)
+  }
 }
