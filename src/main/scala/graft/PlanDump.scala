@@ -52,7 +52,16 @@ object PlanDump {
       "q10_returned_items" -> ("returnflag + order-quarter filters pushed to the scans; 25-row nation broadcast; customer-attribute grouping rides the custkey shuffle; top-20 is TakeOrderedAndProject"),
       "q_components" -> ("frequent-edge build: co-partitioned self-join + one pair-count groupBy; the star-contraction labeling runs per-round join+groupBy with lineage cut, never a diameter-length chain"),
       "q_hll_orders_month" -> ("register build is ONE narrow shuffle keyed (month, bucket) with partial MAX; estimate collapses <=64 register rows per group — no count_distinct Expand anywhere"),
-      "evt_resample_lerp" -> ("one shuffle on the key: bucket agg, grid bounds, grid join and BOTH neighbor scans (back/forward frames) share the partitioning and a single window sort"))
+      "evt_resample_lerp" -> ("one shuffle on the key: bucket agg, grid bounds, grid join and BOTH neighbor scans (back/forward frames) share the partitioning and a single window sort"),
+      "q2_min_cost_supplier" -> ("min-per-group decorrelated to a window MIN over the offer leg (no self-join back); region suppliers and size-filtered parts broadcast, the offer leg never is"),
+      "q13_customer_distribution" -> ("orders aggregated to per-customer counts BEFORE the outer join — both join legs carry one row per customer, not one per order"),
+      "q19_disjunctive_bands" -> ("the disjunction's union bounds (brand set, size<=15, quantity 1..30) appear as PushedFilters on BOTH scans; the exact OR evaluates once as join residual"),
+      "q21_lone_failed_supplier" -> ("two-stage counting: (order,supplier) collapse with partial agg, then per-order counts — no count-DISTINCT Expand over raw lineitem"),
+      "q22_dormant_customers" -> ("1-row (sum,count) broadcast for the scalar-average compare; LEFT ANTI against date-filtered orders with the filter pushed to the scan"),
+      "q_kcore" -> ("per peeling round: one degree groupBy + two LEFT SEMI joins on node id, lineage cut per round — no driver-side graph state"),
+      "evt_theta_intersect" -> ("KMV sketches via TopKPerKey partial/final heaps (<=k rows per set cross the exchange); all pairwise work downstream touches only sketch rows"),
+      "pipe_sample_pps" -> ("range-repartition + local sort, metadata-sized per-partition weight sums, then a NARROW accumulation pass — no single-partition window for the global cumsum"),
+      "q_window_frames" -> ("all six frame columns (running/trailing/full/lead/ntile) share ONE per-customer window exchange and sort"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")
     out.append("Generated by `graft.PlanDump`. What to look for is noted per query;\n")

@@ -107,9 +107,12 @@ object Sessions {
     val counts = hops
       .groupBy(col("prev_type").as("from_type"), col("etype").as("to_type"))
       .agg(count(lit(1)).as("n"))
-    val totals = counts.groupBy(col("from_type"))
-      .agg(sum(col("n")).as("n_from"))
-    counts.join(broadcast(totals), Seq("from_type"))
+    // totals as a window over the |types|²-bounded count table — NOT a
+    // self-join back (which would re-execute the corpus-sized lag window
+    // for each consumer; this was measured 2× at the 10× probe)
+    counts
+      .withColumn("n_from",
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
       .withColumn("p", col("n").cast("double") / col("n_from").cast("double"))
       .select("from_type", "to_type", "n", "n_from", "p")
   }

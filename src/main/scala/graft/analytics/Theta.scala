@@ -56,8 +56,11 @@ object Theta {
     */
   def pairIntersections(df: DataFrame, setCol: String, itemCol: String,
       k: Int = K): DataFrame = {
-    val elems = df.select(col(setCol).as("set_id"), col(itemCol).as("elem"))
-      .distinct()
+    // materialize the distinct element table once: both the sketch build
+    // and the exact-intersection evidence pass consume it, and without the
+    // cut each would re-run the corpus-sized distinct
+    val elems = graft.plans.Lineage.cut(
+      df.select(col(setCol).as("set_id"), col(itemCol).as("elem")).distinct())
     val sk = sketch(elems, "set_id", "elem", k)
     val thetas = sk.filter(col("rank") === k)
       .select(col("set_id"), col("h").as("theta"))
