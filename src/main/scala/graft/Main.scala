@@ -184,7 +184,7 @@ object Main {
       // input corpus, --output the destination; each op is a deterministic
       // transform so re-runs produce byte-identical corpora
       val op = flags.getOrElse("op",
-        sys.error("--op <dedup|decontaminate|sample|mix|pack|shuffle|split|redact|filter|report|prepare|bpe|search|semdedup|diff> required"))
+        sys.error("--op <dedup|decontaminate|sample|pps|mix|pack|shuffle|split|redact|filter|report|prepare|bpe|search|semdedup|diff> required"))
       val docs = spark.read.parquet(table)
       val out = flags.getOrElse("output", sys.error("--output is required"))
       val idCol = flags.getOrElse("id-col", "doc_id")
@@ -220,6 +220,12 @@ object Main {
           // for value-checking)
           graft.pipeline.Pipeline.stratifiedSample(docs, idCol,
             flags.getOrElse("strata-col", "lang"), rates).drop("bucket")
+        case "pps" =>
+          // systematic weight-proportional sampling: one pick per --stride
+          // units of --weight-col mass, deterministic on any layout
+          graft.pipeline.Pipeline.ppsSample(docs, idCol,
+            flags.getOrElse("weight-col", "n_chars"),
+            flags.getOrElse("stride", "2048").toLong)
         case "pack" =>
           graft.pipeline.Pipeline.packSequences(docs, idCol, textCol,
             flags.getOrElse("window", "2048").toInt,
@@ -382,7 +388,7 @@ object Main {
       val userCol = flags.getOrElse("user-col", "user_id")
       val typeCol = flags.getOrElse("type-col", "event_type")
       val result = flags.getOrElse("op",
-        sys.error("--op <funnel|cohorts|anomalies> required")) match {
+        sys.error("--op <funnel|cohorts|anomalies|resample|distinct|ewma|transitions|overlap> required")) match {
         case "funnel" =>
           graft.analytics.Behavior.funnel(ev, userCol, "ts", typeCol,
             flags.getOrElse("steps", "view,click,purchase").split(',').toSeq,
@@ -417,6 +423,24 @@ object Main {
               Seq(flags.getOrElse("group-col", typeCol)),
               flags.getOrElse("item-col", userCol)),
             Seq(flags.getOrElse("group-col", typeCol)))
+        case "ewma" =>
+          // grid-exact exponential smoothing per key
+          graft.analytics.TimeSeries.ewma(ev, userCol, "ts",
+            flags.getOrElse("id-col", "event_id"),
+            flags.getOrElse("value-col", "value"))
+        case "transitions" =>
+          // within-session Markov transition matrix; --gap-minutes bounds
+          // a chain the same way sessionize does
+          graft.analytics.Sessions.sessionTransitions(ev, userCol, "ts",
+            flags.getOrElse("id-col", "event_id"), typeCol,
+            flags.getOrElse("gap-minutes", "30").toLong * 60000000L)
+        case "overlap" =>
+          // theta/KMV sketch set intersections: --set-col partitions the
+          // universe into sets, --item-col the elements
+          graft.analytics.Theta.pairIntersections(spark.read.parquet(table),
+            flags.getOrElse("set-col", typeCol),
+            flags.getOrElse("item-col", userCol),
+            flags.getOrElse("k", graft.analytics.Theta.K.toString).toInt)
         case other => sys.error(s"unknown events op: $other")
       }
       result.write.mode("overwrite").parquet(out)
@@ -430,7 +454,7 @@ object Main {
         flags.getOrElse("key-col", sys.error("--key-col is required")),
         flags.getOrElse("item-col", sys.error("--item-col is required")))
       val result = flags.getOrElse("op",
-        sys.error("--op <triangles|pagerank> required")) match {
+        sys.error("--op <triangles|pagerank|components|kcore> required")) match {
         case "triangles" => graft.analytics.Graph.triangleCount(edges)
         case "pagerank" =>
           graft.analytics.Graph.pageRankTop(edges,
@@ -444,6 +468,15 @@ object Main {
               flags.getOrElse("key-col", sys.error("--key-col is required")),
               flags.getOrElse("item-col", sys.error("--item-col is required")),
               flags.getOrElse("min-support", "2").toLong))
+        case "kcore" =>
+          // --k the core order; --min-support prunes the graph first
+          graft.analytics.Graph.kCore(
+            graft.analytics.Graph.frequentCoEdges(
+              spark.read.parquet(table),
+              flags.getOrElse("key-col", sys.error("--key-col is required")),
+              flags.getOrElse("item-col", sys.error("--item-col is required")),
+              flags.getOrElse("min-support", "2").toLong),
+            flags.getOrElse("k", "3").toInt)
         case other => sys.error(s"unknown graph op: $other")
       }
       result.write.mode("overwrite").parquet(out)

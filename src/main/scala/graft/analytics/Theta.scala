@@ -36,9 +36,14 @@ object Theta {
 
   private val Two60 = 1L << 60
 
-  /** 60-bit portable hash (same construction as [[Hll]]). */
+  /** 60-bit portable hash (same construction as [[Hll]]). The string cast
+    * first makes numeric element columns hashable (ANSI forbids
+    * BIGINT→BINARY) and hashes them by their decimal rendering — the same
+    * bytes any other engine's md5-of-varchar sees.
+    */
   private def h60(c: Column): Column =
-    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+    conv(substring(md5(c.cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long")
 
   /** KMV sketch rows per set: the k smallest DISTINCT element hashes with
     * their rank. Distinct-first matters: KMV ranks hash VALUES, and a

@@ -320,4 +320,44 @@ class MainSpec extends SparkSpec {
     assert(spark.read.parquet(s"$dir/hit")
       .as[(Long, String)].collect().toSeq === Seq((2L, "b")))
   }
+
+  test("kcore, ewma, transitions, overlap, and pps verbs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli2").toString
+    // kcore: triangle + pendant chain, duplicated baskets for support 2
+    val baskets = (1L to 2L).flatMap(rep => Seq(
+      (rep * 10 + 1, 1L), (rep * 10 + 1, 2L), (rep * 10 + 1, 3L),
+      (rep * 10 + 2, 3L), (rep * 10 + 2, 4L)))
+    baskets.toDF("basket", "sku").write.parquet(s"$dir/b")
+    Main.run(spark, "graph", s"$dir/b", Map("op" -> "kcore",
+      "key-col" -> "basket", "item-col" -> "sku",
+      "min-support" -> "2", "k" -> "2", "output" -> s"$dir/kc"))
+    assert(spark.read.parquet(s"$dir/kc").as[(Long, Long)].collect().toMap
+      === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+
+    // events: ewma + transitions + overlap over one tiny integral-ts table
+    Seq((1L, 0L, 1L, "view", 10.0), (2L, 60000000000L, 1L, "click", 20.0),
+      (3L, 120000000000L, 1L, "view", 30.0))
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+      .write.parquet(s"$dir/ev")
+    Main.run(spark, "events", s"$dir/ev",
+      Map("op" -> "ewma", "output" -> s"$dir/ew"))
+    assert(spark.read.parquet(s"$dir/ew").count() === 3L)
+    Main.run(spark, "events", s"$dir/ev", Map("op" -> "transitions",
+      "gap-minutes" -> "120", "output" -> s"$dir/tr"))
+    assert(spark.read.parquet(s"$dir/tr")
+      .select("from_type", "to_type").as[(String, String)].collect().toSet
+      === Set(("view", "click"), ("click", "view")))
+    Main.run(spark, "events", s"$dir/ev", Map("op" -> "overlap",
+      "set-col" -> "event_type", "item-col" -> "user_id",
+      "output" -> s"$dir/ov"))
+    assert(spark.read.parquet(s"$dir/ov")
+      .select("exact_intersect").as[Long].head() === 1L)
+
+    // corpus pps: weights 100 each, stride 250 → every 3rd-ish doc
+    (1L to 10L).map(i => (i, s"d$i", 100L)).toDF("doc_id", "text", "n_chars")
+      .write.parquet(s"$dir/docs")
+    Main.run(spark, "corpus", s"$dir/docs", Map("op" -> "pps",
+      "stride" -> "250", "output" -> s"$dir/pps"))
+    assert(spark.read.parquet(s"$dir/pps").count() === 4L) // floor(1000/250)
+  }
 }
