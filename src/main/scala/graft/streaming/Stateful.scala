@@ -185,4 +185,40 @@ object Stateful {
           FunnelProgress(uid, times.length, times)
       }
   }
+
+  final case class SetElem(set_id: String, elem: String)
+  final case class KmvState(hashes: Seq[Long])
+  final case class KmvSnapshot(set_id: String, n_kept: Int,
+      theta: Option[Long], hashes: Seq[Long])
+
+  /** Streaming twin of the batch KMV sketch build
+    * ([[graft.analytics.Theta.sketch]]): per set, maintain the k smallest
+    * DISTINCT element hashes across micro-batches. State is ≤ k longs per
+    * set — bounded by design, independent of stream length — and the
+    * maintained sketch equals the batch sketch over the same elements
+    * EXACTLY (spec-asserted): min-k of a set is insensitive to arrival
+    * order, so no ingestion-order caveat applies, unlike the ring-buffer
+    * twins above. Emits the post-batch snapshot (k minima ascending +
+    * θ = the k-th, None while the set is still exact).
+    */
+  def streamingKmvSketch(elems: Dataset[SetElem],
+      k: Int = graft.analytics.Theta.K): Dataset[KmvSnapshot] = {
+    implicit val outEnc = Encoders.product[KmvSnapshot]
+    implicit val stEnc = Encoders.product[KmvState]
+    elems.groupByKey(_.set_id)(Encoders.STRING)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (sid: String, es: Iterator[SetElem], state: GroupState[KmvState]) =>
+          val minima = scala.collection.mutable.TreeSet.empty[Long]
+          state.getOption.foreach(_.hashes.foreach(minima.add))
+          es.foreach { e =>
+            val h = graft.analytics.Theta.h60Jvm(e.elem)
+            if (minima.size < k) minima.add(h)
+            else if (h < minima.last && minima.add(h)) minima.remove(minima.last)
+          }
+          val snap = minima.toSeq
+          state.update(KmvState(snap))
+          KmvSnapshot(sid, snap.length,
+            if (snap.length == k) Some(snap.last) else None, snap)
+      }
+  }
 }

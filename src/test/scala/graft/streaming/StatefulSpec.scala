@@ -160,4 +160,38 @@ class StatefulSpec extends SparkSpec {
         "stream candidate set must cover the exact >n/k answer (cap = 2k)")
     } finally q.stop()
   }
+
+  test("streaming KMV sketch ≡ batch Theta.sketch over the same elements") {
+    // per-event-type (user,day) elements — the theta gate's substrate
+    val stream = eventsStream("graft-kmv-events")
+      .select($"event_type".as("set_id"),
+        concat($"user_id".cast("string"), lit(":"),
+          expr("unix_micros(ts) div 86400000000").cast("string")).as("elem"))
+      .as[Stateful.SetElem]
+    val k = 64
+    val q = Stateful.streamingKmvSketch(stream, k)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("kmv_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      // final snapshot per set: minima only shrink, so the latest is the
+      // (n_kept DESC, hashes lexicographically ASC) extremum
+      val streamed = spark.table("kmv_stream")
+        .groupBy($"set_id")
+        .agg(min(struct((-$"n_kept").as("neg"), $"hashes"))
+          .getField("hashes").as("hs"))
+        .as[(String, Seq[Long])].collect().toMap
+      val batchDf = graft.Tables.events(spark, sf0001)
+        .select($"event_type".as("t"),
+          concat($"user_id".cast("string"), lit(":"),
+            expr("unix_micros(ts) div 86400000000").cast("string")).as("e"))
+      val batch = graft.analytics.Theta.sketch(batchDf, "t", "e", k)
+        .groupBy($"set_id").agg(sort_array(collect_list($"h")).as("hs"))
+        .as[(String, Seq[Long])].collect().toMap
+      assert(streamed.nonEmpty)
+      assert(streamed === batch,
+        "maintained k-minima must equal the batch sketch exactly")
+    } finally q.stop()
+  }
 }
