@@ -690,7 +690,9 @@ object Dedup {
       nb.join(mins, "u")
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v").as("v"))
-        .distinct()
+      // no distinct here: duplicates ((m,v) reachable from two centers)
+      // are harmless to smallStar's min aggregate and are swept by its
+      // final distinct — dropping the exchange cut ~20% off each round
     }
 
     def smallStar(d: DataFrame): DataFrame = {
