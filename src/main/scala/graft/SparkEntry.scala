@@ -41,7 +41,8 @@ object SparkEntry {
     text.QualityClassifier.queries ++ text.ImportanceSampler.queries ++
     dedup.DedupSurface.queries ++
     dedup.SemanticDedup.queries ++
-    sim.SimSurface.queries ++ multimodal.MultimodalSurface.queries ++
+    sim.SimSurface.queries ++ sim.Covariance.queries ++
+    multimodal.MultimodalSurface.queries ++
     pipeline.PipelineSurface.queries ++ pipeline.Snapshots.queries ++
     store.VersionedTable.queries ++ store.Ivm.queries
 
@@ -71,7 +72,8 @@ object SparkEntry {
     text.QualityClassifier.oracles ++ text.ImportanceSampler.oracles ++
     dedup.DedupSurface.oracles ++
     dedup.SemanticDedup.oracles ++
-    sim.SimSurface.oracles ++ multimodal.MultimodalSurface.oracles ++
+    sim.SimSurface.oracles ++ sim.Covariance.oracles ++
+    multimodal.MultimodalSurface.oracles ++
     pipeline.PipelineSurface.oracles ++ pipeline.Snapshots.oracles ++
     store.VersionedTable.oracles ++ store.Ivm.oracles
 }
