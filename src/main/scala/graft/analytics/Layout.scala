@@ -86,9 +86,78 @@ object Layout {
         zValue(col("pa"), col("sb"), GateBits).as("z"))
   }
 
+  /** Hilbert curve index of a (masked) 2-d point — the locality upgrade
+    * over Morton: CONSECUTIVE Hilbert indices are always grid neighbors
+    * (Manhattan distance exactly 1, spec-asserted exhaustively), where the
+    * Z-curve jumps across the plane at power-of-two boundaries. For range
+    * layout that means each output file covers one contiguous curve
+    * segment = one connected blob of the (a, b) plane — file min/max
+    * boxes are tighter than Z tiles of the same row count, so point/range
+    * predicates open fewer files. Same plan shape as [[zValue]]: a pure
+    * per-row expression fold (the standard xy2d quadrant-rotation
+    * recurrence unrolled over bit levels as a struct-column fold), no UDF,
+    * codegen'd.
+    */
+  def withHilbert(df: DataFrame, a: Column, b: Column, bits: Int,
+      out: String = "h"): DataFrame = {
+    // per-level NAMED intermediates, not a nested Column fold: the fold
+    // references its state struct several times per level, so the single
+    // expression tree grows ~6^bits and OOMs the analyzer at bits=10;
+    // named columns keep each level's expressions small and the optimizer
+    // (CollapseProject declines to inline non-cheap duplicated refs)
+    // keeps the chain linear — still one narrow codegen'd projection
+    var cur = df.withColumn("_hx", a).withColumn("_hy", b)
+      .withColumn("_hd", lit(0L))
+    for (i <- bits - 1 to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("_rx",
+          when(col("_hx").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("_ry",
+          when(col("_hy").bitwiseAND(lit(s)) > 0, lit(1L)).otherwise(lit(0L)))
+        .withColumn("_hd", col("_hd") +
+          lit(s) * lit(s) * (lit(3L) * col("_rx")).bitwiseXOR(col("_ry")))
+        .withColumn("_xr", when(col("_ry") === 0 && col("_rx") === 1,
+          lit(s - 1) - col("_hx")).otherwise(col("_hx")))
+        .withColumn("_yr", when(col("_ry") === 0 && col("_rx") === 1,
+          lit(s - 1) - col("_hy")).otherwise(col("_hy")))
+        .withColumn("_hxn",
+          when(col("_ry") === 0, col("_yr")).otherwise(col("_xr")))
+        .withColumn("_hyn",
+          when(col("_ry") === 0, col("_xr")).otherwise(col("_yr")))
+        .withColumn("_hx", col("_hxn"))
+        .withColumn("_hy", col("_hyn"))
+    }
+    cur.withColumn(out, col("_hd"))
+      .drop("_hx", "_hy", "_hd", "_rx", "_ry", "_xr", "_yr", "_hxn", "_hyn")
+  }
+
+  /** [[zorderBy]] with the Hilbert index as the range key. */
+  def hilbertBy(df: DataFrame, aCol: String, bCol: String,
+      bits: Int = 16, numFiles: Int = 32): DataFrame = {
+    val mask = (1L << bits) - 1
+    withHilbert(df, col(aCol).cast("long").bitwiseAND(lit(mask)),
+      col(bCol).cast("long").bitwiseAND(lit(mask)), bits, "_h")
+      .repartitionByRange(numFiles, col("_h"))
+      .sortWithinPartitions("_h")
+  }
+
+  def hilbertCells(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val mask = (1L << GateBits) - 1
+    withHilbert(
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey")),
+      col("l_partkey").bitwiseAND(lit(mask)),
+      col("l_suppkey").bitwiseAND(lit(mask)), GateBits)
+      .select("l_orderkey", "l_linenumber", "h")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_zorder_cells" -> ((s, d) =>
-      zorderCells(s, d).orderBy("l_orderkey", "l_linenumber")))
+      zorderCells(s, d).orderBy("l_orderkey", "l_linenumber")),
+    "q_hilbert_cells" -> ((s, d) =>
+      hilbertCells(s, d).orderBy("l_orderkey", "l_linenumber")))
 
   /** The oracle's Z expression is GENERATED from the same bit positions the
     * Column fold uses — no hand-transcription to drift.
@@ -99,6 +168,26 @@ object Layout {
         s"(($b // ${1L << i}) % 2) * ${1L << (2 * i + 1)}"
     }.mkString("(", " + ", ")")
 
+  /** Hilbert oracle: the same quadrant-rotation recurrence unrolled as one
+    * chained CTE per bit level, GENERATED from the identical constants the
+    * Column fold uses. DuckDB's lateral column aliases let each level
+    * compute rx/ry once and reference them in the same SELECT.
+    */
+  private def hilbertLevels(bits: Int): String =
+    (bits - 1 to 0 by -1).zipWithIndex.map { case (i, k) =>
+      val s = 1L << i
+      s"""h${k + 1} AS (SELECT l_orderkey, l_linenumber,
+         |  CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+         |  CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry,
+         |  d + ${s * s} * xor(3 * rx, ry) AS dn,
+         |  CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - x ELSE x END AS xr,
+         |  CASE WHEN ry = 0 AND rx = 1 THEN ${s - 1} - y ELSE y END AS yr,
+         |  CASE WHEN ry = 0 THEN yr ELSE xr END AS xn,
+         |  CASE WHEN ry = 0 THEN xr ELSE yr END AS yn
+         |  FROM (SELECT l_orderkey, l_linenumber, xn AS x, yn AS y, dn AS d
+         |        FROM h$k))""".stripMargin
+    }.mkString(",\n")
+
   val oracles: Map[String, String] = Map(
     "q_zorder_cells" -> s"""
       |WITH m AS (SELECT l_orderkey, l_linenumber,
@@ -106,5 +195,14 @@ object Layout {
       |    l_suppkey % ${1L << GateBits} AS sb
       |  FROM lineitem)
       |SELECT l_orderkey, l_linenumber, ${zSql("pa", "sb", GateBits)} AS z
-      |FROM m ORDER BY l_orderkey, l_linenumber""".stripMargin)
+      |FROM m ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_hilbert_cells" -> s"""
+      |WITH h0 AS (SELECT l_orderkey, l_linenumber,
+      |    l_partkey % ${1L << GateBits} AS xn,
+      |    l_suppkey % ${1L << GateBits} AS yn,
+      |    CAST(0 AS BIGINT) AS dn
+      |  FROM lineitem),
+      |${hilbertLevels(GateBits)}
+      |SELECT l_orderkey, l_linenumber, CAST(dn AS BIGINT) AS h
+      |FROM h$GateBits ORDER BY l_orderkey, l_linenumber""".stripMargin)
 }

@@ -61,4 +61,29 @@ class LayoutSpec extends SparkSpec {
       "single-column layout cannot prune the other dimension")
     assert(zHit < aHit, s"zorder ($zHit tiles) must beat a-sort ($aHit slabs)")
   }
+
+  test("hilbert index: exhaustive bijection and unit-step locality at bits=4") {
+    val bits = 4
+    val n = 1 << bits
+    val grid = (0 until n).flatMap(x => (0 until n).map(y => (x.toLong, y.toLong)))
+      .toDF("a", "b")
+    val idx = Layout.withHilbert(grid, $"a", $"b", bits)
+      .select($"h", $"a", $"b").as[(Long, Long, Long)].collect()
+    // bijection onto 0 .. n^2-1
+    assert(idx.map(_._1).sorted.toSeq === (0L until (n.toLong * n)).toSeq)
+    // THE Hilbert property (false for Z): consecutive indices are grid
+    // NEIGHBORS — every step moves Manhattan distance exactly 1
+    val byD = idx.sortBy(_._1)
+    byD.sliding(2).foreach { case Array((_, x1, y1), (_, x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) === 1L)
+    }
+    // and the Z-curve genuinely lacks it (has jumps) — the reason Hilbert
+    // file ranges are connected blobs
+    val zIdx = grid.select(Layout.zValue($"a", $"b", bits).as("z"), $"a", $"b")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val zJumps = zIdx.sliding(2).count { case Array((_, x1, y1), (_, x2, y2)) =>
+      math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
+    }
+    assert(zJumps > 0)
+  }
 }
