@@ -507,6 +507,28 @@ object Pipeline {
         coalesce(col("text"), lit("")).as("text"))
   }
 
+  /** k-anonymity / l-diversity audit — the governance check next to
+    * [[redactPii]]: group the table by its quasi-identifier columns and
+    * report each equivalence class's size (k-anonymity: every class ≥ k
+    * means no record is identifiable within fewer than k peers) and the
+    * number of distinct sensitive values in the class (l-diversity: a
+    * class whose sensitive attribute is constant leaks it even at large
+    * k). One partial-agg groupBy over the quasi columns — count +
+    * count-distinct-by-two-level-agg, no Expand: the sensitive distinct
+    * count aggregates (quasi..., sensitive) first, then per class.
+    */
+  def kAnonymityReport(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, k: Int, l: Int = 2): DataFrame = {
+    val qs = quasiCols.map(col)
+    val perValue = df.groupBy(qs :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("n_rows"))
+    perValue.groupBy(qs: _*)
+      .agg(sum(col("n_rows")).as("class_size"),
+        count(lit(1)).as("l_distinct"))
+      .withColumn("k_violation", col("class_size") < k)
+      .withColumn("l_violation", col("l_distinct") < l)
+  }
+
   /** Systematic probability-proportional-to-size sampling: lay documents
     * on a line in id order, each occupying an interval of its own weight
     * (e.g. characters or tokens), and pick every document whose interval

@@ -138,7 +138,20 @@ object PipelineSurface {
       Pipeline.ppsSample(Tables.documents(s, d).select("doc_id", "n_chars"),
         "doc_id", "n_chars", PpsStride)
         .orderBy("doc_id")),
+    // k-anonymity/l-diversity audit over quasi-identifiers (nation,
+    // segment, balance band); sensitive attribute = in-debt flag
+    "pipe_kanonymity" -> ((s, d) =>
+      Pipeline.kAnonymityReport(
+        Tables.customer(s, d)
+          .select(col("c_nationkey"), col("c_mktsegment"),
+            expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").as("bal_band"),
+            (col("c_acctbal") < 0).as("in_debt")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), "in_debt", KAnonK)
+        .orderBy("c_nationkey", "c_mktsegment", "bal_band")),
   )
+
+  /** k-anonymity gate threshold. */
+  val KAnonK = 5
 
   /** PPS stride: ~1/2048 of the corpus character mass per pick; all gate
     * weights sit far below it, so no certainty selections.
@@ -405,6 +418,21 @@ object PipelineSurface {
       |  FROM h)
       |SELECT doc_id, source, hkey, CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
+    "pipe_kanonymity" -> s"""
+      |WITH b AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+      |    c_acctbal < 0 AS in_debt
+      |  FROM customer),
+      |pv AS (SELECT c_nationkey, c_mktsegment, bal_band, in_debt,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM b GROUP BY 1, 2, 3, 4)
+      |SELECT c_nationkey, c_mktsegment, bal_band,
+      |  CAST(SUM(n_rows) AS BIGINT) AS class_size,
+      |  CAST(COUNT(*) AS BIGINT) AS l_distinct,
+      |  SUM(n_rows) < $KAnonK AS k_violation,
+      |  COUNT(*) < 2 AS l_violation
+      |FROM pv GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin,
     // the distributed prefix sum re-derived as a plain window cumsum —
     // what globalPrefixSum replaces at scale
     "pipe_sample_pps" -> s"""

@@ -446,6 +446,25 @@ class PipelineSpec extends SparkSpec {
     assert(ids === Set(2L, 4L))
   }
 
+  test("kAnonymityReport flags small classes and constant-sensitive classes") {
+    val rows = Seq(
+      // class A: size 6, both sensitive values → clean
+      ("A", true), ("A", true), ("A", false), ("A", false), ("A", true), ("A", false),
+      // class B: size 2 → k violation (k=5); diverse sensitive
+      ("B", true), ("B", false),
+      // class C: size 7 but constant sensitive → l violation only
+      ("C", true), ("C", true), ("C", true), ("C", true), ("C", true),
+      ("C", true), ("C", true)
+    ).toDF("quasi", "sens")
+    val rep = Pipeline.kAnonymityReport(rows, Seq("quasi"), "sens", 5)
+      .select($"quasi", $"class_size", $"l_distinct", $"k_violation", $"l_violation")
+      .as[(String, Long, Long, Boolean, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep("A") === ("A", 6L, 2L, false, false))
+    assert(rep("B") === ("B", 2L, 2L, true, false))
+    assert(rep("C") === ("C", 7L, 1L, false, true))
+  }
+
   test("globalPrefixSum matches a single-partition window cumsum") {
     val df = (1L to 1000L).map(i => (i * 7 % 1000, i % 13)).toDF("k", "w")
       .distinct()
