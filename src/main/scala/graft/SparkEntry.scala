@@ -32,6 +32,7 @@ object SparkEntry {
     analytics.BloomPrune.queries ++
     analytics.Ranking.queries ++ analytics.Graph.queries ++
     analytics.TpchShapes.queries ++ analytics.WindowSuite.queries ++
+    analytics.DataQuality.queries ++
     analytics.Hll.queries ++ analytics.Profile.queries ++
     analytics.Theta.queries ++
     text.TextSurface.queries ++ text.Search.queries ++
@@ -63,6 +64,7 @@ object SparkEntry {
     analytics.BloomPrune.oracles ++
     analytics.Ranking.oracles ++ analytics.Graph.oracles ++
     analytics.TpchShapes.oracles ++ analytics.WindowSuite.oracles ++
+    analytics.DataQuality.oracles ++
     analytics.Hll.oracles ++ analytics.Profile.oracles ++
     analytics.Theta.oracles ++
     text.TextSurface.oracles ++ text.Search.oracles ++
