@@ -87,7 +87,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|monitor|reset|delete|compact|corpus|sessions|events|graph|profile|vtable> --table PATH ...")
+      "usage: graft.Main <import|run|monitor|reset|delete|compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -442,6 +442,35 @@ object Main {
             flags.getOrElse("item-col", userCol),
             flags.getOrElse("k", graft.analytics.Theta.K.toString).toInt)
         case other => sys.error(s"unknown events op: $other")
+      }
+      result.write.mode("overwrite").parquet(out)
+      println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
+    case "vectors" =>
+      // embedding-table analytics: --op covariance|pca — input parquet
+      // with --id-col + --vec-col (array<float|double>), --dim required
+      val out = flags.getOrElse("output", sys.error("--output is required"))
+      val vecs = spark.read.parquet(table)
+      val vecCol = flags.getOrElse("vec-col", "embedding")
+      val idCol = flags.getOrElse("id-col", "vec_id")
+      val dim = flags.getOrElse("dim", sys.error("--dim is required")).toInt
+      val result = flags.getOrElse("op", sys.error("--op <covariance|pca> required")) match {
+        case "covariance" =>
+          graft.sim.Covariance.covarianceUpper(vecs, vecCol, dim)
+        case "pca" =>
+          // exact distributed moments -> driver Jacobi -> distributed
+          // projection onto the top --components axes
+          val r = flags.getOrElse("components", "8").toInt
+          val rows = graft.sim.Covariance.covarianceUpper(vecs, vecCol, dim)
+            .select(col("i"), col("j"), col("cov")).collect()
+          val c = Array.ofDim[Double](dim, dim)
+          rows.foreach { row =>
+            val (i, j, v) = (row.getInt(0), row.getInt(1), row.getDouble(2))
+            c(i)(j) = v; c(j)(i) = v
+          }
+          val (_, evecs) = graft.sim.Covariance.pcaFromCovariance(c)
+          graft.sim.Covariance.projectOnto(vecs, idCol, vecCol,
+            evecs.take(r).toSeq)
+        case other => sys.error(s"unknown vectors op: $other")
       }
       result.write.mode("overwrite").parquet(out)
       println(s"""{"rows": ${spark.read.parquet(out).count()}}""")

@@ -159,6 +159,27 @@ object Covariance {
       order.map(i => (0 until d).map(k => v(k)(i)).toArray).toArray)
   }
 
+  /** Distributed projection onto a (driver-held) basis — the second half
+    * of PCA: the KB-sized eigenvector rows ride the plan as array
+    * literals (a broadcast in spirit; constant-folded into codegen in
+    * practice), each output coordinate is one `aggregate(zip_with(...))`
+    * dot product, and the pass is narrow — no shuffle, scan speed. Use
+    * the top-r rows of [[pcaFromCovariance]]'s basis for dimensionality
+    * reduction ahead of ANN/clustering.
+    */
+  def projectOnto(vecs: DataFrame, idCol: String, vecCol: String,
+      basis: Seq[Array[Double]]): DataFrame = {
+    val comps = basis.zipWithIndex.map { case (row, k) =>
+      aggregate(
+        zip_with(col(vecCol).cast("array<double>"),
+          array(row.map(lit): _*), (x, w) => x * w),
+        lit(0.0), (acc, x) => acc + x).as(s"pc$k")
+    }
+    vecs.select(col(idCol) +: comps: _*)
+      .select(col(idCol), array(basis.indices.map(k => col(s"pc$k")): _*)
+        .as("projected"))
+  }
+
   /** Gate dimensionality (the embeddings table's vector width). */
   val GateDim = 64
 

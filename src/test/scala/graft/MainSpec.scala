@@ -360,4 +360,21 @@ class MainSpec extends SparkSpec {
       "stride" -> "250", "output" -> s"$dir/pps"))
     assert(spark.read.parquet(s"$dir/pps").count() === 4L) // floor(1000/250)
   }
+
+  test("vectors verb: covariance rows and pca projection through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-vec").toString
+    (1 to 50).map(i => (i.toLong,
+      Seq(math.sin(i * 0.3).toFloat, math.cos(i * 0.3).toFloat,
+        (i % 7).toFloat / 7f)))
+      .toDF("vec_id", "embedding").write.parquet(s"$dir/emb")
+    Main.run(spark, "vectors", s"$dir/emb", Map("op" -> "covariance",
+      "dim" -> "3", "output" -> s"$dir/cov"))
+    assert(spark.read.parquet(s"$dir/cov").count() === 6L) // 3*4/2
+    Main.run(spark, "vectors", s"$dir/emb", Map("op" -> "pca",
+      "dim" -> "3", "components" -> "2", "output" -> s"$dir/pca"))
+    val proj = spark.read.parquet(s"$dir/pca")
+    assert(proj.count() === 50L)
+    import org.apache.spark.sql.functions.size
+    assert(proj.select(size($"projected")).as[Int].collect().forall(_ == 2))
+  }
 }

@@ -62,4 +62,32 @@ class CovarianceSpec extends SparkSpec {
     assert(math.abs(axis(0) - 1.0 / math.sqrt(5)) < 1e-12 &&
       math.abs(axis(1) - 2.0 / math.sqrt(5)) < 1e-12)
   }
+
+  test("projectOnto: projected data decorrelates to the eigen spectrum") {
+    val d = Covariance.GateDim
+    val vecs = graft.Tables.embeddings(spark, sf0001)
+    val rows = Covariance.covarianceUpper(vecs, "embedding", d)
+      .select($"i", $"j", $"cov").as[(Int, Int, Double)].collect()
+    val c = Array.ofDim[Double](d, d)
+    rows.foreach { case (i, j, v) => c(i)(j) = v; c(j)(i) = v }
+    val (evals, evecs) = Covariance.pcaFromCovariance(c)
+    val r = 8
+    val proj = Covariance.projectOnto(vecs, "vec_id", "embedding",
+      evecs.take(r).toSeq)
+      .select($"projected").as[Seq[Double]].collect()
+    // narrow pass: every row has r coordinates
+    assert(proj.nonEmpty && proj.forall(_.length === r))
+    // driver covariance of the projected rows ≈ diag(top-r eigenvalues);
+    // tolerance covers the quantized-grid covariance vs raw-double
+    // projection mismatch
+    val n = proj.length
+    val mean = (0 until r).map(k => proj.map(_(k)).sum / n)
+    for (a <- 0 until r; b <- a until r) {
+      val cv = proj.map(v => (v(a) - mean(a)) * (v(b) - mean(b))).sum / n
+      val want = if (a == b) evals(a) else 0.0
+      assert(math.abs(cv - want) < 1e-4, s"pcov($a,$b)=$cv want $want")
+    }
+    // spectrum actually concentrates: top component carries the most
+    assert(evals(0) > evals(r - 1))
+  }
 }
