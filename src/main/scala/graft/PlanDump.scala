@@ -61,7 +61,10 @@ object PlanDump {
       "q_kcore" -> ("per peeling round: one degree groupBy + two LEFT SEMI joins on node id, lineage cut per round — no driver-side graph state"),
       "evt_theta_intersect" -> ("KMV sketches via TopKPerKey partial/final heaps (<=k rows per set cross the exchange); all pairwise work downstream touches only sketch rows"),
       "pipe_sample_pps" -> ("range-repartition + local sort, metadata-sized per-partition weight sums, then a NARROW accumulation pass — no single-partition window for the global cumsum"),
-      "q_window_frames" -> ("all six frame columns (running/trailing/full/lead/ntile) share ONE per-customer window exchange and sort"))
+      "q_window_frames" -> ("all six frame columns (running/trailing/full/lead/ntile) share ONE per-customer window exchange and sort"),
+      "sim_covariance" -> ("whole Gram accumulation is one ObjectHashAggregate with a single long[] buffer — partitions collapse map-side, the exchange carries one buffer per partition; the d(d+1)/2 explosion happens on the one result row"),
+      "q_expectations" -> ("five fused rules = ONE lineitem scan + one conditional aggregate; FK checks are single anti-join counts"),
+      "q_hilbert_cells" -> ("the per-level quadrant-rotation columns stay one narrow codegen'd projection — no shuffle before the output sort"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")
     out.append("Generated by `graft.PlanDump`. What to look for is noted per query;\n")

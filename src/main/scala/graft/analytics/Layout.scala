@@ -132,25 +132,30 @@ object Layout {
       .drop("_hx", "_hy", "_hd", "_rx", "_ry", "_xr", "_yr", "_hxn", "_hyn")
   }
 
-  /** [[zorderBy]] with the Hilbert index as the range key. */
+  /** [[zorderBy]] with the Hilbert index as the range key. Uses the
+    * native [[graft.functions.HilbertIndex]] expression (one plan node,
+    * generated loop) rather than the per-level column chain.
+    */
   def hilbertBy(df: DataFrame, aCol: String, bCol: String,
       bits: Int = 16, numFiles: Int = 32): DataFrame = {
     val mask = (1L << bits) - 1
-    withHilbert(df, col(aCol).cast("long").bitwiseAND(lit(mask)),
-      col(bCol).cast("long").bitwiseAND(lit(mask)), bits, "_h")
+    df.withColumn("_h", graft.functions.HilbertIndex.hilbertIndex(
+        col(aCol).cast("long").bitwiseAND(lit(mask)),
+        col(bCol).cast("long").bitwiseAND(lit(mask)), bits))
       .repartitionByRange(numFiles, col("_h"))
       .sortWithinPartitions("_h")
   }
 
+  /** Gate runs the NATIVE expression; the spec cross-checks it against
+    * [[withHilbert]]'s built-ins-only chain exhaustively.
+    */
   def hilbertCells(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val mask = (1L << GateBits) - 1
-    withHilbert(
-      li.select(col("l_orderkey"), col("l_linenumber"),
-        col("l_partkey"), col("l_suppkey")),
-      col("l_partkey").bitwiseAND(lit(mask)),
-      col("l_suppkey").bitwiseAND(lit(mask)), GateBits)
-      .select("l_orderkey", "l_linenumber", "h")
+    li.select(col("l_orderkey"), col("l_linenumber"),
+      graft.functions.HilbertIndex.hilbertIndex(
+        col("l_partkey").bitwiseAND(lit(mask)),
+        col("l_suppkey").bitwiseAND(lit(mask)), GateBits).as("h"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

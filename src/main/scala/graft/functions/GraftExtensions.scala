@@ -19,6 +19,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       CosineSimilarity.build _))
+    ext.injectFunction((
+      FunctionIdentifier("hilbert_index"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "hilbert_index"),
+      HilbertIndex.build _))
     // whole-operator tier: the top-k-per-key physical strategy, plus the
     // optimizer rule that rewrites row_number()<=k window plans onto it
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)

@@ -85,5 +85,21 @@ class LayoutSpec extends SparkSpec {
       math.abs(x1 - x2) + math.abs(y1 - y2) > 1L
     }
     assert(zJumps > 0)
+    // the native codegen'd expression computes the IDENTICAL index —
+    // through the Column API and through SQL (extension-registered)
+    val nativeIdx = grid.select(
+        graft.functions.HilbertIndex.hilbertIndex($"a", $"b", bits).as("h"),
+        $"a", $"b")
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._2, r._3))
+    assert(nativeIdx.toSeq === idx.sortBy(r => (r._2, r._3)).toSeq)
+    graft.functions.CosineSimilarity.register(spark) // ensure registry path works
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hilbert_index", graft.functions.HilbertIndex.build, "scala_udf")
+    grid.createOrReplaceTempView("hilbert_grid")
+    val sqlIdx = spark.sql(
+      s"SELECT a, b, hilbert_index(a, b, $bits) AS h FROM hilbert_grid")
+      .as[(Long, Long, Long)].collect()
+      .map { case (a2, b2, h) => (h, a2, b2) }.sortBy(r => (r._2, r._3))
+    assert(sqlIdx.toSeq === idx.sortBy(r => (r._2, r._3)).toSeq)
   }
 }
