@@ -327,7 +327,132 @@ object TpchShapes {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** TPC-H Q6 analog (forecasting revenue change): one tightly-filtered
+    * scan, one aggregate, zero joins — the pushdown showcase: all three
+    * predicates (date band, discount band, quantity cap) land in
+    * PushedFilters and the ReadSchema carries four columns of sixteen.
+    */
+  def q6ForecastRevenue(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(sum((col("l_extendedprice") * col("l_discount"))
+        .cast("decimal(24,6)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_lines"))
+
+  val q6Sql: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
+      |         AS DOUBLE) AS revenue,
+      |       COUNT(*) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
+  /** TPC-H Q8 analog (national market share): of the ECONOMY-part revenue
+    * sold to AMERICA-region customers in 1996–97, the share supplied from
+    * one nation, per year. Two conditional decimal sums in one aggregate
+    * per year; the supplier-nation flag rides the supplier broadcast, so
+    * the "share" needs no second pass and no self-join. Fixed-size dims
+    * broadcast; both fact legs shuffle on their keys under AQE.
+    */
+  def q8MarketShare(spark: SparkSession, sfDir: String): DataFrame = {
+    val americaNations = Tables.nation(spark, sfDir)
+      .join(broadcast(Tables.region(spark, sfDir)
+        .filter(col("r_name") === "AMERICA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("n_nationkey"))
+    val cust = Tables.customer(spark, sfDir)
+      .join(broadcast(americaNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val part = Tables.part(spark, sfDir).filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val supp = Tables.supplier(spark, sfDir)
+      .select(col("s_suppkey"), (col("s_nationkey") === 3).as("is_target"))
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(
+        sum(when(col("is_target"), revenue)
+          .otherwise(lit(0).cast("decimal(24,6)"))).cast("double")
+          .as("target_revenue"),
+        sum(revenue).cast("double").as("total_revenue"))
+      .withColumn("mkt_share",
+        col("target_revenue") / col("total_revenue"))
+      .orderBy("o_year")
+  }
+
+  val q8Sql: String =
+    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+      |  CAST(SUM(CASE WHEN s_nationkey = 3
+      |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
+      |    ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) AS target_revenue,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |    AS DOUBLE) AS total_revenue,
+      |  CAST(SUM(CASE WHEN s_nationkey = 3
+      |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
+      |    ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) /
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |    AS DOUBLE) AS mkt_share
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |JOIN supplier ON l_suppkey = s_suppkey
+      |JOIN orders ON l_orderkey = o_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |WHERE r_name = 'AMERICA' AND p_type = 'ECONOMY'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1 ORDER BY o_year""".stripMargin
+
+  /** TPC-H Q16 analog (supplier counts by part class): distinct suppliers
+    * offering each (brand, size) class, excluding one brand and the
+    * "complained-about" suppliers (negative balance stands in for the
+    * comment scan). The NOT-IN subquery decorrelates to a broadcast LEFT
+    * ANTI on the tiny excluded set; the grouped COUNT DISTINCT is the
+    * two-level aggregate form — (brand, size, suppkey) collapse first,
+    * then count per class — so no Expand touches the offer stream.
+    */
+  def q16SupplierCounts(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_brand") =!= "Brand#5" && col("p_size").isin(5, 10, 15, 20))
+      .select("p_partkey", "p_brand", "p_size")
+    val badSupp = Tables.supplier(spark, sfDir)
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+    val offers = Tables.lineitem(spark, sfDir)
+      .select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+    offers.select("p_brand", "p_size", "l_suppkey").distinct()
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(count(lit(1)).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+  }
+
+  val q16Sql: String =
+    """SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#5' AND p_size IN (5, 10, 15, 20)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q6_forecast_revenue" -> (q6ForecastRevenue _),
+    "q8_market_share" -> (q8MarketShare _),
+    "q16_supplier_counts" -> (q16SupplierCounts _),
     "q2_min_cost_supplier" -> (q2MinCostSupplier _),
     "q13_customer_distribution" -> (q13CustomerDistribution _),
     "q14_promo_revenue" -> (q14PromoRevenue _),
@@ -338,6 +463,9 @@ object TpchShapes {
   )
 
   val oracles: Map[String, String] = Map(
+    "q6_forecast_revenue" -> q6Sql,
+    "q8_market_share" -> q8Sql,
+    "q16_supplier_counts" -> q16Sql,
     "q2_min_cost_supplier" -> q2Sql,
     "q13_customer_distribution" -> q13Sql,
     "q14_promo_revenue" -> q14Sql,

@@ -67,6 +67,30 @@ class TpchShapesSpec extends SparkSpec {
     assert(kept === Set(2L, 4L))
   }
 
+  test("q6: every predicate reaches the scan; schema pruned to four columns") {
+    val df = TpchShapes.q6ForecastRevenue(spark, sf0001)
+    df.count() // settle AQE so the plan string includes the scan detail
+    val plan = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(plan.contains("PushedFilters") && plan.contains("l_discount") &&
+      plan.contains("LessThan(l_quantity,24.0)"), plan.take(3000))
+    assert(plan.contains("ReadSchema") &&
+      !plan.contains("l_returnflag"), "untouched columns must be pruned")
+  }
+
+  test("q16 decorrelated NOT IN ≡ Spark-SQL subquery twin; q8 share bounded") {
+    Seq("lineitem", "part", "supplier").foreach { t =>
+      spark.read.parquet(s"$sf0001/$t.parquet").createOrReplaceTempView(t)
+    }
+    val correlated = spark.sql(TpchShapes.q16Sql).collect().toSeq
+    val decorrelated =
+      TpchShapes.q16SupplierCounts(spark, sf0001).collect().toSeq
+    assert(decorrelated === correlated)
+    val shares = TpchShapes.q8MarketShare(spark, sf0001)
+      .select($"mkt_share").as[Double].collect()
+    assert(shares.nonEmpty && shares.forall(s => s >= 0.0 && s <= 1.0))
+  }
+
   test("q19 union bounds reach the lineitem parquet scan as pushed filters") {
     val plan = TpchShapes.q19DisjunctiveBands(spark, sf0001)
       .queryExecution.executedPlan.toString
