@@ -235,6 +235,54 @@ object Graph {
   val KcoreK = 3
   val KcoreRounds = 12
 
+  /** Multi-source BFS levels: `level(v)` = fewest hops from any source.
+    * Per round: frontier ⋈ edges (one equi-join keyed on node id), a
+    * distinct, and an anti-join against the visited set — the canonical
+    * frontier-expansion shape where per-round work is proportional to the
+    * FRONTIER's edge neighborhood, not the graph. Early-stops when the
+    * frontier empties; bounded by `maxRounds`, which the unrolled oracle
+    * shares (post-exhaustion rounds are no-ops, so early stop and fixed
+    * unroll agree on any input — the [[kCore]] argument). Lineage cut per
+    * round (reliable-checkpoint eligible). Unreached nodes are absent.
+    */
+  def bfsLevels(edges: DataFrame, sources: DataFrame,
+      maxRounds: Int = BfsRounds): DataFrame = {
+    val dir = graft.plans.Lineage.cut(
+      edges.select(col("src").cast("long").as("u"), col("dst").cast("long").as("v"))
+        .unionByName(edges.select(col("dst").cast("long").as("u"),
+          col("src").cast("long").as("v"))))
+    var visited = graft.plans.Lineage.cut(
+      sources.select(col("id").cast("long").as("node")).distinct()
+        .withColumn("level", lit(0L)))
+    var frontier = visited
+    var r = 1
+    var done = false
+    while (!done && r <= maxRounds) {
+      val next = graft.plans.Lineage.cut(
+        dir.join(frontier.select(col("node").as("u")), Seq("u"))
+          .select(col("v").as("node")).distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("level", lit(r.toLong)))
+      if (next.isEmpty) done = true
+      else {
+        val grown = graft.plans.Lineage.cut(visited.unionByName(next))
+        if (frontier ne visited) frontier.unpersist()
+        visited.unpersist()
+        visited = grown
+        frontier = next
+      }
+      r += 1
+    }
+    dir.unpersist()
+    visited
+  }
+
+  /** Gate BFS bounds: sources = graph nodes ≡ 0 (mod 500); 8 rounds
+    * comfortably past the co-occurrence graph's small diameter.
+    */
+  val BfsRounds = 8
+  val BfsSrcMod = 500L
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_triangles" -> ((s, d) =>
       triangleCount(
@@ -252,7 +300,15 @@ object Graph {
       kCore(
         frequentCoEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
           CcMinSupport), KcoreK)
-        .orderBy("node")))
+        .orderBy("node")),
+    "q_bfs_levels" -> ((s, d) => {
+      val edges = frequentCoEdges(Tables.lineitem(s, d), "l_orderkey",
+        "l_partkey", CcMinSupport)
+      val srcs = edges.select(col("src").cast("long").as("id"))
+        .unionByName(edges.select(col("dst").cast("long").as("id")))
+        .filter(col("id") % BfsSrcMod === 0).distinct()
+      bfsLevels(edges, srcs).orderBy("node")
+    }))
 
   private val edgeCte =
     """e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
@@ -337,5 +393,25 @@ object Graph {
          .mkString(",\n")}
       |SELECT CAST(u AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
       |FROM dir JOIN n$KcoreRounds a ON u = a.id JOIN n$KcoreRounds b ON v = b.id
-      |GROUP BY u ORDER BY node""".stripMargin)
+      |GROUP BY u ORDER BY node""".stripMargin,
+    // BFS levels via unrolled frontier rounds (MATERIALIZED — each round
+    // reads its predecessor's frontier and visited set)
+    "q_bfs_levels" -> s"""
+      |WITH e0 AS MATERIALIZED (
+      |  SELECT a.l_partkey AS u, b.l_partkey AS v
+      |  FROM lineitem a JOIN lineitem b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= $CcMinSupport),
+      |dir AS MATERIALIZED (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      |f0 AS MATERIALIZED (SELECT DISTINCT u AS node FROM dir
+      |  WHERE u % $BfsSrcMod = 0),
+      |v0 AS MATERIALIZED (SELECT node, CAST(0 AS BIGINT) AS level FROM f0),
+      |${(1 to BfsRounds).map(r =>
+          s"""f$r AS MATERIALIZED (
+             |  SELECT DISTINCT v AS node FROM dir JOIN f${r - 1} ON u = node
+             |  EXCEPT SELECT node FROM v${r - 1}),
+             |v$r AS MATERIALIZED (SELECT node, level FROM v${r - 1}
+             |  UNION ALL SELECT node, CAST($r AS BIGINT) FROM f$r)""".stripMargin)
+         .mkString(",\n")}
+      |SELECT node, level FROM v$BfsRounds ORDER BY node""".stripMargin)
 }

@@ -124,6 +124,26 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edgeDf(es), 3).count() === 0L)
   }
 
+  test("bfsLevels: exact hop counts, unreachable absent, early stop ≡ over-unroll") {
+    // path 1-2-3-4 plus a detached pair 9-10; source = {1}
+    val es = Seq((1L, 2L), (2L, 3L), (3L, 4L), (9L, 10L))
+    val srcs = Seq(1L).toDF("id")
+    val got = Graph.bfsLevels(edgeDf(es), srcs)
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L))
+    // a shortcut edge wins: min-hops, not path order
+    val es2 = es :+ (1L, 4L)
+    val got2 = Graph.bfsLevels(edgeDf(es2), srcs)
+      .as[(Long, Long)].collect().toMap
+    assert(got2(4L) === 1L && got2(3L) === 2L)
+    // bounded rounds cut the expansion; past-exhaustion rounds are no-ops
+    assert(Graph.bfsLevels(edgeDf(es), srcs, maxRounds = 2)
+      .as[(Long, Long)].collect().toMap ===
+      Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+    assert(Graph.bfsLevels(edgeDf(es), srcs, maxRounds = 30)
+      .as[(Long, Long)].collect().toMap === got)
+  }
+
   test("kCore early-stop result equals a deliberately over-unrolled run") {
     val edges = Graph.frequentCoEdges(
       graft.Tables.lineitem(spark, sf0001), "l_orderkey", "l_partkey", 2L)
