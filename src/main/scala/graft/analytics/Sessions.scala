@@ -117,7 +117,49 @@ object Sessions {
       .select("from_type", "to_type", "n", "n_from", "p")
   }
 
+  /** Union of overlapping/adjacent intervals per key — the coverage
+    * question sessionization can't answer (sessions split on GAPS between
+    * points; intervals carry their own extents and can nest or chain).
+    * The classic sweep, distributed: per key order intervals by (start,
+    * id), compute the running max end over STRICTLY PRECEDING rows (an
+    * interval starts a new merged block iff its start exceeds that), and
+    * the block id is the running sum of those break flags — the same
+    * one-window-partition machinery as [[sessionize]], so one shuffle.
+    * Returns per-key totals: merged-block count and exact covered
+    * micros (Σ block extents — overlap never double-counts). All integer
+    * arithmetic on epoch micros.
+    */
+  def intervalCoverage(intervals: DataFrame, keyCol: String,
+      startCol: String, endCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("s"), col("iid"))
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val blocks = intervals
+      .select(col(keyCol).as("key"), col(startCol).as("s"),
+        col(endCol).as("e"), col(idCol).as("iid"))
+      .withColumn("brk",
+        when(col("s") > coalesce(prevMax, lit(Long.MinValue)), 1L).otherwise(0L))
+      .withColumn("blk", sum(col("brk"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .groupBy(col("key"), col("blk"))
+      .agg(min(col("s")).as("bs"), max(col("e")).as("be"))
+    blocks.groupBy(col("key"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("be") - col("bs")).as("covered_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_interval_coverage" -> ((s, d) => {
+      // events as intervals: [ts, ts + value minutes) on the micros grid
+      val iv = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) +
+            (col("value").cast("decimal(18,4)") * 60000000).cast("long"))
+            .as("e0"))
+        .filter(col("e0") > col("s0")) // negative/zero durations drop
+      intervalCoverage(iv, "user_id", "s0", "e0", "event_id")
+        .orderBy("key")
+    }),
     "evt_sessions" -> ((s, d) =>
       sessionize(Tables.events(s, d), "user_id", "ts", "event_id", "value",
         GateGapMicros)
@@ -149,6 +191,25 @@ object Sessions {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, sess_idx
       |ORDER BY user_id, sess_idx""".stripMargin,
+    "evt_interval_coverage" -> s"""
+      |WITH iv AS (SELECT user_id AS key, event_id AS iid,
+      |    epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,4)) * 60000000 AS BIGINT) AS e
+      |  FROM events),
+      |f AS (SELECT * FROM iv WHERE e > s),
+      |m AS (SELECT key, iid, s, e,
+      |    CASE WHEN s > COALESCE(MAX(e) OVER (PARTITION BY key ORDER BY s, iid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |      ${Long.MinValue}) THEN 1 ELSE 0 END AS brk
+      |  FROM f),
+      |b AS (SELECT key, iid, s, e,
+      |    CAST(SUM(brk) OVER (PARTITION BY key ORDER BY s, iid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS blk
+      |  FROM m),
+      |g AS (SELECT key, blk, MIN(s) AS bs, MAX(e) AS be FROM b GROUP BY 1, 2)
+      |SELECT key, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+      |  CAST(SUM(be - bs) AS BIGINT) AS covered_us
+      |FROM g GROUP BY key ORDER BY key""".stripMargin,
     "evt_transitions" -> s"""
       |WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us, event_type
       |  FROM events),

@@ -57,6 +57,25 @@ class SessionsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalCoverage: overlap never double-counts; nesting, chaining, layout invariance") {
+    // key 1: [0,10) ∪ [5,20) merge → [0,20); [20,30) is ADJACENT (start ==
+    // prev max end, not >) so it chains in; [50,60) separate; [52,55)
+    // nests inside it
+    val iv = Seq(
+      (1L, 1L, 0L, 10L), (1L, 2L, 5L, 20L), (1L, 3L, 20L, 30L),
+      (1L, 4L, 50L, 60L), (1L, 5L, 52L, 55L),
+      (2L, 6L, 100L, 101L))
+      .toDF("k", "iid", "s0", "e0")
+    val got = Sessions.intervalCoverage(iv, "k", "s0", "e0", "iid")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, c) => k -> ((n, c)) }.toMap
+    assert(got === Map(1L -> ((2L, 40L)), 2L -> ((1L, 1L))))
+    val again = Sessions.intervalCoverage(iv.repartition(7), "k", "s0", "e0", "iid")
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, n, c) => k -> ((n, c)) }.toMap
+    assert(again === got)
+  }
+
   test("sessionTransitions: chains break at the gap, probabilities sum to 1 per from-type") {
     val t0 = 1700000000000000L
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
