@@ -233,7 +233,54 @@ object TimeSeries {
   /** Exponential-tail truncation depth: 16 lags, weights 2^15 … 2^0. */
   val EwmaLags = 16
 
+  /** Per-key ordinary-least-squares trend (slope + intercept of value
+    * over time) from closed-form moment sums — regression as ONE partial
+    * aggregate: per key, (n, Σx, Σy, Σxy, Σx²) where x = minutes since
+    * the key's first observation and y = the decimal(.,4)-grid value.
+    * Every moment is an exact BIGINT on any partitioning (x is bounded by
+    * the observation span in minutes, so xy products stay far under
+    * 2⁶³); the slope/intercept numerators (`n·Σxy − Σx·Σy` etc.) run in
+    * DECIMAL(38) on the per-key result rows (they overflow BIGINT around
+    * n≈10⁴ at this grid), and the final values are fixed-order double
+    * divisions — hash-identical in the oracle. Keys with a degenerate
+    * x-variance (fewer than 2 distinct times) emit null slope/intercept.
+    *
+    * Two narrow window/agg stages, both keyed on `keyCol` (one shuffle):
+    * the min-time window shares the partitioning with the moment
+    * aggregate.
+    */
+  def trendOls(events: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+    val base = events.select(col(keyCol),
+      unix_micros(col(tsCol)).as("us"),
+      (col(valueCol).cast("decimal(18,4)") * 10000).cast("long").as("yq"))
+      .withColumn("min_us", min(col("us")).over(w))
+      .withColumn("x", expr("(us - min_us) div 60000000"))
+    val m = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("yq")).as("sy"),
+        sum(col("x") * col("yq")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+    val d38 = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    m.withColumn("den", d38(col("n")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sx")))
+      .withColumn("slope_num",
+        d38(col("n")) * d38(col("sxy")) - d38(col("sx")) * d38(col("sy")))
+      .withColumn("slope",
+        when(col("den") =!= 0,
+          col("slope_num").cast("double") / col("den").cast("double") / 10000.0))
+      .withColumn("intercept",
+        when(col("den") =!= 0,
+          (d38(col("sy")) * d38(col("sxx")) - d38(col("sx")) * d38(col("sxy")))
+            .cast("double") / col("den").cast("double") / 10000.0))
+      .select(keyCol, "n", "sx", "sy", "sxy", "sxx", "slope", "intercept")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_trend_ols" -> ((s, d) =>
+      trendOls(Tables.events(s, d).filter(col("event_type") === "view"),
+        "user_id", "ts", "value")
+        .orderBy("user_id")),
     "evt_ewma" -> ((s, d) =>
       ewma(Tables.events(s, d).filter(col("event_type") === "purchase"),
         "user_id", "ts", "event_id", "value")
@@ -284,6 +331,32 @@ object TimeSeries {
   }
 
   val oracles: Map[String, String] = Map(
+    "evt_trend_ols" -> """
+      |WITH b AS (SELECT user_id, epoch_us(ts) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS yq
+      |  FROM events WHERE event_type = 'view'),
+      |x AS (SELECT user_id, yq,
+      |    (us - MIN(us) OVER (PARTITION BY user_id)) // 60000000 AS x
+      |  FROM b),
+      |m AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(yq) AS BIGINT) AS sy,
+      |    CAST(SUM(x * yq) AS BIGINT) AS sxy,
+      |    CAST(SUM(x * x) AS BIGINT) AS sxx
+      |  FROM x GROUP BY user_id),
+      |d AS (SELECT *,
+      |    CAST(n AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) -
+      |      CAST(sx AS DECIMAL(38,0)) * CAST(sx AS DECIMAL(38,0)) AS den
+      |  FROM m)
+      |SELECT user_id, n, sx, sy, sxy, sxx,
+      |  CASE WHEN den <> 0 THEN
+      |    CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) -
+      |         CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(den AS DOUBLE) / 10000.0 END AS slope,
+      |  CASE WHEN den <> 0 THEN
+      |    CAST(CAST(sy AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) -
+      |         CAST(sx AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) AS DOUBLE)
+      |    / CAST(den AS DOUBLE) / 10000.0 END AS intercept
+      |FROM d ORDER BY user_id""".stripMargin,
     "evt_ewma" -> ewmaSql,
     "evt_resample_locf" -> s"""
       |WITH e AS (SELECT user_id AS key, event_id AS eid, epoch_us(ts) AS us,

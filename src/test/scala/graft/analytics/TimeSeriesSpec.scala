@@ -191,6 +191,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(run(events.coalesce(1)) === run(events.repartition(17)))
   }
 
+  test("trendOls recovers a planted line exactly; degenerate keys yield nulls") {
+    val t0 = 1700000000000000L
+    def ts(min: Long) = new java.sql.Timestamp((t0 + min * 60000000L) / 1000)
+    // user 1: y = 2.5x + 7 sampled at x = 0, 3, 10, 14 minutes — exact on
+    // the decimal grid, so OLS must recover slope/intercept EXACTLY
+    val line = Seq(0L, 3L, 10L, 14L).map(x => (1L, ts(x), 2.5 * x + 7.0))
+    // user 2: single observation → zero x-variance → null fit
+    val degenerate = Seq((2L, ts(0L), 42.0))
+    // user 3: two same-time observations → den = 0 as well
+    val sameTime = Seq((3L, ts(5L), 1.0), (3L, ts(5L), 2.0))
+    val df = (line ++ degenerate ++ sameTime).toDF("user_id", "ts", "value")
+    val got = TimeSeries.trendOls(df, "user_id", "ts", "value")
+      .select($"user_id", $"slope", $"intercept")
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) === ((Some(2.5), Some(7.0))))
+    assert(got(2L) === ((None, None)))
+    assert(got(3L) === ((None, None)))
+    // layout invariance: exact integer moments make the fit partition-free
+    val again = TimeSeries.trendOls(df.repartition(7), "user_id", "ts", "value")
+      .select($"user_id", $"slope", $"intercept")
+      .as[(Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(again === got)
+  }
+
   test("ewma: integer num/den match a driver fold; approximates the true recurrence") {
     val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
     val xs = (0 until 60).map(i => math.sin(i * 0.7) * 100 + i)
