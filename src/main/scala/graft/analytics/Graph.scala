@@ -301,6 +301,14 @@ object Graph {
         frequentCoEdges(Tables.lineitem(s, d), "l_orderkey", "l_partkey",
           CcMinSupport), KcoreK)
         .orderBy("node")),
+    // market-basket surface of the pair substrate: strongest co-purchase
+    // pairs by distinct-order support — global top-k is
+    // TakeOrderedAndProject over the pair-count aggregate, no global sort
+    "q_copurchase_pairs" -> ((s, d) =>
+      groupPairs(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
+        .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+        .orderBy(col("support").desc, col("src"), col("dst"))
+        .limit(20)),
     "q_bfs_levels" -> ((s, d) => {
       val edges = frequentCoEdges(Tables.lineitem(s, d), "l_orderkey",
         "l_partkey", CcMinSupport)
@@ -394,6 +402,13 @@ object Graph {
       |SELECT CAST(u AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS degree
       |FROM dir JOIN n$KcoreRounds a ON u = a.id JOIN n$KcoreRounds b ON v = b.id
       |GROUP BY u ORDER BY node""".stripMargin,
+    "q_copurchase_pairs" -> s"""
+      |SELECT a.l_partkey AS src, b.l_partkey AS dst,
+      |  CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS support
+      |FROM lineitem a JOIN lineitem b
+      |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |GROUP BY 1, 2
+      |ORDER BY support DESC, src, dst LIMIT 20""".stripMargin,
     // BFS levels via unrolled frontier rounds (MATERIALIZED — each round
     // reads its predecessor's frontier and visited set)
     "q_bfs_levels" -> s"""

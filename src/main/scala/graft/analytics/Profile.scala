@@ -79,9 +79,39 @@ object Profile {
         StructField("max_value", StringType, nullable = true))))
   }
 
+  /** Equi-width histogram of a numeric column: `bins` buckets over the
+    * exact [min, max]. Two passes — a 1-row min/max aggregate broadcast
+    * back onto the scan, then one groupBy on the bin id (partial-agg'd) —
+    * the standard distributed histogram; no sampling, no sketch. Bin
+    * arithmetic is fixed-order double ops on identical operands in both
+    * engines (`floor((x−min)·bins/(max−min))`, top edge clamped into the
+    * last bin), so bucket assignment is deterministic and the gate
+    * hash-checks. Only occupied bins emit.
+    */
+  def histogram(df: DataFrame, colName: String, bins: Int): DataFrame = {
+    val c = col(colName).cast("double")
+    val mm = df.agg(min(c).as("mn"), max(c).as("mx"))
+    df.select(c.as("x")).crossJoin(broadcast(mm))
+      .withColumn("bin",
+        least(floor((col("x") - col("mn")) * bins / (col("mx") - col("mn")))
+          .cast("long"), lit(bins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("mn")).as("mn"), min(col("mx")).as("mx"))
+      .select(col("bin"),
+        (col("mn") + col("bin") * (col("mx") - col("mn")) / bins).as("lo"),
+        (col("mn") + (col("bin") + 1) * (col("mx") - col("mn")) / bins).as("hi"),
+        col("n"))
+  }
+
+  /** Gate bin count. */
+  val HistBins = 16
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_profile_lineitem" -> ((s, d) =>
-      profile(Tables.lineitem(s, d)).orderBy("column")))
+      profile(Tables.lineitem(s, d)).orderBy("column")),
+    "q_histogram_price" -> ((s, d) =>
+      histogram(Tables.lineitem(s, d), "l_extendedprice", HistBins)
+        .orderBy("bin")))
 
   /** Oracle: one SELECT per column, UNION ALL — the relational spelling of
     * the same unpivot.
@@ -101,6 +131,18 @@ object Profile {
   }
 
   val oracles: Map[String, String] = Map(
+    "q_histogram_price" -> s"""
+      |WITH mm AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
+      |    MAX(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem),
+      |b AS (SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+      |      * $HistBins / (mx - mn)) AS BIGINT), ${HistBins - 1}) AS bin,
+      |    mn, mx
+      |  FROM lineitem, mm)
+      |SELECT bin,
+      |  mn + bin * (mx - mn) / $HistBins AS lo,
+      |  mn + (bin + 1) * (mx - mn) / $HistBins AS hi,
+      |  CAST(COUNT(*) AS BIGINT) AS n
+      |FROM b GROUP BY bin, mn, mx ORDER BY bin""".stripMargin,
     "q_profile_lineitem" -> (Seq(
       colSql("l_orderkey", "int"), colSql("l_partkey", "int"),
       colSql("l_suppkey", "int"), colSql("l_linenumber", "int"),

@@ -33,4 +33,22 @@ class ProfileSpec extends SparkSpec {
     assert(a === b)
     assert(a.size === df.schema.fields.length)
   }
+
+  test("histogram: exact bin counts, top edge clamps into the last bin") {
+    import spark.implicits._
+    // values 0..100 over [0, 100]: 4 bins of width 25; x = 100 clamps
+    val df = (0 to 100).map(_.toDouble).toDF("v")
+    val h = Profile.histogram(df, "v", 4)
+      .select($"bin", $"lo", $"hi", $"n")
+      .as[(Long, Double, Double, Long)].collect().sortBy(_._1)
+    assert(h.map(r => r._1 -> r._4).toSeq ===
+      Seq(0L -> 25L, 1L -> 25L, 2L -> 25L, 3L -> 26L))
+    assert(h.head._2 === 0.0 && h.last._3 === 100.0)
+    // total preserved, bins partition the data
+    assert(h.map(_._4).sum === 101L)
+    // layout invariance
+    val again = Profile.histogram(df.repartition(9), "v", 4)
+      .select($"bin", $"n").as[(Long, Long)].collect().sortBy(_._1)
+    assert(again.toSeq === h.map(r => (r._1, r._4)).toSeq)
+  }
 }
