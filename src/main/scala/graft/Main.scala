@@ -483,7 +483,7 @@ object Main {
         flags.getOrElse("key-col", sys.error("--key-col is required")),
         flags.getOrElse("item-col", sys.error("--item-col is required")))
       val result = flags.getOrElse("op",
-        sys.error("--op <triangles|pagerank|components|kcore> required")) match {
+        sys.error("--op <triangles|pagerank|components|kcore|bfs> required")) match {
         case "triangles" => graft.analytics.Graph.triangleCount(edges)
         case "pagerank" =>
           graft.analytics.Graph.pageRankTop(edges,
@@ -506,6 +506,20 @@ object Main {
               flags.getOrElse("item-col", sys.error("--item-col is required")),
               flags.getOrElse("min-support", "2").toLong),
             flags.getOrElse("k", "3").toInt)
+        case "bfs" =>
+          // hop levels from --sources (comma-separated node ids)
+          val spark2 = spark
+          import spark2.implicits._
+          val srcs = flags.getOrElse("sources",
+            sys.error("--sources id,id,... required"))
+            .split(',').map(_.trim.toLong).toSeq.toDF("id")
+          graft.analytics.Graph.bfsLevels(
+            graft.analytics.Graph.frequentCoEdges(
+              spark.read.parquet(table),
+              flags.getOrElse("key-col", sys.error("--key-col is required")),
+              flags.getOrElse("item-col", sys.error("--item-col is required")),
+              flags.getOrElse("min-support", "2").toLong),
+            srcs, flags.getOrElse("max-rounds", "8").toInt)
         case other => sys.error(s"unknown graph op: $other")
       }
       result.write.mode("overwrite").parquet(out)
@@ -550,7 +564,8 @@ object Main {
             case _ => sys.error("--zorder-a and --zorder-b go together")
           }
           val v = VersionedTable.optimize(spark, table,
-            flags.getOrElse("target-rows", "1000000").toLong, zo)
+            flags.getOrElse("target-rows", "1000000").toLong, zo,
+            flags.getOrElse("curve", "zorder"))
           println(s"""{"version": $v}""")
         case "vacuum" =>
           val removed = VersionedTable.vacuum(spark, table,

@@ -679,7 +679,8 @@ object VersionedTable {
     * Same contract as lakehouse `OPTIMIZE ... ZORDER BY`.
     */
   def optimize(spark: SparkSession, root: String, targetRows: Long,
-      zorder: Option[(String, String)] = None): Long =
+      zorder: Option[(String, String)] = None,
+      curve: String = "zorder"): Long =
     commitLoop(spark, root) { parent =>
       val p = parent.getOrElse(sys.error(s"$root does not exist"))
       val (toRewrite, kept) = zorder match {
@@ -691,7 +692,12 @@ object VersionedTable {
         val rows = spark.read.schema(p.schema)
           .parquet(toRewrite.map(f => s"$root/${f.path}"): _*)
         val nOut = math.max(1L, (toRewrite.map(_.rows).sum + targetRows - 1) / targetRows).toInt
+        // curve choice: "zorder" (Morton tiles) or "hilbert" (connected
+        // curve segments — tighter per-file boxes at the same file count;
+        // see Layout's locality spec)
         val packed = zorder match {
+          case Some((a, b)) if curve == "hilbert" =>
+            graft.analytics.Layout.hilbertBy(rows, a, b, numFiles = nOut).drop("_h")
           case Some((a, b)) =>
             graft.analytics.Layout.zorderBy(rows, a, b, numFiles = nOut).drop("_z")
           case None => rows.repartition(nOut)

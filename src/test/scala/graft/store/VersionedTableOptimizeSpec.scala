@@ -75,4 +75,28 @@ class VersionedTableOptimizeSpec extends SparkSpec {
     assert((files -- untouched).nonEmpty && (files & untouched).nonEmpty,
       "merge after zorder must rewrite some files and carry others")
   }
+
+  test("hilbert optimize prunes at least as well as the slab layout; rows preserved") {
+    val root = tmp()
+    val grid = spark.range(0, 64 * 64).select(
+      ($"id" % 64).as("a"), ($"id" / 64).as("b"))
+    VersionedTable.create(spark, root,
+      grid.repartitionByRange(8, $"b").sortWithinPartitions("b", "a"))
+    def hits(lo: Long, hi: Long): Int =
+      VersionedTable.snapshot(spark, root).files.count { fe =>
+        (fe.mins.get("a"), fe.maxs.get("a")) match {
+          case (Some(mn), Some(mx)) => mx.toLong >= lo && mn.toLong <= hi
+          case _ => true
+        }
+      }
+    val beforeHits = hits(8, 15)
+    VersionedTable.optimize(spark, root, targetRows = 512,
+      zorder = Some(("a", "b")), curve = "hilbert")
+    assert(hits(8, 15) < beforeHits,
+      "an a-box predicate must prune after the hilbert rewrite")
+    assert(VersionedTable.read(spark, root).count() === 64L * 64)
+    // layout-only: the multiset of rows is unchanged
+    assert(VersionedTable.read(spark, root).groupBy("a").count()
+      .filter($"count" =!= 64).count() === 0)
+  }
 }
