@@ -64,7 +64,10 @@ object PlanDump {
       "q_window_frames" -> ("all six frame columns (running/trailing/full/lead/ntile) share ONE per-customer window exchange and sort"),
       "sim_covariance" -> ("whole Gram accumulation is one ObjectHashAggregate with a single long[] buffer — partitions collapse map-side, the exchange carries one buffer per partition; the d(d+1)/2 explosion happens on the one result row"),
       "q_expectations" -> ("five fused rules = ONE lineitem scan + one conditional aggregate; FK checks are single anti-join counts"),
-      "q_hilbert_cells" -> ("the per-level quadrant-rotation columns stay one narrow codegen'd projection — no shuffle before the output sort"))
+      "q_hilbert_cells" -> ("the native hilbert_index expression: ONE plan node, generated quadrant-rotation loop, no shuffle before the output sort"),
+      "evt_trend_ols" -> ("regression as one partial aggregate: per-key integer moments ride a single user_id exchange shared with the min-time window"),
+      "evt_interval_coverage" -> ("one window shuffle shared by the running-max/break/block chain and both aggregates"),
+      "q_copurchase_pairs" -> ("in-group pair expansion after one group-key exchange; global top-20 is TakeOrderedAndProject"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")
     out.append("Generated by `graft.PlanDump`. What to look for is noted per query;\n")
