@@ -147,7 +147,49 @@ object Sessions {
         sum(col("be") - col("bs")).as("covered_us"))
   }
 
+  /** Interval-overlap join WITHOUT range explosion: pairs of intervals
+    * (one from each side, same key) that overlap in time. The naive theta
+    * join (`a.s < b.e AND b.s < a.e`) has no equi component beyond the
+    * key — on a hot key it degenerates to a per-key cross product. The
+    * scale form bins each interval onto a fixed time grid (an interval
+    * covers ⌈span/G⌉+1 cells — bounded when durations are), equi-joins on
+    * (key, cell), dedups the (a, b) id pairs, and re-verifies the exact
+    * overlap predicate: two intervals overlap iff they share a covered
+    * cell AND pass the predicate, so the result is exact by construction
+    * (cell co-residence is a superset of overlap; the residual filter
+    * removes same-cell-but-disjoint pairs). Returns per-key overlap-pair
+    * counts.
+    */
+  def intervalOverlapJoin(a: DataFrame, b: DataFrame, keyCol: String,
+      startCol: String, endCol: String, idCol: String,
+      gridMicros: Long): DataFrame = {
+    def cells(side: DataFrame, tag: String): DataFrame =
+      side.select(col(keyCol).as("key"), col(idCol).as(s"${tag}_id"),
+        col(startCol).as(s"${tag}_s"), col(endCol).as(s"${tag}_e"))
+        .withColumn("cell", explode(sequence(
+          expr(s"${tag}_s div $gridMicros"),
+          // end is exclusive: the last covered cell holds e-1
+          expr(s"(${tag}_e - 1) div $gridMicros"))))
+    cells(a, "a").join(cells(b, "b"), Seq("key", "cell"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .select("key", "a_id", "b_id").distinct()
+      .groupBy(col("key")).agg(count(lit(1)).as("n_overlaps"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "evt_interval_overlap" -> ((s, d) => {
+      def side(tpe: String) = Tables.events(s, d)
+        .filter(col("event_type") === tpe)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("s0"),
+          (unix_micros(col("ts")) +
+            (col("value").cast("decimal(18,4)") * 60000000).cast("long"))
+            .as("e0"))
+        .filter(col("e0") > col("s0"))
+      intervalOverlapJoin(side("view"), side("purchase"), "user_id",
+        "s0", "e0", "event_id", 3600L * 1000000)
+        .orderBy("key")
+    }),
     "evt_interval_coverage" -> ((s, d) => {
       // events as intervals: [ts, ts + value minutes) on the micros grid
       val iv = Tables.events(s, d)
@@ -191,6 +233,18 @@ object Sessions {
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, sess_idx
       |ORDER BY user_id, sess_idx""".stripMargin,
+    // the oracle uses the DIRECT theta join the binned form replaces —
+    // two algorithms, identical pair sets
+    "evt_interval_overlap" -> s"""
+      |WITH iv AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS s,
+      |    epoch_us(ts) + CAST(CAST(value AS DECIMAL(18,4)) * 60000000 AS BIGINT) AS e
+      |  FROM events),
+      |f AS (SELECT * FROM iv WHERE e > s),
+      |a AS (SELECT user_id, event_id, s, e FROM f WHERE event_type = 'view'),
+      |b AS (SELECT user_id, event_id, s, e FROM f WHERE event_type = 'purchase')
+      |SELECT a.user_id AS key, CAST(COUNT(*) AS BIGINT) AS n_overlaps
+      |FROM a JOIN b ON a.user_id = b.user_id AND a.s < b.e AND b.s < a.e
+      |GROUP BY 1 ORDER BY key""".stripMargin,
     "evt_interval_coverage" -> s"""
       |WITH iv AS (SELECT user_id AS key, event_id AS iid,
       |    epoch_us(ts) AS s,

@@ -76,6 +76,30 @@ class SessionsSpec extends SparkSpec {
     assert(again === got)
   }
 
+  test("intervalOverlapJoin ≡ direct theta join; binning stays an equi join") {
+    // same-cell-but-disjoint pairs exercise the residual filter: with a
+    // grid of 100, a=[10,20) and b=[30,40) share cell 0 but don't overlap
+    val a = Seq((1L, 101L, 10L, 20L), (1L, 102L, 50L, 250L),
+      (2L, 103L, 0L, 1000L)).toDF("k", "iid", "s0", "e0")
+    val b = Seq((1L, 201L, 30L, 40L), (1L, 202L, 240L, 260L),
+      (1L, 203L, 15L, 18L), (2L, 204L, 999L, 1001L),
+      (3L, 205L, 0L, 10L)).toDF("k", "iid", "s0", "e0")
+    val got = Sessions.intervalOverlapJoin(a, b, "k", "s0", "e0", "iid", 100L)
+      .as[(Long, Long)].collect().toMap
+    // key 1: 101 overlaps 203 only; 102 overlaps 202 only → 2 pairs.
+    // key 2: 103 overlaps 204 (999 < 1000). key 3: no a-side.
+    assert(got === Map(1L -> 2L, 2L -> 1L))
+    // brute theta-join reference on the same data
+    val brute = a.as("a").join(b.as("b"),
+        $"a.k" === $"b.k" && $"a.s0" < $"b.e0" && $"b.s0" < $"a.e0")
+      .groupBy($"a.k").count().as[(Long, Long)].collect().toMap
+    assert(got === brute)
+    // the plan must be an equi join on (key, cell) — never a nested loop
+    val plan = Sessions.intervalOverlapJoin(a, b, "k", "s0", "e0", "iid", 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(1500))
+  }
+
   test("sessionTransitions: chains break at the gap, probabilities sum to 1 per from-type") {
     val t0 = 1700000000000000L
     def ts(us: Long) = new java.sql.Timestamp(us / 1000)
