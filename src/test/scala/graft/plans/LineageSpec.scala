@@ -56,4 +56,26 @@ class LineageSpec extends SparkSpec {
       spark.conf.unset(Lineage.DirKey)
     }
   }
+
+  test("round-5 iterative ops (kCore, bfsLevels) match across checkpoint modes") {
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+      .toDF("src", "dst")
+    val srcs = Seq(1L).toDF("id")
+    val localCore = graft.analytics.Graph.kCore(edges, 2)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val localBfs = graft.analytics.Graph.bfsLevels(edges, srcs)
+      .orderBy("node").as[(Long, Long)].collect().toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt3")
+    spark.conf.set(Lineage.ReliableKey, "true")
+    spark.conf.set(Lineage.DirKey, dir.toString)
+    try {
+      assert(graft.analytics.Graph.kCore(edges, 2)
+        .orderBy("node").as[(Long, Long)].collect().toSeq === localCore)
+      assert(graft.analytics.Graph.bfsLevels(edges, srcs)
+        .orderBy("node").as[(Long, Long)].collect().toSeq === localBfs)
+    } finally {
+      spark.conf.set(Lineage.ReliableKey, "false")
+      spark.conf.unset(Lineage.DirKey)
+    }
+  }
 }
