@@ -50,7 +50,18 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_reps":$reps,"method":"median_of_reps_first_rep_is_warmup","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_reps":$reps,"method":"median_of_reps_first_rep_is_warmup","queries":$qs,"sf":"$sfDir"}"""
+    // The driver captures only the TAIL of sbt output, and with 150+
+    // queries the single JSON line grows past the capture window —
+    // round 5's artifact lost its opening brace and parsed as null. Two
+    // defenses: (1) persist the full JSON to a file next to the repo,
+    // (2) print a short totals-only JSON line LAST so even a truncated
+    // capture ends with a complete parseable object.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_reps":$reps,"n_queries":${results.size},"full_results_file":"$outPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -464,7 +464,7 @@ object Main {
             .select(col("i"), col("j"), col("cov")).collect()
           val c = Array.ofDim[Double](dim, dim)
           rows.foreach { row =>
-            val (i, j, v) = (row.getInt(0), row.getInt(1), row.getDouble(2))
+            val (i, j, v) = (row.getLong(0).toInt, row.getLong(1).toInt, row.getDouble(2))
             c(i)(j) = v; c(j)(i) = v
           }
           val (_, evecs) = graft.sim.Covariance.pcaFromCovariance(c)

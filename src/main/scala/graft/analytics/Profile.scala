@@ -93,8 +93,12 @@ object Profile {
     val mm = df.agg(min(c).as("mn"), max(c).as("mx"))
     df.select(c.as("x")).crossJoin(broadcast(mm))
       .withColumn("bin",
-        least(floor((col("x") - col("mn")) * bins / (col("mx") - col("mn")))
-          .cast("long"), lit(bins - 1L)))
+        // degenerate range (constant column / single row): everything in
+        // bin 0 — the naive formula divides by zero and yields NaN→null
+        // in Spark but a CAST error in the oracle
+        when(col("mx") === col("mn"), lit(0L)).otherwise(
+          least(floor((col("x") - col("mn")) * bins / (col("mx") - col("mn")))
+            .cast("long"), lit(bins - 1L))))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n"), min(col("mn")).as("mn"), min(col("mx")).as("mx"))
       .select(col("bin"),
@@ -134,8 +138,9 @@ object Profile {
     "q_histogram_price" -> s"""
       |WITH mm AS (SELECT MIN(CAST(l_extendedprice AS DOUBLE)) AS mn,
       |    MAX(CAST(l_extendedprice AS DOUBLE)) AS mx FROM lineitem),
-      |b AS (SELECT least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
-      |      * $HistBins / (mx - mn)) AS BIGINT), ${HistBins - 1}) AS bin,
+      |b AS (SELECT CASE WHEN mx = mn THEN 0
+      |      ELSE least(CAST(floor((CAST(l_extendedprice AS DOUBLE) - mn)
+      |        * $HistBins / (mx - mn)) AS BIGINT), ${HistBins - 1}) END AS bin,
       |    mn, mx
       |  FROM lineitem, mm)
       |SELECT bin,

@@ -94,9 +94,7 @@ object Theta {
       .withColumn("tp",
         least(coalesce(col("ta"), lit(Two60)), coalesce(col("tb"), lit(Two60))))
     val counts = withTheta.groupBy(col("set_a"), col("set_b"))
-      .agg(max(col("tp")).as("tp"),
-        sum(when(col("h") < col("tp"), 1L).otherwise(0L)).as("n_matches"))
-      .withColumn("theta", when(col("tp") === Two60, lit(null)).otherwise(col("tp")))
+      .agg(sum(when(col("h") < col("tp"), 1L).otherwise(0L)).as("n_matches"))
     // exact intersection on the raw elements — the pass the sketch
     // replaces at scale, carried here as gate evidence
     val exact = elems.select(col("set_id").as("set_a"), col("elem"))
@@ -104,8 +102,20 @@ object Theta {
       .filter(col("set_a") < col("set_b"))
       .groupBy(col("set_a"), col("set_b"))
       .agg(count(lit(1)).as("exact_intersect"))
+    // θ is derived for EVERY pair from the per-set theta table — not from
+    // the surviving match rows — so a sketch-mode pair with ZERO common
+    // retained hashes still reports its θ (r5 advisory: the old
+    // counts-row-only derivation mislabeled such pairs as exact mode).
+    // θ is null iff BOTH sets are exact mode (< k distinct elements).
     counts.join(exact, Seq("set_a", "set_b"), "full")
-      .select(col("set_a"), col("set_b"), col("theta"),
+      .join(broadcast(thetas.select(col("set_id").as("set_a"),
+        col("theta").as("ta"))), Seq("set_a"), "left")
+      .join(broadcast(thetas.select(col("set_id").as("set_b"),
+        col("theta").as("tb"))), Seq("set_b"), "left")
+      .withColumn("tp",
+        least(coalesce(col("ta"), lit(Two60)), coalesce(col("tb"), lit(Two60))))
+      .select(col("set_a"), col("set_b"),
+        when(col("tp") === Two60, lit(null)).otherwise(col("tp")).as("theta"),
         coalesce(col("n_matches"), lit(0L)).as("n_matches"),
         coalesce(col("exact_intersect"), lit(0L)).as("exact_intersect"))
       .withColumn("est_intersect",
@@ -125,6 +135,10 @@ object Theta {
   def eventTypeOverlap(spark: SparkSession, sfDir: String): DataFrame =
     pairIntersections(
       Tables.events(spark, sfDir).select(col("event_type"),
+        // day bucket via `div` (truncates toward zero) — DuckDB's `//`
+        // also truncates toward zero (verified: -7 // 2 = -3 in both
+        // engines), so the bucket parity holds even for pre-1970
+        // timestamps (negative epoch micros)
         concat(col("user_id").cast("string"), lit(":"),
           expr("unix_micros(ts) div 86400000000").cast("string")).as("elem")),
       "event_type", "elem")
@@ -150,20 +164,26 @@ object Theta {
       |  FROM ret a JOIN ret b ON a.h = b.h AND a.set_id < b.set_id
       |  LEFT JOIN th ta ON ta.set_id = a.set_id
       |  LEFT JOIN th tb ON tb.set_id = b.set_id),
-      |mt AS (SELECT set_a, set_b, MAX(tp) AS tp,
+      |mt AS (SELECT set_a, set_b,
       |    CAST(SUM(CASE WHEN h < tp THEN 1 ELSE 0 END) AS BIGINT) AS n_matches
       |  FROM m GROUP BY 1, 2),
       |ex AS (SELECT a.set_id AS set_a, b.set_id AS set_b,
       |    CAST(COUNT(*) AS BIGINT) AS exact_intersect
       |  FROM el a JOIN el b ON a.elem = b.elem AND a.set_id < b.set_id
       |  GROUP BY 1, 2),
-      |j AS (SELECT COALESCE(mt.set_a, ex.set_a) AS set_a,
+      |j0 AS (SELECT COALESCE(mt.set_a, ex.set_a) AS set_a,
       |    COALESCE(mt.set_b, ex.set_b) AS set_b,
-      |    CASE WHEN mt.tp = $Two60 THEN NULL ELSE mt.tp END AS theta,
       |    COALESCE(n_matches, 0) AS n_matches,
       |    COALESCE(exact_intersect, 0) AS exact_intersect
       |  FROM mt FULL OUTER JOIN ex
       |    ON mt.set_a = ex.set_a AND mt.set_b = ex.set_b),
+      |j AS (SELECT j0.set_a, j0.set_b,
+      |    NULLIF(least(COALESCE(ta.theta, $Two60), COALESCE(tb.theta, $Two60)),
+      |      $Two60) AS theta,
+      |    n_matches, exact_intersect
+      |  FROM j0
+      |  LEFT JOIN th ta ON ta.set_id = j0.set_a
+      |  LEFT JOIN th tb ON tb.set_id = j0.set_b),
       |est AS (SELECT set_a, set_b, theta, n_matches, exact_intersect,
       |    CASE WHEN theta IS NULL THEN CAST(n_matches AS DOUBLE)
       |         ELSE CAST(n_matches AS DOUBLE) /

@@ -325,7 +325,8 @@ object TimeSeries {
        |    $num AS ewma_num,
        |    $den AS ewma_den
        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
-       |SELECT user_id, event_id, us, ewma_num, ewma_den,
+       |SELECT user_id, event_id, us, ewma_num,
+       |  CAST(ewma_den AS BIGINT) AS ewma_den,
        |  CAST(ewma_num AS DOUBLE) / CAST(ewma_den AS DOUBLE) / 10000.0 AS ewma
        |FROM l ORDER BY user_id, us, event_id""".stripMargin
   }

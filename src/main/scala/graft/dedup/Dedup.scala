@@ -715,9 +715,11 @@ object Dedup {
     var sig = signature(e)
     var converged = false
     var iter = 0
+    val roundLog = graft.plans.RoundLog.timer(edges.sparkSession, "cc")
     while (!converged && iter < maxIters) {
       val next = smallStar(largeStar(e)).transform(graft.plans.Lineage.cut)
       val nextSig = signature(next)
+      roundLog(iter, s"edges=${nextSig._1}")
       // release the superseded round's checkpoint blocks — otherwise every
       // round pins another copy of the edge set for the app lifetime
       if (e ne input) e.unpersist()

@@ -17,10 +17,12 @@ import javax.imageio.ImageIO
   *    order-free.
   *  - `resizeImage` → area-averaged downscale via
   *    `Image.getScaledInstance`, re-encoded as PNG.
-  *  - Audio/video payloads (and bytes ImageIO cannot decode) fall back to
-  *    the stub's byte arithmetic: frame extraction needs an ffmpeg-class
-  *    dependency this environment forbids, and a mixed media table must
-  *    keep flowing.
+  *  - `sampleFrames` really decodes MULTI-FRAME payloads the JDK has a
+  *    reader for (animated GIF), emitting every stride-th frame as PNG.
+  *  - Audio/true-video payloads (and bytes ImageIO cannot decode) fall
+  *    back to the stub's byte arithmetic: those formats need an
+  *    ffmpeg-class dependency this environment forbids, and a mixed media
+  *    table must keep flowing.
   *
   * ImageIO decoders are not thread-safe to SHARE but `ImageIO.read` creates
   * one per call; executors run tasks in parallel safely.
@@ -68,7 +70,40 @@ object ImageIoCodec extends Multimodal.MediaCodec {
       case None => Multimodal.StubCodec.resizeImage(payload, factor)
     }
 
+  /** Real multi-frame decode where the JDK has a reader for it (animated
+    * GIF: `ImageReader.getNumImages(true)` frames, `read(i)` each): every
+    * `stride`-th frame is decoded and re-encoded as PNG — an actual
+    * keyframe-sampling path, not byte blocks. `blockSize` is a byte-block
+    * parameter and does not apply to decoded frames. Single-frame images
+    * and payloads no installed reader handles (real video needs an
+    * ffmpeg-class dependency this environment forbids) fall back to the
+    * stub's byte arithmetic so a mixed media table keeps flowing.
+    */
   override def sampleFrames(payload: Array[Byte], blockSize: Int,
-      stride: Int): Seq[Array[Byte]] =
-    Multimodal.StubCodec.sampleFrames(payload, blockSize, stride)
+      stride: Int): Seq[Array[Byte]] = {
+    val frames =
+      try {
+        val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+        try {
+          val readers = ImageIO.getImageReaders(iis)
+          if (iis == null || !readers.hasNext) None
+          else {
+            val reader = readers.next()
+            reader.setInput(iis, false, true)
+            try {
+              val n = reader.getNumImages(true)
+              if (n <= 1) None // single-frame: not a frame-sampling payload
+              else Some((0 until n by math.max(stride, 1)).map { i =>
+                val img = reader.read(i)
+                val bos = new ByteArrayOutputStream()
+                ImageIO.write(img, "png", bos)
+                bos.toByteArray
+              })
+            } finally reader.dispose()
+          }
+        } finally if (iis != null) iis.close()
+      } catch { case _: java.io.IOException => None }
+    frames.getOrElse(
+      Multimodal.StubCodec.sampleFrames(payload, blockSize, stride))
+  }
 }

@@ -210,6 +210,8 @@ object Pipeline {
     val w = Window.partitionBy("key").orderBy(col("n").desc, col("gram").asc)
     counts.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
+      // cast AFTER the filter (RewriteWindowTopK pattern); oracle is int64
+      .withColumn("rank", col("rank").cast("long"))
   }
 
   /** Leakage-safe train/test split: near-duplicate clusters (from
@@ -427,6 +429,7 @@ object Pipeline {
     docs.withColumn("hkey", hashBucket(col(idCol), 1 << 20))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= n)
+      .withColumn("rank", col("rank").cast("long"))
   }
 
   /** Expected chunk length (tokens) for content-defined chunking: a token

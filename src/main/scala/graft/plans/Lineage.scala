@@ -38,4 +38,33 @@ object Lineage {
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
   }
+
+  /** Cut + row count in ONE action. Iterative operators that test
+    * convergence (k-core fixpoint, BFS frontier exhaustion) would
+    * otherwise pay two full stage waves per round — an eager cut, then a
+    * `count()`/`isEmpty` over the cut blocks. Here the checkpoint is
+    * lazy and the `count()` is the materializing action: the blocks are
+    * saved as a side effect of the counting job, so convergence
+    * information is free. At 1000 executors each avoided action is a
+    * whole scheduler wave per round. (In reliable mode the write is
+    * still Spark's post-action checkpoint job — unchanged from the
+    * eager path; the single-action saving applies to the default
+    * local-checkpoint mode.)
+    */
+  def cutCounted(df: DataFrame): (DataFrame, Long) = {
+    val spark = df.sparkSession
+    val cut =
+      if (spark.conf.get(ReliableKey, "false").toBoolean) {
+        val sc = spark.sparkContext
+        if (sc.getCheckpointDir.isEmpty) {
+          val dir = spark.conf.getOption(DirKey).getOrElse(sys.error(
+            s"$ReliableKey=true needs a checkpoint dir: set $DirKey " +
+              "or SparkContext.setCheckpointDir"))
+          sc.setCheckpointDir(dir)
+        }
+        df.checkpoint(eager = false)
+      } else df.localCheckpoint(eager = false)
+    val n = cut.count()
+    (cut, n)
+  }
 }

@@ -91,7 +91,10 @@ object Covariance {
       (i, j, t)
     }).toDF("i", "j", "t")
     row.crossJoin(broadcast(pairDf))
-      .select(col("i"), col("j"),
+      // i/j emit as BIGINT: the index columns are Int for element_at's
+      // array-index arithmetic, but the output contract is int64 (the
+      // oracle's unnest produces BIGINT and the gate hash is width-exact)
+      .select(col("i").cast("long").as("i"), col("j").cast("long").as("j"),
         element_at(col("m"), 1).as("n"),
         element_at(col("m"), col("i") + 2).as("s_i"),
         element_at(col("m"), col("j") + 2).as("s_j"),

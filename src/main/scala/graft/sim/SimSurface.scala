@@ -210,7 +210,7 @@ object SimSurface {
       |SELECT query_id, neighbor_id, rank, cos FROM ranked
       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "sim_topk_lsh" -> s"""WITH $vecsCte,
-      |b AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM v),
+      |b AS (SELECT vec_id, v, CAST(${bucketSql("v")} AS BIGINT) AS bucket FROM v),
       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 10),
       |scored AS (
       |  SELECT q.query_id, c.vec_id AS neighbor_id, c.bucket,

@@ -221,4 +221,51 @@ object Stateful {
             if (snap.length == k) Some(snap.last) else None, snap)
       }
   }
+
+  final case class IntervalRow(key: Long, iid: Long, s: Long, e: Long)
+  final case class CoverageState(starts: Seq[Long], ends: Seq[Long])
+  final case class Coverage(key: Long, n_blocks: Long, covered_us: Long)
+
+  /** Merge `[s, e)` into a sorted, pairwise non-touching block list —
+    * same touch semantics as the batch sweep
+    * ([[graft.analytics.Sessions.intervalCoverage]]: a new block starts
+    * iff `s` strictly exceeds the running max end, so `s == end` merges).
+    */
+  private[streaming] def insertMerge(blocks: Vector[(Long, Long)], s: Long,
+      e: Long): Vector[(Long, Long)] = {
+    val (before, tail) = blocks.span(_._2 < s)
+    val (mid, after) = tail.span(_._1 <= e)
+    val merged =
+      if (mid.isEmpty) (s, e)
+      else (math.min(s, mid.head._1), math.max(e, mid.last._2))
+    (before :+ merged) ++ after
+  }
+
+  /** Streaming twin of [[graft.analytics.Sessions.intervalCoverage]]
+    * (update mode): per key, the merged-interval block list is maintained
+    * incrementally — each arriving interval splices into the sorted
+    * disjoint blocks — and every trigger emits the updated per-key
+    * snapshot (block count + covered micros). Unlike the ring-buffer
+    * twins, NO ingestion-order caveat: interval union is
+    * order-insensitive, so the final snapshot equals the batch sweep over
+    * the same rows exactly (spec-asserted), whatever the batch
+    * boundaries. State per key is the merged block list — bounded by the
+    * key's distinct coverage blocks, not its interval count.
+    */
+  def streamingIntervalCoverage(
+      intervals: Dataset[IntervalRow]): Dataset[Coverage] = {
+    implicit val outEnc = Encoders.product[Coverage]
+    implicit val stEnc = Encoders.product[CoverageState]
+    intervals.groupByKey(_.key)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[IntervalRow], state: GroupState[CoverageState]) =>
+          var blocks = state.getOption
+            .map(st => st.starts.zip(st.ends).toVector)
+            .getOrElse(Vector.empty)
+          rows.foreach { r => blocks = insertMerge(blocks, r.s, r.e) }
+          state.update(CoverageState(blocks.map(_._1), blocks.map(_._2)))
+          Coverage(key, blocks.length.toLong,
+            blocks.iterator.map(b => b._2 - b._1).sum)
+      }
+  }
 }

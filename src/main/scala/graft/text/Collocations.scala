@@ -69,7 +69,8 @@ object Collocations {
     scored.orderBy(col("c_ab").desc, col("a"), col("b")).limit(k)
       .withColumn("rank", row_number().over(
         Window.orderBy(col("c_ab").desc, col("a"), col("b"))))
-      .select("rank", "a", "b", "c_ab", "c_a", "c_b", "lift")
+      .select(col("rank").cast("long").as("rank"), col("a"), col("b"),
+        col("c_ab"), col("c_a"), col("c_b"), col("lift"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -65,7 +65,9 @@ object Search {
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select("rank", "doc_id", "score")
+      // rank emits as BIGINT: the oracle's row_number() is int64 and the
+      // gate compare is width-exact
+      .select(col("rank").cast("long").as("rank"), col("doc_id"), col("score"))
   }
 
   /** BM25 constants (Robertson/Okapi defaults). */
@@ -137,7 +139,7 @@ object Search {
     scored.orderBy(col("score").desc, col("doc_id")).limit(k)
       .withColumn("rank",
         row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select("rank", "doc_id", "score")
+      .select(col("rank").cast("long").as("rank"), col("doc_id"), col("score"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

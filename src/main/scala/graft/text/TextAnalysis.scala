@@ -135,7 +135,10 @@ object TextAnalysis {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .crossJoin(broadcast(nDocs))
-      .select("doc_id", "rank", "term", "tf", "df", "n_docs")
+      // cast AFTER the rank<=k filter so RewriteWindowTopK still sees the
+      // bare row_number() pattern; BIGINT matches the oracle's row_number
+      .select(col("doc_id"), col("rank").cast("long").as("rank"), col("term"),
+        col("tf"), col("df"), col("n_docs"))
   }
 
   def withFingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {

@@ -210,6 +210,58 @@ class MultimodalSpec extends SparkSpec {
       "undecodable audio must fall back to the stub, not crash the batch")
   }
 
+  test("ImageIoCodec samples REAL frames from an animated GIF; fallback intact") {
+    // author a 5-frame animated GIF with the JDK's GIF sequence writer —
+    // solid primary colors survive GIF palettization exactly
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffffff, 0x000000)
+    val w = 10; val h = 7
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    val gif = bos.toByteArray
+
+    // direct codec call: stride 2 over 5 frames → frames 0, 2, 4; each
+    // output is a real PNG at the source dimensions with the planted color
+    val frames = ImageIoCodec.sampleFrames(gif, 64, 2)
+    assert(frames.length === 3)
+    frames.zip(Seq(0xff0000, 0x0000ff, 0x000000)).foreach { case (png, c) =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+      assert(img.getWidth === w && img.getHeight === h)
+      assert((img.getRGB(w / 2, h / 2) & 0xffffff) === c)
+    }
+    // stride 1 keeps all 5
+    assert(ImageIoCodec.sampleFrames(gif, 64, 1).length === 5)
+
+    // through the Spark pipeline: the exploding (mediaId, frameIdx, frame)
+    // shape, with a non-decodable video payload falling back to byte blocks
+    val junk = Array.tabulate[Byte](256)(i => i.toByte)
+    val media = Seq(
+      Multimodal.MediaRow(1L, "video", gif, Multimodal.MediaMeta(w, h, 0, 5)),
+      Multimodal.MediaRow(2L, "video", junk, Multimodal.MediaMeta(0, 0, 0, 0)))
+      .toDS().toDF()
+    val out = Multimodal.sampleFramesWith(media, 64, 2, ImageIoCodec)
+      .select($"mediaId", $"frameIdx", $"frame")
+      .as[(Long, Int, Array[Byte])].collect()
+    assert(out.count(_._1 == 1L) === 3)
+    assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq === Seq(0, 1, 2))
+    val stubFrames = Multimodal.StubCodec.sampleFrames(junk, 64, 2)
+    val gotJunk = out.filter(_._1 == 2L).sortBy(_._2).map(_._3.toSeq).toSeq
+    assert(gotJunk === stubFrames.map(_.toSeq))
+  }
+
   test("HashingEmbedder: unit vectors, reference arithmetic, layout invariance") {
     val emb = Multimodal.HashingEmbedder(8)
     // driver-side reference for one text: signed count per md5-hashed dim

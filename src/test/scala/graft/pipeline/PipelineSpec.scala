@@ -111,11 +111,11 @@ class PipelineSpec extends SparkSpec {
       .toDF("lang", "text")
     val top = Pipeline.topNgramsPerKey(docs, "lang", "text", n = 2, k = 2)
       .select($"key", $"gram", $"n", $"rank")
-      .as[(String, String, Long, Int)].collect().toSet
+      .as[(String, String, Long, Long)].collect().toSet
     // en ties at n=2 broken lexicographically: "b a" < "c d"
     assert(top === Set(
-      ("en", "a b", 3L, 1), ("en", "b a", 2L, 2),
-      ("fr", "x y", 1L, 1)))
+      ("en", "a b", 3L, 1L), ("en", "b a", 2L, 2L),
+      ("fr", "x y", 1L, 1L)))
   }
 
   test("decontamination works on string ids (no silent cast-to-null no-op)") {

@@ -57,6 +57,59 @@ class LineageSpec extends SparkSpec {
     }
   }
 
+  test("cutCounted truncates lineage, counts correctly, and blocks are reusable") {
+    val df = spark.range(100).toDF("id").filter($"id" % 2 === 0)
+    val (cut, n) = Lineage.cutCounted(df)
+    assert(n === 50L)
+    assert(truncated(cut), cut.queryExecution.optimizedPlan.toString)
+    assert(cut.count() === 50L)
+    cut.unpersist()
+  }
+
+  test("cutCounted costs ONE Spark job where eager cut + count costs two") {
+    // the r5 verdict's carried perf note: kCore/bfsLevels paid two stage
+    // waves per round (eager checkpoint materialization, then a count over
+    // the blocks). cutCounted makes the count the materializing action.
+    // AQE off for a deterministic job count; a no-shuffle plan so the
+    // count is a single job in both shapes.
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def settle(): Int = {
+      // listener delivery is async: poll until the count is stable
+      var prev = -1
+      var cur = jobs.get()
+      var spins = 0
+      while (cur != prev && spins < 50) {
+        Thread.sleep(100); prev = cur; cur = jobs.get(); spins += 1
+      }
+      cur
+    }
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = spark.range(1000).toDF("id").filter($"id" % 3 === 0)
+      df.rdd.count() // warm anything lazy before measuring
+      settle(); jobs.set(0)
+      val (fusedDf, _) = Lineage.cutCounted(df)
+      val fused = settle()
+      fusedDf.unpersist()
+      settle(); jobs.set(0)
+      val eager = Lineage.cut(df)
+      eager.count()
+      val unfused = settle()
+      eager.unpersist()
+      assert(fused === 1, s"fused cut+count ran $fused jobs, want 1")
+      assert(unfused === 2, s"eager cut then count ran $unfused jobs, want 2")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
   test("round-5 iterative ops (kCore, bfsLevels) match across checkpoint modes") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")

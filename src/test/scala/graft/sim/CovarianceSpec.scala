@@ -14,13 +14,14 @@ class CovarianceSpec extends SparkSpec {
       .select(transform($"embedding", x => x.cast("float")).as("embedding"))
     val out = Covariance.covarianceUpper(vecs, "embedding", 4)
       .select($"i", $"j", $"n", $"s_i", $"s_j", $"s_ij")
-      .as[(Int, Int, Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
     // driver re-derivation on the same quantized grid
     val q = vecs.select($"embedding").as[Seq[Float]].collect().map(_.map(x =>
       (BigDecimal(x.toDouble).setScale(4, BigDecimal.RoundingMode.HALF_UP)
         * 10000).toLongExact))
     val n = q.length.toLong
-    out.foreach { case (i, j, gn, si, sj, sij) =>
+    out.foreach { case (li, lj, gn, si, sj, sij) =>
+      val (i, j) = (li.toInt, lj.toInt)
       assert(gn === n)
       assert(si === q.map(_(i)).sum)
       assert(sj === q.map(_(j)).sum)
@@ -28,7 +29,7 @@ class CovarianceSpec extends SparkSpec {
     }
     val again = Covariance.covarianceUpper(vecs.repartition(13), "embedding", 4)
       .select($"i", $"j", $"n", $"s_i", $"s_j", $"s_ij")
-      .as[(Int, Int, Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(r => (r._1, r._2))
     assert(again === out)
   }
 
@@ -36,10 +37,10 @@ class CovarianceSpec extends SparkSpec {
     // real covariance from the gate path at sf0.001
     val rows = Covariance.covarianceUpper(
       graft.Tables.embeddings(spark, sf0001), "embedding", Covariance.GateDim)
-      .select($"i", $"j", $"cov").as[(Int, Int, Double)].collect()
+      .select($"i", $"j", $"cov").as[(Long, Long, Double)].collect()
     val d = Covariance.GateDim
     val c = Array.ofDim[Double](d, d)
-    rows.foreach { case (i, j, v) => c(i)(j) = v; c(j)(i) = v }
+    rows.foreach { case (i, j, v) => c(i.toInt)(j.toInt) = v; c(j.toInt)(i.toInt) = v }
     val (evals, evecs) = Covariance.pcaFromCovariance(c)
     // descending spectrum, trace preserved
     assert(evals.sliding(2).forall(p => p(0) >= p(1) - 1e-12))
@@ -67,9 +68,9 @@ class CovarianceSpec extends SparkSpec {
     val d = Covariance.GateDim
     val vecs = graft.Tables.embeddings(spark, sf0001)
     val rows = Covariance.covarianceUpper(vecs, "embedding", d)
-      .select($"i", $"j", $"cov").as[(Int, Int, Double)].collect()
+      .select($"i", $"j", $"cov").as[(Long, Long, Double)].collect()
     val c = Array.ofDim[Double](d, d)
-    rows.foreach { case (i, j, v) => c(i)(j) = v; c(j)(i) = v }
+    rows.foreach { case (i, j, v) => c(i.toInt)(j.toInt) = v; c(j.toInt)(i.toInt) = v }
     val (evals, evecs) = Covariance.pcaFromCovariance(c)
     val r = 8
     val proj = Covariance.projectOnto(vecs, "vec_id", "embedding",

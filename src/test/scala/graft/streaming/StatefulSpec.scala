@@ -194,4 +194,97 @@ class StatefulSpec extends SparkSpec {
         "maintained k-minima must equal the batch sketch exactly")
     } finally q.stop()
   }
+
+  test("streaming window(size, slide) ≡ batch hoppingWindowAgg exactly") {
+    // the batch operator's doc claims semantic identity with Structured
+    // Streaming's window() groupBy — this is that claim, asserted. Same
+    // decimal-grid sum on both sides, so equality is exact, doubles
+    // included.
+    val size = graft.analytics.TimeSeries.GateHopSizeMicros
+    val slide = graft.analytics.TimeSeries.GateHopSlideMicros
+    val q = eventsStream("graft-hop-events")
+      .groupBy(
+        window($"ts", s"${size / 1000000} seconds", s"${slide / 1000000} seconds"),
+        $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum($"value".cast("decimal(18,4)")).cast("double").as("total"))
+      .select(unix_micros($"window.start").as("window_start"),
+        $"event_type".as("grp"), $"n", $"total")
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hop_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hop_stream")
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      val batch = graft.analytics.TimeSeries.hoppingWindowAgg(
+          graft.Tables.events(spark, sf0001), "event_type", "ts", "value",
+          size, slide)
+        .as[(Long, String, Long, Double)].collect()
+        .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("streaming interval coverage ≡ batch intervalCoverage sweep exactly") {
+    // intervals derived exactly as the evt_interval_coverage gate derives
+    // them: [ts, ts + value minutes) on the micros grid
+    val toIv = (df: org.apache.spark.sql.DataFrame) => df
+      .select($"user_id".as("key"), $"event_id".as("iid"),
+        unix_micros($"ts").as("s"),
+        (unix_micros($"ts") +
+          ($"value".cast("decimal(18,4)") * 60000000).cast("long")).as("e"))
+      .filter($"e" > $"s")
+    val q = Stateful.streamingIntervalCoverage(
+        toIv(eventsStream("graft-cov-events")).as[Stateful.IntervalRow])
+      .writeStream.outputMode("update")
+      .format("memory").queryName("cov_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      // last update per key: covered_us only grows (union is monotone)
+      val streamed = spark.table("cov_stream")
+        .groupBy($"key")
+        .agg(max(struct($"covered_us", $"n_blocks")).as("m"))
+        .select($"key", $"m.n_blocks", $"m.covered_us")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      val batch = graft.analytics.Sessions.intervalCoverage(
+          toIv(graft.Tables.events(spark, sf0001)), "key", "s", "e", "iid")
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed === batch)
+    } finally q.stop()
+  }
+
+  test("insertMerge: splice cases — disjoint, touching, spanning, nesting") {
+    // order-insensitivity is the parity argument; check the splice logic
+    // against the batch semantics on crafted cases
+    val b0 = Vector.empty[(Long, Long)]
+    val b1 = Stateful.insertMerge(b0, 10L, 20L)
+    assert(b1 === Vector((10L, 20L)))
+    // disjoint after / before
+    assert(Stateful.insertMerge(b1, 30L, 40L) === Vector((10L, 20L), (30L, 40L)))
+    assert(Stateful.insertMerge(b1, 0L, 5L) === Vector((0L, 5L), (10L, 20L)))
+    // touching merges (batch: new block iff s > running max end)
+    assert(Stateful.insertMerge(b1, 20L, 25L) === Vector((10L, 25L)))
+    assert(Stateful.insertMerge(b1, 5L, 10L) === Vector((5L, 20L)))
+    // spanning several blocks collapses them
+    val many = Vector((0L, 5L), (10L, 20L), (30L, 40L), (50L, 60L))
+    assert(Stateful.insertMerge(many, 4L, 55L) === Vector((0L, 60L)))
+    // nested inside an existing block: no-op extent
+    assert(Stateful.insertMerge(many, 12L, 15L) === many)
+    // random-order insertion equals sorted-order insertion (order-free)
+    val rnd = new scala.util.Random(42)
+    val ivs = Seq.fill(200)((rnd.nextInt(1000).toLong,
+      rnd.nextInt(50).toLong + 1L)).map { case (s, d) => (s, s + d) }
+    val a = ivs.foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc, (s, e)) => Stateful.insertMerge(acc, s, e) }
+    val b = rnd.shuffle(ivs).foldLeft(Vector.empty[(Long, Long)]) {
+      case (acc, (s, e)) => Stateful.insertMerge(acc, s, e) }
+    assert(a === b)
+  }
 }

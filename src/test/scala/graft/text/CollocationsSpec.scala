@@ -13,7 +13,7 @@ class CollocationsSpec extends SparkSpec {
       Seq.fill(10)("red car blue sky") ++
       Seq.fill(10)("blue car red sky")).toDF("text")
     val out = Collocations.topCollocations(docs, "text", minCount = 5, k = 20)
-      .as[(Int, String, String, Long, Long, Long, Double)].collect()
+      .as[(Long, String, String, Long, Long, Long, Double)].collect()
     val byPair = out.map(r => (r._2, r._3) -> r._7).toMap
     assert(byPair.contains(("new", "york")))
     // "new york" is a perfect collocation: c_ab = c_a = c_b = 10
@@ -29,7 +29,7 @@ class CollocationsSpec extends SparkSpec {
     val docs = (Seq.fill(7)("a b") ++ Seq.fill(7)("a c") ++
       Seq.fill(3)("x y")).toDF("text")
     val out = Collocations.topCollocations(docs, "text", minCount = 5, k = 10)
-      .as[(Int, String, String, Long, Long, Long, Double)].collect()
+      .as[(Long, String, String, Long, Long, Long, Double)].collect()
     // (x, y) at 3 occurrences is below minCount
     assert(out.map(r => (r._2, r._3)).toSeq === Seq(("a", "b"), ("a", "c")))
     assert(out.map(_._1).toSeq === Seq(1, 2))
@@ -40,7 +40,7 @@ class CollocationsSpec extends SparkSpec {
       .toDF("text")
     def run(df: org.apache.spark.sql.DataFrame) =
       Collocations.topCollocations(df, "text", minCount = 2, k = 30)
-        .as[(Int, String, String, Long, Long, Long, Double)].collect().toSeq
+        .as[(Long, String, String, Long, Long, Long, Double)].collect().toSeq
     assert(run(docs.coalesce(1)) === run(docs.repartition(13)))
   }
 }

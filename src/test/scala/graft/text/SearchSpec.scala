@@ -16,7 +16,7 @@ class SearchSpec extends SparkSpec {
   test("searchTopK is conjunctive and ranks by total tf, doc_id tiebreak") {
     val out = Search.searchTopK(docs, "doc_id", "text",
       Seq("alpha", "beta", "gamma"), k = 10)
-      .as[(Int, Long, Long)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     // doc 1 lacks nothing? 1: alpha(2) beta gamma → all 3 terms, score 4
     // doc 2 lacks gamma; doc 3 lacks alpha; doc 4 has all 3, score 3
     assert(out === Seq((1, 1L, 4L), (2, 4L, 3L)))
@@ -26,7 +26,7 @@ class SearchSpec extends SparkSpec {
     val many = (1L to 30L).map(i => (i, "zig zag " * i.toInt))
       .toDF("doc_id", "text")
     val out = Search.searchTopK(many, "doc_id", "text", Seq("zig", "zag"), 5)
-      .as[(Int, Long, Long)].collect()
+      .as[(Long, Long, Long)].collect()
     // highest repetition wins; ranks are 1..5
     assert(out.map(_._1).toSeq === (1 to 5))
     assert(out.map(_._2).toSeq === Seq(30L, 29L, 28L, 27L, 26L))
@@ -42,7 +42,7 @@ class SearchSpec extends SparkSpec {
 
   test("bm25TopK is disjunctive, ranks by summed contributions, exact grid values") {
     val out = Search.bm25TopK(docs, "doc_id", "text", Seq("alpha", "gamma"), 10)
-      .as[(Int, Long, Long)].collect().toSeq
+      .as[(Long, Long, Long)].collect().toSeq
     // corpus stats over the 5 non-null docs: N=5, tot tokens=16, avgdl=3.2;
     // df(alpha)=df(gamma)=3
     val n = 5.0; val avgdl = 16.0 / 5.0
@@ -68,7 +68,7 @@ class SearchSpec extends SparkSpec {
       (2L, "needle " + ("filler " * 5)),
       (3L, "needle")).toDF("doc_id", "text")
     val out = Search.bm25TopK(many, "doc_id", "text", Seq("needle"), 3)
-      .as[(Int, Long, Long)].collect()
+      .as[(Long, Long, Long)].collect()
     assert(out.map(_._2).toSeq === Seq(3L, 2L, 1L),
       "BM25 length normalization must prefer the shorter doc")
   }

@@ -12,7 +12,7 @@ class TextAnalysisSpec extends SparkSpec {
       (3L, "apple zebra"))
       .toDF("doc_id", "text")
     val out = TextAnalysis.topTermsPerDoc(docs, "doc_id", "text", 2)
-      .as[(Long, Int, String, Long, Long, Long)].collect()
+      .as[(Long, Long, String, Long, Long, Long)].collect()
       .sortBy(r => (r._1, r._2))
     assert(out.forall(_._6 === 3L), "n_docs rides along")
     val d1 = out.filter(_._1 == 1L)
@@ -32,9 +32,9 @@ class TextAnalysisSpec extends SparkSpec {
       (i, s"w${i % 7} w${i % 7} w${i % 13} w${i % 29} filler common"))
       .toDF("doc_id", "text")
     val a = TextAnalysis.topTermsPerDoc(docs, "doc_id", "text", 3)
-      .as[(Long, Int, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      .as[(Long, Long, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
     val b = TextAnalysis.topTermsPerDoc(docs.repartition(11), "doc_id", "text", 3)
-      .as[(Long, Int, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
+      .as[(Long, Long, String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2))
     assert(a.sameElements(b))
     assert(a.groupBy(_._1).forall(_._2.length === 3))
   }

@@ -20,6 +20,16 @@ TABLES = [
 ]
 
 
+def dtype_compatible(a, b):
+    """Exact-dtype compare, modulo datetime64 unit (ns/us) only."""
+    sa, sb = str(a), str(b)
+    if sa == sb:
+        return True
+    if sa.startswith("datetime64[") and sb.startswith("datetime64["):
+        return True
+    return False
+
+
 def norm(table):
     df = table.to_pandas()
     df = df[sorted(df.columns)]
@@ -61,14 +71,16 @@ def main(sf_dir, out_dir):
         bad_types = [
             (c, str(got[c].dtype), str(want[c].dtype))
             for c in got.columns
-            if got[c].dtype.kind != want[c].dtype.kind
+            if not dtype_compatible(got[c].dtype, want[c].dtype)
         ]
         if bad_types:
-            # the driver's hash is dtype-KIND-sensitive: a DuckDB HUGEINT sum
-            # surfaces as float64 and hash-mismatches a Spark BIGINT column
-            # even when pandas == passes (pa_json_props, round 1). Width and
-            # datetime-unit differences (int32/int64, ns/us) hash fine.
-            print(f"FAIL {name}: dtype kind mismatch {bad_types}")
+            # the driver's hash is WIDTH-sensitive, not just kind-sensitive:
+            # round 5 proved an int32 Spark column vs BIGINT oracle column
+            # hash-mismatches even with every value equal (sim_covariance).
+            # So compare exact dtypes; the only allowed difference is the
+            # datetime64 storage unit (ns vs us), which the driver's hash
+            # has passed across 150+ timestamp-bearing gates in rounds 1-5.
+            print(f"FAIL {name}: dtype mismatch {bad_types}")
             n_fail += 1
             continue
         mismatch = None
