@@ -233,6 +233,50 @@ object TimeSeries {
   /** Exponential-tail truncation depth: 16 lags, weights 2^15 … 2^0. */
   val EwmaLags = 16
 
+  /** Lag-k autocorrelation per key — the periodicity detector of the
+    * family (EWMA smooths, OLS detects drift, this detects cycles): the
+    * Pearson correlation between the series and itself `lagK` steps back,
+    * in (ts, id) order. All moments are exact integers on the decimal(.,4)
+    * grid, accumulated in DECIMAL(38) (the `cov_num` device from
+    * [[graft.sim.Covariance]]: `m·Σxy − Σx·Σy` overflows BIGINT at this
+    * grid), and r is one fixed-order double expression of them —
+    * `num / (sqrt(d_x)·sqrt(d_y))` with each decimal→double cast an
+    * IEEE-exact integer conversion, so the gate hash-checks with no
+    * tolerance. r is null when either side's variance is zero. One
+    * shuffle (the per-key lag window), then a per-key aggregate.
+    */
+  def lagAutocorrelation(events: DataFrame, keyCol: String, tsCol: String,
+      idCol: String, valueCol: String, lagK: Int): DataFrame = {
+    val w = Window.partitionBy("key").orderBy(col("us"), col("iid"))
+    val dec = "decimal(38,0)"
+    val base = events.select(col(keyCol).as("key"),
+        unix_micros(col(tsCol)).as("us"), col(idCol).as("iid"),
+        (col(valueCol).cast("decimal(18,4)") * 10000).cast("long").as("xq"))
+      .withColumn("yq", lag(col("xq"), lagK).over(w))
+      .filter(col("yq").isNotNull)
+    val agg = base.groupBy("key").agg(
+      count(lit(1)).cast(dec).as("m"),
+      sum(col("xq").cast(dec)).as("sx"),
+      sum(col("yq").cast(dec)).as("sy"),
+      sum((col("xq").cast(dec) * col("yq").cast(dec))).as("sxy"),
+      sum((col("xq").cast(dec) * col("xq").cast(dec))).as("sxx"),
+      sum((col("yq").cast(dec) * col("yq").cast(dec))).as("syy"))
+    agg.select(col("key"),
+        lit(lagK).cast("long").as("lag"),
+        col("m").cast("long").as("n_pairs"),
+        (col("m") * col("sxy") - col("sx") * col("sy")).as("num"),
+        (col("m") * col("sxx") - col("sx") * col("sx")).as("dx"),
+        (col("m") * col("syy") - col("sy") * col("sy")).as("dy"))
+      .withColumn("r",
+        when(col("dx") > 0 && col("dy") > 0,
+          col("num").cast("double") /
+            (sqrt(col("dx").cast("double")) * sqrt(col("dy").cast("double")))))
+      .select("key", "lag", "n_pairs", "r")
+  }
+
+  /** Gate autocorrelation lag. */
+  val GateAutocorrLag = 1
+
   /** Per-key ordinary-least-squares trend (slope + intercept of value
     * over time) from closed-form moment sums — regression as ONE partial
     * aggregate: per key, (n, Σx, Σy, Σxy, Σx²) where x = minutes since
@@ -300,7 +344,11 @@ object TimeSeries {
     "evt_anomalies" -> ((s, d) =>
       rollingAnomalies(Tables.events(s, d), Seq("user_id", "event_type"),
         "ts", "event_id", "value")
-        .orderBy("user_id", "event_type", "us", "event_id")))
+        .orderBy("user_id", "event_type", "us", "event_id")),
+    "evt_autocorr" -> ((s, d) =>
+      lagAutocorrelation(Tables.events(s, d), "user_id", "ts", "event_id",
+        "value", GateAutocorrLag)
+        .orderBy("key")))
 
   /** DuckDB twin: identical bucket arithmetic over epoch_us; the
     * deterministic "last observation" is the row_number twin of the
@@ -332,6 +380,33 @@ object TimeSeries {
   }
 
   val oracles: Map[String, String] = Map(
+    // same exact integer moments via HUGEINT (DuckDB's decimal multiply
+    // binds precision p1+p2 ≤ 38, so the engine's DECIMAL(38) chain is
+    // spelled int128 here — both are exact integers, and the final
+    // integer→double casts are IEEE-identical)
+    "evt_autocorr" -> s"""
+      |WITH b AS (SELECT user_id AS key, epoch_us(ts) AS us, event_id AS iid,
+      |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS xq
+      |  FROM events),
+      |l AS (SELECT key, xq,
+      |    lag(xq, $GateAutocorrLag) OVER (PARTITION BY key ORDER BY us, iid) AS yq
+      |  FROM b),
+      |f AS (SELECT key, CAST(xq AS HUGEINT) AS x, CAST(yq AS HUGEINT) AS y
+      |  FROM l WHERE yq IS NOT NULL),
+      |a AS (SELECT key, CAST(COUNT(*) AS HUGEINT) AS m,
+      |    SUM(x) AS sx, SUM(y) AS sy,
+      |    SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      |  FROM f GROUP BY key),
+      |d AS (SELECT key, m,
+      |    m * sxy - sx * sy AS num,
+      |    m * sxx - sx * sx AS dx,
+      |    m * syy - sy * sy AS dy
+      |  FROM a)
+      |SELECT key, CAST($GateAutocorrLag AS BIGINT) AS lag,
+      |  CAST(m AS BIGINT) AS n_pairs,
+      |  CASE WHEN dx > 0 AND dy > 0 THEN CAST(num AS DOUBLE) /
+      |    (sqrt(CAST(dx AS DOUBLE)) * sqrt(CAST(dy AS DOUBLE))) END AS r
+      |FROM d ORDER BY key""".stripMargin,
     "evt_trend_ols" -> """
       |WITH b AS (SELECT user_id, epoch_us(ts) AS us,
       |    CAST(CAST(value AS DECIMAL(18,4)) * 10000 AS BIGINT) AS yq

@@ -508,6 +508,113 @@ object Dedup {
       .toDF("doc_a", "doc_b", "jaccard")
   }
 
+  /** EXACT Jaccard-threshold self-join via prefix filtering (PPJoin
+    * family — Xiao et al., "Efficient Similarity Joins for Near Duplicate
+    * Detection", public technique). The guarantee LSH cannot give: the
+    * result is EXACTLY the set of pairs with Jaccard ≥ τ — no
+    * probabilistic recall, no band-count tuning (spec-asserted equal to
+    * the brute-force all-pairs join on crafted corpora, and a superset of
+    * [[lshVerifiedPairs]] on any corpus).
+    *
+    * The prefix-filter lemma does the candidate bounding: order every
+    * doc's shingles by a GLOBAL (document-frequency asc, gram asc) total
+    * order and keep only the first `|x| − ceil(τ·|x|) + 1` as the doc's
+    * prefix; two docs with Jaccard ≥ τ have overlap ≥ ceil(τ·max(|x|,|y|)),
+    * which cannot fit entirely in either suffix, so their PREFIXES share
+    * at least one gram — an equi-join on prefix grams finds every
+    * qualifying pair. Rare grams come first in the global order, so
+    * prefix buckets are the SMALL ones (a stopword shingle in half the
+    * corpus lands in almost no prefixes); the length filter
+    * (τ·|y| ≤ |x| ≤ |y|/τ) prunes candidates before the distinct. Scale
+    * shape: one groupBy for document frequencies, one per-doc window for
+    * prefix ranks, one equi-join on prefix grams (candidates bounded by
+    * Σ_rare-gram bucket²), exact verify only on surviving pairs — never
+    * all-pairs. At extreme gram skew the same salt-cell capping as the
+    * LSH buckets applies (here the frequency order already does the
+    * heavy lifting).
+    */
+  def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val g = docs
+      .select(col(idCol).cast("long").as("id"),
+        array_distinct(ngrams(col(textCol), 3)).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .transform(graft.plans.Lineage.cut) // consumed by prefix AND verify
+    val toks = g.select(col("id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val freq = toks.groupBy("gram").agg(count(lit(1)).as("df"))
+    // (df, gram) is a total order and gram is unique per doc, so the
+    // per-doc rank is deterministic on any partitioning
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("gram"))
+    val prefix = toks.join(freq, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "sz", "gram")
+    val cand = prefix.select(col("id").as("doc_a"), col("sz").as("sz_a"),
+        col("gram"))
+      .join(prefix.select(col("id").as("doc_b"), col("sz").as("sz_b"),
+        col("gram")), Seq("gram"))
+      .filter(col("doc_a") < col("doc_b") &&
+        col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold)
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(g.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(g.select(col("id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))) /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Sorted-neighborhood blocking (Hernández/Stolfo's SNM, public record-
+    * linkage technique): sort the corpus by a constructed blocking key and
+    * take every pair within `windowSize` positions as a candidate — the
+    * classic complement to hash blocking (LSH buckets, prefix grams) for
+    * typo-heavy keys, where near-identical records sort ADJACENT even
+    * when no token or shingle matches exactly. Verification (here the
+    * standard exact-Jaccard check) runs only on the O(n·w) candidates.
+    *
+    * Scale shape: positions come from [[graft.analytics.Ranking
+    * .globalRowNumber]] (range repartition + metadata-sized offsets —
+    * never a single-partition window), and the within-`w` pairing is an
+    * equi-join on the position grid cell `pos div w` (each row joins its
+    * own and the next cell; |Δpos| ≤ w implies same-or-adjacent cell),
+    * so the candidate stage is O(n·w) rows through one bounded join, no
+    * theta join anywhere. Determinism: the sort key is (key, id) — a
+    * total order.
+    */
+  def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
+      keyCol: String, textCol: String, windowSize: Int,
+      threshold: Double): DataFrame = {
+    val pos = graft.analytics.Ranking.globalRowNumber(
+        docs.select(col(idCol).cast("long").as("id"), col(keyCol).as("key"),
+          array_distinct(ngrams(col(textCol), 3)).as("grams")),
+        Seq(col("key"), col("id")))
+      .select(col("id"), col("grams"), col("rn").as("pos"))
+      .transform(graft.plans.Lineage.cut)
+    def side(tag: String) = pos.select(col("id").as(s"${tag}_id"),
+      col("grams").as(s"${tag}_grams"), col("pos").as(s"${tag}_pos"))
+    // same-cell pairs plus adjacent-cell pairs cover every |Δpos| ≤ w
+    val cells = side("a")
+      .withColumn("cell", explode(array(expr(s"a_pos div $windowSize"),
+        expr(s"a_pos div $windowSize + 1"))))
+      .join(side("b").withColumn("cell", expr(s"b_pos div $windowSize")),
+        Seq("cell"))
+      .filter(col("b_pos") > col("a_pos") &&
+        col("b_pos") - col("a_pos") <= windowSize)
+    cells
+      .withColumn("jaccard",
+        size(array_intersect(col("a_grams"), col("b_grams"))) /
+          size(array_union(col("a_grams"), col("b_grams"))))
+      .filter(col("jaccard") >= threshold)
+      .select(least(col("a_id"), col("b_id")).as("doc_a"),
+        greatest(col("a_id"), col("b_id")).as("doc_b"), col("jaccard"))
+      .distinct()
+  }
+
   /** JVM Jaccard on two distinct-gram arrays — the same arithmetic as the
     * [[lshVerifiedPairs]] verify step (|a∩b| / (|a|+|b|-|a∩b|)), for join
     * shapes where the pair arrives as two columns instead of a bucket.

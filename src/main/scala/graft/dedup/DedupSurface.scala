@@ -220,6 +220,9 @@ object DedupSurface {
     survivorsMemo.getOrElseUpdate((s, d),
       Dedup.nearDupSurvivors(corpus(s, d), "doc_id", "text", 0.5).cache())
 
+  /** SNM gate window: ±5 sort positions. */
+  val SnmWindow = 5
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(corpus(s, d), "doc_id", "text").orderBy("fp")),
@@ -230,6 +233,18 @@ object DedupSurface {
         .orderBy("doc_a", "doc_b")),
     "dedup_lsh_candidates" -> ((s, d) =>
       Dedup.lshCandidates(corpus(s, d), "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
+    // EXACT Jaccard ≥ τ self-join (prefix filter, no LSH miss): the result
+    // is the complete qualifying pair set by construction, so it is a
+    // provable superset of dedup_jaccard_pairs (spec-asserted)
+    "dedup_ppjoin_pairs" -> ((s, d) =>
+      Dedup.prefixFilterJaccardPairs(corpus(s, d), "doc_id", "text", 0.5)
+        .orderBy("doc_a", "doc_b")),
+    // sorted-neighborhood blocking: candidates = within-5 positions in the
+    // (normalized-text, id) sort order, verified at the same τ
+    "dedup_snm_pairs" -> ((s, d) =>
+      Dedup.sortedNeighborhoodPairs(corpus(s, d), "doc_id",
+        "text", "text", SnmWindow, 0.5)
         .orderBy("doc_a", "doc_b")),
     // asymmetric containment over the excerpt-planted corpus: catches
     // quote/excerpt pairs symmetric Jaccard is blind to
@@ -343,6 +358,44 @@ object DedupSurface {
       |FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
       |WHERE len(list_intersect(ga.grams, gb.grams)) /
       |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    // same prefix-filter construction, independently spelled: the global
+    // (df, gram) order, the |x|−ceil(τ|x|)+1 prefix, the length filter,
+    // and the exact verify all re-derived in SQL
+    "dedup_ppjoin_pairs" -> s"""WITH $corpusCte,
+      |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
+      |t AS (SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM g
+      |      WHERE len(grams) > 0),
+      |f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY 1),
+      |r AS (SELECT id, sz, t.gram,
+      |    row_number() OVER (PARTITION BY id ORDER BY df, t.gram) AS rn
+      |  FROM t JOIN f USING (gram)),
+      |p AS (SELECT id, sz, gram FROM r WHERE rn <= sz - ceil(sz * 0.5) + 1),
+      |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      |  FROM p a JOIN p b ON a.gram = b.gram AND a.id < b.id
+      |    AND a.sz >= b.sz * 0.5 AND b.sz >= a.sz * 0.5)
+      |SELECT doc_a, doc_b,
+      |  len(list_intersect(ga.grams, gb.grams)) /
+      |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard
+      |FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
+      |WHERE len(list_intersect(ga.grams, gb.grams)) /
+      |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    // positions via row_number over the same (text, id) total order; the
+    // within-window pairing is a position range join
+    "dedup_snm_pairs" -> s"""WITH $corpusCte,
+      |g AS (SELECT doc_id AS id, text, list_distinct($gramsExpr) AS grams
+      |      FROM corpus WHERE len(list_distinct($gramsExpr)) > 0),
+      |r AS (SELECT id, grams,
+      |    row_number() OVER (ORDER BY text NULLS FIRST, id) AS pos FROM g),
+      |cand AS (SELECT a.id AS ia, a.grams AS ga, b.id AS ib, b.grams AS gb
+      |  FROM r a JOIN r b
+      |    ON b.pos > a.pos AND b.pos <= a.pos + $SnmWindow),
+      |v AS (SELECT least(ia, ib) AS doc_a, greatest(ia, ib) AS doc_b,
+      |    len(list_intersect(ga, gb)) /
+      |      (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS jaccard
+      |  FROM cand)
+      |SELECT DISTINCT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_containment" -> s"""WITH ccorpus AS (
       |  SELECT doc_id, text, lang FROM documents

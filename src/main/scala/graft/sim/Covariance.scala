@@ -21,7 +21,9 @@ import graft.Tables
   * partitioning; the final per-pair covariance arithmetic runs in
   * DECIMAL(38) (`n·S_ij − S_i·S_j` overflows BIGINT around n≈2·10⁵ at
   * this grid) and the double covariance is one fixed-order expression of
-  * those exact integers — hash-identical in the oracle.
+  * those exact integers — value-identical in the oracle, and since round
+  * 6 width-identical too (`i`/`j` emit as BIGINT like the oracle's
+  * unnest; the round-5 gate was value-exact but int32-red).
   *
   * The eigen step (PCA proper) is deliberately driver-side: a d×d matrix
   * is KB-sized whatever the corpus, so distributing Jacobi rotations

@@ -11,6 +11,36 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def ts(us: Long) = new Timestamp(us / 1000)
 
+  test("lagAutocorrelation: periodicity detected exactly, nulls on flat series") {
+    // key 1: strict period-2 alternation 1,-1,1,-1 … -> r(lag 1) = -1,
+    // r(lag 2) = +1 exactly (the quantized moments make these literal)
+    val alt = (0 until 40).map(i =>
+      (1L, 100L + i, ts((i + 1) * 1000000L), if (i % 2 == 0) 1.0 else -1.0))
+    // key 2: constant series -> zero variance -> r null
+    val flat = (0 until 10).map(i => (2L, 200L + i, ts((i + 1) * 1000000L), 5.0))
+    val events = (alt ++ flat).toDF("user_id", "event_id", "ts", "value")
+    val lag1 = TimeSeries.lagAutocorrelation(events, "user_id", "ts",
+        "event_id", "value", 1)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(lag1(1L)._3 === 39L)
+    // the points lie exactly on y = -x, so r = -1 up to the one
+    // sqrt(dx)·sqrt(dx) rounding (±1 ulp); the GATE checks bit parity
+    // cross-engine, this spec checks the statistics
+    assert(math.abs(lag1(1L)._4.get - (-1.0)) < 1e-12)
+    assert(lag1(2L)._4 === None)
+    val lag2 = TimeSeries.lagAutocorrelation(events, "user_id", "ts",
+        "event_id", "value", 2)
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(math.abs(lag2(1L)._4.get - 1.0) < 1e-12)
+    // partition invariance: moments are integer sums on the grid
+    val again = TimeSeries.lagAutocorrelation(events.repartition(13),
+        "user_id", "ts", "event_id", "value", 1)
+      .as[(Long, Long, Long, Option[Double])].collect().toSet
+    assert(again === lag1.values.toSet)
+  }
+
   test("resampleLocf: contiguous grid, LOCF fill, deterministic last-in-bucket") {
     val step = 10L * 1000 * 1000 // 10 s grid
     // key 1: obs in buckets 0, 0 (tie on bucket), 3; key 2: single bucket

@@ -39,6 +39,64 @@ class DedupSpec extends SparkSpec {
     assert(caught.size.toDouble / planted.size >= 0.8, s"recall ${caught.size}/${planted.size}")
   }
 
+  test("prefix-filter jaccard join is EXACTLY the brute-force pair set") {
+    // the property LSH cannot have: zero false negatives at any threshold.
+    // Compare against the unblocked all-pairs ground truth on the full
+    // sf0.001 corpus at two thresholds.
+    import org.apache.spark.sql.functions._
+    for (tau <- Seq(0.4, 0.7)) {
+      val all = Dedup.jaccardPairs(
+        corpus.withColumn("blk_all", lit("x")), "doc_id", "text", "blk_all", tau)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pp = Dedup.prefixFilterJaccardPairs(corpus, "doc_id", "text", tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pp === all, s"tau=$tau: ppjoin must equal brute force exactly")
+      assert(pp.nonEmpty)
+    }
+    // and therefore a superset of the LSH-verified pipeline
+    val lsh = Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    val pp5 = Dedup.prefixFilterJaccardPairs(corpus, "doc_id", "text", 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(pp5))
+  }
+
+  test("sorted-neighborhood pairs: adjacency in sort order, window bound respected") {
+    import org.apache.spark.sql.functions._
+    // crafted corpus: docs 1/2 share a long prefix (sort adjacent, near-dup),
+    // doc 3 identical to 1 but keyed far away via its differing tail; docs
+    // 10..30 are filler spreading the sort order
+    val docs = (Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "zz unrelated sort position alpha beta gamma delta epsilon zeta eta theta")) ++
+      (10L to 30L).map(i => (i, s"filler text block number $i with words " +
+        s"${"pad " * (i % 5).toInt}")))
+      .toDF("doc_id", "text")
+    val got = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text", "text",
+        windowSize = 3, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    // 1 and 2 sort adjacent (shared prefix) and are similar -> found
+    assert(got.contains((1L, 2L)))
+    // every emitted pair must be within the window in the sort order
+    val order = docs.collect().map(r => (r.getString(1), r.getLong(0)))
+      .sortBy(identity).map(_._2).zipWithIndex.toMap
+    got.foreach { case (a, b) =>
+      assert(math.abs(order(a) - order(b)) <= 3,
+        s"pair ($a,$b) outside the sort window")
+    }
+    // windowSize large enough = brute force (every pair in range): with
+    // w >= corpus size, SNM degenerates to all-pairs — equality check
+    val wide = Dedup.sortedNeighborhoodPairs(docs, "doc_id", "text", "text",
+        windowSize = 100, threshold = 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2)).toSet
+    val brute = Dedup.jaccardPairs(docs.withColumn("blk", lit("x")),
+        "doc_id", "text", "blk", 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(wide === brute)
+  }
+
   test("JVM fast paths are bit-identical to the expression forms") {
     import org.apache.spark.sql.functions._
     val sample = corpus.limit(60)
