@@ -67,7 +67,10 @@ object PlanDump {
       "q_hilbert_cells" -> ("the native hilbert_index expression: ONE plan node, generated quadrant-rotation loop, no shuffle before the output sort"),
       "evt_trend_ols" -> ("regression as one partial aggregate: per-key integer moments ride a single user_id exchange shared with the min-time window"),
       "evt_interval_coverage" -> ("one window shuffle shared by the running-max/break/block chain and both aggregates"),
-      "q_copurchase_pairs" -> ("in-group pair expansion after one group-key exchange; global top-20 is TakeOrderedAndProject"))
+      "q_copurchase_pairs" -> ("in-group pair expansion after one group-key exchange; global top-20 is TakeOrderedAndProject"),
+      "dedup_ppjoin_pairs" -> ("exact jaccard join: candidates via an equi-join on PREFIX grams only (df-asc order keeps prefix buckets rare-gram-small); the verify join touches only surviving pairs — no theta join, no all-pairs"),
+      "dedup_snm_pairs" -> ("positions from range-repartition + narrow numbering (no single-partition window); within-window pairing is a grid-cell equi-join with the |delta-pos|<=w residual"),
+      "evt_autocorr" -> ("one per-key window shuffle for the lag, then a partial-agg'd DECIMAL(38) moment aggregate; r is a post-agg projection"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")
     out.append("Generated by `graft.PlanDump`. What to look for is noted per query;\n")

@@ -537,7 +537,7 @@ object Dedup {
       textCol: String, threshold: Double): DataFrame = {
     val g = docs
       .select(col(idCol).cast("long").as("id"),
-        array_distinct(ngrams(col(textCol), 3)).as("grams"))
+        distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
       .filter(size(col("grams")) > 0)
       .transform(graft.plans.Lineage.cut) // consumed by prefix AND verify
     val toks = g.select(col("id"), size(col("grams")).as("sz"),
@@ -550,14 +550,24 @@ object Dedup {
     val prefix = toks.join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
-      .select("id", "sz", "gram")
+      .select("id", "sz", "rn", "gram")
+    // POSITIONAL filter (the second P of PPJoin): a match at prefix
+    // positions (rn_a, rn_b) can grow to at most
+    // 1 + min(sz_a − rn_a, sz_b − rn_b) overlapping grams, and J ≥ τ
+    // needs overlap ≥ τ/(1+τ)·(sz_a+sz_b) — measured 43.3M → bounded
+    // candidates at τ=0.5 on the 10× probe, where the length filter
+    // alone admits every pair sharing one mid-frequency shingle
+    val oReq = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("sz_a") + col("sz_b")))
     val cand = prefix.select(col("id").as("doc_a"), col("sz").as("sz_a"),
-        col("gram"))
+        col("rn").as("rn_a"), col("gram"))
       .join(prefix.select(col("id").as("doc_b"), col("sz").as("sz_b"),
-        col("gram")), Seq("gram"))
+        col("rn").as("rn_b"), col("gram")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b") &&
         col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold)
+        col("sz_b") >= col("sz_a") * threshold &&
+        lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
+          >= oReq)
       .select("doc_a", "doc_b").distinct()
     cand
       .join(g.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
@@ -567,6 +577,100 @@ object Dedup {
           size(array_union(col("ga"), col("gb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** Persistable prefix index for [[ppjoinAgainst]] — the EXACT-dedup
+    * analog of [[bandIndex]]: three plain parquet-writable frames
+    * (document frequencies, per-doc prefix rows at the index threshold,
+    * distinct gram sets), computed ONCE over the corpus and reloaded per
+    * daily batch. All derived under the same global (df asc, gram asc)
+    * order as [[prefixFilterJaccardPairs]].
+    */
+  final case class PrefixIndex(freq: DataFrame, prefix: DataFrame,
+      grams: DataFrame)
+
+  def prefixIndex(corpus: DataFrame, idCol: String, textCol: String,
+      threshold: Double): PrefixIndex = {
+    val g = corpus
+      .select(col(idCol).cast("long").as("id"),
+        distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val toks = g.select(col("id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val freq = toks.groupBy("gram").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df"), col("gram"))
+    val prefix = toks.join(freq, Seq("gram"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "sz", "rn", "gram")
+    PrefixIndex(freq, prefix, g)
+  }
+
+  /** Incremental EXACT near-dedup — [[prefixFilterJaccardPairs]]'
+    * daily-batch form: every pair with Jaccard ≥ τ that involves at least
+    * one batch doc (batch×corpus AND batch×batch), WITHOUT re-pairing the
+    * corpus, with the same zero-false-negative guarantee the one-shot
+    * operator has (and [[dedupAgainst]]'s LSH path does not).
+    *
+    * The shared total order makes it exact: batch prefixes rank grams by
+    * the INDEX's (df, gram) with unseen grams at df 0 — rarer than every
+    * corpus gram. Corpus docs contain no unseen grams, so both sides'
+    * prefixes are leading segments of one global order and the
+    * prefix-filter + positional-filter lemmas apply to every cross and
+    * batch-internal pair. `threshold` must equal the index's build
+    * threshold (the bands/rowsPerBand contract of the LSH index, in
+    * prefix form). Cost: one batch-sized prefix build + equi-joins on
+    * prefix grams against the k-rows-per-doc index — the corpus is never
+    * self-paired.
+    */
+  def ppjoinAgainst(index: PrefixIndex, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val bg = batch
+      .select(col(idCol).cast("long").as("id"),
+        distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .transform(graft.plans.Lineage.cut)
+    val btoks = bg.select(col("id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df0"), col("gram"))
+    val bprefix = btoks.join(index.freq, Seq("gram"), "left")
+      .withColumn("df0", coalesce(col("df"), lit(0L)))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .select("id", "sz", "rn", "gram")
+      .transform(graft.plans.Lineage.cut)
+    val oReq = ceil(lit(threshold / (1.0 + threshold)) *
+      (col("sz_a") + col("sz_b")))
+    def filters(c: DataFrame): DataFrame = c
+      .filter(col("sz_a") >= col("sz_b") * threshold &&
+        col("sz_b") >= col("sz_a") * threshold &&
+        lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
+          >= oReq)
+      .select("doc_a", "doc_b").distinct()
+    def tagged(d: DataFrame, tag: String) = d.select(
+      col("id").as(s"doc_$tag"), col("sz").as(s"sz_$tag"),
+      col("rn").as(s"rn_$tag"), col("gram"))
+    val cross = filters(
+      tagged(bprefix, "a").join(tagged(index.prefix, "b"), Seq("gram")))
+    val internal = filters(
+      tagged(bprefix, "a").join(tagged(bprefix, "b"), Seq("gram"))
+        .filter(col("doc_a") < col("doc_b")))
+    def verify(cand: DataFrame, ga: DataFrame, gb: DataFrame): DataFrame = cand
+      .join(ga.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+      .join(gb.select(col("id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("ga"), col("gb"))) /
+          size(array_union(col("ga"), col("gb"))))
+      .filter(col("jaccard") >= threshold)
+    verify(cross, bg, index.grams)
+      .unionByName(verify(internal, bg, bg))
+      // a doc present in BOTH corpus and batch would cross-pair with
+      // itself — drop the degenerate pair, normalize the id order
+      .filter(col("doc_a") =!= col("doc_b"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
   }
 
   /** Sorted-neighborhood blocking (Hernández/Stolfo's SNM, public record-
@@ -589,11 +693,17 @@ object Dedup {
   def sortedNeighborhoodPairs(docs: DataFrame, idCol: String,
       keyCol: String, textCol: String, windowSize: Int,
       threshold: Double): DataFrame = {
-    val pos = graft.analytics.Ranking.globalRowNumber(
-        docs.select(col(idCol).cast("long").as("id"), col(keyCol).as("key"),
-          array_distinct(ngrams(col(textCol), 3)).as("grams")),
+    // number positions on SLIM (id, key) rows — the range exchange, its
+    // boundary sampling, and the numbering checkpoint must not carry the
+    // shingle arrays (measured 93 s → seconds at the 10× probe); grams
+    // join back on id afterwards
+    val slim = graft.analytics.Ranking.globalRowNumber(
+        docs.select(col(idCol).cast("long").as("id"), col(keyCol).as("key")),
         Seq(col("key"), col("id")))
-      .select(col("id"), col("grams"), col("rn").as("pos"))
+      .select(col("id"), col("rn").as("pos"))
+    val grams = docs.select(col(idCol).cast("long").as("id"),
+      distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
+    val pos = slim.join(grams, Seq("id"))
       .transform(graft.plans.Lineage.cut)
     def side(tag: String) = pos.select(col("id").as(s"${tag}_id"),
       col("grams").as(s"${tag}_grams"), col("pos").as(s"${tag}_pos"))

@@ -223,6 +223,16 @@ object DedupSurface {
   /** SNM gate window: ±5 sort positions. */
   val SnmWindow = 5
 
+  /** PPJoin gate threshold: τ=0.8, the high-similarity operating point
+    * where prefix filtering earns its keep (prefix = ~20% of each doc's
+    * grams, so the candidate join fans out on RARE grams only; at τ=0.5
+    * the prefix is half the doc and the join fan-out — paid before any
+    * filter — was measured 43.3M rows at the 10× probe). The operator
+    * supports any τ; near-dup gating at 0.8 matches the planted corpus
+    * (exact copies 1.0, tail-perturbed ≈ 0.95).
+    */
+  val PpjoinTau = 0.8
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_exact_groups" -> ((s, d) =>
       Dedup.exactGroups(corpus(s, d), "doc_id", "text").orderBy("fp")),
@@ -238,8 +248,17 @@ object DedupSurface {
     // is the complete qualifying pair set by construction, so it is a
     // provable superset of dedup_jaccard_pairs (spec-asserted)
     "dedup_ppjoin_pairs" -> ((s, d) =>
-      Dedup.prefixFilterJaccardPairs(corpus(s, d), "doc_id", "text", 0.5)
+      Dedup.prefixFilterJaccardPairs(corpus(s, d), "doc_id", "text", PpjoinTau)
         .orderBy("doc_a", "doc_b")),
+    // incremental EXACT dedup: batch pairs against a prebuilt corpus
+    // prefix index (corpus never self-paired, zero false negatives —
+    // the guarantee dedup_incremental's LSH path trades away)
+    "dedup_ppjoin_incremental" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ix = Dedup.prefixIndex(docs, "doc_id", "text", PpjoinTau)
+      Dedup.ppjoinAgainst(ix, incBatch(s, d), "doc_id", "text", PpjoinTau)
+        .orderBy("doc_a", "doc_b")
+    }),
     // sorted-neighborhood blocking: candidates = within-5 positions in the
     // (normalized-text, id) sort order, verified at the same τ
     "dedup_snm_pairs" -> ((s, d) =>
@@ -370,16 +389,60 @@ object DedupSurface {
       |r AS (SELECT id, sz, t.gram,
       |    row_number() OVER (PARTITION BY id ORDER BY df, t.gram) AS rn
       |  FROM t JOIN f USING (gram)),
-      |p AS (SELECT id, sz, gram FROM r WHERE rn <= sz - ceil(sz * 0.5) + 1),
+      |p AS (SELECT id, sz, rn, gram FROM r WHERE rn <= sz - ceil(sz * $PpjoinTau) + 1),
       |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
       |  FROM p a JOIN p b ON a.gram = b.gram AND a.id < b.id
-      |    AND a.sz >= b.sz * 0.5 AND b.sz >= a.sz * 0.5)
+      |    AND a.sz >= b.sz * $PpjoinTau AND b.sz >= a.sz * $PpjoinTau
+      |    AND 1 + least(a.sz - a.rn, b.sz - b.rn) >=
+      |        ceil(${PpjoinTau / (1.0 + PpjoinTau)} * (a.sz + b.sz)))
       |SELECT doc_a, doc_b,
       |  len(list_intersect(ga.grams, gb.grams)) /
       |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard
       |FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
       |WHERE len(list_intersect(ga.grams, gb.grams)) /
-      |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5
+      |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= $PpjoinTau
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    // incremental prefix-filter: corpus df only, batch grams unseen in the
+    // corpus rank at df 0 (candidate-set differences between engines are
+    // harmless — both sides are lossless, and only verified pairs emit)
+    "dedup_ppjoin_incremental" -> s"""WITH $incBatchCte,
+      |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM documents),
+      |bt AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM incbatch),
+      |tg AS (SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM g),
+      |f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM tg GROUP BY 1),
+      |cpp AS (SELECT * FROM (
+      |    SELECT id, sz, tg.gram,
+      |      row_number() OVER (PARTITION BY id ORDER BY df, tg.gram) AS rn
+      |    FROM tg JOIN f USING (gram))
+      |  WHERE rn <= sz - ceil(sz * $PpjoinTau) + 1),
+      |bt2 AS (SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM bt),
+      |bpp AS (SELECT * FROM (
+      |    SELECT id, sz, bt2.gram,
+      |      row_number() OVER (PARTITION BY id
+      |        ORDER BY COALESCE(df, 0), bt2.gram) AS rn
+      |    FROM bt2 LEFT JOIN f USING (gram))
+      |  WHERE rn <= sz - ceil(sz * $PpjoinTau) + 1),
+      |cc AS (SELECT DISTINCT a.id AS xa, b.id AS xb
+      |  FROM bpp a JOIN cpp b ON a.gram = b.gram
+      |    AND a.sz >= b.sz * $PpjoinTau AND b.sz >= a.sz * $PpjoinTau
+      |    AND 1 + least(a.sz - a.rn, b.sz - b.rn) >=
+      |        ceil(${PpjoinTau / (1.0 + PpjoinTau)} * (a.sz + b.sz))),
+      |ci AS (SELECT DISTINCT a.id AS xa, b.id AS xb
+      |  FROM bpp a JOIN bpp b ON a.gram = b.gram AND a.id < b.id
+      |    AND a.sz >= b.sz * $PpjoinTau AND b.sz >= a.sz * $PpjoinTau
+      |    AND 1 + least(a.sz - a.rn, b.sz - b.rn) >=
+      |        ceil(${PpjoinTau / (1.0 + PpjoinTau)} * (a.sz + b.sz))),
+      |vx AS (SELECT xa, xb,
+      |    len(list_intersect(ba.grams, gb.grams)) /
+      |      (len(ba.grams) + len(gb.grams) - len(list_intersect(ba.grams, gb.grams))) AS jaccard
+      |  FROM cc JOIN bt ba ON ba.id = xa JOIN g gb ON gb.id = xb),
+      |vi AS (SELECT xa, xb,
+      |    len(list_intersect(ba.grams, bb.grams)) /
+      |      (len(ba.grams) + len(bb.grams) - len(list_intersect(ba.grams, bb.grams))) AS jaccard
+      |  FROM ci JOIN bt ba ON ba.id = xa JOIN bt bb ON bb.id = xb),
+      |u AS (SELECT * FROM vx UNION ALL SELECT * FROM vi)
+      |SELECT least(xa, xb) AS doc_a, greatest(xa, xb) AS doc_b, jaccard
+      |FROM u WHERE jaccard >= $PpjoinTau AND xa <> xb
       |ORDER BY doc_a, doc_b""".stripMargin,
     // positions via row_number over the same (text, id) total order; the
     // within-window pairing is a position range join

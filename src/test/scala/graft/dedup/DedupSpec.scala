@@ -97,6 +97,38 @@ class DedupSpec extends SparkSpec {
     assert(wide === brute)
   }
 
+  test("incremental ppjoin ≡ from-scratch exact join restricted to batch pairs") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val batch = DedupSurface.incBatch(spark, sf0001).select($"doc_id", $"text")
+    val tau = DedupSurface.PpjoinTau
+    val ix = Dedup.prefixIndex(docs, "doc_id", "text", tau)
+    val inc = Dedup.ppjoinAgainst(ix, batch, "doc_id", "text", tau)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the one-shot exact join over corpus ∪ batch, keeping
+    // only pairs that involve a batch doc — the incremental path must
+    // reproduce it EXACTLY (this is the claim LSH-incremental can't make)
+    val batchIds = batch.select($"doc_id").as[Long].collect().toSet
+    val full = Dedup.prefixFilterJaccardPairs(
+        docs.unionByName(batch), "doc_id", "text", tau)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    assert(inc === full)
+    assert(inc.nonEmpty)
+    // the index survives a parquet round-trip (the daily-batch deployment)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppix").toString
+    ix.freq.write.parquet(s"$dir/freq")
+    ix.prefix.write.parquet(s"$dir/prefix")
+    ix.grams.write.parquet(s"$dir/grams")
+    val reloaded = Dedup.PrefixIndex(
+      spark.read.parquet(s"$dir/freq"),
+      spark.read.parquet(s"$dir/prefix"),
+      spark.read.parquet(s"$dir/grams"))
+    val again = Dedup.ppjoinAgainst(reloaded, batch, "doc_id", "text", tau)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(again === inc)
+  }
+
   test("JVM fast paths are bit-identical to the expression forms") {
     import org.apache.spark.sql.functions._
     val sample = corpus.limit(60)
