@@ -97,6 +97,29 @@ class DedupSpec extends SparkSpec {
     assert(wide === brute)
   }
 
+  test("prefix-filter losslessness holds on randomized corpora (seeded property)") {
+    // brute-force equality across random corpora with controlled overlap
+    // structure — small vocab so shared shingles (the candidate-explosion
+    // regime) and near-dup pairs both occur naturally
+    import org.apache.spark.sql.functions._
+    for (seed <- Seq(11, 42, 97); tau <- Seq(0.3, 0.6, 0.85)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("sun", "moon", "star", "rain", "wind", "leaf",
+        "rock", "wave", "fire", "snow")
+      val docs = (1L to 60L).map { i =>
+        val len = 4 + rnd.nextInt(12)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      val brute = Dedup.jaccardPairs(docs.withColumn("blk", lit("x")),
+          "doc_id", "text", "blk", tau)
+        .select($"doc_a", $"doc_b", $"jaccard")
+        .as[(Long, Long, Double)].collect().toSet
+      val pp = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", tau)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pp === brute, s"seed=$seed tau=$tau")
+    }
+  }
+
   test("incremental ppjoin ≡ from-scratch exact join restricted to batch pairs") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001).select($"doc_id", $"text")
