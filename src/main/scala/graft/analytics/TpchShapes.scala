@@ -449,7 +449,185 @@ object TpchShapes {
       |GROUP BY p_brand, p_size
       |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin
 
+  /** TPC-H Q9 shape (product-type profit), adapted: the testdata has no
+    * partsupp, so cost is proxied by `p_retailprice·quantity·0.6` on the
+    * decimal grid — the SHAPE is what's gated: a LIKE-filtered part dim
+    * broadcast into the fact, supplier→nation broadcast enrichment, the
+    * orders join only for the year derivation, and a (nation, year)
+    * profit rollup. Profit stays decimal end-to-end (revenue minus cost
+    * as exact decimals), one double cast at the end.
+    */
+  def q9ProductProfit(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("%red%"))
+      .select(col("p_partkey"),
+        col("p_retailprice").cast("decimal(18,4)").as("unit_cost"))
+    val li = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+        col("l_quantity"), col("l_extendedprice"), col("l_discount"))
+    val orders = Tables.orders(spark, sfDir)
+      // BIGINT year: DuckDB EXTRACT is int64, the gate hash is width-exact
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast("long").as("o_year"))
+    val sup = Tables.supplier(spark, sfDir).select("s_suppkey", "s_nationkey")
+    val nat = Tables.nation(spark, sfDir).select("n_nationkey", "n_name")
+    li.join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(orders, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .withColumn("profit",
+        revenue - col("unit_cost") * col("l_quantity").cast("decimal(18,4)") *
+          lit("0.6").cast("decimal(2,1)"))
+      .groupBy(col("n_name"), col("o_year"))
+      .agg(sum(col("profit")).cast("double").as("sum_profit"))
+      .orderBy(col("n_name"), col("o_year").desc)
+  }
+
+  val q9Sql: String =
+    """SELECT n_name, o_year, CAST(SUM(profit) AS DOUBLE) AS sum_profit
+      |FROM (
+      |  SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
+      |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)) -
+      |      CAST(p_retailprice AS DECIMAL(18,4)) *
+      |      CAST(l_quantity AS DECIMAL(18,4)) * CAST(0.6 AS DECIMAL(2,1)) AS profit
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation ON s_nationkey = n_nationkey
+      |  WHERE p_name LIKE '%red%')
+      |GROUP BY n_name, o_year
+      |ORDER BY n_name, o_year DESC""".stripMargin
+
+  /** Q11 gate share threshold: parts holding > 0.05% of total revenue. */
+  val Q11FracDenom = 2000L
+
+  /** TPC-H Q11 shape (important stock), adapted to lineitem revenue: parts
+    * whose total revenue exceeds `1/Q11FracDenom` of GLOBAL revenue. The
+    * `HAVING SUM(...) > (SELECT SUM(...) * frac)` scalar subquery
+    * decorrelates to a 1-row global aggregate broadcast-cross-joined onto
+    * the per-part rollup (the [[q15TopSupplier]]/[[q22DormantCustomers]]
+    * device); the threshold compare is cross-multiplied in exact decimal
+    * (`rev·denom > total`), never a double division.
+    */
+  def q11ImportantParts(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val perPart = li.groupBy(col("l_partkey"))
+      .agg(sum(revenue).as("value"))
+    val global = li.agg(sum(revenue).as("total"))
+    perPart.join(broadcast(global))
+      .filter(col("value") * Q11FracDenom > col("total"))
+      .join(broadcast(Tables.part(spark, sfDir).select("p_partkey", "p_name")),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey").as("partkey"), col("p_name"),
+        col("value").cast("double").as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  val q11Sql: String =
+    s"""SELECT l_partkey AS partkey, p_name, CAST(value AS DOUBLE) AS value
+      |FROM (
+      |  SELECT l_partkey,
+      |    SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS value
+      |  FROM lineitem GROUP BY l_partkey
+      |  HAVING SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |    * $Q11FracDenom >
+      |    (SELECT SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |     FROM lineitem))
+      |JOIN part ON l_partkey = p_partkey
+      |ORDER BY value DESC, partkey""".stripMargin
+
+  /** TPC-H Q12 shape (shipping-mode priority split), adapted: the testdata
+    * has no l_shipmode/commit/receipt dates, so the group key is
+    * `l_returnflag` and the shipped-in-1996 slice stands in for the
+    * receipt-window predicate. The gated SHAPE is Q12's: fact→orders join
+    * with the date filter pushed to the fact scan, then per-group
+    * conditional counts splitting high (1-URGENT/2-HIGH) from low
+    * priorities — integer counts, trivially exact.
+    */
+  def q12PriorityByFlag(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .select("l_orderkey", "l_returnflag")
+    val orders = Tables.orders(spark, sfDir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    li.join(orders, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  val q12Sql: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q20 shape (promotion-part suppliers), adapted: suppliers that
+    * shipped MORE THAN HALF of some 'small%' part's total 1996 quantity
+    * (availqty doesn't exist without partsupp; "dominates the part's
+    * supply" keeps the nested-subquery chain). The correlated
+    * `> 0.5 * (SELECT SUM ... same part)` decorrelates to a window SUM
+    * over the (part, supplier) rollup — the rollup is |parts×suppliers|-
+    * bounded, so the window costs one small exchange, never a fact-sized
+    * one; the half compare is cross-multiplied in decimal (`2·qty >
+    * total`). Qualifying suppliers semi-join into the supplier dim.
+    */
+  def q20DominantSuppliers(spark: SparkSession, sfDir: String): DataFrame = {
+    val parts = Tables.part(spark, sfDir)
+      .filter(col("p_name").like("small%"))
+      .select("p_partkey")
+    val shipped = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity").cast("decimal(18,4)")).as("qty"))
+    val withTotal = shipped.withColumn("part_total",
+      sum(col("qty")).over(Window.partitionBy(col("l_partkey"))))
+    val dominant = withTotal
+      .filter(col("qty") * 2 > col("part_total"))
+      .select(col("l_suppkey")).distinct()
+    Tables.supplier(spark, sfDir)
+      .join(dominant, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name"))
+      .orderBy("s_suppkey")
+  }
+
+  val q20Sql: String =
+    """SELECT s_suppkey, s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE 'small%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  GROUP BY l_partkey, l_suppkey
+      |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) * 2 >
+      |    (SELECT SUM(CAST(l2.l_quantity AS DECIMAL(18,4)))
+      |     FROM lineitem l2
+      |     WHERE l2.l_partkey = lineitem.l_partkey
+      |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |       AND l2.l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q9_product_profit" -> (q9ProductProfit _),
+    "q11_important_parts" -> (q11ImportantParts _),
+    "q12_priority_by_flag" -> (q12PriorityByFlag _),
+    "q20_dominant_suppliers" -> (q20DominantSuppliers _),
     "q6_forecast_revenue" -> (q6ForecastRevenue _),
     "q8_market_share" -> (q8MarketShare _),
     "q16_supplier_counts" -> (q16SupplierCounts _),
@@ -463,6 +641,10 @@ object TpchShapes {
   )
 
   val oracles: Map[String, String] = Map(
+    "q9_product_profit" -> q9Sql,
+    "q11_important_parts" -> q11Sql,
+    "q12_priority_by_flag" -> q12Sql,
+    "q20_dominant_suppliers" -> q20Sql,
     "q6_forecast_revenue" -> q6Sql,
     "q8_market_share" -> q8Sql,
     "q16_supplier_counts" -> q16Sql,
