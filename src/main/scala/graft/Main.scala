@@ -184,7 +184,7 @@ object Main {
       // input corpus, --output the destination; each op is a deterministic
       // transform so re-runs produce byte-identical corpora
       val op = flags.getOrElse("op",
-        sys.error("--op <dedup|decontaminate|sample|pps|mix|pack|shuffle|split|redact|filter|report|prepare|bpe|search|semdedup|diff> required"))
+        sys.error("--op <dedup|ppjoin|snm|decontaminate|sample|pps|mix|pack|shuffle|split|redact|filter|report|prepare|bpe|search|semdedup|diff> required"))
       val docs = spark.read.parquet(table)
       val out = flags.getOrElse("output", sys.error("--output is required"))
       val idCol = flags.getOrElse("id-col", "doc_id")
@@ -351,6 +351,42 @@ object Main {
                 "vec_id", "v", k, k)
             case other => sys.error(s"unknown search mode: $other")
           }
+        case "ppjoin" =>
+          // EXACT Jaccard ≥ τ pair join (prefix filter, no LSH miss);
+          // with --index-dir, incremental mode: build-or-load the corpus
+          // prefix index there and pair only the batch (--table) against
+          // it — the daily-batch deployment
+          flags.get("index-dir") match {
+            case None =>
+              graft.dedup.Dedup.prefixFilterJaccardPairs(docs, idCol,
+                textCol, threshold)
+            case Some(dir) =>
+              val fs = new java.io.File(s"$dir/prefix")
+              val ix =
+                if (fs.exists()) graft.dedup.Dedup.PrefixIndex(
+                  spark.read.parquet(s"$dir/freq"),
+                  spark.read.parquet(s"$dir/prefix"),
+                  spark.read.parquet(s"$dir/grams"))
+                else {
+                  val corpus = spark.read.parquet(
+                    flags.getOrElse("corpus", sys.error(
+                      "--corpus is required to build a missing index")))
+                  val built = graft.dedup.Dedup.prefixIndex(corpus, idCol,
+                    textCol, threshold)
+                  built.freq.write.parquet(s"$dir/freq")
+                  built.prefix.write.parquet(s"$dir/prefix")
+                  built.grams.write.parquet(s"$dir/grams")
+                  built
+                }
+              graft.dedup.Dedup.ppjoinAgainst(ix, docs, idCol, textCol,
+                threshold)
+          }
+        case "snm" =>
+          // sorted-neighborhood candidate pairs verified at --threshold;
+          // --key-col is the blocking sort key (defaults to the text)
+          graft.dedup.Dedup.sortedNeighborhoodPairs(docs, idCol,
+            flags.getOrElse("key-col", textCol), textCol,
+            flags.getOrElse("window", "5").toInt, threshold)
         case "semdedup" =>
           // input is an embeddings parquet (--vec-col); output is
           // (vec_id, cid, kept)
@@ -388,7 +424,7 @@ object Main {
       val userCol = flags.getOrElse("user-col", "user_id")
       val typeCol = flags.getOrElse("type-col", "event_type")
       val result = flags.getOrElse("op",
-        sys.error("--op <funnel|cohorts|anomalies|resample|distinct|ewma|transitions|overlap> required")) match {
+        sys.error("--op <funnel|cohorts|anomalies|resample|distinct|ewma|transitions|overlap|autocorr> required")) match {
         case "funnel" =>
           graft.analytics.Behavior.funnel(ev, userCol, "ts", typeCol,
             flags.getOrElse("steps", "view,click,purchase").split(',').toSeq,
@@ -434,6 +470,12 @@ object Main {
           graft.analytics.Sessions.sessionTransitions(ev, userCol, "ts",
             flags.getOrElse("id-col", "event_id"), typeCol,
             flags.getOrElse("gap-minutes", "30").toLong * 60000000L)
+        case "autocorr" =>
+          // per-key lag-k Pearson on the decimal grid
+          graft.analytics.TimeSeries.lagAutocorrelation(ev, userCol, "ts",
+            flags.getOrElse("id-col", "event_id"),
+            flags.getOrElse("value-col", "value"),
+            flags.getOrElse("lag", "1").toInt)
         case "overlap" =>
           // theta/KMV sketch set intersections: --set-col partitions the
           // universe into sets, --item-col the elements

@@ -222,6 +222,74 @@ object Stateful {
       }
   }
 
+  final case class AcObs(key: Long, event_id: Long, us: Long, value: Double)
+  /** Moment accumulators ride as decimal STRINGS: the batch side sums in
+    * DECIMAL(38) and an unbounded stream would overflow any fixed-width
+    * state field; BigInt-as-string is exact at any length and stays
+    * KB-sized (6 numbers + a lag-length ring per key).
+    */
+  final case class AcState(ring: Seq[Long], m: Long, sx: String, sy: String,
+      sxy: String, sxx: String, syy: String)
+  final case class AcSnapshot(key: Long, lag: Long, n_pairs: Long,
+      r: Option[Double])
+
+  /** Streaming twin of [[graft.analytics.TimeSeries.lagAutocorrelation]]
+    * (update mode): per key, a ring of the last `lagK` quantized values
+    * plus exact integer moment accumulators; every trigger emits the
+    * updated (key, lag, n_pairs, r) snapshot, with r computed by the
+    * batch operator's exact expression order (integer→double casts are
+    * IEEE-unique, so the final snapshot equals the batch result
+    * BIT-EXACTLY when ingestion is time-ordered — the ring-twin caveat,
+    * same as [[streamingAnomalies]]).
+    */
+  def streamingAutocorrelation(events: Dataset[AcObs],
+      lagK: Int = 1): Dataset[AcSnapshot] = {
+    implicit val outEnc = Encoders.product[AcSnapshot]
+    implicit val stEnc = Encoders.product[AcState]
+    def toScaled(v: Double): Long =
+      java.math.BigDecimal.valueOf(v)
+        .setScale(4, java.math.RoundingMode.HALF_UP)
+        .unscaledValue().longValueExact()
+    events.groupByKey(_.key)(Encoders.scalaLong)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (key: Long, evs: Iterator[AcObs], state: GroupState[AcState]) =>
+          val st = state.getOption.getOrElse(
+            AcState(Seq.empty, 0L, "0", "0", "0", "0", "0"))
+          var ring = st.ring.toVector
+          var m = st.m
+          var sx = BigInt(st.sx); var sy = BigInt(st.sy)
+          var sxy = BigInt(st.sxy); var sxx = BigInt(st.sxx)
+          var syy = BigInt(st.syy)
+          evs.toVector.sortBy(e => (e.us, e.event_id)).foreach { e =>
+            val x = toScaled(e.value)
+            if (ring.length == lagK) {
+              val y = ring.head // the value lagK steps back
+              m += 1
+              sx += x; sy += y
+              sxy += BigInt(x) * BigInt(y)
+              sxx += BigInt(x) * BigInt(x)
+              syy += BigInt(y) * BigInt(y)
+            }
+            ring = (ring :+ x).takeRight(lagK)
+          }
+          state.update(AcState(ring, m, sx.toString, sy.toString,
+            sxy.toString, sxx.toString, syy.toString))
+          val bm = BigInt(m)
+          val num = bm * sxy - sx * sy
+          val dx = bm * sxx - sx * sx
+          val dy = bm * syy - sy * sy
+          val r =
+            if (dx > 0 && dy > 0)
+              // the batch expression order exactly: double(num) /
+              // (sqrt(double(dx)) * sqrt(double(dy)))
+              Some(new java.math.BigDecimal(num.bigInteger).doubleValue() /
+                (math.sqrt(new java.math.BigDecimal(dx.bigInteger).doubleValue()) *
+                  math.sqrt(new java.math.BigDecimal(dy.bigInteger).doubleValue())))
+            else None
+          AcSnapshot(key, lagK.toLong, m, r)
+      }
+  }
+
   final case class IntervalRow(key: Long, iid: Long, s: Long, e: Long)
   final case class CoverageState(starts: Seq[Long], ends: Seq[Long])
   final case class Coverage(key: Long, n_blocks: Long, covered_us: Long)

@@ -118,6 +118,55 @@ class MainSpec extends SparkSpec {
       Set("doc_id", "shard", "n_tokens", "offset", "first_window", "n_windows"))
   }
 
+  test("corpus ppjoin / snm and events autocorr verbs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ppverb").toString
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "a wholly different document about other things entirely"))
+      .toDF("doc_id", "text")
+    docs.write.parquet(s"$dir/corpus")
+
+    // one-shot exact join
+    Main.run(spark, "corpus", s"$dir/corpus",
+      Map("op" -> "ppjoin", "threshold" -> "0.5", "output" -> s"$dir/pairs"))
+    val pairs = spark.read.parquet(s"$dir/pairs")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs === Set((1L, 2L)))
+
+    // incremental: build the index from --corpus, pair a batch against it
+    val batch = Seq((10L, "alpha beta gamma delta epsilon zeta eta theta"))
+      .toDF("doc_id", "text")
+    batch.write.parquet(s"$dir/batch")
+    Main.run(spark, "corpus", s"$dir/batch",
+      Map("op" -> "ppjoin", "threshold" -> "0.5", "index-dir" -> s"$dir/ix",
+        "corpus" -> s"$dir/corpus", "output" -> s"$dir/incpairs"))
+    val inc = spark.read.parquet(s"$dir/incpairs")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(inc === Set((1L, 10L), (2L, 10L)))
+    // second run reuses the persisted index (no --corpus needed)
+    Main.run(spark, "corpus", s"$dir/batch",
+      Map("op" -> "ppjoin", "threshold" -> "0.5", "index-dir" -> s"$dir/ix",
+        "output" -> s"$dir/incpairs2"))
+    assert(spark.read.parquet(s"$dir/incpairs2")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet === inc)
+
+    // snm verb
+    Main.run(spark, "corpus", s"$dir/corpus",
+      Map("op" -> "snm", "threshold" -> "0.5", "window" -> "2",
+        "output" -> s"$dir/snm"))
+    assert(spark.read.parquet(s"$dir/snm")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 2L)))
+
+    // events autocorr verb over the real events table
+    Main.run(spark, "events", s"$sf0001/events.parquet",
+      Map("op" -> "autocorr", "lag" -> "1", "output" -> s"$dir/ac"))
+    val ac = spark.read.parquet(s"$dir/ac")
+    assert(ac.count() > 0)
+    assert(ac.columns.toSet === Set("key", "lag", "n_pairs", "r"))
+  }
+
   test("corpus dedup --survivor quality keeps the best duplicate, not the min id") {
     val dir = java.nio.file.Files.createTempDirectory("graft-quality").toString
     val base = ("alpha bravo charlie delta echo foxtrot golf hotel india " +

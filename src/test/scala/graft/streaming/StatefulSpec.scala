@@ -260,6 +260,37 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming autocorrelation ≡ batch lagAutocorrelation exactly") {
+    val q = Stateful.streamingAutocorrelation(
+        eventsStream("graft-ac-events")
+          .select($"user_id".as("key"), $"event_id",
+            unix_micros($"ts").as("us"), $"value")
+          .as[Stateful.AcObs], lagK = 1)
+      .writeStream.outputMode("update")
+      .format("memory").queryName("ac_stream")
+      .trigger(Trigger.AvailableNow()).start()
+    try {
+      q.processAllAvailable()
+      // final snapshot per key: n_pairs only grows
+      val streamed = spark.table("ac_stream")
+        .groupBy($"key")
+        .agg(max(struct($"n_pairs", $"r")).as("m"))
+        .select($"key", $"m.n_pairs", $"m.r")
+        .as[(Long, Long, Option[Double])].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      val batch = graft.analytics.TimeSeries.lagAutocorrelation(
+          graft.Tables.events(spark, sf0001), "user_id", "ts", "event_id",
+          "value", 1)
+        .as[(Long, Long, Long, Option[Double])].collect()
+        .map(x => x._1 -> ((x._3, x._4))).toMap
+      assert(streamed.nonEmpty)
+      // exact, doubles included: the stream reproduces the batch DECIMAL
+      // moments via BigInt and the same final expression order
+      assert(streamed === batch)
+      assert(streamed.values.exists(_._2.isDefined))
+    } finally q.stop()
+  }
+
   test("insertMerge: splice cases — disjoint, touching, spanning, nesting") {
     // order-insensitivity is the parity argument; check the splice logic
     // against the batch semantics on crafted cases
