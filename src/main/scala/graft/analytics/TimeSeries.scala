@@ -129,7 +129,10 @@ object TimeSeries {
     * factor (a constant), then ONE shuffle keyed (window, group) with
     * partial aggregation — identical semantics to Structured Streaming's
     * `window(ts, size, slide)` groupBy, which is the streaming twin
-    * (spec-asserted batch ≡ stream).
+    * (spec-asserted batch ≡ stream). One contract note: the `div` window
+    * start truncates toward zero while `window()` floors, so identity
+    * holds for post-1970 timestamps (negative epochs would misalign by
+    * one slide — same data contract as the theta day buckets).
     */
   def hoppingWindowAgg(events: DataFrame, groupCol: String, tsCol: String,
       valueCol: String, sizeMicros: Long, slideMicros: Long): DataFrame = {

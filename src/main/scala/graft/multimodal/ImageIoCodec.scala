@@ -85,8 +85,13 @@ object ImageIoCodec extends Multimodal.MediaCodec {
       try {
         val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
         try {
-          val readers = ImageIO.getImageReaders(iis)
-          if (iis == null || !readers.hasNext) None
+          // null-check BEFORE getImageReaders: a null stream would throw
+          // IllegalArgumentException, which the IOException catch below
+          // does not cover
+          val readers =
+            if (iis == null) java.util.Collections.emptyIterator[javax.imageio.ImageReader]()
+            else ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) None
           else {
             val reader = readers.next()
             reader.setInput(iis, false, true)
