@@ -110,6 +110,33 @@ class LineageSpec extends SparkSpec {
     }
   }
 
+  test("RoundLog is silent by default and emits per-round lines when enabled") {
+    def capture(body: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos))(body)
+      bos.toString("UTF-8")
+    }
+    // default: disabled, no output
+    val silent = capture {
+      val log = RoundLog.timer(spark, "testop")
+      log(0, "info"); log(1, "more")
+    }
+    assert(silent.isEmpty)
+    // enabled via conf: one line per round with the op and round index
+    spark.conf.set(RoundLog.Key, "true")
+    try {
+      val loud = capture {
+        val log = RoundLog.timer(spark, "testop")
+        log(0, "edges=5"); log(1, "edges=3")
+      }
+      val lines = loud.trim.split("\n").toSeq
+      assert(lines.length === 2)
+      assert(lines.head.contains("op=testop") && lines.head.contains("round=0")
+        && lines.head.contains("edges=5"))
+      assert(lines(1).contains("round=1") && lines(1).contains("round_sec="))
+    } finally spark.conf.unset(RoundLog.Key)
+  }
+
   test("round-5 iterative ops (kCore, bfsLevels) match across checkpoint modes") {
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
       .toDF("src", "dst")
