@@ -47,21 +47,30 @@ object Bench {
         else times.sorted.apply(times.length / 2)
       name -> median
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 3-decimal seconds: ms resolution is below bench noise, and it
+    // halves the JSON line the driver must capture intact
+    def fmt(v: Double): String =
+      if (v < 0) "-1" else BigDecimal(v).setScale(3,
+        BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","n_reps":$reps,"method":"median_of_reps_first_rep_is_warmup","queries":$qs,"sf":"$sfDir"}"""
+    val totalsLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"n_queries":${results.size},"full_results_file":"bench_out.json","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"method":"median_of_reps_first_rep_is_warmup","queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of sbt output, and with 150+
     // queries the single JSON line grows past the capture window —
-    // round 5's artifact lost its opening brace and parsed as null. Two
-    // defenses: (1) persist the full JSON to a file next to the repo,
-    // (2) print a short totals-only JSON line LAST so even a truncated
-    // capture ends with a complete parseable object.
+    // round 5's artifact lost its opening brace and parsed as null.
+    // Defenses: (1) persist the full JSON to a file next to the repo,
+    // (2) print a short totals-only JSON line FIRST and LAST so both a
+    // head- and a tail-truncated capture contain a complete parseable
+    // object, (3) build.sbt routes forked run output raw to stdout, so
+    // none of these lines carries sbt's "[info] " prefix.
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(totalsLine)
     println(json)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_reps":$reps,"n_queries":${results.size},"full_results_file":"$outPath","sf":"$sfDir"}""")
+    println(totalsLine)
     spark.stop()
   }
 }

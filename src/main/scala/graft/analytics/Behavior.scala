@@ -88,8 +88,10 @@ object Behavior {
       steps.indices.map(i =>
         count(col(s"t$i")).as(s"u$i")): _*)
 
+    // stage_idx emits as BIGINT: int32 is a driver-risk output type (the
+    // gate hash is width-sensitive — see tools/check_oracle.py)
     val stages = steps.zipWithIndex.map { case (step, i) =>
-      struct(lit(i).as("stage_idx"), lit(step).as("stage"),
+      struct(lit(i.toLong).as("stage_idx"), lit(step).as("stage"),
         col(s"u$i").as("users"))
     }
     stageCounts
@@ -173,7 +175,7 @@ object Behavior {
       |SELECT stage_idx, stage, users,
       |  CAST(users AS DOUBLE) / (SELECT c0 FROM c) AS conv_rate
       |FROM (
-      |  SELECT 0 AS stage_idx, 'view' AS stage, c0 AS users FROM c
+      |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage, c0 AS users FROM c
       |  UNION ALL SELECT 1, 'click', c1 FROM c
       |  UNION ALL SELECT 2, 'purchase', c2 FROM c)
       |ORDER BY stage_idx""".stripMargin,

@@ -164,7 +164,8 @@ object FuzzyJoin {
       editDistanceJoinSegments(
         Tables.part(s, d).select("p_partkey", "p_name"),
         probeNames(s, d), "p_name", "probe", GateMaxDist)
-        .select("probe_key", "probe", "p_partkey", "p_name", "dist")
+        .select(col("probe_key"), col("probe"), col("p_partkey"), col("p_name"),
+          col("dist").cast("long").as("dist"))
         .orderBy("probe_key", "p_partkey")))
 
   val oracles: Map[String, String] = Map(
@@ -183,7 +184,7 @@ object FuzzyJoin {
       |c AS (SELECT p_partkey, p_name, length(p_name) // ${GateMaxDist + 1} AS cell
       |  FROM part)
       |SELECT probe_key, probe, p_partkey, p_name,
-      |  CAST(levenshtein(probe, p_name) AS INT) AS dist
+      |  CAST(levenshtein(probe, p_name) AS BIGINT) AS dist
       |FROM pc JOIN c USING (cell)
       |WHERE levenshtein(probe, p_name) <= $GateMaxDist
       |ORDER BY probe_key, p_partkey""".stripMargin)

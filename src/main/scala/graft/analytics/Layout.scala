@@ -79,7 +79,8 @@ object Layout {
   def zorderCells(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val mask = (1L << GateBits) - 1
-    li.select(col("l_orderkey"), col("l_linenumber"),
+    li.select(col("l_orderkey"), col("l_linenumber").cast("long")
+        .as("l_linenumber"),
       (col("l_partkey").bitwiseAND(lit(mask))).as("pa"),
       (col("l_suppkey").bitwiseAND(lit(mask))).as("sb"))
       .select(col("l_orderkey"), col("l_linenumber"),
@@ -152,7 +153,8 @@ object Layout {
   def hilbertCells(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
     val mask = (1L << GateBits) - 1
-    li.select(col("l_orderkey"), col("l_linenumber"),
+    li.select(col("l_orderkey"), col("l_linenumber").cast("long")
+        .as("l_linenumber"),
       graft.functions.HilbertIndex.hilbertIndex(
         col("l_partkey").bitwiseAND(lit(mask)),
         col("l_suppkey").bitwiseAND(lit(mask)), GateBits).as("h"))
@@ -195,14 +197,14 @@ object Layout {
 
   val oracles: Map[String, String] = Map(
     "q_zorder_cells" -> s"""
-      |WITH m AS (SELECT l_orderkey, l_linenumber,
+      |WITH m AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
       |    l_partkey % ${1L << GateBits} AS pa,
       |    l_suppkey % ${1L << GateBits} AS sb
       |  FROM lineitem)
       |SELECT l_orderkey, l_linenumber, ${zSql("pa", "sb", GateBits)} AS z
       |FROM m ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_hilbert_cells" -> s"""
-      |WITH h0 AS (SELECT l_orderkey, l_linenumber,
+      |WITH h0 AS (SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
       |    l_partkey % ${1L << GateBits} AS xn,
       |    l_suppkey % ${1L << GateBits} AS yn,
       |    CAST(0 AS BIGINT) AS dn

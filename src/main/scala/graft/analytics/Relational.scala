@@ -393,7 +393,7 @@ object Relational {
     */
   def rangeJoinValueBands(spark: SparkSession, sfDir: String): DataFrame = {
     val bands = Tables.region(spark, sfDir)
-      .select(col("r_regionkey").as("band"),
+      .select(col("r_regionkey").cast("long").as("band"),
         (col("r_regionkey") * 100.0).as("lo"),
         ((col("r_regionkey") + 1) * 100.0).as("hi"))
     Tables.events(spark, sfDir)
@@ -405,7 +405,8 @@ object Relational {
   }
 
   val rangeJoinSql: String =
-    """WITH bands AS (SELECT r_regionkey AS band, r_regionkey * 100.0 AS lo,
+    """WITH bands AS (SELECT CAST(r_regionkey AS BIGINT) AS band,
+      |                      r_regionkey * 100.0 AS lo,
       |                      (r_regionkey + 1) * 100.0 AS hi FROM region)
       |SELECT band, COUNT(*) AS n,
       |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total

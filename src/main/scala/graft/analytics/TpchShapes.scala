@@ -380,7 +380,7 @@ object TpchShapes {
       .join(supp, col("l_suppkey") === col("s_suppkey"))
       .join(ord, col("l_orderkey") === col("o_orderkey"))
       .join(cust, col("o_custkey") === col("c_custkey"))
-      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
       .agg(
         sum(when(col("is_target"), revenue)
           .otherwise(lit(0).cast("decimal(24,6)"))).cast("double")
@@ -392,7 +392,7 @@ object TpchShapes {
   }
 
   val q8Sql: String =
-    """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+    """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
       |  CAST(SUM(CASE WHEN s_nationkey = 3
       |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
       |    ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) AS target_revenue,
@@ -426,7 +426,8 @@ object TpchShapes {
   def q16SupplierCounts(spark: SparkSession, sfDir: String): DataFrame = {
     val parts = Tables.part(spark, sfDir)
       .filter(col("p_brand") =!= "Brand#5" && col("p_size").isin(5, 10, 15, 20))
-      .select("p_partkey", "p_brand", "p_size")
+      .select(col("p_partkey"), col("p_brand"),
+        col("p_size").cast("long").as("p_size"))
     val badSupp = Tables.supplier(spark, sfDir)
       .filter(col("s_acctbal") < 0).select("s_suppkey")
     val offers = Tables.lineitem(spark, sfDir)
@@ -441,7 +442,8 @@ object TpchShapes {
   }
 
   val q16Sql: String =
-    """SELECT p_brand, p_size, CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+    """SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+      |  CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey
       |WHERE p_brand <> 'Brand#5' AND p_size IN (5, 10, 15, 20)

@@ -33,7 +33,7 @@ object WindowSuite {
       .withColumn("first_order", first(col("o_orderkey")).over(run))
       .withColumn("last_order", last(col("o_orderkey")).over(full))
       .withColumn("next_order", lead(col("o_orderkey"), 1).over(base))
-      .withColumn("quartile", ntile(4).over(base))
+      .withColumn("quartile", ntile(4).over(base).cast("long"))
       .drop("o_totalprice")
       .orderBy("o_orderkey")
   }
@@ -53,7 +53,7 @@ object WindowSuite {
         |  LAST_VALUE(o_orderkey) OVER
         |    (w ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_order,
         |  LEAD(o_orderkey, 1) OVER w AS next_order,
-        |  CAST(NTILE(4) OVER w AS INT) AS quartile
+        |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
         |ORDER BY o_orderkey""".stripMargin)

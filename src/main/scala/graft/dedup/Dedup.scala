@@ -532,6 +532,18 @@ object Dedup {
     * all-pairs. At extreme gram skew the same salt-cell capping as the
     * LSH buckets applies (here the frequency order already does the
     * heavy lifting).
+    *
+    * Boundary exactness: every candidate-pruning predicate is phrased as
+    * THE SAME IEEE comparison the verify step makes — `fl(x/y) >= τ` on
+    * int columns — never as a floating-point rearrangement of it. The
+    * textbook `overlap ≥ ceil(τ/(1+τ)·(|x|+|y|))` form is NOT safe in
+    * doubles: at τ=0.8 a 28-gram doc contained in a 35-gram doc has
+    * `fl(28/35) == fl(0.8)` (verify passes) but `fl(0.8/1.8)·63` lands
+    * a hair above 28 and ceils to 29, pruning a true pair. Correctly
+    * rounded division is monotone in its integer operands, so bounding
+    * the overlap and comparing `fl(ub/(sz_a+sz_b−ub)) >= τ` prunes a
+    * pair only when NO overlap value could pass verify (boundary pair
+    * spec-asserted in DedupSpec).
     */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
@@ -547,27 +559,32 @@ object Dedup {
     // per-doc rank is deterministic on any partitioning
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("gram"))
+    // conservative prefix length: keep rank rn iff an overlap of
+    // sz − rn + 1 could still verify against a partner of the minimal
+    // legal size — fl((sz−rn+1)/sz) >= τ, the verify comparison itself
+    // (a qualifying pair's overlap o* has fl(o*/union) >= τ and
+    // union >= sz, so fl(o*/sz) >= τ by rounding monotonicity)
     val prefix = toks.join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
       .select("id", "sz", "rn", "gram")
     // POSITIONAL filter (the second P of PPJoin): a match at prefix
     // positions (rn_a, rn_b) can grow to at most
-    // 1 + min(sz_a − rn_a, sz_b − rn_b) overlapping grams, and J ≥ τ
-    // needs overlap ≥ τ/(1+τ)·(sz_a+sz_b) — measured 43.3M → bounded
-    // candidates at τ=0.5 on the 10× probe, where the length filter
-    // alone admits every pair sharing one mid-frequency shingle
-    val oReq = ceil(lit(threshold / (1.0 + threshold)) *
-      (col("sz_a") + col("sz_b")))
+    // ub = 1 + min(sz_a − rn_a, sz_b − rn_b) overlapping grams — keep
+    // only if that best case passes the verify comparison verbatim:
+    // fl(ub/(sz_a+sz_b−ub)) >= τ. Measured 43.3M → bounded candidates
+    // at τ=0.5 on the 10× probe, where the length filter alone admits
+    // every pair sharing one mid-frequency shingle
+    val ub = lit(1) +
+      least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
     val cand = prefix.select(col("id").as("doc_a"), col("sz").as("sz_a"),
         col("rn").as("rn_a"), col("gram"))
       .join(prefix.select(col("id").as("doc_b"), col("sz").as("sz_b"),
         col("rn").as("rn_b"), col("gram")), Seq("gram"))
       .filter(col("doc_a") < col("doc_b") &&
-        col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold &&
-        lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
-          >= oReq)
+        least(col("sz_a"), col("sz_b")) /
+          greatest(col("sz_a"), col("sz_b")) >= threshold &&
+        ub / (col("sz_a") + col("sz_b") - ub) >= threshold)
       .select("doc_a", "doc_b").distinct()
     cand
       .join(g.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
@@ -600,9 +617,10 @@ object Dedup {
     val freq = toks.groupBy("gram").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("gram"))
+    // same conservative prefix predicate as [[prefixFilterJaccardPairs]]
     val prefix = toks.join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
       .select("id", "sz", "rn", "gram")
     PrefixIndex(freq, prefix, g)
   }
@@ -638,16 +656,17 @@ object Dedup {
     val bprefix = btoks.join(index.freq, Seq("gram"), "left")
       .withColumn("df0", coalesce(col("df"), lit(0L)))
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("sz") - ceil(col("sz") * threshold) + 1)
+      .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
       .select("id", "sz", "rn", "gram")
       .transform(graft.plans.Lineage.cut)
-    val oReq = ceil(lit(threshold / (1.0 + threshold)) *
-      (col("sz_a") + col("sz_b")))
+    // boundary-exact candidate predicates — the verify comparison on the
+    // overlap upper bound, per [[prefixFilterJaccardPairs]]'s analysis
+    val ub = lit(1) +
+      least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
     def filters(c: DataFrame): DataFrame = c
-      .filter(col("sz_a") >= col("sz_b") * threshold &&
-        col("sz_b") >= col("sz_a") * threshold &&
-        lit(1) + least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
-          >= oReq)
+      .filter(least(col("sz_a"), col("sz_b")) /
+          greatest(col("sz_a"), col("sz_b")) >= threshold &&
+        ub / (col("sz_a") + col("sz_b") - ub) >= threshold)
       .select("doc_a", "doc_b").distinct()
     def tagged(d: DataFrame, tag: String) = d.select(
       col("id").as(s"doc_$tag"), col("sz").as(s"sz_$tag"),
@@ -696,14 +715,21 @@ object Dedup {
     // number positions on SLIM (id, key) rows — the range exchange, its
     // boundary sampling, and the numbering checkpoint must not carry the
     // shingle arrays (measured 93 s → seconds at the 10× probe); grams
-    // join back on id afterwards
+    // join back on id afterwards. Membership is decided BEFORE numbering:
+    // only docs with a non-empty gram list get a position (a null-text
+    // doc would otherwise shift every later position and change which
+    // pairs fall inside the window — cross-engine divergence vs the
+    // oracle, which numbers the same membership set)
+    val grams = docs.select(col(idCol).cast("long").as("id"),
+        col(keyCol).as("key"),
+        distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .transform(graft.plans.Lineage.cut)
     val slim = graft.analytics.Ranking.globalRowNumber(
-        docs.select(col(idCol).cast("long").as("id"), col(keyCol).as("key")),
+        grams.select(col("id"), col("key")),
         Seq(col("key"), col("id")))
       .select(col("id"), col("rn").as("pos"))
-    val grams = docs.select(col(idCol).cast("long").as("id"),
-      distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
-    val pos = slim.join(grams, Seq("id"))
+    val pos = slim.join(grams.select(col("id"), col("grams")), Seq("id"))
       .transform(graft.plans.Lineage.cut)
     def side(tag: String) = pos.select(col("id").as(s"${tag}_id"),
       col("grams").as(s"${tag}_grams"), col("pos").as(s"${tag}_pos"))

@@ -379,7 +379,10 @@ object DedupSurface {
       |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin,
     // same prefix-filter construction, independently spelled: the global
-    // (df, gram) order, the |x|−ceil(τ|x|)+1 prefix, the length filter,
+    // (df, gram) order, then every candidate filter phrased as the SAME
+    // IEEE comparison the verify makes (fl(x/y) >= τ on ints — the
+    // boundary-safe form; a fp rearrangement like ceil(τ/(1+τ)·(sa+sb))
+    // prunes true exact-threshold pairs, e.g. 28-in-35 at τ=0.8),
     // and the exact verify all re-derived in SQL
     "dedup_ppjoin_pairs" -> s"""WITH $corpusCte,
       |g AS (SELECT doc_id AS id, list_distinct($gramsExpr) AS grams FROM corpus),
@@ -389,12 +392,12 @@ object DedupSurface {
       |r AS (SELECT id, sz, t.gram,
       |    row_number() OVER (PARTITION BY id ORDER BY df, t.gram) AS rn
       |  FROM t JOIN f USING (gram)),
-      |p AS (SELECT id, sz, rn, gram FROM r WHERE rn <= sz - ceil(sz * $PpjoinTau) + 1),
+      |p AS (SELECT id, sz, rn, gram FROM r WHERE (sz - rn + 1) / sz >= $PpjoinTau),
       |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
       |  FROM p a JOIN p b ON a.gram = b.gram AND a.id < b.id
-      |    AND a.sz >= b.sz * $PpjoinTau AND b.sz >= a.sz * $PpjoinTau
-      |    AND 1 + least(a.sz - a.rn, b.sz - b.rn) >=
-      |        ceil(${PpjoinTau / (1.0 + PpjoinTau)} * (a.sz + b.sz)))
+      |    AND least(a.sz, b.sz) / greatest(a.sz, b.sz) >= $PpjoinTau
+      |    AND (1 + least(a.sz - a.rn, b.sz - b.rn)) /
+      |        (a.sz + b.sz - (1 + least(a.sz - a.rn, b.sz - b.rn))) >= $PpjoinTau)
       |SELECT doc_a, doc_b,
       |  len(list_intersect(ga.grams, gb.grams)) /
       |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard
@@ -414,24 +417,24 @@ object DedupSurface {
       |    SELECT id, sz, tg.gram,
       |      row_number() OVER (PARTITION BY id ORDER BY df, tg.gram) AS rn
       |    FROM tg JOIN f USING (gram))
-      |  WHERE rn <= sz - ceil(sz * $PpjoinTau) + 1),
+      |  WHERE (sz - rn + 1) / sz >= $PpjoinTau),
       |bt2 AS (SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM bt),
       |bpp AS (SELECT * FROM (
       |    SELECT id, sz, bt2.gram,
       |      row_number() OVER (PARTITION BY id
       |        ORDER BY COALESCE(df, 0), bt2.gram) AS rn
       |    FROM bt2 LEFT JOIN f USING (gram))
-      |  WHERE rn <= sz - ceil(sz * $PpjoinTau) + 1),
+      |  WHERE (sz - rn + 1) / sz >= $PpjoinTau),
       |cc AS (SELECT DISTINCT a.id AS xa, b.id AS xb
       |  FROM bpp a JOIN cpp b ON a.gram = b.gram
-      |    AND a.sz >= b.sz * $PpjoinTau AND b.sz >= a.sz * $PpjoinTau
-      |    AND 1 + least(a.sz - a.rn, b.sz - b.rn) >=
-      |        ceil(${PpjoinTau / (1.0 + PpjoinTau)} * (a.sz + b.sz))),
+      |    AND least(a.sz, b.sz) / greatest(a.sz, b.sz) >= $PpjoinTau
+      |    AND (1 + least(a.sz - a.rn, b.sz - b.rn)) /
+      |        (a.sz + b.sz - (1 + least(a.sz - a.rn, b.sz - b.rn))) >= $PpjoinTau),
       |ci AS (SELECT DISTINCT a.id AS xa, b.id AS xb
       |  FROM bpp a JOIN bpp b ON a.gram = b.gram AND a.id < b.id
-      |    AND a.sz >= b.sz * $PpjoinTau AND b.sz >= a.sz * $PpjoinTau
-      |    AND 1 + least(a.sz - a.rn, b.sz - b.rn) >=
-      |        ceil(${PpjoinTau / (1.0 + PpjoinTau)} * (a.sz + b.sz))),
+      |    AND least(a.sz, b.sz) / greatest(a.sz, b.sz) >= $PpjoinTau
+      |    AND (1 + least(a.sz - a.rn, b.sz - b.rn)) /
+      |        (a.sz + b.sz - (1 + least(a.sz - a.rn, b.sz - b.rn))) >= $PpjoinTau),
       |vx AS (SELECT xa, xb,
       |    len(list_intersect(ba.grams, gb.grams)) /
       |      (len(ba.grams) + len(gb.grams) - len(list_intersect(ba.grams, gb.grams))) AS jaccard

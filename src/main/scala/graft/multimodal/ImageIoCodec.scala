@@ -107,7 +107,14 @@ object ImageIoCodec extends Multimodal.MediaCodec {
             } finally reader.dispose()
           }
         } finally if (iis != null) iis.close()
-      } catch { case _: java.io.IOException => None }
+      } catch {
+        // NonFatal, not just IOException: the JDK GIF plugin throws
+        // RuntimeExceptions (ArrayIndexOutOfBounds, IllegalArgument,
+        // NegativeArraySize) on malformed/truncated multi-frame payloads,
+        // and a corrupt payload must fall back to the stub — a mixed
+        // media table keeps flowing, it never crashes the task
+        case scala.util.control.NonFatal(_) => None
+      }
     frames.getOrElse(
       Multimodal.StubCodec.sampleFrames(payload, blockSize, stride))
   }

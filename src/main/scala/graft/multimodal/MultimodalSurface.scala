@@ -24,9 +24,10 @@ object MultimodalSurface {
       Multimodal.deriveMedia(Tables.documents(s, d))
         .select(col("mediaId"), col("kind"),
           octet_length(col("payload")).cast("long").as("byte_len"),
-          col("meta.width"), col("meta.height"),
-          col("meta.sampleRate").as("sample_rate"),
-          col("meta.durationMs").as("duration_ms"))
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"),
+          col("meta.sampleRate").cast("long").as("sample_rate"),
+          col("meta.durationMs").cast("long").as("duration_ms"))
         .orderBy("mediaId")),
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.deriveMedia(Tables.documents(s, d)))
@@ -45,7 +46,8 @@ object MultimodalSurface {
       Multimodal.resize(Multimodal.deriveMedia(Tables.documents(s, d)), 4)
         .select(col("mediaId"), col("kind"),
           hex(col("payload")).as("payload_hex"),
-          col("meta.width").as("width"), col("meta.height").as("height"))
+          col("meta.width").cast("long").as("width"),
+          col("meta.height").cast("long").as("height"))
         .orderBy("mediaId")),
     // batched embedding inference (StubEmbedder): vector dims surfaced as
     // named columns so the oracle compares scalars, not list encodings
@@ -123,10 +125,10 @@ object MultimodalSurface {
       """SELECT doc_id AS mediaId,
         |  CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
         |  CAST(strlen(text) AS BIGINT) AS byte_len,
-        |  CAST(doc_id % 640 + 1 AS INT) AS width,
-        |  CAST(doc_id % 480 + 1 AS INT) AS height,
-        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS INT) AS sample_rate,
-        |  CAST(doc_id % 10000 AS INT) AS duration_ms
+        |  CAST(doc_id % 640 + 1 AS BIGINT) AS width,
+        |  CAST(doc_id % 480 + 1 AS BIGINT) AS height,
+        |  CAST(CASE WHEN doc_id % 3 = 1 THEN 16000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(doc_id % 10000 AS BIGINT) AS duration_ms
         |FROM documents ORDER BY mediaId""".stripMargin,
     "mm_features" ->
       s"""SELECT doc_id AS "mediaId",
@@ -160,9 +162,9 @@ object MultimodalSurface {
         |      i -> substr(hex(encode(text)), CAST(i * 2 + 1 AS INT), 2)), '')
         |  ELSE hex(encode(text)) END AS payload_hex,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN greatest((doc_id % 640 + 1) // 4, 1)
-        |       ELSE doc_id % 640 + 1 END AS INT) AS width,
+        |       ELSE doc_id % 640 + 1 END AS BIGINT) AS width,
         |  CAST(CASE WHEN doc_id % 3 = 0 THEN greatest((doc_id % 480 + 1) // 4, 1)
-        |       ELSE doc_id % 480 + 1 END AS INT) AS height
+        |       ELSE doc_id % 480 + 1 END AS BIGINT) AS height
         |FROM documents ORDER BY "mediaId"""".stripMargin,
     // StubEmbedder mirror: h = first 48 md5 bits (12-hex-char fold) mod 997,
     // dim j = (h * (2j+3) % 997) / 997.0 — generated from the same dim

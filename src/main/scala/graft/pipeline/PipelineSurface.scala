@@ -143,7 +143,8 @@ object PipelineSurface {
     "pipe_kanonymity" -> ((s, d) =>
       Pipeline.kAnonymityReport(
         Tables.customer(s, d)
-          .select(col("c_nationkey"), col("c_mktsegment"),
+          .select(col("c_nationkey").cast("long").as("c_nationkey"),
+            col("c_mktsegment"),
             expr("CAST(floor(c_acctbal / 2000) AS BIGINT)").as("bal_band"),
             (col("c_acctbal") < 0).as("in_debt")),
         Seq("c_nationkey", "c_mktsegment", "bal_band"), "in_debt", KAnonK)
@@ -419,7 +420,8 @@ object PipelineSurface {
       |SELECT doc_id, source, hkey, CAST(rank AS BIGINT) AS rank
       |FROM r WHERE rank <= 20 ORDER BY source, rank""".stripMargin,
     "pipe_kanonymity" -> s"""
-      |WITH b AS (SELECT c_nationkey, c_mktsegment,
+      |WITH b AS (SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |    c_mktsegment,
       |    CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
       |    c_acctbal < 0 AS in_debt
       |  FROM customer),

@@ -78,14 +78,17 @@ object MutationSurface {
     * and brand-new keys).
     */
   private def scd2GateDim(s: SparkSession, d: String) = {
+    // c_nationkey emits as BIGINT, not the parquet's int32: int32 is a
+    // driver-risk output type (see tools/check_oracle.py)
     val cust = graft.Tables.customer(s, d)
-      .select("c_custkey", "c_nationkey", "c_mktsegment")
+      .select(col("c_custkey"), col("c_nationkey").cast("long")
+        .as("c_nationkey"), col("c_mktsegment"))
     val changes = cust.filter(col("c_custkey") % 7 === 0)
       .withColumn("c_mktsegment", lit("MOVED"))
       .unionByName(cust.filter(col("c_custkey") % 7 === 1))
       .unionByName(cust.filter(col("c_custkey") % 13 === 0)
         .select((col("c_custkey") + 1000000L).as("c_custkey"),
-          lit(99).cast("int").as("c_nationkey"),
+          lit(99L).as("c_nationkey"),
           lit("NEW").as("c_mktsegment")))
       .withColumn("eff_us", lit(graft.ops.Scd2.GateEffUs))
     graft.ops.Scd2.merge(graft.ops.Scd2.seed(cust), changes,
@@ -162,7 +165,9 @@ object MutationSurface {
   )
 
   private def scd2DimCtes: String =
-      """WITH cust AS (SELECT c_custkey, c_nationkey, c_mktsegment FROM customer),
+      """WITH cust AS (SELECT c_custkey,
+        |    CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment
+        |  FROM customer),
         |chg AS (
         |  SELECT c_custkey, c_nationkey, 'MOVED' AS c_mktsegment, 1000000 AS eff_us
         |  FROM cust WHERE c_custkey % 7 = 0
@@ -170,7 +175,7 @@ object MutationSurface {
         |  SELECT c_custkey, c_nationkey, c_mktsegment, 1000000
         |  FROM cust WHERE c_custkey % 7 = 1
         |  UNION ALL
-        |  SELECT c_custkey + 1000000, CAST(99 AS INTEGER), 'NEW', 1000000
+        |  SELECT c_custkey + 1000000, CAST(99 AS BIGINT), 'NEW', 1000000
         |  FROM cust WHERE c_custkey % 13 = 0
         |),
         |old_rows AS (

@@ -68,11 +68,16 @@ object Covariance {
   /** Quantized-grid scale: decimal(.,4), matching the engine playbook. */
   val GridScale = 10000L
 
-  /** Upper-triangle covariance rows `(i, j, n, s_i, s_j, s_ij, cov_num,
-    * cov)` for a fixed-width `array<float>` column: one aggregation pass,
-    * then the d(d+1)/2-row moment explosion happens on the SINGLE result
-    * row. `cov = (n·S_ij − S_i·S_j) / (n²·10⁸)` — the population
-    * covariance on the quantized grid.
+  /** Upper-triangle covariance rows `(i, j, n, s_i, s_j, s_ij, cov)` for
+    * a fixed-width `array<float>` column: one aggregation pass, then the
+    * d(d+1)/2-row moment explosion happens on the SINGLE result row.
+    * `cov = (n·S_ij − S_i·S_j) / (n²·10⁸)` — the population covariance on
+    * the quantized grid. The `n·S_ij − S_i·S_j` numerator is computed in
+    * DECIMAL(38,0) (it overflows BIGINT around n≈2·10⁵ at this grid) but
+    * stays INTERNAL: the output carries only BIGINT moments and the
+    * float64 `cov`, because decimal columns hash differently across
+    * DuckDB versions in the driver's gate pipeline (the r5/r6 red was a
+    * decimal-rendering artifact on value-exact rows).
     */
   def covarianceUpper(vecs: DataFrame, vecCol: String, dim: Int): DataFrame = {
     val spark = vecs.sparkSession
@@ -101,11 +106,10 @@ object Covariance {
         element_at(col("m"), col("i") + 2).as("s_i"),
         element_at(col("m"), col("j") + 2).as("s_j"),
         element_at(col("m"), col("t") + 1).as("s_ij"))
-      .withColumn("cov_num",
-        col("n").cast("decimal(38,0)") * col("s_ij").cast("decimal(38,0)") -
-          col("s_i").cast("decimal(38,0)") * col("s_j").cast("decimal(38,0)"))
       .withColumn("cov",
-        col("cov_num").cast("double") /
+        (col("n").cast("decimal(38,0)") * col("s_ij").cast("decimal(38,0)") -
+          col("s_i").cast("decimal(38,0)") * col("s_j").cast("decimal(38,0)"))
+          .cast("double") /
           (col("n").cast("double") * col("n").cast("double") *
             lit((GridScale * GridScale).toDouble)))
   }
@@ -210,8 +214,6 @@ object Covariance {
       |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       |  GROUP BY 1, 2)
       |SELECT sij.i, sij.j, n.n, sa.s AS s_i, sb.s AS s_j, sij.s_ij,
-      |  CAST(n.n AS DECIMAL(38,0)) * CAST(s_ij AS DECIMAL(38,0)) -
-      |    CAST(sa.s AS DECIMAL(38,0)) * CAST(sb.s AS DECIMAL(38,0)) AS cov_num,
       |  CAST(CAST(n.n AS DECIMAL(38,0)) * CAST(s_ij AS DECIMAL(38,0)) -
       |    CAST(sa.s AS DECIMAL(38,0)) * CAST(sb.s AS DECIMAL(38,0)) AS DOUBLE) /
       |    (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE) * ${(GridScale * GridScale).toDouble}) AS cov

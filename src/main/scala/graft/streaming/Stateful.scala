@@ -240,7 +240,10 @@ object Stateful {
     * batch operator's exact expression order (integer→double casts are
     * IEEE-unique, so the final snapshot equals the batch result
     * BIT-EXACTLY when ingestion is time-ordered — the ring-twin caveat,
-    * same as [[streamingAnomalies]]).
+    * same as [[streamingAnomalies]]). Keys that have not yet produced a
+    * single lag pair emit NOTHING (flatMap, not map): the batch operator
+    * omits keys with fewer than lagK+1 events entirely, so a sparse-key
+    * snapshot would break the final-snapshot ≡ batch claim.
     */
   def streamingAutocorrelation(events: Dataset[AcObs],
       lagK: Int = 1): Dataset[AcSnapshot] = {
@@ -251,7 +254,7 @@ object Stateful {
         .setScale(4, java.math.RoundingMode.HALF_UP)
         .unscaledValue().longValueExact()
     events.groupByKey(_.key)(Encoders.scalaLong)
-      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout) {
         (key: Long, evs: Iterator[AcObs], state: GroupState[AcState]) =>
           val st = state.getOption.getOrElse(
             AcState(Seq.empty, 0L, "0", "0", "0", "0", "0"))
@@ -286,7 +289,8 @@ object Stateful {
                 (math.sqrt(new java.math.BigDecimal(dx.bigInteger).doubleValue()) *
                   math.sqrt(new java.math.BigDecimal(dy.bigInteger).doubleValue())))
             else None
-          AcSnapshot(key, lagK.toLong, m, r)
+          if (m == 0) Iterator.empty
+          else Iterator.single(AcSnapshot(key, lagK.toLong, m, r))
       }
   }
 

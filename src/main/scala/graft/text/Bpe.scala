@@ -109,7 +109,9 @@ object Bpe {
       .select(split(col("ntext"), " ").as("t"))
       .groupBy("t").agg(count(lit(1)).as("w"))
       .transform(graft.plans.Lineage.cut)
-    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    // round emits as BIGINT: int32 is a driver-risk output type (see
+    // tools/check_oracle.py)
+    val merges = Seq.newBuilder[(Long, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
@@ -127,7 +129,7 @@ object Bpe {
       if (top.isEmpty) exhausted = true
       else {
         val sel = selectBatch(top)
-        sel.foreach { case (a, b, c) => merges += ((round, a, b, c)) }
+        sel.foreach { case (a, b, c) => merges += ((round.toLong, a, b, c)) }
         val next = toks
           .select(applyMergesUdf(col("t"),
             typedLit(sel.map(_._1)), typedLit(sel.map(_._2))).as("t"), col("w"))
@@ -173,7 +175,7 @@ object Bpe {
       import spark.implicits._
       val batches = trainMerges(Tables.documents(s, d), "text", GateRounds)
         .orderBy(col("round"), col("freq").desc, col("left"), col("right"))
-        .select("round", "left", "right").as[(Int, String, String)].collect()
+        .select("round", "left", "right").as[(Long, String, String)].collect()
         .groupBy(_._1).toSeq.sortBy(_._1)
         .map(_._2.map(r => (r._2, r._3)).toSeq)
       tokenizeWithMerges(Tables.documents(s, d), "doc_id", "text", batches)
@@ -237,7 +239,7 @@ object Bpe {
     "pipe_bpe_merges" -> s"""
       |WITH $tokCtes
       |${(1 to GateRounds).map(r =>
-           s"SELECT $r AS round, a AS \"left\", b AS \"right\", c AS freq FROM sel$r")
+           s"SELECT CAST($r AS BIGINT) AS round, a AS \"left\", b AS \"right\", c AS freq FROM sel$r")
           .mkString("", "\nUNION ALL\n", "")}
       |ORDER BY round, freq DESC, "left", "right"""".stripMargin,
     "pipe_bpe_tokens" -> s"""

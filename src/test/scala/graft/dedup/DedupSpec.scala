@@ -120,6 +120,46 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("prefix filter keeps EXACT-threshold pairs (fp-boundary counterexample)") {
+    // the pair the textbook fp bound prunes: a 28-gram doc fully contained
+    // in a 35-gram doc has jaccard = 28/35, whose double equals double(0.8)
+    // exactly — verify passes — but ceil(fl(0.8/1.8)·63) = 29 > 28 (the
+    // true bound is 28, since 0.8/1.8 rounds ABOVE 4/9), so a candidate
+    // filter computed that way drops a true pair. The conservative filters
+    // (the verify comparison on the overlap bound) must keep it.
+    import org.apache.spark.sql.functions._
+    val toks = (1 to 37).map(i => f"t$i%02d")
+    // 37 distinct tokens -> 35 distinct word-trigrams; the 30-token prefix
+    // -> 28 trigrams, all shared: inter=28, union=35
+    val big = toks.mkString(" ")
+    val small = toks.take(30).mkString(" ")
+    val docs = Seq((1L, small), (2L, big)).toDF("doc_id", "text")
+    val pp = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pp === Set((1L, 2L, 28.0 / 35.0)))
+    // same boundary through the incremental path, both directions
+    val ixBig = Dedup.prefixIndex(docs.filter($"doc_id" === 2L),
+      "doc_id", "text", 0.8)
+    val incA = Dedup.ppjoinAgainst(ixBig, docs.filter($"doc_id" === 1L),
+        "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incA === Set((1L, 2L, 28.0 / 35.0)))
+    val ixSmall = Dedup.prefixIndex(docs.filter($"doc_id" === 1L),
+      "doc_id", "text", 0.8)
+    val incB = Dedup.ppjoinAgainst(ixSmall, docs.filter($"doc_id" === 2L),
+        "doc_id", "text", 0.8)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(incB === Set((1L, 2L, 28.0 / 35.0)))
+    // the τ=0.4 family: 2 grams contained in 5 (4-token doc in a 7-token
+    // doc), jaccard = 2/5 exactly; fl(0.4/1.4)·7 ceils to 3 > 2
+    val doc7 = toks.take(7).mkString(" ")
+    val doc4 = toks.take(4).mkString(" ")
+    val docs2 = Seq((1L, doc4), (2L, doc7)).toDF("doc_id", "text")
+    val pp2 = Dedup.prefixFilterJaccardPairs(docs2, "doc_id", "text", 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pp2 === Set((1L, 2L, 0.4)))
+  }
+
   test("incremental ppjoin ≡ from-scratch exact join restricted to batch pairs") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sf0001).select($"doc_id", $"text")

@@ -260,6 +260,23 @@ class MultimodalSpec extends SparkSpec {
     val stubFrames = Multimodal.StubCodec.sampleFrames(junk, 64, 2)
     val gotJunk = out.filter(_._1 == 2L).sortBy(_._2).map(_._3.toSeq).toSeq
     assert(gotJunk === stubFrames.map(_.toSeq))
+
+    // TRUNCATED multi-frame GIF: a valid GIF signature so a reader claims
+    // it, but cut mid-stream — the JDK GIF plugin throws RuntimeExceptions
+    // (not IOException) on such payloads, and the codec must fall back to
+    // the stub instead of crashing the task
+    for (cut <- Seq(16, 64)) {
+      val truncated = gif.take(cut)
+      assert(ImageIoCodec.sampleFrames(truncated, 64, 2).map(_.toSeq) ===
+        Multimodal.StubCodec.sampleFrames(truncated, 64, 2).map(_.toSeq),
+        s"truncated at $cut bytes must fall back to the stub")
+    }
+    // a mid-stream cut may still decode the complete leading frames (the
+    // JDK reader salvages them) — the contract is only that it NEVER
+    // throws, whatever the reader does with the tail
+    (1 until gif.length).foreach { cut =>
+      assert(ImageIoCodec.sampleFrames(gif.take(cut), 64, 2) != null)
+    }
   }
 
   test("HashingEmbedder: unit vectors, reference arithmetic, layout invariance") {

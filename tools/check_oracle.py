@@ -37,6 +37,30 @@ def norm(table):
     return df
 
 
+# Type families that have produced driver/local hash divergence on
+# value-identical rows: DECIMAL (sim_covariance r5/r6 — the driver's
+# DuckDB/hash pipeline renders decimals differently across versions),
+# int32 (width-sensitive hash, r5), float32 (same width risk). A gate
+# output must never carry one — emit cross-engine-stable types instead
+# (BIGINT, DOUBLE, strings, dates/timestamps).
+RISKY_TYPE_PREFIXES = ("decimal", "float", "int32", "int16", "int8", "uint")
+
+
+def warn_risky_types(name, side, arrow_table):
+    warned = False
+    for field in arrow_table.schema:
+        t = str(field.type)
+        if t.startswith(RISKY_TYPE_PREFIXES) and t != "float64":
+            print(
+                f"WARN {name}: {side} column '{field.name}' has driver-risk "
+                f"type {t} — cast to BIGINT/DOUBLE in the output contract "
+                f"(decimal/int32/float32 have all produced driver-side hash "
+                f"reds on value-exact rows)"
+            )
+            warned = True
+    return warned
+
+
 def main(sf_dir, out_dir):
     con = duckdb.connect()
     for t in TABLES:
@@ -46,20 +70,26 @@ def main(sf_dir, out_dir):
     with open(f"{out_dir}/oracle_sql.json") as f:
         oracle = json.load(f)
 
-    n_pass = n_fail = 0
+    n_pass = n_fail = n_warn = 0
     for name, sql in sorted(oracle.items()):
         try:
-            got = norm(pq.read_table(f"{out_dir}/{name}"))
+            got_arrow = pq.read_table(f"{out_dir}/{name}")
+            got = norm(got_arrow)
         except Exception as e:
             print(f"FAIL {name}: cannot read spark result: {e}")
             n_fail += 1
             continue
         try:
-            want = norm(con.execute(sql).fetch_arrow_table())
+            want_arrow = con.execute(sql).fetch_arrow_table()
+            want = norm(want_arrow)
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
+        if warn_risky_types(name, "spark", got_arrow):
+            n_warn += 1
+        if warn_risky_types(name, "oracle", want_arrow):
+            n_warn += 1
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
@@ -98,7 +128,7 @@ def main(sf_dir, out_dir):
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
-    print(f"== {n_pass} pass, {n_fail} fail ==")
+    print(f"== {n_pass} pass, {n_fail} fail, {n_warn} type-warnings ==")
     return 1 if n_fail else 0
 
 
