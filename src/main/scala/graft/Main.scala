@@ -320,7 +320,7 @@ object Main {
                 org.apache.spark.sql.functions.col("freq").desc,
                 org.apache.spark.sql.functions.col("left"),
                 org.apache.spark.sql.functions.col("right"))
-              .select("round", "left", "right").as[(Int, String, String)]
+              .select("round", "left", "right").as[(Long, String, String)]
               .collect().groupBy(_._1).toSeq.sortBy(_._1)
               .map(_._2.map(r => (r._2, r._3)).toSeq)
             graft.text.Bpe.tokenizeWithMerges(docs, idCol, textCol, batches)

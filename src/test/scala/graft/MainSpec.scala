@@ -206,7 +206,7 @@ class MainSpec extends SparkSpec {
     Main.run(spark, "corpus", docsP, Map("op" -> "bpe", "rounds" -> "2",
       "output" -> s"$dir/merges", "tokenize-output" -> s"$dir/toks"))
     val merges = spark.read.parquet(s"$dir/merges")
-      .orderBy("round").as[(Int, String, String, Long)].collect()
+      .orderBy("round").as[(Long, String, String, Long)].collect()
     assert(merges.length === 2 && merges(0)._2 === "alpha" && merges(0)._3 === "beta")
     assert(spark.read.parquet(s"$dir/toks").count() === 3)
 

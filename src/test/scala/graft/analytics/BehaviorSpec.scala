@@ -30,7 +30,7 @@ class BehaviorSpec extends SparkSpec {
     val out = Behavior.funnel(events, "user_id", "ts", "event_type",
       Seq("view", "click", "purchase"), windowMicros = W * 1000000L)
       .orderBy("stage_idx")
-      .as[(Int, String, Long, Double)].collect()
+      .as[(Long, String, Long, Double)].collect()
     assert(out.map(r => (r._2, r._3)).toSeq ===
       Seq(("view", 4L), ("click", 3L), ("purchase", 1L)))
     assert(out.map(_._4).toSeq === Seq(1.0, 0.75, 0.25))
@@ -43,7 +43,7 @@ class BehaviorSpec extends SparkSpec {
       (1L, 0L, "view"), (1L, 90L, "click"), (1L, 150L, "purchase")))
     val out = Behavior.funnel(events, "user_id", "ts", "event_type",
       Seq("view", "click", "purchase"), windowMicros = 100L * 1000000L)
-      .orderBy("stage_idx").as[(Int, String, Long, Double)].collect()
+      .orderBy("stage_idx").as[(Long, String, Long, Double)].collect()
     assert(out.map(_._3).toSeq === Seq(1L, 1L, 0L))
   }
 
@@ -94,7 +94,7 @@ class BehaviorSpec extends SparkSpec {
     val out = Behavior.funnel(graft.Tables.events(spark, sf0001),
         "user_id", "ts", "event_type")
       .orderBy("stage_idx")
-      .as[(Int, String, Long, Double)].collect()
+      .as[(Long, String, Long, Double)].collect()
     assert(out.length === 3 && out.head._3 > 0)
     assert(out.sliding(2).forall(w => w(0)._3 >= w(1)._3),
       "a later stage can never have more users than an earlier one")

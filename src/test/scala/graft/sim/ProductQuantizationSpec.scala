@@ -19,6 +19,8 @@ class ProductQuantizationSpec extends SparkSpec {
     val cb = ProductQuantization.trainCodebooks(
       vecs, "vec_id", "v", Dims, M, Ksub, iters = 2).cache()
     assert(cb.count() === M * Ksub)
+    // intentionally-Int decoder: the codebook's subspace index is Int in
+    // its internal schema — not a gate output
     val bySub = cb.groupBy("sub").agg(
       count(lit(1)).as("n"), min("code").as("lo"), max("code").as("hi"))
       .as[(Int, Long, Long, Long)].collect()

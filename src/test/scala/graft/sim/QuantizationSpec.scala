@@ -24,6 +24,8 @@ class QuantizationSpec extends SparkSpec {
 
   test("int8 ranking: codes bounded, top-k recall >= 0.9 vs float cosine") {
     val q = vecs.filter($"vec_id" < 10)
+    // intentionally-Int decoder: int8 codes are Int in the quantized
+    // vector's internal schema — not a gate output
     val (lo, hi) = Similarity.quantizeInt8(vecs, "vec_id", "v")
       .select(explode($"qv").as("c")).agg(min($"c"), max($"c"))
       .as[(Int, Int)].head()

@@ -50,7 +50,7 @@ class BpeSpec extends SparkSpec {
     val docs = (Seq.fill(3)("the cat sat") ++ Seq.fill(2)("the dog sat"))
       .toDF("text")
     val out = Bpe.trainMerges(docs, "text", 2)
-      .as[(Int, String, String, Long)].collect().toSeq
+      .as[(Long, String, String, Long)].collect().toSeq
     assert(out === Seq(
       (1, "cat", "sat", 3L),
       (2, "the", "cat sat", 3L),
@@ -62,7 +62,7 @@ class BpeSpec extends SparkSpec {
     // symbol then pairs with c in round 2
     val docs = Seq.fill(4)("a b c").toDF("text")
     val out = Bpe.trainMerges(docs, "text", 2)
-      .as[(Int, String, String, Long)].collect().toSeq
+      .as[(Long, String, String, Long)].collect().toSeq
     assert(out === Seq(
       (1, "a", "b", 4L),
       (2, "a b", "c", 4L)))
@@ -78,9 +78,9 @@ class BpeSpec extends SparkSpec {
     val docs = (1 to 50).map(i => s"tok${i % 7} tok${i % 5} tok${i % 3}")
       .toDF("text")
     val a = Bpe.trainMerges(docs.coalesce(1), "text", 4)
-      .as[(Int, String, String, Long)].collect().toSeq
+      .as[(Long, String, String, Long)].collect().toSeq
     val b = Bpe.trainMerges(docs.repartition(13), "text", 4)
-      .as[(Int, String, String, Long)].collect().toSeq
+      .as[(Long, String, String, Long)].collect().toSeq
     assert(a === b)
     assert(a.nonEmpty)
   }
@@ -98,7 +98,7 @@ class BpeSpec extends SparkSpec {
   test("per-round max merge frequency is non-increasing across rounds") {
     val out = Bpe.trainMerges(
         graft.Tables.documents(spark, sf0001).limit(100), "text", 3)
-      .as[(Int, String, String, Long)].collect()
+      .as[(Long, String, String, Long)].collect()
     assert(out.nonEmpty)
     // batching target: more than one merge learned per pair-count shuffle
     assert(out.length > out.map(_._1).distinct.length,

@@ -30,6 +30,9 @@ class CountMinSpec extends SparkSpec {
   test("cell-wise merge equals the direct sketch; partition-invariant") {
     val a = itemsDf(Seq.fill(100)("x") ++ Seq("y", "z"))
     val b = itemsDf(Seq.fill(50)("y") ++ Seq("x"))
+    // intentionally-Int decoders: sketch cell coordinates (row, col) are
+    // Int in the sketch's internal schema — this is NOT a gate output
+    // (gate outputs are standardized on BIGINT/DOUBLE/STRING)
     val direct = CountMin.sketch(a.union(b), "item")
       .as[(Int, Int, Long)].collect().toSet
     val merged = CountMin.merge(
