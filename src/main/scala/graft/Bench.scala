@@ -28,7 +28,21 @@ object Bench {
     // comma-separated allowlist for quick single-query iteration
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // The graph gates share a parquet-materialized pair substrate
+    // (Graph.pairSupport) built once per (session, sfDir). Its one-time
+    // build is timed HERE as its own entry so the amortization across the
+    // graph family is explicit in the artifact (the DuckDB comparison
+    // recomputes the substrate per query) rather than hidden inside
+    // whichever graph query happens to run first.
+    val graphGates = Set("q_triangles", "q_pagerank", "q_components",
+      "q_kcore", "q_copurchase_pairs", "q_bfs_levels")
+    val substrateEntry =
+      if (only.forall(sel => sel.exists(graphGates))) {
+        val t0 = System.nanoTime()
+        graft.analytics.Graph.buildSubstrate(spark, sfDir)
+        Seq("graph_substrate_build" -> (System.nanoTime() - t0) / 1e9)
+      } else Seq.empty
+    val results = substrateEntry ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
@@ -55,8 +69,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val totalsLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"n_queries":${results.size},"full_results_file":"bench_out.json","sf":"$sfDir"}"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"method":"median_of_reps_first_rep_is_warmup","queries":$qs,"sf":"$sfDir"}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val totalsLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"n_queries":${results.size},"full_results_file":"$outPath","sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"method":"median_of_reps_first_rep_is_warmup;graph_substrate_build_timed_once","queries":$qs,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of sbt output, and with 150+
     // queries the single JSON line grows past the capture window —
     // round 5's artifact lost its opening brace and parsed as null.
@@ -65,7 +80,6 @@ object Bench {
     // head- and a tail-truncated capture contain a complete parseable
     // object, (3) build.sbt routes forked run output raw to stdout, so
     // none of these lines carries sbt's "[info] " prefix.
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(totalsLine)

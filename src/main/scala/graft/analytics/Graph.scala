@@ -304,18 +304,40 @@ object Graph {
     * the expensive stage (pair expansion + count), and five of the six
     * gates derive from it — recomputing it per gate is what a 100 TB
     * deployment would never do (there it's a materialized table the
-    * graph queries all read). `cache()` + memo is the single-node stand-in;
-    * results are identical by construction, only the substrate work is
-    * amortized across the bench/verify session.
+    * graph queries all read). The single-node stand-in is the same thing
+    * a cluster would do: MATERIALIZE to parquet once and have every
+    * consumer scan the columnar file. (An earlier `.cache()` memo pinned
+    * the substrate in executor storage memory for the whole session and
+    * replaced the parquet-rooted plans of triangles/pagerank with
+    * repeated deserialized InMemoryTableScans — measurably slower than
+    * the columnar scan, and not how a 100 TB deployment shares a
+    * substrate anyway.) The memo holds only the path string; nothing is
+    * pinned in memory, and the temp files live under target/ for the JVM
+    * lifetime.
     */
   private val pairSupportMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), String]
 
-  private def pairSupport(s: SparkSession, d: String): DataFrame =
-    pairSupportMemo.getOrElseUpdate((s, d),
+  private def pairSupport(s: SparkSession, d: String): DataFrame = {
+    val path = pairSupportMemo.getOrElseUpdate((s, d), {
+      val p = new java.io.File(
+        s"target/graft-substrate/pair_support_${java.util.UUID.randomUUID()}"
+      ).getAbsolutePath
       groupPairs(Tables.lineitem(s, d), "l_orderkey", "l_partkey")
         .groupBy("src", "dst").agg(count(lit(1)).as("support"))
-        .cache())
+        .write.mode("overwrite").parquet(p)
+      p
+    })
+    s.read.parquet(path)
+  }
+
+  /** Bench hook: force the one-time parquet materialization of the shared
+    * pair substrate and return its row count. Timed as its own bench entry
+    * so the amortization across the graph gates is explicit in the
+    * artifact (the DuckDB comparison recomputes the substrate per query).
+    */
+  def buildSubstrate(s: SparkSession, d: String): Long =
+    pairSupport(s, d).count()
 
   /** All distinct co-occurrence edges (support ≥ 1) off the shared
     * substrate — same rows as [[coOccurrenceEdges]] on the gate input.
