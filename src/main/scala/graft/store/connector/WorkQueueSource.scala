@@ -113,20 +113,51 @@ class WorkQueueTable(path: String, tableSchema: StructType = WorkQueueSource.sch
 
 class WorkQueueScanBuilder(path: String)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates {
+    with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
+    with SupportsPushDownLimit {
 
   private var stateFilter: Option[String] = None
+  private var idFilter: Option[String] = None
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = WorkQueueSource.schema
   private var countByState = false
+  private var limit: Option[Int] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // accept exactly ONE itemState equality; a second (possibly conflicting)
     // one must stay post-scan or Spark would trust us to have enforced both
     val firstEq = filters.collectFirst { case f @ EqualTo("itemState", _: String) => f }
     stateFilter = firstEq.map(_.value.asInstanceOf[String])
-    pushed = firstEq.toArray
-    filters.filterNot(f => firstEq.contains(f))
+    // an itemID equality is the point-lookup key (S4/S5, the reference's
+    // getCurrentState/getLockID — `code/client.py:139-184`): enforced in the
+    // reader during parsing, so LIMIT can then also push beneath it
+    val idEq = filters.collectFirst { case f @ EqualTo("itemID", _: String) => f }
+    idFilter = idEq.map(_.value.asInstanceOf[String])
+    // IsNotNull(c) is implied by a pushed EqualTo(c, nonNullLiteral) — the
+    // equality enforcement subsumes it, and leaving it residual would block
+    // LIMIT pushdown (Spark only pushes a limit through a fully-pushed
+    // filter set)
+    val eqCols = (firstEq.toSeq ++ idEq.toSeq)
+      .map(_.attribute).toSet
+    val impliedNotNull = filters.collect {
+      case f @ org.apache.spark.sql.sources.IsNotNull(c) if eqCols(c) => f
+    }
+    pushed = firstEq.toArray ++ idEq.toArray ++ impliedNotNull
+    filters.filterNot(pushed.contains)
+  }
+
+  /** Point-lookup LIMIT pushdown (S4/S5): with the key equalities pushed,
+    * `pointLookup(...).head()` plans `Limit → Scan` and the limit lands
+    * here; each partition reader stops after `limit` matching rows instead
+    * of draining its file — a real GSI point read touches one page, and the
+    * local analog is "stop at the first hit". `isPartiallyPushed` stays
+    * true (the default): readers bound rows PER PARTITION, Spark keeps the
+    * cross-partition global limit — and its incremental take (scan 1
+    * partition, then grow) means a satisfied point read opens one file.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -164,7 +195,7 @@ class WorkQueueScanBuilder(path: String)
 
   override def build(): Scan =
     if (countByState) new WorkQueueCountScan(path, stateFilter)
-    else new WorkQueueScan(path, stateFilter, required)
+    else new WorkQueueScan(path, stateFilter, idFilter, limit, required)
 }
 
 /** Complete-pushdown scan for `COUNT(*) GROUP BY itemState`: one input
@@ -223,13 +254,15 @@ class WorkQueueCountScan(path: String, state: Option[String]) extends Scan with 
 
 final case class WorkQueueStatePartition(dir: String, state: String) extends InputPartition
 
-class WorkQueueScan(path: String, state: Option[String], required: StructType)
+class WorkQueueScan(path: String, state: Option[String], id: Option[String],
+    limit: Option[Int], required: StructType)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"WorkQueueScan(path=$path, pushedState=$state, columns=${required.fieldNames.mkString(",")})"
+    s"WorkQueueScan(path=$path, pushedState=$state, pushedId=$id, " +
+      s"pushedLimit=$limit, columns=${required.fieldNames.mkString(",")})"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val base = new java.io.File(path)
@@ -251,9 +284,11 @@ class WorkQueueScan(path: String, state: Option[String], required: StructType)
 
   override def createReaderFactory(): PartitionReaderFactory = {
     val req = required
+    val idF = id
+    val lim = limit
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new WorkQueueReader(partition.asInstanceOf[WorkQueuePartition], req)
+        new WorkQueueReader(partition.asInstanceOf[WorkQueuePartition], req, idF, lim)
     }
   }
 }
@@ -266,13 +301,15 @@ final case class WorkQueuePartition(file: String, state: String) extends InputPa
   * with quote handling (Spark's CSV writer quotes values containing
   * delimiter/quote chars) and empty strings decode as null.
   */
-class WorkQueueReader(partition: WorkQueuePartition, required: StructType)
+class WorkQueueReader(partition: WorkQueuePartition, required: StructType,
+    idFilter: Option[String] = None, limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val lines =
     scala.io.Source.fromFile(partition.file)(scala.io.Codec.UTF8) // writer emits UTF-8
   private val it = lines.getLines()
   private var current: InternalRow = _
+  private var emitted = 0
 
   /** Minimal RFC-4180 field splitter: handles quoted fields and doubled
     * quotes; enough for round-tripping Spark's default CSV writer output.
@@ -303,23 +340,31 @@ class WorkQueueReader(partition: WorkQueuePartition, required: StructType)
   private def longOrNull(s: String): java.lang.Long =
     if (s.isEmpty) null else java.lang.Long.valueOf(s.toLong)
 
-  override def next(): Boolean =
-    if (!it.hasNext) false
+  // pushed itemID equality is enforced HERE (non-matching rows never
+  // materialize), and a pushed limit stops the reader at its per-partition
+  // bound — a satisfied point read parses up to the hit and no further
+  @annotation.tailrec
+  override final def next(): Boolean =
+    if (limit.exists(emitted >= _) || !it.hasNext) false
     else {
       val parts = splitCsv(it.next())
       require(parts.length >= 4, s"malformed queue row in ${partition.file}: ${parts.length} fields")
-      val values = required.fields.map { f =>
-        f.name match {
-          case "itemID" => UTF8String.fromString(parts(0))
-          case "taskID" => UTF8String.fromString(parts(1))
-          case "itemState" => UTF8String.fromString(partition.state)
-          case "logLength" => longOrNull(parts(2))
-          case "nestedTaskCount" => longOrNull(parts(3))
-          case other => throw new IllegalArgumentException(s"unknown column $other")
+      if (idFilter.exists(_ != parts(0))) next()
+      else {
+        val values = required.fields.map { f =>
+          f.name match {
+            case "itemID" => UTF8String.fromString(parts(0))
+            case "taskID" => UTF8String.fromString(parts(1))
+            case "itemState" => UTF8String.fromString(partition.state)
+            case "logLength" => longOrNull(parts(2))
+            case "nestedTaskCount" => longOrNull(parts(3))
+            case other => throw new IllegalArgumentException(s"unknown column $other")
+          }
         }
+        current = InternalRow.fromSeq(values.toSeq)
+        emitted += 1
+        true
       }
-      current = InternalRow.fromSeq(values.toSeq)
-      true
     }
 
   override def get(): InternalRow = current

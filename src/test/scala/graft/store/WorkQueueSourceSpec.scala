@@ -47,6 +47,34 @@ class WorkQueueSourceSpec extends SparkSpec {
       plan.take(600))
   }
 
+  test("point lookup pushes itemID equality AND limit to the source (GSI point read)") {
+    val anyId = DerivedItems.items(spark, sf0001)
+      .filter($"itemState" === "todo").select($"itemID").as[String].head()
+    // S4/S5 shape: key equality + LIMIT 1
+    val q = queue.filter($"itemState" === "todo" && $"itemID" === anyId)
+      .select($"itemID", $"itemState", $"logLength").limit(1)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains(s"pushedId=Some($anyId)"), plan.take(800))
+    assert(plan.contains("pushedLimit=Some(1)"), plan.take(800))
+    // both filters left the post-scan plan (fully pushed), values correct
+    val row = q.as[(String, String, Long)].head()
+    assert(row._1 === anyId && row._2 === "todo")
+    // without a limit the scan carries no pushed limit and still matches
+    val all = queue.filter($"itemID" === anyId)
+      .select($"itemID").as[String].collect()
+    assert(all.toSeq === Seq(anyId))
+  }
+
+  test("pushed limit bounds rows per partition but never drops matches") {
+    // limit > matches: every matching row still comes back
+    val q = queue.filter($"itemState" === "todo").limit(1000000)
+    val expected = DerivedItems.items(spark, sf0001)
+      .filter($"itemState" === "todo").count()
+    assert(q.count() === expected)
+    // limit < matches: exactly limit rows survive the global limit
+    assert(queue.limit(7).count() === 7)
+  }
+
   test("state-count aggregate pushes down completely (index COUNT analog)") {
     val q = queue.groupBy($"itemState").count()
     val viaConnector = q.as[(String, Long)].collect().toMap
