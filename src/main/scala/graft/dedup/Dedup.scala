@@ -642,8 +642,19 @@ object Dedup {
     * prefix grams against the k-rows-per-doc index — the corpus is never
     * self-paired.
     */
-  def ppjoinAgainst(index: PrefixIndex, batch: DataFrame, idCol: String,
-      textCol: String, threshold: Double): DataFrame = {
+  /** Batch-side shingle sets and prefix rows ranked by the INDEX's
+    * (df, gram) total order with unseen grams at df 0 — the shared-order
+    * construction [[ppjoinAgainst]]'s exactness proof rests on. Exposed so
+    * the streaming twin ([[graft.streaming.StreamingPpjoin]]) can persist a
+    * micro-batch's rows into the growing index extension: because the
+    * ranking order is always the ORIGINAL index's freq, every doc ever
+    * ranked — corpus or any micro-batch — ranks its grams in one global
+    * total order, so the prefix/positional lemmas keep holding as the
+    * extension grows.
+    */
+  private[graft] def ppjoinBatchSide(index: PrefixIndex, batch: DataFrame,
+      idCol: String, textCol: String,
+      threshold: Double): (DataFrame, DataFrame) = {
     val bg = batch
       .select(col(idCol).cast("long").as("id"),
         distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
@@ -659,6 +670,12 @@ object Dedup {
       .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
       .select("id", "sz", "rn", "gram")
       .transform(graft.plans.Lineage.cut)
+    (bg, bprefix)
+  }
+
+  def ppjoinAgainst(index: PrefixIndex, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val (bg, bprefix) = ppjoinBatchSide(index, batch, idCol, textCol, threshold)
     // boundary-exact candidate predicates — the verify comparison on the
     // overlap upper bound, per [[prefixFilterJaccardPairs]]'s analysis
     val ub = lit(1) +
