@@ -244,6 +244,14 @@ object Stateful {
     * single lag pair emit NOTHING (flatMap, not map): the batch operator
     * omits keys with fewer than lagK+1 events entirely, so a sparse-key
     * snapshot would break the final-snapshot ≡ batch claim.
+    *
+    * EMITTED-ROW CONTRACT (changed in r7, audited r8): consumers see a
+    * key's first snapshot only after its (lagK+1)-th event, NOT on every
+    * trigger from the key's first event. No gate or spec in this repo
+    * joins on per-key presence before that point (`StatefulSpec` asserts
+    * final-snapshot ≡ batch, which requires exactly this behavior); a
+    * downstream that needs early per-key liveness should key off the raw
+    * event stream, not this aggregate.
     */
   def streamingAutocorrelation(events: Dataset[AcObs],
       lagK: Int = 1): Dataset[AcSnapshot] = {

@@ -47,18 +47,20 @@ RISKY_TYPE_PREFIXES = ("decimal", "float", "int32", "int16", "int8", "uint")
 
 
 def warn_risky_types(name, side, arrow_table):
-    warned = False
+    # pyarrow renders float64 as "double", so the "float" prefix only ever
+    # matches float16/float32 — the risky widths — and needs no exemption.
+    n_warned = 0
     for field in arrow_table.schema:
         t = str(field.type)
-        if t.startswith(RISKY_TYPE_PREFIXES) and t != "float64":
+        if t.startswith(RISKY_TYPE_PREFIXES):
             print(
                 f"WARN {name}: {side} column '{field.name}' has driver-risk "
                 f"type {t} — cast to BIGINT/DOUBLE in the output contract "
                 f"(decimal/int32/float32 have all produced driver-side hash "
                 f"reds on value-exact rows)"
             )
-            warned = True
-    return warned
+            n_warned += 1
+    return n_warned
 
 
 def main(sf_dir, out_dir):
@@ -86,10 +88,10 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
             continue
-        if warn_risky_types(name, "spark", got_arrow):
-            n_warn += 1
-        if warn_risky_types(name, "oracle", want_arrow):
-            n_warn += 1
+        # n_warn counts offending COLUMNS (per side), not just sides, so the
+        # summary reflects multi-column offenders
+        n_warn += warn_risky_types(name, "spark", got_arrow)
+        n_warn += warn_risky_types(name, "oracle", want_arrow)
         if list(got.columns) != list(want.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(want.columns)}")
             n_fail += 1
