@@ -34,8 +34,8 @@ object PlanDump {
       "evt_funnel" -> ("chained per-step window mins share ONE user_id exchange; stage rollup is O(steps) rows"),
       "txt_search" -> ("explode+filter shrinks to query-term postings before the first exchange; global top-k is TakeOrderedAndProject, no global sort"),
       "txt_heavy_hitters" -> ("exact pass groups on candidates + other-bucket: partial agg collapses each partition to <=2k+1 rows before the exchange"),
-      "q_triangles" -> ("edge-iterator close: only edges and O(sqrt m) out-lists shuffle; intersection count feeds a partial sum, wedges never hit an exchange"),
-      "q_pagerank" -> ("each round = rank-vector join on source + quantized-sum groupBy on destination; lineage truncated per round"),
+      "q_triangles" -> ("edge-iterator close over the parquet-MATERIALIZED pair substrate (columnar scan, stats, codegen — not an InMemoryTableScan): only edges and O(sqrt m) out-lists shuffle; intersection count feeds a partial sum, wedges never hit an exchange"),
+      "q_pagerank" -> ("each round = rank-vector join on source + quantized-sum groupBy on destination over the materialized substrate scan; lineage truncated per round"),
       "dedup_semantic" -> ("codebook broadcast in assignment; in-cluster pairs via the skew-capped bucket kernel keyed by cid"),
       "evt_anomalies" -> ("one shuffle on (user, type); the three frame aggregates share a single window sort"),
       "mm_embed_hashtrick" -> ("hashing-trick embedding: narrow mapPartitions batch stage at scan speed, only the output ordering exchanges"),
@@ -50,7 +50,9 @@ object PlanDump {
       "q4_late_orders" -> ("grouped EXISTS as LEFT SEMI: equi-keyed on orderkey with the shipdate inequality as join residual — no per-order subquery, fact legs stay hash/SMJ under AQE"),
       "q7_volume_shipping" -> ("nation dims filtered to 2 rows and broadcast on BOTH legs; fact joins shuffle on their natural keys; year extraction rides the final groupBy"),
       "q10_returned_items" -> ("returnflag + order-quarter filters pushed to the scans; 25-row nation broadcast; customer-attribute grouping rides the custkey shuffle; top-20 is TakeOrderedAndProject"),
-      "q_components" -> ("frequent-edge build: co-partitioned self-join + one pair-count groupBy; the star-contraction labeling runs per-round join+groupBy with lineage cut, never a diameter-length chain"),
+      "q_components" -> ("frequent edges = support filter over the materialized pair-substrate scan; the star-contraction labeling runs per-round join+groupBy with lineage cut, never a diameter-length chain"),
+      "q_profile_lineitem" -> ("exact ndistinct as N concurrent PRUNED single-column scans + native two-phase hash distinct — no count_distinct Expand (22 s), no posexplode string melt (3.7 s); this shape is 1.9 s at sf0.1"),
+      "q_profile_sketch_lineitem" -> ("HLL-register profile: one melt pass whose register aggregate partial-collapses to <=64 rows per column per partition BEFORE the exchange — shuffle is metadata-sized at any data size, registers merge across daily drops"),
       "q_hll_orders_month" -> ("register build is ONE narrow shuffle keyed (month, bucket) with partial MAX; estimate collapses <=64 register rows per group — no count_distinct Expand anywhere"),
       "evt_resample_lerp" -> ("one shuffle on the key: bucket agg, grid bounds, grid join and BOTH neighbor scans (back/forward frames) share the partitioning and a single window sort"),
       "q2_min_cost_supplier" -> ("min-per-group decorrelated to a window MIN over the offer leg (no self-join back); region suppliers and size-filtered parts broadcast, the offer leg never is"),
