@@ -141,12 +141,28 @@ object WorkQueueClaimWrite {
     catch { case _: java.io.IOException => None }
   }
 
-  /** Under an exclusive OS file lock: parse the current lock, and if
-    * `takeIf(current)` holds, replace it with `content`. Returns
-    * `Right(())` on swap, `Left(current holder's raw lockID)` otherwise.
+  /** Same-JVM serialization for [[casSwap]]: `FileChannel.lock` is a
+    * PROCESS-level lock — a second thread in the same JVM contending for
+    * the same file gets `OverlappingFileLockException` immediately instead
+    * of blocking, which is exactly the shape of two concurrent local-mode
+    * Spark tasks racing an expired-lock takeover (surfaced as a rare
+    * full-suite flake in the takeover-race spec). Contenders within the
+    * JVM serialize on a per-file monitor first; the OS lock then guards
+    * cross-process writers. Monitors are never evicted — bounded by the
+    * queue's distinct items, the same order as the lock files themselves.
+    */
+  private val jvmLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Under a per-file JVM monitor + exclusive OS file lock: parse the
+    * current lock, and if `takeIf(current)` holds, replace it with
+    * `content`. Returns `Right(())` on swap, `Left(current holder's raw
+    * lockID)` otherwise.
     */
   private[connector] def casSwap(file: JPath, content: Array[Byte],
       takeIf: ((String, String, Long)) => Boolean): Either[String, Unit] =
+    jvmLocks.computeIfAbsent(file.toAbsolutePath.toString,
+      _ => new Object).synchronized {
     try {
       val ch = java.nio.channels.FileChannel.open(file,
         StandardOpenOption.READ, StandardOpenOption.WRITE)
@@ -170,6 +186,7 @@ object WorkQueueClaimWrite {
       // raced with an abort's deleteIfExists: the lock is simply gone now;
       // report an empty holder so the caller's retry takes the fresh path
       case _: java.nio.file.NoSuchFileException => Left("")
+    }
     }
 
   /** Lease heartbeat: CAS the item's lock in place IFF still held by
