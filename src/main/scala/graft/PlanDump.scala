@@ -72,6 +72,7 @@ object PlanDump {
       "q_copurchase_pairs" -> ("in-group pair expansion after one group-key exchange; global top-20 is TakeOrderedAndProject"),
       "dedup_ppjoin_pairs" -> ("exact jaccard join: candidates via an equi-join on PREFIX grams only (df-asc order keeps prefix buckets rare-gram-small); the verify join touches only surviving pairs — no theta join, no all-pairs"),
       "dedup_snm_pairs" -> ("positions from range-repartition + narrow numbering (no single-partition window); within-window pairing is a grid-cell equi-join with the |delta-pos|<=w residual"),
+      "dedup_substring_pairs" -> ("char l-gram windows from the JVM kernel (per-doc distinct), lineage-cut gram table, SHUFFLE_HASH self-join on the gram (no stat-less SMJ sort), pair-count agg"),
       "evt_autocorr" -> ("one per-key window shuffle for the lag, then a partial-agg'd DECIMAL(38) moment aggregate; r is a post-agg projection"),
       "q20_dominant_suppliers" -> ("the correlated half-of-part-total HAVING decorrelated: window SUM over the (part,supplier) rollup — the window exchange carries the rollup, never the fact; qualifying keys LEFT SEMI into the supplier dim"),
       "q11_important_parts" -> ("global-fraction HAVING as a 1-row aggregate broadcast cross-joined onto the per-part rollup; threshold cross-multiplied in decimal, no double division"))

@@ -223,6 +223,12 @@ object DedupSurface {
   /** SNM gate window: ±5 sort positions. */
   val SnmWindow = 5
 
+  /** Exact-substring dedup run length: 40 normalized chars ≈ 6-8 words —
+    * long enough that sharing one is verbatim reuse, short enough to catch
+    * a single boilerplate sentence.
+    */
+  val SubstringL = 40
+
   /** PPJoin gate threshold: τ=0.8, the high-similarity operating point
     * where prefix filtering earns its keep (prefix = ~20% of each doc's
     * grams, so the candidate join fans out on RARE grams only; at τ=0.5
@@ -264,6 +270,12 @@ object DedupSurface {
     "dedup_snm_pairs" -> ((s, d) =>
       Dedup.sortedNeighborhoodPairs(corpus(s, d), "doc_id",
         "text", "text", SnmWindow, 0.5)
+        .orderBy("doc_a", "doc_b")),
+    // char-level exact substring dedup: docs sharing a verbatim >=40-char
+    // normalized run (catches boilerplate/quotes the token operators
+    // dilute away); complete via stride-1 l-gram windows
+    "dedup_substring_pairs" -> ((s, d) =>
+      Dedup.substringPairs(corpus(s, d), "doc_id", "text", SubstringL)
         .orderBy("doc_a", "doc_b")),
     // asymmetric containment over the excerpt-planted corpus: catches
     // quote/excerpt pairs symmetric Jaccard is blind to
@@ -463,6 +475,20 @@ object DedupSurface {
       |  FROM cand)
       |SELECT DISTINCT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin,
+    // char-level l-gram windows (stride 1), self-joined on the gram —
+    // the relational restatement of substringPairs' bucket expansion
+    // DuckDB's generate_series is not lateral-correlatable: cross-join a
+    // fixed position grid (documents cap at ~600 chars; 2048 is safe for
+    // the gate corpus) and filter to each doc's window range
+    "dedup_substring_pairs" -> s"""WITH $corpusCte,
+      |n AS (SELECT doc_id AS id, $ntext AS t FROM corpus),
+      |g AS (SELECT DISTINCT id, substr(t, CAST(i AS INTEGER), $SubstringL) AS gram
+      |  FROM n CROSS JOIN generate_series(1, 2048) AS s(i)
+      |  WHERE length(t) >= $SubstringL AND i <= length(t) - ${SubstringL - 1}),
+      |p AS (SELECT a.id AS doc_a, b.id AS doc_b
+      |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id)
+      |SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+      |FROM p GROUP BY doc_a, doc_b ORDER BY doc_a, doc_b""".stripMargin,
     "dedup_containment" -> s"""WITH ccorpus AS (
       |  SELECT doc_id, text, lang FROM documents
       |  UNION ALL

@@ -97,6 +97,39 @@ class DedupSpec extends SparkSpec {
     assert(wide === brute)
   }
 
+  test("substring pairs: exact l-char boundary, shared-run counting, normalization") {
+    val l = 10
+    val docs = Seq(
+      // 1 and 2 share exactly one 10-char run ("abcdefghij"), nothing longer
+      (1L, "abcdefghij 111"),
+      (2L, "222 abcdefghij"),
+      // 3 shares only a 9-char run with 1/2 -> NO pair at l=10
+      (3L, "abcdefghi rest entirely different here"),
+      // 4 is an exact copy of 1 up to whitespace/case -> normalization folds
+      // them to identical text: all 4 of its 10-grams shared with 1
+      (4L, "ABCDEFGHIJ   111"),
+      (5L, "completely unrelated text body")).toDF("doc_id", "text")
+    val pairs = Dedup.substringPairs(docs, "doc_id", "text", l)
+      .as[(Long, Long, Long)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    // normalized("abcdefghij 111") has 14 chars -> 5 windows; 1 and 4 share all 5
+    assert(pairs((1L, 4L)) === 5L)
+    // 1-2 and 2-4 share exactly the single full run "abcdefghij"
+    assert(pairs((1L, 2L)) === 1L && pairs((2L, 4L)) === 1L)
+    // 9-char overlap is below the boundary; unrelated doc pairs with nobody
+    assert(!pairs.keySet.exists(k => k._1 == 3L || k._2 == 3L))
+    assert(!pairs.keySet.exists(k => k._1 == 5L || k._2 == 5L))
+  }
+
+  test("substring pairs find the planted exact and tail-perturbed copies") {
+    val pairs = Dedup.substringPairs(corpus, "doc_id", "text",
+      DedupSurface.SubstringL)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    // exact copies share every window; tail-perturbed copies share the
+    // whole original text as a substring
+    assert(pairs.contains((0L, 100000L)) && pairs.contains((10L, 100010L)))
+    assert(pairs.contains((5L, 200005L)))
+  }
+
   test("prefix-filter losslessness holds on randomized corpora (seeded property)") {
     // brute-force equality across random corpora with controlled overlap
     // structure — small vocab so shared shingles (the candidate-explosion
