@@ -779,6 +779,36 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** [[substringPairs]] through the skew-capped bucket kernel — the
+    * deployment form the join version's Scaladoc promises: a boilerplate
+    * gram shared by millions of docs turns the gram-join into one giant
+    * task, while [[cappedBucketPairs]] sub-splits any bucket past
+    * `bucketCap` into bounded salt cells and enumerates the SAME pair set
+    * across diagonal + cross cells — result-identical (spec-asserted),
+    * task sizes bounded. The pair-per-shared-gram stream then aggregates
+    * to `n_shared` exactly as in the join form.
+    */
+  def substringPairsCapped(docs: DataFrame, idCol: String, textCol: String,
+      l: Int, bucketCap: Int = DefaultBucketCap,
+      skewSampleRate: Double = DefaultSkewSampleRate): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    def gramRows(d: DataFrame): Dataset[(Long, String)] =
+      substringIndex(d, idCol, textCol, l).as[(Long, String)]
+    val sampled =
+      if (skewSampleRate >= 1.0) docs
+      else docs.sample(withReplacement = false, skewSampleRate, seed = 421L)
+    cappedBucketPairs[(Long, String), String, (Long, Long)](
+      gramRows(docs), gramRows(sampled), skewSampleRate,
+      _._2, _._1, bucketCap) { (a, b) =>
+      if (a._1 < b._1) Some((a._1, b._1))
+      else if (b._1 < a._1) Some((b._1, a._1))
+      else None
+    }
+      .toDF("doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Incremental exact substring dedup: every pair with a shared `l`-char
     * run involving at least one batch doc — batch×index AND
     * batch-internal — without re-pairing the index. Precondition (same as

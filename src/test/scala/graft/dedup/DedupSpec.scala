@@ -120,6 +120,23 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(k => k._1 == 5L || k._2 == 5L))
   }
 
+  test("capped substring pairs ≡ join form, including under forced tiny caps") {
+    val joinForm = Dedup.substringPairs(corpus, "doc_id", "text",
+      DedupSurface.SubstringL)
+      .as[(Long, Long, Long)].collect().toSet
+    // full sampling + tiny cap: every shared-gram bucket splits into salt
+    // cells, so the equality exercises diagonal AND cross cells
+    val capped = Dedup.substringPairsCapped(corpus, "doc_id", "text",
+      DedupSurface.SubstringL, bucketCap = 2, skewSampleRate = 1.0)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped === joinForm)
+    // default (sampled) configuration agrees too
+    val defaults = Dedup.substringPairsCapped(corpus, "doc_id", "text",
+      DedupSurface.SubstringL)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(defaults === joinForm)
+  }
+
   test("substring pairs find the planted exact and tail-perturbed copies") {
     val pairs = Dedup.substringPairs(corpus, "doc_id", "text",
       DedupSurface.SubstringL)
