@@ -779,6 +779,43 @@ object Dedup {
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("n_shared"))
   }
 
+  /** The hash-keyed deployment form of [[substringPairs]]: candidates
+    * join on `xxhash64(gram)` — 8 bytes through the exchange instead of
+    * `l` chars — and survivors verify EXACTLY against the per-doc gram
+    * sets (`n_shared = |ga ∩ gb|`), so a 2^-64 hash collision can inflate
+    * a candidate but never a result: a pair with no truly shared gram
+    * verifies to 0 and is dropped. Shuffle bytes: O(grams·8) for the
+    * candidate stage + O(pairs·|doc grams|) for the verify — at 100 TB
+    * the first term is 5× smaller than the raw-gram join's and the second
+    * is proportional to OUTPUT, the property every verified-candidate
+    * operator in this file is built around. Result-identical to
+    * [[substringPairs]] (spec-asserted).
+    */
+  def substringPairsHashed(docs: DataFrame, idCol: String, textCol: String,
+      l: Int): DataFrame = {
+    val gramSets = docs
+      .select(col(idCol).cast("long").as("id"),
+        charGramsUdf(l)(TextAnalysis.normalized(col(textCol))).as("grams"))
+      .filter(size(col("grams")) > 0)
+      .transform(graft.plans.Lineage.cut)
+    val hashed = gramSets
+      .select(col("id"), explode(col("grams")).as("gram"))
+      .select(col("id"), xxhash64(col("gram")).as("h"))
+    val cand = hashed.select(col("id").as("doc_a"), col("h"))
+      .hint("SHUFFLE_HASH")
+      .join(hashed.select(col("id").as("doc_b"), col("h")), Seq("h"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    cand
+      .join(gramSets.select(col("id").as("doc_a"), col("grams").as("ga")),
+        Seq("doc_a"))
+      .join(gramSets.select(col("id").as("doc_b"), col("grams").as("gb")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("ga"), col("gb"))).cast("long").as("n_shared"))
+      .filter(col("n_shared") > 0)
+  }
+
   /** [[substringPairs]] through the skew-capped bucket kernel — the
     * deployment form the join version's Scaladoc promises: a boilerplate
     * gram shared by millions of docs turns the gram-join into one giant

@@ -120,6 +120,17 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists(k => k._1 == 5L || k._2 == 5L))
   }
 
+  test("hash-keyed substring pairs ≡ raw-gram join form on the planted corpus") {
+    val joinForm = Dedup.substringPairs(corpus, "doc_id", "text",
+      DedupSurface.SubstringL)
+      .as[(Long, Long, Long)].collect().toSet
+    val hashed = Dedup.substringPairsHashed(corpus, "doc_id", "text",
+      DedupSurface.SubstringL)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(hashed === joinForm)
+    assert(joinForm.nonEmpty)
+  }
+
   test("capped substring pairs ≡ join form, including under forced tiny caps") {
     val joinForm = Dedup.substringPairs(corpus, "doc_id", "text",
       DedupSurface.SubstringL)
