@@ -387,6 +387,32 @@ object Main {
           graft.dedup.Dedup.sortedNeighborhoodPairs(docs, idCol,
             flags.getOrElse("key-col", textCol), textCol,
             flags.getOrElse("window", "5").toInt, threshold)
+        case "substring" =>
+          // exact substring dedup: pairs sharing a verbatim >= --length
+          // char normalized run; --index-dir switches to incremental mode
+          // (build-or-load a gram index, pair only the batch against it);
+          // --hashed uses the 8-byte-key candidate join (same results)
+          val l = flags.getOrElse("length", "40").toInt
+          flags.get("index-dir") match {
+            case None =>
+              if (flags.contains("hashed"))
+                graft.dedup.Dedup.substringPairsHashed(docs, idCol, textCol, l)
+              else graft.dedup.Dedup.substringPairs(docs, idCol, textCol, l)
+            case Some(dir) =>
+              val fs = new java.io.File(s"$dir/grams")
+              val ix =
+                if (fs.exists()) spark.read.parquet(s"$dir/grams")
+                else {
+                  val corpus = spark.read.parquet(
+                    flags.getOrElse("corpus", sys.error(
+                      "--corpus is required to build a missing index")))
+                  val built = graft.dedup.Dedup.substringIndex(
+                    corpus, idCol, textCol, l)
+                  built.write.parquet(s"$dir/grams")
+                  spark.read.parquet(s"$dir/grams")
+                }
+              graft.dedup.Dedup.substringAgainst(ix, docs, idCol, textCol, l)
+          }
         case "semdedup" =>
           // input is an embeddings parquet (--vec-col); output is
           // (vec_id, cid, kept)

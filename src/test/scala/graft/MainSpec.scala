@@ -159,6 +159,38 @@ class MainSpec extends SparkSpec {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
       === Set((1L, 2L)))
 
+    // substring verb: docs 1 and 2 share the >=20-char normalized prefix
+    // "alpha beta gamma delta epsilon zeta eta "; doc 3 shares nothing
+    Main.run(spark, "corpus", s"$dir/corpus",
+      Map("op" -> "substring", "length" -> "20", "output" -> s"$dir/ss"))
+    assert(spark.read.parquet(s"$dir/ss")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 2L)))
+    // --hashed variant agrees
+    Main.run(spark, "corpus", s"$dir/corpus",
+      Map("op" -> "substring", "length" -> "20", "hashed" -> "true",
+        "output" -> s"$dir/ssh"))
+    assert(spark.read.parquet(s"$dir/ssh")
+      .select($"doc_a", $"doc_b", $"n_shared").as[(Long, Long, Long)]
+      .collect().toSet ===
+      spark.read.parquet(s"$dir/ss")
+        .select($"doc_a", $"doc_b", $"n_shared").as[(Long, Long, Long)]
+        .collect().toSet)
+    // incremental: build the gram index from --corpus, pair a batch
+    Main.run(spark, "corpus", s"$dir/batch",
+      Map("op" -> "substring", "length" -> "20", "index-dir" -> s"$dir/ssix",
+        "corpus" -> s"$dir/corpus", "output" -> s"$dir/ssinc"))
+    assert(spark.read.parquet(s"$dir/ssinc")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (2L, 10L)))
+    // second run reuses the persisted index (no --corpus needed)
+    Main.run(spark, "corpus", s"$dir/batch",
+      Map("op" -> "substring", "length" -> "20", "index-dir" -> s"$dir/ssix",
+        "output" -> s"$dir/ssinc2"))
+    assert(spark.read.parquet(s"$dir/ssinc2")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (2L, 10L)))
+
     // events autocorr verb over the real events table
     Main.run(spark, "events", s"$sf0001/events.parquet",
       Map("op" -> "autocorr", "lag" -> "1", "output" -> s"$dir/ac"))

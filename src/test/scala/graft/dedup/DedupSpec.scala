@@ -158,6 +158,36 @@ class DedupSpec extends SparkSpec {
     assert(pairs.contains((5L, 200005L)))
   }
 
+  test("substring pairs ≡ driver brute force on randomized corpora (seeded property)") {
+    // reference: per-pair scan of all l-substrings of the normalized text
+    def norm(s: String) = s.toLowerCase.replaceAll("\\s+", " ").trim
+    def windows(s: String, l: Int): Set[String] =
+      if (s.length < l) Set.empty
+      else (0 to s.length - l).map(i => s.substring(i, i + l)).toSet
+    for (seed <- Seq(7, 23); l <- Seq(8, 15)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("sun", "moon", "star", "rain", "wind", "leaf")
+      // shared chunks planted so long verbatim runs occur across docs
+      val chunks = Vector.fill(4)(
+        Seq.fill(5)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      val docsRaw = (1L to 40L).map { i =>
+        val parts = Seq.fill(2 + rnd.nextInt(3))(
+          if (rnd.nextBoolean()) chunks(rnd.nextInt(chunks.size))
+          else Seq.fill(3)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+        (i, parts.mkString(" "))
+      }
+      val expected = (for {
+        (ia, ta) <- docsRaw; (ib, tb) <- docsRaw if ia < ib
+        shared = windows(norm(ta), l).intersect(windows(norm(tb), l))
+        if shared.nonEmpty
+      } yield (ia, ib, shared.size.toLong)).toSet
+      val got = Dedup.substringPairs(docsRaw.toDF("doc_id", "text"),
+          "doc_id", "text", l)
+        .as[(Long, Long, Long)].collect().toSet
+      assert(got === expected, s"seed=$seed l=$l")
+    }
+  }
+
   test("prefix-filter losslessness holds on randomized corpora (seeded property)") {
     // brute-force equality across random corpora with controlled overlap
     // structure — small vocab so shared shingles (the candidate-explosion
