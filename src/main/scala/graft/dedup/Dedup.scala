@@ -718,8 +718,15 @@ object Dedup {
     * Complete by construction: two texts share an `l`-or-longer run IFF
     * they share an `l`-gram, and stride-1 windows enumerate every `l`-gram.
     *
-    * Shape: per-doc distinct char `l`-grams via one codegen'd
-    * sequence/transform projection (no UDF), then ONE exchange on the gram
+    * Pipeline order at scale: run [[exactGroups]] collapse FIRST and
+    * enumerate only survivors — pair output is quadratic in dup-family
+    * size by definition, and collapse makes the quadratic term see only
+    * distinct texts (measured at the 100× probe: 600k docs → 8.8 s
+    * collapse → 5,992 survivors → 3.4 s substring join; flat in replica
+    * count).
+    *
+    * Shape: per-doc distinct char `l`-grams via the JVM window kernel
+    * ([[charGramsUdf]]), then ONE exchange on the gram
     * and in-bucket pair expansion (the [[graft.analytics.Graph]] groupPairs
     * shape) + a pair-count aggregate. At 100 TB the gram strings dominate
     * shuffle bytes — the deployment variant keys the exchange on
