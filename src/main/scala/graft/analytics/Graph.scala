@@ -366,6 +366,27 @@ object Graph {
   def buildSubstrate(s: SparkSession, d: String): Long =
     pairSupport(s, d).count()
 
+  /** Incremental maintenance of the pair substrate — the daily-drop form
+    * of [[buildSubstrate]] a 100 TB deployment runs instead of a rebuild.
+    * Support = number of GROUPS containing both endpoints, so a delta
+    * computed from new groups alone merges by per-(src, dst) SUM.
+    * Precondition: groups arrive WHOLE (an order's items land in one
+    * drop) — split groups would under-pair within the group, the same
+    * whole-group contract every basket aggregate has. Spec-asserted:
+    * merge(substrate(day1), delta(day2)) ≡ substrate(day1 ∪ day2).
+    */
+  def substrateDelta(newRows: DataFrame, keyCol: String,
+      itemCol: String): DataFrame =
+    groupPairs(newRows, keyCol, itemCol)
+      .groupBy("src", "dst").agg(count(lit(1)).as("support"))
+
+  /** Per-(src, dst) SUM merge of substrate tables (associative — daily
+    * deltas fold in any order).
+    */
+  def mergeSubstrate(substrates: DataFrame*): DataFrame =
+    substrates.reduce(_.unionByName(_))
+      .groupBy("src", "dst").agg(sum(col("support")).as("support"))
+
   /** All distinct co-occurrence edges (support ≥ 1) off the shared
     * substrate — same rows as [[coOccurrenceEdges]] on the gate input.
     */

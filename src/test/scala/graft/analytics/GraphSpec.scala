@@ -153,4 +153,30 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Long)].collect().toSet
     assert(a === b)
   }
+  test("incremental substrate: merge(day1, delta(day2)) == full rebuild when groups arrive whole") {
+    import graft.Tables
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf0001)
+    // split by ORDER (groups stay whole per drop — the operator contract)
+    val day1 = li.filter($"l_orderkey" % 2 === 0)
+    val day2 = li.filter($"l_orderkey" % 2 === 1)
+    val full = Graph.substrateDelta(li, "l_orderkey", "l_partkey")
+      .as[(Long, Long, Long)].collect().toSet
+    val merged = Graph.mergeSubstrate(
+        Graph.substrateDelta(day1, "l_orderkey", "l_partkey"),
+        Graph.substrateDelta(day2, "l_orderkey", "l_partkey"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged === full)
+    assert(full.nonEmpty)
+    // associativity: folding a third split in any order agrees
+    val d2a = li.filter($"l_orderkey" % 4 === 1)
+    val d2b = li.filter($"l_orderkey" % 4 === 3)
+    val merged3 = Graph.mergeSubstrate(
+        Graph.substrateDelta(d2b, "l_orderkey", "l_partkey"),
+        Graph.substrateDelta(day1, "l_orderkey", "l_partkey"),
+        Graph.substrateDelta(d2a, "l_orderkey", "l_partkey"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(merged3 === full)
+  }
+
 }
