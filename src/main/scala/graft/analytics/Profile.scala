@@ -106,22 +106,32 @@ object Profile {
     * genuinely continuous doubles a deliberate resolution bound, the same
     * contract as every quantized gate in this repo.
     */
-  def profileSketch(df: DataFrame, quantScale: Int = 2): DataFrame = {
+  private def canonicalCol(f: StructField, quantScale: Int): Column = {
+    val q = math.pow(10.0, quantScale).toLong
+    val c = col(f.name)
+    f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => c.cast("string")
+      case StringType => c
+      case TimestampType | TimestampNTZType =>
+        date_format(c, "yyyy-MM-dd HH:mm:ss")
+      case DoubleType | FloatType =>
+        round(c * q).cast("long").cast("string")
+      case _ => lit(null).cast("string")
+    }
+  }
+
+  /** The sketch profile's two MERGEABLE parts for one data slice:
+    * `(stats, registers)` — per-column (pos, column, n_rows, n_nulls,
+    * min_value, max_value) and the (pos, bucket, rank) HLL register
+    * table. Both fold across slices losslessly (sum/sum/min/max and
+    * register-wise MAX respectively — all order-free), which is what the
+    * streaming/daily-incremental profile builds on
+    * ([[graft.streaming.StreamingProfile]]).
+    */
+  def sketchParts(df: DataFrame,
+      quantScale: Int = 2): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
-    val q = math.pow(10.0, quantScale).toLong
-    def canonical(f: StructField): Column = {
-      val c = col(f.name)
-      f.dataType match {
-        case LongType | IntegerType | ShortType | ByteType => c.cast("string")
-        case StringType => c
-        case TimestampType | TimestampNTZType =>
-          date_format(c, "yyyy-MM-dd HH:mm:ss")
-        case DoubleType | FloatType =>
-          round(c * q).cast("long").cast("string")
-        case _ => lit(null).cast("string")
-      }
-    }
     val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
       val (mn, mx) = minMax(f)
       Seq(count(col(f.name)).as(s"${f.name}__nn"),
@@ -129,39 +139,78 @@ object Profile {
     }
     val r = df.agg(aggs.head, aggs.tail: _*).head()
     val n = r.getAs[Long]("__n")
+    // `kind` records each column's min/max MERGE semantics: "num"
+    // (integer renderings compare numerically — "100" < "99" would lie
+    // lexicographically), "str" (strings + the lexicographic-safe
+    // timestamp format), "none" (floats: min/max deliberately NULL)
+    def kindOf(f: StructField): String = f.dataType match {
+      case LongType | IntegerType | ShortType | ByteType => "num"
+      case StringType | TimestampType | TimestampNTZType => "str"
+      case _ => "none"
+    }
     val stats = spark.createDataFrame(
       spark.sparkContext.parallelize(fields.zipWithIndex.map { case (f, i) =>
-        Row(i, f.name, n, n - r.getAs[Long](s"${f.name}__nn"),
+        Row(i, f.name, kindOf(f), n, n - r.getAs[Long](s"${f.name}__nn"),
           r.getAs[String](s"${f.name}__mn"),
           r.getAs[String](s"${f.name}__mx"))
       }, 1),
       StructType(Seq(
         StructField("pos", IntegerType, nullable = false),
         StructField("column", StringType, nullable = false),
+        StructField("kind", StringType, nullable = false),
         StructField("n_rows", LongType, nullable = false),
         StructField("n_nulls", LongType, nullable = false),
         StructField("min_value", StringType, nullable = true),
         StructField("max_value", StringType, nullable = true))))
-    // one melt pass: every (column, canonical value) pair through the
-    // register aggregate, which partial-collapses to ≤ 2^p rows per
-    // column per partition BEFORE the exchange — shuffle volume is
-    // O(columns × 2^p × partitions) regardless of data size. (A
-    // per-column-scans variant measured SLOWER — 4.6 s vs 3.4 s at 10× —
-    // the portable md5 hash dominates CPU either way and the melt shares
-    // one scan; a production deployment whose sketches never leave the
-    // engine would swap h60's md5 for xxhash64 and roughly halve the
-    // map-side cost, but md5 is what both engines can compute
-    // identically, and the gate's value is the cross-engine register
-    // check.)
     val melted = df.select(posexplode(
-        array(fields.map(canonical): _*)).as(Seq("pos", "v")))
+        array(fields.map(canonicalCol(_, quantScale)): _*)).as(Seq("pos", "v")))
       .filter(col("v").isNotNull)
-    val est = Hll.estimate(
-      Hll.registers(melted, Seq("pos"), "v"), Seq("pos"))
-    est.join(broadcast(stats), Seq("pos"))
+    (stats, Hll.registers(melted, Seq("pos"), "v"))
+  }
+
+  /** Merge [[sketchParts]] outputs from disjoint slices and assemble the
+    * [[profileSketch]]-shaped result: stats fold by sum/sum/min/max,
+    * registers by per-(pos, bucket) MAX — both order-free, so the merged
+    * profile is IDENTICAL to profiling the union directly.
+    */
+  def assembleSketch(stats: DataFrame, registers: DataFrame): DataFrame = {
+    val mergedStats = stats.groupBy(col("pos"), col("column"), col("kind"))
+      .agg(sum(col("n_rows")).as("n_rows"),
+        sum(col("n_nulls")).as("n_nulls"),
+        // try_cast: under ANSI mode a plain cast THROWS on the string
+        // kinds' values; the num branch below is the only consumer
+        min(expr("try_cast(min_value AS bigint)")).as("mn_num"),
+        max(expr("try_cast(max_value AS bigint)")).as("mx_num"),
+        min(col("min_value")).as("mn_str"),
+        max(col("max_value")).as("mx_str"))
+      .select(col("pos"), col("column"), col("n_rows"), col("n_nulls"),
+        when(col("kind") === "num", col("mn_num").cast("string"))
+          .when(col("kind") === "str", col("mn_str"))
+          .otherwise(lit(null).cast("string")).as("min_value"),
+        when(col("kind") === "num", col("mx_num").cast("string"))
+          .when(col("kind") === "str", col("mx_str"))
+          .otherwise(lit(null).cast("string")).as("max_value"))
+    val est = Hll.estimate(Hll.merge(registers, Seq("pos")), Seq("pos"))
+    est.join(broadcast(mergedStats), Seq("pos"))
       .select(col("column"), col("n_rows"), col("n_nulls"),
         col("present"), col("t_sum"), col("est"),
         col("min_value"), col("max_value"))
+  }
+
+  def profileSketch(df: DataFrame, quantScale: Int = 2): DataFrame = {
+    // one melt pass ([[sketchParts]]): every (column, canonical value)
+    // pair through the register aggregate, which partial-collapses to
+    // ≤ 2^p rows per column per partition BEFORE the exchange — shuffle
+    // volume is O(columns × 2^p × partitions) regardless of data size.
+    // (A per-column-scans variant measured SLOWER — 4.6 s vs 3.4 s at
+    // 10× — the portable md5 hash dominates CPU either way and the melt
+    // shares one scan; a production deployment whose sketches never
+    // leave the engine would swap h60's md5 for xxhash64 and roughly
+    // halve the map-side cost, but md5 is what both engines can compute
+    // identically, and the gate's value is the cross-engine register
+    // check.)
+    val (stats, registers) = sketchParts(df, quantScale)
+    assembleSketch(stats, registers)
   }
 
   /** Equi-width histogram of a numeric column: `bins` buckets over the
