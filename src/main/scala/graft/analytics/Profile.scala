@@ -249,6 +249,18 @@ object Profile {
       profile(Tables.lineitem(s, d)).orderBy("column")),
     "q_profile_sketch_lineitem" -> ((s, d) =>
       profileSketch(Tables.lineitem(s, d)).orderBy("column")),
+    // the DAILY-MERGE form hash-checked cross-engine: profile two
+    // disjoint halves separately, fold the mergeable parts, and the
+    // result must equal DuckDB profiling the whole table — the oracle is
+    // IDENTICAL to q_profile_sketch_lineitem's, so the gate passes only
+    // if the merge is lossless
+    "q_profile_merge_lineitem" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val (s1, r1) = sketchParts(li.filter(col("l_orderkey") % 2 === 0))
+      val (s2, r2) = sketchParts(li.filter(col("l_orderkey") % 2 === 1))
+      assembleSketch(s1.unionByName(s2), r1.unionByName(r2))
+        .orderBy("column")
+    }),
     "q_histogram_price" -> ((s, d) =>
       histogram(Tables.lineitem(s, d), "l_extendedprice", HistBins)
         .orderBy("bin")))
@@ -292,7 +304,10 @@ object Profile {
       colSql("l_returnflag", "str"), colSql("l_linestatus", "str"),
       colSql("l_shipdate", "ts"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
-    "q_profile_sketch_lineitem" -> profileSketchOracle)
+    "q_profile_sketch_lineitem" -> profileSketchOracle,
+    // the merge gate's oracle is the WHOLE-table profile: the gate only
+    // hash-matches if folding the two halves' parts is lossless
+    "q_profile_merge_lineitem" -> profileSketchOracle)
 
   /** The sketch profile's oracle: same melt-canonicalize-hash-register
     * pipeline spelled in SQL — the [[Hll]] register construction (md5-based,
