@@ -36,22 +36,57 @@ object Bench {
     // whichever graph query happens to run first.
     val graphGates = Set("q_triangles", "q_pagerank", "q_components",
       "q_kcore", "q_copurchase_pairs", "q_bfs_levels")
+    // Idle-settle guard: rounds 7-9 proved the driver session carries
+    // external load that swings identical binaries up to 6.5x per query
+    // (r8->r9 ran the SAME code; q3 moved 0.73->4.79 s). Before anything is
+    // timed, run a fixed probe until two consecutive runs agree within 25%
+    // (or the attempt budget runs out) so measurement starts on a quiet,
+    // warm JVM; the probe trace is persisted so a noisy round is diagnosable
+    // from the artifact alone. Doubles as JVM/codegen/scan warm-up for the
+    // one-shot substrate timing below.
+    val settleTrace = {
+      def probe(): Double = {
+        val t0 = System.nanoTime()
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .selectExpr("sum(l_quantity)", "count(distinct l_returnflag)").collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val trace = scala.collection.mutable.ArrayBuffer(probe())
+      var settled = false
+      while (!settled && trace.length < 8) {
+        trace += probe()
+        val (a, b) = (trace(trace.length - 2), trace.last)
+        settled = math.abs(a - b) <= 0.25 * math.max(a, b)
+      }
+      trace.toSeq
+    }
     val substrateEntry =
       if (only.forall(sel => sel.exists(graphGates))) {
-        // session warm-up BEFORE the one-shot substrate timing: the
-        // per-query medians exclude warm-up via rep 1, but a single-shot
-        // entry timed first would otherwise absorb all JVM/codegen/scan
-        // init (measured ~4 s of the 8.2 s attributed to the build in r8)
-        spark.read.parquet(s"$sfDir/lineitem.parquet")
-          .selectExpr("sum(l_orderkey)").collect()
+        // the settle guard above already paid session warm-up; without it a
+        // single-shot entry timed first absorbs all JVM/codegen/scan init
+        // (measured ~4 s of the 8.2 s attributed to the build in r8)
         val t0 = System.nanoTime()
         graft.analytics.Graph.buildSubstrate(spark, sfDir)
         Seq("graph_substrate_build" -> (System.nanoTime() - t0) / 1e9)
       } else Seq.empty
-    val results = substrateEntry ++ SparkEntry.queries.toSeq.sortBy(_._1)
+    // median over the non-warm-up reps (rep 1 pays codegen/scan init);
+    // lower-middle for even counts, so a single slow outlier among the
+    // steady reps can never become the reported number
+    def steadyMedian(times: Seq[Double]): Double = {
+      val steady = (if (times.length > 1) times.tail else times).sorted
+      steady((steady.length - 1) / 2)
+    }
+    def spread(times: Seq[Double]): Double = {
+      val steady = if (times.length > 1) times.tail else times
+      if (steady.min <= 0) Double.PositiveInfinity else steady.max / steady.min
+    }
+    val perRep = scala.collection.mutable.LinkedHashMap.empty[String, Seq[Double]]
+    val results = substrateEntry.map { case (n, t) =>
+      perRep(n) = Seq(t); n -> t
+    } ++ SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      def rep(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
         catch {
@@ -62,9 +97,16 @@ object Bench {
             -1.0
         }
       }
-      val median =
-        if (times.contains(-1.0)) -1.0
-        else times.sorted.apply(times.length / 2)
+      var times = (1 to reps).map(_ => rep())
+      // heavy or unstable gates get extra reps: a >=1s query whose steady
+      // reps disagree by >1.5x is still riding noise — two more samples
+      // make the median robust to one bad rep
+      if (reps >= 3 && !times.contains(-1.0) && steadyMedian(times) >= 1.0 &&
+          spread(times) > 1.5) {
+        times = times ++ (1 to 2).map(_ => rep())
+      }
+      perRep(name) = times
+      val median = if (times.contains(-1.0)) -1.0 else steadyMedian(times)
       name -> median
     }
     // 3-decimal seconds: ms resolution is below bench noise, and it
@@ -76,8 +118,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    val settleJson = settleTrace.map(fmt).mkString("[", ",", "]")
+    val repsJson = perRep.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val totalsLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"n_queries":${results.size},"full_results_file":"$outPath","sf":"$sfDir"}"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"method":"median_of_reps_first_rep_is_warmup;graph_substrate_build_timed_once","queries":$qs,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"method":"steady_median_excl_warmup_rep;extra_reps_on_unstable_heavy_gates;graph_substrate_build_timed_once","settle_probe_sec":$settleJson,"queries":$qs,"per_rep_sec":$repsJson,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of sbt output, and with 150+
     // queries the single JSON line grows past the capture window —
     // round 5's artifact lost its opening brace and parsed as null.

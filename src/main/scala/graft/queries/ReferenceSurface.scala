@@ -14,6 +14,22 @@ object ReferenceSurface {
 
   private def items(s: SparkSession, d: String) = DerivedItems.items(s, d)
 
+  /** One connector-layout materialization of the queue per dataset per JVM,
+    * so the gates below time the DSv2 read path, not a repeated CSV write.
+    */
+  private val queueDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def queuePath(s: SparkSession, d: String): String =
+    queueDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft-queue-gate").toString + "/q"
+      graft.store.connector.WorkQueueSource.write(
+        items(s, d).select("itemID", "taskID", "itemState", "logLength", "nestedTaskCount"), p)
+      p
+    })
+
+  private def queue(s: SparkSession, d: String): DataFrame =
+    s.read.format("graft.store.connector.WorkQueueSource")
+      .option("path", queuePath(s, d)).load()
+
   /** Synthetic log payload over documents used by the X8 router query:
     * every 11th doc is inflated past the inline tier, every 7th carries a
     * `PyAnamo:\t` tagged line (salvage path), so all routes except s3
@@ -60,6 +76,15 @@ object ReferenceSurface {
       LogRouter.route(payload(graft.Tables.documents(s, d)), "payload")
         .select(col("doc_id"), col("route"), col("stored_bytes").cast("long"))
         .orderBy("doc_id")),
+    // S2 through the real DSv2 connector: itemID equality + count-by-state
+    // both pushed — the reference's per-item state probe as a point count
+    // (`code/client.py:139-159`). Guards the filter+aggregate pushdown
+    // combination that round 8 found silently dropping the id filter.
+    "pa_queue_state_counts" -> ((s, d) =>
+      queue(s, d).groupBy(col("itemState")).count().orderBy("itemState")),
+    "pa_queue_item_count" -> ((s, d) =>
+      queue(s, d).filter(col("itemID") === "item_424")
+        .groupBy(col("itemState")).count().orderBy("itemState")),
     // S7/F14: JSON parse of the events props payload + aggregation
     "pa_json_props" -> ((s, d) =>
       graft.Tables.events(s, d)
@@ -177,6 +202,15 @@ object ReferenceSurface {
         |    END AS salvaged
         |  FROM payloads)
         |ORDER BY doc_id""".stripMargin),
+    "pa_queue_state_counts" -> (itemsWith +
+      """
+        |SELECT itemState, COUNT(*) AS "count" FROM items
+        |GROUP BY itemState ORDER BY itemState""".stripMargin),
+    "pa_queue_item_count" -> (itemsWith +
+      """
+        |SELECT itemState, COUNT(*) AS "count" FROM items
+        |WHERE itemID = 'item_424'
+        |GROUP BY itemState ORDER BY itemState""".stripMargin),
     "pa_json_props" ->
       """SELECT event_type, COUNT(*) AS n,
         |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

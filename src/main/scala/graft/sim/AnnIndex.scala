@@ -1,0 +1,92 @@
+package graft.sim
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted IVF-PQ index: the train-once / search-many split that makes
+  * ANN viable at corpus scale. Training (coarse k-means + residual PQ
+  * codebooks) and corpus encoding are one-time batch jobs whose outputs —
+  * three small-to-moderate parquet tables — are written under a directory;
+  * every subsequent query load-probes them without touching a raw vector of
+  * the corpus:
+  *
+  *  - `coarse/`    (cid, cv)                 — nlist coarse centroids (tiny, broadcast)
+  *  - `codebooks/` (sub, code, cv)           — m×ksub PQ codebooks (tiny, broadcast)
+  *  - `codes/`     (neighbor_id, cid, codes) — one m-code row per corpus
+  *    vector, written partitioned by `cid` so a probe's equi-join prunes to
+  *    its lists' files at the scan
+  *  - `_meta.json` (dims, m)                 — geometry, validated on load
+  *
+  * The commit is atomic in the [[graft.store.VersionedTable]] sense scaled
+  * down: everything lands under a temp directory first and a final rename
+  * publishes it, so a crashed build can never be mistaken for an index.
+  *
+  * Determinism: the artifacts inherit the BIGINT-grid training of
+  * [[ProductQuantization]], so a reloaded index searches bit-identically to
+  * the in-session path (spec-checked, and the `sim_topk_ivfpq_indexed` gate
+  * hash-checks reload+search against the re-training DuckDB oracle).
+  */
+object AnnIndex {
+
+  final case class Index(coarse: DataFrame, codebooks: DataFrame,
+      codes: DataFrame, dims: Int, m: Int)
+
+  /** Train coarse + residual-PQ codebooks on `corpus`, encode it, and
+    * publish the index atomically under `dir`.
+    */
+  def buildIvfPq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      dims: Int, m: Int, ksub: Int, iters: Int, nlist: Int): Unit = {
+    val coarse = Similarity.trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    val resid = ProductQuantization.residuals(corpus, coarse, idCol, vecCol)
+    val cb = ProductQuantization.trainCodebooks(resid, "id", "rv", dims, m,
+      ksub, iters)
+    val codes = ProductQuantization.encodeIvfPq(corpus, coarse, cb,
+      idCol, vecCol, dims, m)
+    val tmp = new java.io.File(dir + ".tmp-" + java.util.UUID.randomUUID())
+    coarse.write.mode("overwrite").parquet(new java.io.File(tmp, "coarse").toString)
+    cb.write.mode("overwrite").parquet(new java.io.File(tmp, "codebooks").toString)
+    codes.write.mode("overwrite").partitionBy("cid")
+      .parquet(new java.io.File(tmp, "codes").toString)
+    java.nio.file.Files.writeString(tmp.toPath.resolve("_meta.json"),
+      s"""{"dims":$dims,"m":$m}""")
+    val target = new java.io.File(dir)
+    if (target.exists()) delete(target)
+    if (!tmp.renameTo(target))
+      throw new java.io.IOException(s"cannot publish index: $tmp -> $target")
+  }
+
+  /** Load a published index; fails loudly on a missing/partial directory
+    * (an unrenamed temp dir has no `_meta.json` at `dir`).
+    */
+  def load(spark: SparkSession, dir: String): Index = {
+    val meta = new java.io.File(dir, "_meta.json")
+    require(meta.isFile, s"no ANN index published at $dir")
+    val txt = java.nio.file.Files.readString(meta.toPath)
+    def field(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"bad _meta.json: $txt"))
+        .group(1).toInt
+    Index(
+      coarse = spark.read.parquet(new java.io.File(dir, "coarse").toString),
+      codebooks = spark.read.parquet(new java.io.File(dir, "codebooks").toString),
+      // cid is a directory-partition column on disk; partition-type
+      // inference would hand it back as int — pin it to the trained long
+      codes = spark.read.parquet(new java.io.File(dir, "codes").toString)
+        .select(col("neighbor_id"), col("cid").cast("long").as("cid"), col("codes")),
+      dims = field("dims"), m = field("m"))
+  }
+
+  /** Probe a loaded index: identical semantics/results to
+    * [[ProductQuantization.ivfPqTopK]], but the corpus-side work is a
+    * partition-pruned scan of the persisted code table.
+    */
+  def searchIvfPq(queries: DataFrame, index: Index, idCol: String,
+      vecCol: String, k: Int, nprobe: Int): DataFrame =
+    ProductQuantization.ivfPqSearch(queries, index.codes, index.coarse,
+      index.codebooks, idCol, vecCol, index.dims, index.m, k, nprobe)
+
+  private def delete(f: java.io.File): Unit = {
+    Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
+    f.delete()
+  }
+}

@@ -202,11 +202,32 @@ object ProductQuantization {
   def ivfPqTopK(queries: DataFrame, corpus: DataFrame, coarse: DataFrame,
       codebooks: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
-    val subDim = dims / m
+    val codes = encodeIvfPq(corpus, coarse, codebooks, idCol, vecCol, dims, m)
+    ivfPqSearch(queries, codes, coarse, codebooks, idCol, vecCol,
+      dims, m, k, nprobe)
+  }
+
+  /** The index-build half of [[ivfPqTopK]]: corpus → (neighbor_id, cid,
+    * codes) rows — each vector's coarse list plus its residual PQ codes.
+    * This is the artifact a 100 TB deployment computes ONCE and persists
+    * (see [[AnnIndex]]); queries then touch only the code table.
+    */
+  def encodeIvfPq(corpus: DataFrame, coarse: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, dims: Int, m: Int): DataFrame = {
     val cres = residuals(corpus, coarse, idCol, vecCol)
-    val codes = encode(cres, "id", "rv", codebooks, dims, m)
+    encode(cres, "id", "rv", codebooks, dims, m)
       .join(cres.select(col("id"), col("cid")), Seq("id"))
       .select(col("id").as("neighbor_id"), col("cid"), col("codes"))
+  }
+
+  /** The query half of [[ivfPqTopK]] over a prebuilt code table: probe the
+    * `nprobe` nearest coarse lists, broadcast the per-(query, list) residual
+    * LUTs, equi-join on `cid`, ADC-rank. The corpus is never re-encoded.
+    */
+  def ivfPqSearch(queries: DataFrame, codes: DataFrame, coarse: DataFrame,
+      codebooks: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
+    val subDim = dims / m
     val probes = Similarity.ivfAssignTop(queries,
       coarse.select(col("cid").as(idCol), col("cv").as(vecCol)),
       idCol, vecCol, nprobe)

@@ -81,7 +81,28 @@ object SimSurface {
         "vec_id", "v", Dims, PqM, K, IvfPqNprobe)
         .orderBy("query_id", "rank")
     }),
+    // the deployment shape: the index (coarse + codebooks + encoded corpus)
+    // is TRAINED AND PERSISTED once per dataset, and the gate times only
+    // load + probe — what a query actually costs once the corpus is indexed.
+    // Results are bit-identical to sim_topk_ivfpq (shared oracle semantics).
+    "sim_topk_ivfpq_indexed" -> ((s, d) =>
+      AnnIndex.searchIvfPq(queriesD(s, d),
+        AnnIndex.load(s, indexDir(s, d)), "vec_id", "v", K, IvfPqNprobe)
+        .orderBy("query_id", "rank")),
   )
+
+  /** One persisted IVF-PQ index per dataset per JVM (built on first use,
+    * atomic-published under java.io.tmpdir) — the gate above times search
+    * only, the way a production corpus is queried.
+    */
+  private val indexDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def indexDir(s: SparkSession, d: String): String =
+    indexDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft-ann").toString + "/ivfpq"
+      AnnIndex.buildIvfPq(vecsD(s, d), "vec_id", "v", p,
+        Dims, PqM, PqKsub, PqIters, IvfPqNlist)
+      p
+    })
 
   // ---- DuckDB mirrors ----
 
@@ -249,7 +270,35 @@ object SimSurface {
       |  FROM adist)
       |SELECT query_id, neighbor_id, rank, adist FROM ranked
       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
-    "sim_topk_ivfpq" -> s"""WITH $vecsCte,
+    "sim_topk_ivfpq" -> ivfPqSql,
+    // reload+search is result-identical to train+search — same oracle
+    "sim_topk_ivfpq_indexed" -> ivfPqSql,
+    "sim_topk_ivf" -> s"""WITH $vecsCte,
+      |${lloydCtes(IvfK, IvfIters)},
+      |cent AS (SELECT cid, cv FROM cent$IvfIters),
+      |assigned AS (
+      |  SELECT id, cid FROM (
+      |    SELECT v.vec_id AS id, cent.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cosSql("v.v", "cent.cv")} DESC, cent.cid) AS crank
+      |    FROM v CROSS JOIN cent)
+      |  WHERE crank = 1),
+      |q AS (SELECT v.vec_id AS query_id, v.v AS qv, a.cid
+      |      FROM v JOIN assigned a ON a.id = v.vec_id WHERE v.vec_id < 10),
+      |scored AS (
+      |  SELECT q.query_id, c.vec_id AS neighbor_id, q.cid,
+      |         ${cosSql("q.qv", "c.v")} AS cos
+      |  FROM q JOIN assigned a USING (cid) JOIN v c ON c.vec_id = a.id
+      |  WHERE c.vec_id <> q.query_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, cid, cos,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cid, rank, cos FROM ranked
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
+  )
+
+  private lazy val ivfPqSql: String = s"""WITH $vecsCte,
       |${lloydCtes(IvfPqNlist, IvfIters)},
       |cent AS (SELECT cid, cv FROM cent$IvfIters),
       |assigned AS (
@@ -298,29 +347,5 @@ object SimSurface {
       |      ORDER BY adist ASC, neighbor_id) AS rank
       |  FROM adist)
       |SELECT query_id, neighbor_id, rank, adist FROM ranked
-      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
-    "sim_topk_ivf" -> s"""WITH $vecsCte,
-      |${lloydCtes(IvfK, IvfIters)},
-      |cent AS (SELECT cid, cv FROM cent$IvfIters),
-      |assigned AS (
-      |  SELECT id, cid FROM (
-      |    SELECT v.vec_id AS id, cent.cid,
-      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-      |        ORDER BY ${cosSql("v.v", "cent.cv")} DESC, cent.cid) AS crank
-      |    FROM v CROSS JOIN cent)
-      |  WHERE crank = 1),
-      |q AS (SELECT v.vec_id AS query_id, v.v AS qv, a.cid
-      |      FROM v JOIN assigned a ON a.id = v.vec_id WHERE v.vec_id < 10),
-      |scored AS (
-      |  SELECT q.query_id, c.vec_id AS neighbor_id, q.cid,
-      |         ${cosSql("q.qv", "c.v")} AS cos
-      |  FROM q JOIN assigned a USING (cid) JOIN v c ON c.vec_id = a.id
-      |  WHERE c.vec_id <> q.query_id),
-      |ranked AS (
-      |  SELECT query_id, neighbor_id, cid, cos,
-      |    ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
-      |  FROM scored)
-      |SELECT query_id, neighbor_id, cid, rank, cos FROM ranked
-      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
-  )
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
 }

@@ -194,16 +194,22 @@ class WorkQueueScanBuilder(path: String)
   }
 
   override def build(): Scan =
-    if (countByState) new WorkQueueCountScan(path, stateFilter)
+    if (countByState) new WorkQueueCountScan(path, stateFilter, idFilter)
     else new WorkQueueScan(path, stateFilter, idFilter, limit, required)
 }
 
 /** Complete-pushdown scan for `COUNT(*) GROUP BY itemState`: one input
   * partition per (pruned) state directory, each emitting a single
-  * `(itemState, count)` row from raw line counts — no CSV parsing, no row
-  * materialization, no Spark-side aggregate.
+  * `(itemState, count)` row — no row materialization, no Spark-side
+  * aggregate. Without an `itemID` filter the count is a raw line count (no
+  * CSV parsing at all); with one, each line's key field is parsed and only
+  * matches are counted — the reference's per-item state probe is a point
+  * read (`code/client.py:139-159`), and the connector answers it from the
+  * index side without shipping rows. A state whose matching count is zero
+  * emits NO row (a group-by never invents empty groups).
   */
-class WorkQueueCountScan(path: String, state: Option[String]) extends Scan with Batch {
+class WorkQueueCountScan(path: String, state: Option[String],
+    id: Option[String] = None) extends Scan with Batch {
 
   // pushed-aggregate contract: group-by columns first, then aggregate columns
   override def readSchema(): StructType = StructType(Seq(
@@ -212,7 +218,8 @@ class WorkQueueCountScan(path: String, state: Option[String]) extends Scan with 
 
   override def toBatch: Batch = this
   override def description(): String =
-    s"WorkQueueCountScan(path=$path, pushedState=$state, pushedAggregation=count(*) group by itemState)"
+    s"WorkQueueCountScan(path=$path, pushedState=$state, pushedId=$id, " +
+      "pushedAggregation=count(*) group by itemState)"
 
   override def planInputPartitions(): Array[InputPartition] = {
     val base = new java.io.File(path)
@@ -225,34 +232,71 @@ class WorkQueueCountScan(path: String, state: Option[String]) extends Scan with 
         : InputPartition)
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val idF = id
     new PartitionReaderFactory {
       override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
         val p = partition.asInstanceOf[WorkQueueStatePartition]
         new PartitionReader[InternalRow] {
           private var emitted = false
+          private lazy val n: Long =
+            Option(new java.io.File(p.dir).listFiles()).getOrElse(Array.empty)
+              .filter(f => f.isFile && f.getName.endsWith(".csv"))
+              .map { f =>
+                val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+                try {
+                  idF match {
+                    case None => src.getLines().length.toLong
+                    case Some(wanted) => src.getLines().count(line =>
+                      WorkQueueCsv.split(line).headOption.contains(wanted)).toLong
+                  }
+                } finally src.close()
+              }.sum
           override def next(): Boolean =
-            if (emitted) false
+            if (emitted || n == 0L) false
             else {
               emitted = true
               true
             }
-          override def get(): InternalRow = {
-            val n = Option(new java.io.File(p.dir).listFiles()).getOrElse(Array.empty)
-              .filter(f => f.isFile && f.getName.endsWith(".csv"))
-              .map { f =>
-                val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
-                try src.getLines().length.toLong finally src.close()
-              }.sum
+          override def get(): InternalRow =
             InternalRow.fromSeq(Seq(UTF8String.fromString(p.state), n))
-          }
           override def close(): Unit = ()
         }
       }
     }
+  }
 }
 
 final case class WorkQueueStatePartition(dir: String, state: String) extends InputPartition
+
+/** Minimal RFC-4180 field splitter: handles quoted fields and doubled
+  * quotes; enough for round-tripping Spark's default CSV writer output.
+  * Shared between the row reader and the count scan's key probe.
+  */
+object WorkQueueCsv {
+  def split(line: String): Array[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var inQuotes = false
+    var i = 0
+    while (i < line.length) {
+      val c = line.charAt(i)
+      if (inQuotes) {
+        if (c == '"') {
+          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
+          else inQuotes = false
+        } else cur.append(c)
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => out += cur.result(); cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    out += cur.result()
+    out.toArray
+  }
+}
 
 class WorkQueueScan(path: String, state: Option[String], id: Option[String],
     limit: Option[Int], required: StructType)
@@ -311,31 +355,8 @@ class WorkQueueReader(partition: WorkQueuePartition, required: StructType,
   private var current: InternalRow = _
   private var emitted = 0
 
-  /** Minimal RFC-4180 field splitter: handles quoted fields and doubled
-    * quotes; enough for round-tripping Spark's default CSV writer output.
-    */
-  private[connector] def splitCsv(line: String): Array[String] = {
-    val out = scala.collection.mutable.ArrayBuffer.empty[String]
-    val cur = new StringBuilder
-    var inQuotes = false
-    var i = 0
-    while (i < line.length) {
-      val c = line.charAt(i)
-      if (inQuotes) {
-        if (c == '"') {
-          if (i + 1 < line.length && line.charAt(i + 1) == '"') { cur.append('"'); i += 1 }
-          else inQuotes = false
-        } else cur.append(c)
-      } else c match {
-        case '"' => inQuotes = true
-        case ',' => out += cur.result(); cur.clear()
-        case other => cur.append(other)
-      }
-      i += 1
-    }
-    out += cur.result()
-    out.toArray
-  }
+  private[connector] def splitCsv(line: String): Array[String] =
+    WorkQueueCsv.split(line)
 
   private def longOrNull(s: String): java.lang.Long =
     if (s.isEmpty) null else java.lang.Long.valueOf(s.toLong)

@@ -92,6 +92,36 @@ class WorkQueueSourceSpec extends SparkSpec {
     assert(one.queryExecution.executedPlan.toString.contains("pushedState=Some(todo)"))
   }
 
+  test("itemID filter + state-count aggregate: pushdown keeps the filter (point count)") {
+    val anyId = DerivedItems.items(spark, sf0001)
+      .filter($"itemState" === "todo").select($"itemID").as[String].head()
+    // the round-8 wrong-results shape: itemID equality pushed AND the
+    // count-by-state aggregate pushed — the count scan must honor the id
+    val q = queue.filter($"itemID" === anyId).groupBy($"itemState").count()
+    val got = q.as[(String, Long)].collect().toMap
+    val expected = DerivedItems.items(spark, sf0001)
+      .filter($"itemID" === anyId).groupBy($"itemState").count()
+      .as[(String, Long)].collect().toMap
+    assert(got === expected)
+    assert(got === Map("todo" -> 1L))
+    // still a complete pushdown: the count scan carries the id, no Spark agg
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("WorkQueueCountScan"), plan.take(800))
+    assert(plan.contains(s"pushedId=Some($anyId)"), plan.take(800))
+    assert(!plan.contains("HashAggregate"), plan.take(800))
+    // composes with a pushed state filter too
+    val both = queue.filter($"itemState" === "todo" && $"itemID" === anyId)
+      .groupBy($"itemState").count()
+    assert(both.as[(String, Long)].collect().toMap === Map("todo" -> 1L))
+  }
+
+  test("state-count aggregate emits no group for states with zero matches") {
+    // an id that matches nothing: a real GROUP BY yields zero groups, so the
+    // pushed-down scan must not invent (state, 0) rows
+    val q = queue.filter($"itemID" === "no_such_item").groupBy($"itemState").count()
+    assert(q.collect().isEmpty)
+  }
+
   private def claim(dir: String, rows: Seq[(String, String, String, String)]): Unit =
     rows.toDF("itemID", "lockID", "instanceID", "expectedLockID")
       .write.format("graft.store.connector.WorkQueueSource")
