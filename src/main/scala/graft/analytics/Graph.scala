@@ -51,7 +51,18 @@ object Graph {
     */
   private val longPairsUdf = udf { items: Seq[Long] =>
     val n = items.length
-    val out = new Array[(Long, Long)](n * (n - 1) / 2)
+    // size arithmetic in Long: at n = 65,537 the Int form overflows negative
+    // and dies as NegativeArraySizeException mid-job. The bounded-groups
+    // contract (order baskets, shingle buckets) is ENFORCED here with an
+    // actionable error naming the offending group size — a hot key at 100x
+    // scale must fail loudly, not crash cryptically (and a group this size
+    // means the caller forgot to cap/salt upstream; materializing ~2^31
+    // pairs would be wrong on any engine).
+    val pairs = n.toLong * (n - 1) / 2
+    require(pairs <= Int.MaxValue,
+      s"co-occurrence group of $n items would expand to $pairs pairs; " +
+        "cap or salt the group key upstream (bounded-groups contract)")
+    val out = new Array[(Long, Long)](pairs.toInt)
     var k = 0
     var i = 0
     while (i < n) {
@@ -151,16 +162,21 @@ object Graph {
     // anyway.)
     val dir = edges.select(col("src").as("u"), col("dst").as("v"))
       .unionAll(edges.select(col("dst").as("u"), col("src").as("v")))
+    // fold outdeg INTO the directed edge list once, up front: outdeg is a
+    // per-u constant, so carrying it on each (u, v) row turns every round's
+    // `dir ⋈ ranks ⋈ deg` (two joins) into a single `dir ⋈ ranks` join —
+    // half the per-round join work, and the only per-round shuffles left
+    // are the canonical Pregel pair (join on u, groupBy on v)
+    val degw = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
+    val dirDeg = dir.withColumn("outdeg", count(lit(1)).over(degw))
       .transform(graft.plans.Lineage.cut)
-    val deg = dir.groupBy("u").agg(count(lit(1)).as("outdeg"))
-      .transform(graft.plans.Lineage.cut)
-    var ranks = deg.select(col("u").as("node"), lit(1.0).as("pr"))
+    var ranks = dirDeg.select(col("u").as("node")).distinct()
+      .select(col("node"), lit(1.0).as("pr"))
       .transform(graft.plans.Lineage.cut)
     val roundLog = graft.plans.RoundLog.timer(edges.sparkSession, "pagerank")
     for (it <- 1 to iters) {
-      val contrib = dir
+      val contrib = dirDeg
         .join(ranks.withColumnRenamed("node", "u"), Seq("u"))
-        .join(deg, Seq("u"))
         .select(col("v").as("node"),
           floor(col("pr") / col("outdeg") * PrScale).cast("long").as("qc"))
       val next = contrib.groupBy("node")
@@ -171,8 +187,7 @@ object Graph {
       ranks = next
       roundLog(it, "")
     }
-    deg.unpersist()
-    dir.unpersist()
+    dirDeg.unpersist()
     ranks
   }
 

@@ -75,6 +75,23 @@ class GraphSpec extends SparkSpec {
     assert(es === Set((10L, 20L), (10L, 30L), (20L, 30L)))
   }
 
+  test("a group past the pair-expansion bound fails with the contract error, not a crash") {
+    // 65,537 items in one group: the pair count (2,147,516,416) exceeds
+    // Int.MaxValue — before the Long-math guard this overflowed negative and
+    // died as NegativeArraySizeException deep in a task; now it must surface
+    // the bounded-groups contract by name
+    val big = spark.range(65537L)
+      .select(org.apache.spark.sql.functions.lit(1L).as("k"), $"id".as("item"))
+    val e = intercept[Exception] {
+      Graph.coOccurrenceEdges(big, "k", "item").count()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("bounded-groups contract"))),
+      s"unexpected failure: $e")
+  }
+
   test("frequentCoEdges keeps only pairs with distinct-group support >= s") {
     // pair (10,20) in groups 1,2; (10,30) only in group 1 (twice via dup
     // rows, which must NOT count as support 2)
