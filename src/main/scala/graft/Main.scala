@@ -399,17 +399,37 @@ object Main {
                 graft.dedup.Dedup.substringPairsHashed(docs, idCol, textCol, l)
               else graft.dedup.Dedup.substringPairs(docs, idCol, textCol, l)
             case Some(dir) =>
-              val fs = new java.io.File(s"$dir/grams")
+              // publication is atomic: build under a temp sibling, rename
+              // into place. A directory is trusted as a complete index only
+              // if the rename finished — a crash mid-write leaves either
+              // nothing at grams/ or an orphaned temp dir, never a partial
+              // index that silently under-pairs (the parquet _SUCCESS
+              // marker is checked too, in case an earlier version of this
+              // verb died mid-write and left a bare grams/)
+              val gramsDir = new java.io.File(s"$dir/grams")
+              val published = gramsDir.isDirectory &&
+                new java.io.File(gramsDir, "_SUCCESS").isFile
               val ix =
-                if (fs.exists()) spark.read.parquet(s"$dir/grams")
+                if (published) spark.read.parquet(gramsDir.toString)
                 else {
                   val corpus = spark.read.parquet(
                     flags.getOrElse("corpus", sys.error(
                       "--corpus is required to build a missing index")))
                   val built = graft.dedup.Dedup.substringIndex(
                     corpus, idCol, textCol, l)
-                  built.write.parquet(s"$dir/grams")
-                  spark.read.parquet(s"$dir/grams")
+                  val tmp = new java.io.File(
+                    s"$dir/grams.tmp-${java.util.UUID.randomUUID()}")
+                  built.write.parquet(tmp.toString)
+                  if (gramsDir.exists()) { // stale partial build: replace
+                    def rm(f: java.io.File): Unit = {
+                      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+                      f.delete()
+                    }
+                    rm(gramsDir)
+                  }
+                  if (!tmp.renameTo(gramsDir)) sys.error(
+                    s"cannot publish substring index: $tmp -> $gramsDir")
+                  spark.read.parquet(gramsDir.toString)
                 }
               graft.dedup.Dedup.substringAgainst(ix, docs, idCol, textCol, l)
           }

@@ -436,6 +436,20 @@ object Graph {
         .unionByName(edges.select(col("dst").cast("long").as("id")))
         .filter(col("id") % BfsSrcMod === 0).distinct()
       bfsLevels(edges, srcs).orderBy("node")
+    }),
+    // incremental maintenance hash-checked cross-engine: build the pair
+    // substrate as two daily drops (orders split by key parity — groups
+    // arrive whole) delta'd and merged; the oracle rebuilds from scratch,
+    // so the gate passes only if merge(delta(day1), delta(day2)) is
+    // byte-equal to the full rebuild
+    "graph_substrate_incremental" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      mergeSubstrate(
+        substrateDelta(li.filter(col("l_orderkey") % 2 === 0),
+          "l_orderkey", "l_partkey"),
+        substrateDelta(li.filter(col("l_orderkey") % 2 === 1),
+          "l_orderkey", "l_partkey"))
+        .orderBy("src", "dst")
     }))
 
   private val edgeCte =
@@ -467,6 +481,13 @@ object Graph {
     * rounds over the same quantized grid.
     */
   val oracles: Map[String, String] = Map(
+    // full-rebuild support counts: distinct (order, part) rows self-joined
+    // in-group — the incremental merge must reproduce these exactly
+    "graph_substrate_incremental" -> """
+      |WITH di AS (SELECT DISTINCT l_orderkey AS k, l_partkey AS i FROM lineitem)
+      |SELECT a.i AS src, b.i AS dst, CAST(COUNT(*) AS BIGINT) AS support
+      |FROM di a JOIN di b ON a.k = b.k AND a.i < b.i
+      |GROUP BY a.i, b.i ORDER BY src, dst""".stripMargin,
     "q_triangles" -> s"""
       |WITH $edgeCte
       |SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles

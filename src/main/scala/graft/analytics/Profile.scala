@@ -263,7 +263,26 @@ object Profile {
     }),
     "q_histogram_price" -> ((s, d) =>
       histogram(Tables.lineitem(s, d), "l_extendedprice", HistBins)
-        .orderBy("bin")))
+        .orderBy("bin")),
+    // the STREAMING form hash-checked cross-engine: ingest lineitem as
+    // three micro-batches through StreamingProfile's append-only part
+    // logs (including a replayed batch, which the idempotence tag must
+    // refuse), then fold the logs — the snapshot must equal DuckDB
+    // profiling the whole table in one shot
+    "q_profile_stream_lineitem" -> ((s, d) => {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-streamprof").toString
+      val li = Tables.lineitem(s, d)
+      for (b <- 0L to 2L)
+        graft.streaming.StreamingProfile.processBatch(
+          li.filter(col("l_orderkey") % 3 === b), root, b)
+      // replay of batch 1 (e.g. a restarted trigger): refused by tag,
+      // so the snapshot is unchanged — the gate would hash-mismatch
+      // otherwise (every count doubled for that slice)
+      graft.streaming.StreamingProfile.processBatch(
+        li.filter(col("l_orderkey") % 3 === 1), root, 1L)
+      graft.streaming.StreamingProfile.snapshot(s, root).orderBy("column")
+    }))
 
   /** Oracle: one SELECT per column, UNION ALL — the relational spelling of
     * the same unpivot.
@@ -305,6 +324,8 @@ object Profile {
       colSql("l_shipdate", "ts"))
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")),
     "q_profile_sketch_lineitem" -> profileSketchOracle,
+    // streaming fold must equal the one-shot profile exactly
+    "q_profile_stream_lineitem" -> profileSketchOracle,
     // the merge gate's oracle is the WHOLE-table profile: the gate only
     // hash-matches if folding the two halves' parts is lossless
     "q_profile_merge_lineitem" -> profileSketchOracle)

@@ -476,14 +476,16 @@ object DedupSurface {
       |SELECT DISTINCT doc_a, doc_b, jaccard FROM v WHERE jaccard >= 0.5
       |ORDER BY doc_a, doc_b""".stripMargin,
     // char-level l-gram windows (stride 1), self-joined on the gram —
-    // the relational restatement of substringPairs' bucket expansion
+    // the relational restatement of substringPairs' bucket expansion.
     // DuckDB's generate_series is not lateral-correlatable: cross-join a
-    // fixed position grid (documents cap at ~600 chars; 2048 is safe for
-    // the gate corpus) and filter to each doc's window range
+    // position grid sized from MAX(length(t)) — derived, not a fixed
+    // 2048, so a future longer corpus doc can never silently fall off the
+    // end of the grid and under-count pairs
     "dedup_substring_pairs" -> s"""WITH $corpusCte,
       |n AS (SELECT doc_id AS id, $ntext AS t FROM corpus),
       |g AS (SELECT DISTINCT id, substr(t, CAST(i AS INTEGER), $SubstringL) AS gram
-      |  FROM n CROSS JOIN generate_series(1, 2048) AS s(i)
+      |  FROM n CROSS JOIN (SELECT unnest(range(1,
+      |    (SELECT COALESCE(MAX(length(t)), 0) FROM n) + 1)) AS i) s
       |  WHERE length(t) >= $SubstringL AND i <= length(t) - ${SubstringL - 1}),
       |p AS (SELECT a.id AS doc_a, b.id AS doc_b
       |  FROM g a JOIN g b ON a.gram = b.gram AND a.id < b.id)

@@ -191,6 +191,25 @@ class MainSpec extends SparkSpec {
       .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
       === Set((1L, 10L), (2L, 10L)))
 
+    // a partial index directory (crash mid-write: files but no _SUCCESS)
+    // must be REBUILT, not trusted — before the atomic-publish fix this
+    // silently under-paired against whatever fragment survived
+    val partial = new java.io.File(s"$dir/sspart/grams")
+    partial.mkdirs()
+    java.nio.file.Files.writeString(
+      partial.toPath.resolve("part-00000.parquet"), "not a parquet file")
+    Main.run(spark, "corpus", s"$dir/batch",
+      Map("op" -> "substring", "length" -> "20", "index-dir" -> s"$dir/sspart",
+        "corpus" -> s"$dir/corpus", "output" -> s"$dir/sspairs"))
+    assert(spark.read.parquet(s"$dir/sspairs")
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+      === Set((1L, 10L), (2L, 10L)))
+    // the rebuilt index was published atomically: _SUCCESS present, no
+    // leftover temp siblings
+    assert(new java.io.File(s"$dir/sspart/grams/_SUCCESS").isFile)
+    assert(new java.io.File(s"$dir/sspart").listFiles()
+      .count(_.getName.startsWith("grams")) === 1)
+
     // events autocorr verb over the real events table
     Main.run(spark, "events", s"$sf0001/events.parquet",
       Map("op" -> "autocorr", "lag" -> "1", "output" -> s"$dir/ac"))
