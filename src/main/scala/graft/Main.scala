@@ -116,11 +116,26 @@ object Main {
       // idempotent re-import: only genuinely new itemIDs are appended (the
       // reference's per-key put_item is an overwrite; an append of dupes
       // would double-execute every task)
+      // lineage-cut the fresh set BEFORE writing: it is appended into the
+      // very table its plan reads, and a second sink (--queue-dir) would
+      // re-execute the read against the mutated directory layout
       val fresh = items.join(
         ItemStore.load(spark, table).select("itemID"), Seq("itemID"), "left_anti")
+        .transform(graft.plans.Lineage.cut)
       ItemStore.append(fresh, table)
+      // --queue-dir: also publish the monitoring subset of the new items
+      // through the DSv2 connector's batch write — the import slot of the
+      // reference's batch writer (`code/manager.py:278-358`), so the
+      // connector queue is fed by the same verb that fills the table
+      flags.get("queue-dir").foreach { qd =>
+        graft.store.connector.WorkQueueSource.append(
+          fresh.select(col("itemID"), col("taskID"), col("itemState"),
+            col("logLength"), col("nestedTaskCount")), qd)
+      }
       // import tally (A9 — manager.py:376-399)
       println(s"""{"N": ${ItemStore.load(spark, table).count()}}""")
+      fresh.unpersist()
+      ()
     case "run" =>
       val (updated, outcomes) = Runner.processItems(
         ItemStore.load(spark, table),

@@ -56,16 +56,31 @@ object WorkQueueSource {
     StructField("logLength", LongType),
     StructField("nestedTaskCount", LongType)))
 
-  /** Write a DataFrame (schema above) into the connector's layout. Columns
-    * are pinned to the schema order — the reader maps fields positionally.
-    * Known demo-connector limits (a production DynamoDB connector replaces
-    * this layer wholesale): values must not embed newlines, and itemState
-    * must not be null.
+  /** Overwrite the connector's layout with a DataFrame (schema above),
+    * THROUGH the connector's own DSv2 write path ([[WorkQueueItemWrite]]) —
+    * the sink half of the source/sink pair. Overwrite semantics: existing
+    * state directories are cleared first (driver-side, before the job).
+    * itemState must not be null; ids/values with separators round-trip via
+    * RFC-4180 quoting.
     */
-  def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+  def write(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+    Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("itemState="))
+      .foreach { d =>
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+          f.delete()
+        }
+        rm(d)
+      }
+    append(df, path)
+  }
+
+  /** Append rows into the connector's layout through the DSv2 write path. */
+  def append(df: org.apache.spark.sql.DataFrame, path: String): Unit =
     df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
-      .write.mode("overwrite").partitionBy("itemState")
-      .option("header", "false").csv(path)
+      .write.format("graft.store.connector.WorkQueueSource")
+      .option("path", path).mode("append").save()
 
   /** Claim outcomes written by the conditional-claim write path
     * ([[WorkQueueClaimWrite]]): one row per claim request —
@@ -104,11 +119,21 @@ class WorkQueueTable(path: String, tableSchema: StructType = WorkQueueSource.sch
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WorkQueueScanBuilder(path)
-  // writes are conditional claims, not row inserts — see WorkQueueClaimWrite
+  // writes are schema-dispatched: a claim-shaped frame (has lockID) runs
+  // the conditional-claim protocol; an item-shaped frame (has itemState)
+  // appends queue rows — the connector is a full source/sink pair, the
+  // import slot of the reference's batch writer (`code/manager.py:278-358`)
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
-    new WorkQueueClaimWrite(path, info.schema(), info.queryId())
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val fields = info.schema().fieldNames.toSet
+    if (fields.contains("lockID"))
+      new WorkQueueClaimWrite(path, info.schema(), info.queryId())
+    else if (fields.contains("itemID") && fields.contains("itemState"))
+      new WorkQueueItemWrite(path, info.schema(), info.queryId())
+    else throw new IllegalArgumentException(
+      s"workqueue write needs a claim (lockID...) or item (itemID, itemState...) schema, got: ${fields.mkString(",")}")
+  }
 }
 
 class WorkQueueScanBuilder(path: String)

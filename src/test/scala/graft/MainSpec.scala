@@ -41,6 +41,35 @@ class MainSpec extends SparkSpec {
     assert(store.ItemStore.load(spark, table).count() === 0)
   }
 
+  test("import --queue-dir feeds the DSv2 connector sink (source/sink symmetry)") {
+    val base = java.nio.file.Files.createTempDirectory("graft-cli-queue").toString
+    val table = s"$base/t"
+    val qdir = s"$base/q"
+    Main.run(spark, "import", table,
+      Map("input" -> writeFixture(), "delim" -> "|", "nested-delim" -> ",",
+        "queue-dir" -> qdir))
+    val queue = spark.read.format("graft.store.connector.WorkQueueSource")
+      .option("path", qdir).load()
+    val viaQueue = queue
+      .select($"itemID", $"itemState", $"logLength", $"nestedTaskCount")
+      .as[(String, String, Long, Option[Long])].collect().toSet
+    val viaTable = store.ItemStore.load(spark, table)
+      .select($"itemID", $"itemState", $"logLength", $"nestedTaskCount")
+      .as[(String, String, Long, Option[Long])].collect().toSet
+    assert(viaQueue === viaTable && viaQueue.nonEmpty)
+    // idempotent re-import appends nothing to table OR queue
+    Main.run(spark, "import", table,
+      Map("input" -> writeFixture(), "delim" -> "|", "nested-delim" -> ",",
+        "queue-dir" -> qdir))
+    assert(queue.count() === viaQueue.size)
+    // the DSv2 commit published every task file: no in-progress temps left
+    val leftovers = Option(new java.io.File(qdir).listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filter(_.getName.startsWith(".inprogress"))
+    assert(leftovers.isEmpty, leftovers.mkString(","))
+  }
+
   test("manifest-driven reset restarts exactly the listed items (manager.py:465-549)") {
     val table = java.nio.file.Files.createTempDirectory("graft-cli-store").toString + "/t"
     Main.run(spark, "import", table,
