@@ -15,6 +15,78 @@ TABLES = [
     "lineitem", "events", "documents", "embeddings",
 ]
 
+# The vt_* gates bench a FULL transactional lifecycle per rep (create ->
+# append -> merge -> delete commits, change feeds, incremental summary
+# maintenance). Timing DuckDB on just the final-state SELECT (the
+# correctness oracle) under-counts its side; these scripts make DuckDB do
+# the EQUIVALENT lifecycle — materialize the base table, apply each
+# mutation as its own statement, and (for the IVM row) fold each step's
+# delta into a maintained summary — so the comparison column is
+# apples-to-apples. The last statement's result is the gate's output.
+LIFECYCLE = {
+    "vt_merge_snapshot": [
+        "CREATE OR REPLACE TABLE vt AS SELECT p_partkey, p_brand, p_retailprice"
+        " FROM part WHERE p_partkey % 3 = 0",
+        "INSERT INTO vt SELECT p_partkey, p_brand, p_retailprice"
+        " FROM part WHERE p_partkey % 3 = 1",
+        # merge (upsert) as the copy-on-write delete+insert the engine does
+        "DELETE FROM vt WHERE p_partkey % 5 = 0",
+        "INSERT INTO vt SELECT p_partkey, p_brand, p_retailprice + 1000.0"
+        " FROM part WHERE p_partkey % 5 = 0",
+        "DELETE FROM vt WHERE p_partkey % 7 = 0",
+        "SELECT * FROM vt ORDER BY p_partkey",
+    ],
+    "vt_ivm_summary": [
+        "CREATE OR REPLACE TABLE vt AS SELECT p_partkey, p_brand, p_retailprice"
+        " FROM part WHERE p_partkey % 3 = 0",
+        "CREATE OR REPLACE TABLE summ AS SELECT p_brand,"
+        " CAST(COUNT(*) AS BIGINT) AS cnt,"
+        " CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v"
+        " FROM vt GROUP BY p_brand",
+        # step 1: append + fold the delta into the summary
+        "CREATE OR REPLACE TABLE d AS SELECT p_partkey, p_brand, p_retailprice"
+        " FROM part WHERE p_partkey % 3 = 1",
+        "INSERT INTO vt SELECT * FROM d",
+        "CREATE OR REPLACE TABLE summ AS SELECT p_brand,"
+        " CAST(SUM(cnt) AS BIGINT) AS cnt,"
+        " CAST(SUM(sum_v) AS DECIMAL(18,4)) AS sum_v FROM ("
+        " SELECT * FROM summ UNION ALL"
+        " SELECT p_brand, COUNT(*),"
+        "  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4))"
+        "  FROM d GROUP BY p_brand)"
+        " GROUP BY p_brand HAVING SUM(cnt) > 0",
+        # step 2: merge = retract old rows for upserted keys, add new
+        "CREATE OR REPLACE TABLE d AS"
+        " SELECT p_brand, CAST(-COUNT(*) AS BIGINT) AS cnt,"
+        "  CAST(-SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v"
+        " FROM vt WHERE p_partkey % 5 = 0 GROUP BY p_brand",
+        "DELETE FROM vt WHERE p_partkey % 5 = 0",
+        "INSERT INTO vt SELECT p_partkey, p_brand, p_retailprice + 1000.0"
+        " FROM part WHERE p_partkey % 5 = 0",
+        "CREATE OR REPLACE TABLE summ AS SELECT p_brand,"
+        " CAST(SUM(cnt) AS BIGINT) AS cnt,"
+        " CAST(SUM(sum_v) AS DECIMAL(18,4)) AS sum_v FROM ("
+        " SELECT * FROM summ UNION ALL SELECT * FROM d UNION ALL"
+        " SELECT p_brand, COUNT(*),"
+        "  CAST(SUM(CAST(p_retailprice + 1000.0 AS DECIMAL(18,4))) AS DECIMAL(18,4))"
+        "  FROM part WHERE p_partkey % 5 = 0 GROUP BY p_brand)"
+        " GROUP BY p_brand HAVING SUM(cnt) > 0",
+        # step 3: delete + retraction fold
+        "CREATE OR REPLACE TABLE d AS"
+        " SELECT p_brand, CAST(-COUNT(*) AS BIGINT) AS cnt,"
+        "  CAST(-SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v"
+        " FROM vt WHERE p_partkey % 7 = 0 GROUP BY p_brand",
+        "DELETE FROM vt WHERE p_partkey % 7 = 0",
+        "CREATE OR REPLACE TABLE summ AS SELECT p_brand,"
+        " CAST(SUM(cnt) AS BIGINT) AS cnt,"
+        " CAST(SUM(sum_v) AS DECIMAL(18,4)) AS sum_v FROM ("
+        " SELECT * FROM summ UNION ALL SELECT * FROM d)"
+        " GROUP BY p_brand HAVING SUM(cnt) > 0",
+        "SELECT p_brand, cnt, CAST(sum_v AS DOUBLE) AS sum_price"
+        " FROM summ ORDER BY p_brand",
+    ],
+}
+
 
 def main(sf_dir, oracle_path, bench_path, out_path=None):
     con = duckdb.connect()
@@ -29,9 +101,12 @@ def main(sf_dir, oracle_path, bench_path, out_path=None):
 
     rows = []
     for name, sql in sorted(oracle.items()):
+        stmts = LIFECYCLE.get(name, [sql])
         t0 = time.time()
         try:
-            con.execute(sql).fetchall()
+            for stmt in stmts:
+                cur = con.execute(stmt)
+            cur.fetchall()
             duck = time.time() - t0
         except Exception as e:
             duck = float("nan")
@@ -44,6 +119,11 @@ def main(sf_dir, oracle_path, bench_path, out_path=None):
         "Same queries, same parquet, same machine. DuckDB executes the",
         "driver-oracle SQL (semantically identical, results hash-equal);",
         "Spark runs the engine's DataFrame plans via `graft.Bench`.",
+        "For the `vt_*` gates DuckDB runs an equivalent CREATE/commit/query",
+        "LIFECYCLE script (materialized mutations + incremental summary",
+        "folds, final rows identical) rather than just the final-state",
+        "SELECT, so those rows compare transaction work against",
+        "transaction work.",
         "",
         "| query | spark s | duckdb s | spark/duckdb |",
         "|---|---|---|---|",
