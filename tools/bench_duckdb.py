@@ -99,15 +99,37 @@ def main(sf_dir, oracle_path, bench_path, out_path=None):
     with open(bench_path) as f:
         spark = json.load(f)["queries"]
 
+    # lifecycle rows run on a FILE-BACKED database (fresh per query): the
+    # Spark side persists every commit to parquet + manifest, so the DuckDB
+    # twin must also pay durable storage, not in-memory table flips
+    import os
+    import tempfile
+
     rows = []
     for name, sql in sorted(oracle.items()):
         stmts = LIFECYCLE.get(name, [sql])
         t0 = time.time()
         try:
-            for stmt in stmts:
-                cur = con.execute(stmt)
-            cur.fetchall()
-            duck = time.time() - t0
+            if name in LIFECYCLE:
+                dbf = tempfile.mktemp(suffix=".duckdb")
+                lcon = duckdb.connect(dbf)
+                for t in TABLES:
+                    lcon.execute(
+                        f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+                    )
+                t0 = time.time()
+                for stmt in stmts:
+                    cur = lcon.execute(stmt)
+                cur.fetchall()
+                lcon.execute("CHECKPOINT")  # durable like the parquet commits
+                duck = time.time() - t0
+                lcon.close()
+                os.unlink(dbf)
+            else:
+                for stmt in stmts:
+                    cur = con.execute(stmt)
+                cur.fetchall()
+                duck = time.time() - t0
         except Exception as e:
             duck = float("nan")
             print(f"{name}: duckdb error {e}", file=sys.stderr)
@@ -120,10 +142,11 @@ def main(sf_dir, oracle_path, bench_path, out_path=None):
         "driver-oracle SQL (semantically identical, results hash-equal);",
         "Spark runs the engine's DataFrame plans via `graft.Bench`.",
         "For the `vt_*` gates DuckDB runs an equivalent CREATE/commit/query",
-        "LIFECYCLE script (materialized mutations + incremental summary",
-        "folds, final rows identical) rather than just the final-state",
-        "SELECT, so those rows compare transaction work against",
-        "transaction work.",
+        "LIFECYCLE script on a file-backed database with a final CHECKPOINT",
+        "(materialized mutations + incremental summary folds, final rows",
+        "identical, durable like the engine's parquet commits) rather than",
+        "just the final-state SELECT, so those rows compare transaction",
+        "work against transaction work.",
         "",
         "| query | spark s | duckdb s | spark/duckdb |",
         "|---|---|---|---|",
