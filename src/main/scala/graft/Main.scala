@@ -555,7 +555,8 @@ object Main {
       val vecs = spark.read.parquet(table)
       val vecCol = flags.getOrElse("vec-col", "embedding")
       val idCol = flags.getOrElse("id-col", "vec_id")
-      val dim = flags.getOrElse("dim", sys.error("--dim is required")).toInt
+      // lazy: ann-search reads the geometry from the index's _meta.json
+      lazy val dim = flags.getOrElse("dim", sys.error("--dim is required")).toInt
       val result = flags.getOrElse("op", sys.error("--op <covariance|pca> required")) match {
         case "covariance" =>
           graft.sim.Covariance.covarianceUpper(vecs, vecCol, dim)
@@ -573,6 +574,33 @@ object Main {
           val (_, evecs) = graft.sim.Covariance.pcaFromCovariance(c)
           graft.sim.Covariance.projectOnto(vecs, idCol, vecCol,
             evecs.take(r).toSeq)
+        case "ann-build" =>
+          // train + persist an IVF-PQ index (coarse lists, residual PQ
+          // codebooks, cid-partitioned code table) — the train-once half;
+          // --output is the index directory
+          val m = flags.getOrElse("m", "4").toInt
+          graft.sim.AnnIndex.buildIvfPq(
+            vecs.select(col(idCol),
+              transform(col(vecCol), x => x.cast("double")).as(vecCol)),
+            idCol, vecCol, out, dim, m,
+            flags.getOrElse("ksub", "8").toInt,
+            flags.getOrElse("iters", "2").toInt,
+            flags.getOrElse("nlist", "8").toInt)
+          println(s"""{"indexed": ${graft.sim.AnnIndex.load(spark, out).codes.count()}}""")
+          return
+        case "ann-search" =>
+          // probe a persisted index: --index-dir + a --queries parquet
+          // (same id/vec columns); search never re-encodes the corpus
+          val idx = graft.sim.AnnIndex.load(spark,
+            flags.getOrElse("index-dir", sys.error("--index-dir is required")))
+          val qs = spark.read.parquet(
+            flags.getOrElse("queries", sys.error("--queries is required")))
+          graft.sim.AnnIndex.searchIvfPq(
+            qs.select(col(idCol),
+              transform(col(vecCol), x => x.cast("double")).as(vecCol)),
+            idx, idCol, vecCol,
+            flags.getOrElse("k", "10").toInt,
+            flags.getOrElse("nprobe", "2").toInt)
         case other => sys.error(s"unknown vectors op: $other")
       }
       result.write.mode("overwrite").parquet(out)

@@ -338,6 +338,34 @@ class MainSpec extends SparkSpec {
       3L -> "removed", 4L -> "added"))
   }
 
+  test("vectors ann-build / ann-search round-trip a persisted IVF-PQ index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cli-ann").toString
+    val emb = s"$sf0001/embeddings.parquet"
+    Main.run(spark, "vectors", emb,
+      Map("op" -> "ann-build", "dim" -> "64", "output" -> s"$dir/idx"))
+    // queries = first 10 vectors, searched through the persisted index
+    spark.read.parquet(emb).filter($"vec_id" < 10)
+      .write.parquet(s"$dir/queries")
+    Main.run(spark, "vectors", emb,
+      Map("op" -> "ann-search", "index-dir" -> s"$dir/idx",
+        "queries" -> s"$dir/queries", "k" -> "10", "nprobe" -> "2",
+        "output" -> s"$dir/hits"))
+    val hits = spark.read.parquet(s"$dir/hits")
+    assert(hits.count() === 100) // 10 queries x k=10
+    assert(hits.columns.toSet ===
+      Set("query_id", "neighbor_id", "rank", "adist"))
+    // CLI search ≡ library search on the same index
+    import org.apache.spark.sql.functions.{col, transform}
+    val lib = graft.sim.AnnIndex.searchIvfPq(
+      spark.read.parquet(s"$dir/queries")
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("embedding")),
+      graft.sim.AnnIndex.load(spark, s"$dir/idx"),
+      "vec_id", "embedding", 10, 2)
+    assert(hits.as[(Long, Long, Long, Long)].collect().toSet ===
+      lib.as[(Long, Long, Long, Long)].collect().toSet)
+  }
+
   test("selection verbs: ccnet / dsir / quality keep corpus subsets") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cli-sel")
