@@ -75,9 +75,17 @@ class ItemWriter(path: String, schema: StructType, queryId: String,
 
   private def quote(s: String): String =
     if (s == null) ""
-    else if (s.exists(c => c == ',' || c == '"' || c == '\n' || c == '\r'))
-      "\"" + s.replace("\"", "\"\"") + "\""
-    else s
+    else {
+      // the read side is line-based: a quoted embedded newline would span
+      // two physical lines and silently mis-parse — fail loudly instead
+      // (the connector's documented contract; a production connector's
+      // item format has no such limit)
+      require(!s.exists(c => c == '\n' || c == '\r'),
+        s"queue row values must not embed newlines: ${s.take(40)}...")
+      if (s.exists(c => c == ',' || c == '"'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
 
   private def str(row: InternalRow, field: String): String = {
     val i = idx(field)

@@ -122,6 +122,29 @@ class WorkQueueSourceSpec extends SparkSpec {
     assert(q.collect().isEmpty)
   }
 
+  test("item sink: separators round-trip, embedded newlines fail loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-queue-sink").toString + "/q"
+    val rows = Seq(
+      ("id,with,commas", "task\"quoted\"", "todo", 3L, Some(5L)),
+      ("plain", "t1", "s,tate", 0L, None))
+      .toDF("itemID", "taskID", "itemState", "logLength", "nestedTaskCount")
+    WorkQueueSource.write(rows, dir)
+    val back = spark.read.format("graft.store.connector.WorkQueueSource")
+      .option("path", dir).load()
+      .as[(String, String, String, Long, Option[Long])].collect().toSet
+    assert(back === Set(
+      ("id,with,commas", "task\"quoted\"", "todo", 3L, Some(5L)),
+      ("plain", "t1", "s,tate", 0L, None)))
+    // a newline in a value cannot round-trip a line-based layout: reject
+    val bad = Seq(("id\nnewline", "t", "todo", 0L, Some(0L)))
+      .toDF("itemID", "taskID", "itemState", "logLength", "nestedTaskCount")
+    val e = intercept[Exception](WorkQueueSource.write(bad, dir + "2"))
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(e).exists(c =>
+      Option(c.getMessage).exists(_.contains("must not embed newlines"))), e.toString)
+  }
+
   private def claim(dir: String, rows: Seq[(String, String, String, String)]): Unit =
     rows.toDF("itemID", "lockID", "instanceID", "expectedLockID")
       .write.format("graft.store.connector.WorkQueueSource")
