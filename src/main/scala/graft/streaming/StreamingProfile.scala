@@ -47,7 +47,25 @@ object StreamingProfile {
       quantScale: Int = 2): Unit = {
     val spark = batch.sparkSession
     val tag = s"batch-$batchId"
-    val (stats, regs) = Profile.sketchParts(batch, quantScale)
+    // replay short-circuit BEFORE computing the batch's parts:
+    // sketchParts pays a full batch scan eagerly (the stats agg), and a
+    // replayed trigger would burn it only for appendBatch to refuse the
+    // tag — check the cheap manifest first (appendBatch re-checks under
+    // the CAS, so this is an optimization, not the correctness guard)
+    val alreadyApplied =
+      VersionedTable.latestVersion(spark, statsRoot(root)).isDefined &&
+        VersionedTable.snapshot(spark, statsRoot(root)).tags.contains(tag) &&
+        VersionedTable.latestVersion(spark, regsRoot(root)).isDefined &&
+        VersionedTable.snapshot(spark, regsRoot(root)).tags.contains(tag)
+    if (alreadyApplied) return
+    val (stats, regs0) = Profile.sketchParts(batch, quantScale)
+    // a trigger's register part is bounded at columns × 2^p rows at ANY
+    // batch size — one output file per commit, not shuffle-partition-many
+    // tiny ones (each extra file is a footer-stat read on every append
+    // and a manifest entry forever). repartition, not coalesce: coalesce
+    // would collapse the whole melt+HLL stage into one task; the extra
+    // exchange moves only the ≤ cols × 2^p result rows
+    val regs = regs0.repartition(1)
     ensure(spark, statsRoot(root), stats)
     ensure(spark, regsRoot(root), regs)
     VersionedTable.appendBatch(spark, statsRoot(root), stats, tag)

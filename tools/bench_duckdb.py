@@ -88,6 +88,104 @@ LIFECYCLE = {
 }
 
 
+def _stream_profile_lifecycle():
+    """DuckDB twin of the q_profile_stream_lineitem gate's WORK: three
+    micro-batches (l_orderkey % 3) + a replayed batch (skipped — same
+    short-circuit the engine takes), each computing per-column stats and
+    HLL-register parts INSERTed into persisted log tables, then the
+    order-free fold to the final profile. Mirrors Profile.sketchParts /
+    assembleSketch; the last statement's rows equal the one-shot oracle.
+    """
+    cols = [
+        ("l_orderkey", "int"), ("l_partkey", "int"), ("l_suppkey", "int"),
+        ("l_linenumber", "int"), ("l_quantity", "dbl"),
+        ("l_extendedprice", "dbl"), ("l_discount", "dbl"), ("l_tax", "dbl"),
+        ("l_returnflag", "str"), ("l_linestatus", "str"),
+        ("l_shipdate", "ts"),
+    ]
+
+    def canon(n, k):
+        return {
+            "int": f"CAST({n} AS VARCHAR)",
+            "dbl": f"CAST(CAST(round({n} * 100) AS BIGINT) AS VARCHAR)",
+            "str": n,
+            "ts": f"strftime({n}, '%Y-%m-%d %H:%M:%S')",
+        }[k]
+
+    def stats_sql(n, k, where):
+        mn, mx = {
+            "int": (f"CAST(MIN({n}) AS VARCHAR)", f"CAST(MAX({n}) AS VARCHAR)"),
+            "str": (f"MIN({n})", f"MAX({n})"),
+            "ts": (f"strftime(MIN({n}), '%Y-%m-%d %H:%M:%S')",
+                   f"strftime(MAX({n}), '%Y-%m-%d %H:%M:%S')"),
+            "dbl": ("CAST(NULL AS VARCHAR)", "CAST(NULL AS VARCHAR)"),
+        }[k]
+        return (f"SELECT '{n}' AS col, '{k}' AS kind, COUNT(*) AS n_rows,"
+                f" COUNT(*) - COUNT({n}) AS n_nulls,"
+                f" {mn} AS min_value, {mx} AS max_value"
+                f" FROM lineitem WHERE {where}")
+
+    p = 6  # Hll.GateP
+    m = 1 << p
+    w_bits = 60 - p
+    max_rank = w_bits + 1
+    alpha = 0.7213 / (1.0 + 1.079 / m) * m * m
+
+    stmts = [
+        "CREATE OR REPLACE TABLE stats_log (col VARCHAR, kind VARCHAR,"
+        " n_rows BIGINT, n_nulls BIGINT, min_value VARCHAR, max_value VARCHAR)",
+        "CREATE OR REPLACE TABLE reg_log (col VARCHAR, bucket BIGINT,"
+        " rank BIGINT)",
+    ]
+    for b in range(3):
+        where = f"l_orderkey % 3 = {b}"
+        melt = "\nUNION ALL\n".join(
+            f"SELECT '{n}' AS col, {canon(n, k)} AS v FROM lineitem"
+            f" WHERE {where}" for n, k in cols)
+        stats = "\nUNION ALL\n".join(stats_sql(n, k, where) for n, k in cols)
+        stmts.append(f"INSERT INTO stats_log {stats}")
+        stmts.append(
+            f"INSERT INTO reg_log WITH melt AS ({melt}),"
+            f" it AS (SELECT col,"
+            f"   CAST(CONCAT('0x', substr(md5(v), 1, 15)) AS BIGINT) AS h"
+            f"  FROM melt WHERE v IS NOT NULL)"
+            f" SELECT col, h // {1 << w_bits} AS bucket,"
+            f"  MAX(CASE WHEN h % {1 << w_bits} = 0 THEN {max_rank}"
+            f"      ELSE {max_rank} - length(bin(h % {1 << w_bits})) END) AS rank"
+            f" FROM it GROUP BY 1, 2")
+    # fold: stats by sum/sum + kind-aware min/max, registers by MAX
+    stmts.append(
+        "CREATE OR REPLACE TABLE folded_stats AS"
+        " SELECT col, CAST(SUM(n_rows) AS BIGINT) AS n_rows,"
+        "  CAST(SUM(n_nulls) AS BIGINT) AS n_nulls,"
+        "  CASE WHEN kind = 'int' THEN"
+        "   CAST(MIN(TRY_CAST(min_value AS BIGINT)) AS VARCHAR)"
+        "   ELSE MIN(min_value) END AS min_value,"
+        "  CASE WHEN kind = 'int' THEN"
+        "   CAST(MAX(TRY_CAST(max_value AS BIGINT)) AS VARCHAR)"
+        "   ELSE MAX(max_value) END AS max_value"
+        " FROM stats_log GROUP BY col, kind")
+    stmts.append(
+        f"""WITH reg AS (SELECT col, bucket, MAX(rank) AS rank
+  FROM reg_log GROUP BY 1, 2),
+agg AS (SELECT col, CAST(COUNT(*) AS BIGINT) AS present,
+    CAST(SUM(CAST(1 AS BIGINT) << ({max_rank} - rank)) AS BIGINT) AS present_sum
+  FROM reg GROUP BY 1),
+hll AS (SELECT col, present,
+    present_sum + ({m} - present) * {1 << max_rank} AS t_sum,
+    {alpha!r} * {float(2 ** max_rank)!r} /
+      CAST(present_sum + ({m} - present) * {1 << max_rank} AS DOUBLE) AS est
+  FROM agg)
+SELECT s.col AS "column", n_rows, n_nulls, present, t_sum, est,
+  min_value, max_value
+FROM folded_stats s JOIN hll ON s.col = hll.col
+ORDER BY "column" """)
+    return stmts
+
+
+LIFECYCLE["q_profile_stream_lineitem"] = _stream_profile_lifecycle()
+
+
 def main(sf_dir, oracle_path, bench_path, out_path=None):
     con = duckdb.connect()
     for t in TABLES:
