@@ -85,6 +85,54 @@ object AnnIndex {
     ProductQuantization.ivfPqSearch(queries, index.codes, index.coarse,
       index.codebooks, idCol, vecCol, index.dims, index.m, k, nprobe)
 
+  /** Incremental corpus append — the daily-drop form of [[buildIvfPq]]:
+    * encode `newVecs` with the PERSISTED codebooks (no retraining; the
+    * standard IVF-PQ deployment contract — codebooks are retrained on
+    * drift schedules, not per drop) and append their code rows into the
+    * live cid partitions. Exactly-once in `tag`: staged files move into
+    * the partition dirs under deterministic `append-<tag>-part-N` names
+    * (same-tag leftovers deleted first, so a crash mid-publish re-moves
+    * the same names), and an `_appends/<tag>` marker lands last — a
+    * replayed drop is a no-op. Returns false when `tag` was already
+    * applied. Search over the appended index is bit-identical to
+    * re-encoding the union corpus against the same codebooks
+    * (spec-asserted).
+    */
+  def appendIvfPq(spark: SparkSession, dir: String, newVecs: DataFrame,
+      idCol: String, vecCol: String, tag: String): Boolean = {
+    require(tag.nonEmpty && tag.forall(c =>
+      c.isLetterOrDigit || c == '-' || c == '_' || c == '.'),
+      s"append tag must be a safe file name, got: $tag")
+    val marker = new java.io.File(dir, s"_appends/$tag")
+    if (marker.isFile) return false
+    val idx = load(spark, dir)
+    val codes = ProductQuantization.encodeIvfPq(newVecs, idx.coarse,
+      idx.codebooks, idCol, vecCol, idx.dims, idx.m)
+    val staging = new java.io.File(dir + s".append-$tag.staging")
+    codes.write.mode("overwrite").partitionBy("cid").parquet(staging.toString)
+    val codesDir = new java.io.File(dir, "codes")
+    Option(staging.listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("cid="))
+      .foreach { part =>
+        val dest = new java.io.File(codesDir, part.getName)
+        dest.mkdirs()
+        Option(dest.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.startsWith(s"append-$tag-"))
+          .foreach(_.delete())
+        Option(part.listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+          .zipWithIndex.foreach { case (f, i) =>
+            val to = new java.io.File(dest, f"append-$tag-part-$i%05d.parquet")
+            if (!f.renameTo(to))
+              throw new java.io.IOException(s"cannot publish $f -> $to")
+          }
+      }
+    delete(staging)
+    marker.getParentFile.mkdirs()
+    java.nio.file.Files.writeString(marker.toPath, "")
+    true
+  }
+
   private def delete(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
     f.delete()

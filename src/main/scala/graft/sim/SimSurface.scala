@@ -89,6 +89,15 @@ object SimSurface {
       AnnIndex.searchIvfPq(queriesD(s, d),
         AnnIndex.load(s, indexDir(s, d)), "vec_id", "v", K, IvfPqNprobe)
         .orderBy("query_id", "rank")),
+    // the daily-drop shape: index trained+built on HALF the corpus (even
+    // ids), the other half appended through the exactly-once drop path
+    // (encoded with the persisted codebooks, never retrained), then
+    // searched — the oracle re-derives coarse+PQ from the day-A half and
+    // encodes the union, so the gate passes only if append ≡ re-encode
+    "sim_topk_ivfpq_appended" -> ((s, d) =>
+      AnnIndex.searchIvfPq(queriesD(s, d),
+        AnnIndex.load(s, appendedIndexDir(s, d)), "vec_id", "v", K, IvfPqNprobe)
+        .orderBy("query_id", "rank")),
   )
 
   /** One persisted IVF-PQ index per dataset per JVM (built on first use,
@@ -101,6 +110,17 @@ object SimSurface {
       val p = java.nio.file.Files.createTempDirectory("graft-ann").toString + "/ivfpq"
       AnnIndex.buildIvfPq(vecsD(s, d), "vec_id", "v", p,
         Dims, PqM, PqKsub, PqIters, IvfPqNlist)
+      p
+    })
+
+  private val appendedDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def appendedIndexDir(s: SparkSession, d: String): String =
+    appendedDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft-ann-app").toString + "/ivfpq"
+      AnnIndex.buildIvfPq(vecsD(s, d).filter(col("vec_id") % 2 === 0),
+        "vec_id", "v", p, Dims, PqM, PqKsub, PqIters, IvfPqNlist)
+      AnnIndex.appendIvfPq(s, p,
+        vecsD(s, d).filter(col("vec_id") % 2 === 1), "vec_id", "v", "day-b")
       p
     })
 
@@ -120,23 +140,23 @@ object SimSurface {
     * engines produce the bit-identical codebook) with empty centroids
     * keeping their previous vector.
     */
-  private[graft] def lloydCtes(k: Int, iters: Int): String = {
-    val init = s"cent0 AS (SELECT vec_id AS cid, v AS cv FROM v ORDER BY vec_id LIMIT $k)"
+  private[graft] def lloydCtes(k: Int, iters: Int, src: String = "v"): String = {
+    val init = s"cent0 AS (SELECT vec_id AS cid, v AS cv FROM $src ORDER BY vec_id LIMIT $k)"
     val rounds = (1 to iters).map { i =>
       val prev = s"cent${i - 1}"
       s"""a$i AS (
          |  SELECT id, cid FROM (
-         |    SELECT v.vec_id AS id, c.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
-         |        ORDER BY ${cosSql("v.v", "c.cv")} DESC, c.cid) AS crank
-         |    FROM v CROSS JOIN $prev c)
+         |    SELECT t.vec_id AS id, c.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY t.vec_id
+         |        ORDER BY ${cosSql("t.v", "c.cv")} DESC, c.cid) AS crank
+         |    FROM $src t CROSS JOIN $prev c)
          |  WHERE crank = 1),
          |m$i AS (
          |  SELECT cid, dim,
          |    CAST(SUM(CAST(FLOOR(x * 1000000.0) AS BIGINT)) AS DOUBLE)
          |      / (COUNT(*) * 1000000.0) AS m
-         |  FROM (SELECT a$i.cid, generate_subscripts(v.v, 1) AS dim, unnest(v.v) AS x
-         |        FROM a$i JOIN v ON v.vec_id = a$i.id)
+         |  FROM (SELECT a$i.cid, generate_subscripts(t.v, 1) AS dim, unnest(t.v) AS x
+         |        FROM a$i JOIN $src t ON t.vec_id = a$i.id)
          |  GROUP BY cid, dim),
          |mc$i AS (SELECT cid, list(m ORDER BY dim) AS cv FROM m$i GROUP BY cid),
          |cent$i AS (SELECT p.cid, COALESCE(mc$i.cv, p.cv) AS cv
@@ -273,6 +293,7 @@ object SimSurface {
     "sim_topk_ivfpq" -> ivfPqSql,
     // reload+search is result-identical to train+search — same oracle
     "sim_topk_ivfpq_indexed" -> ivfPqSql,
+    "sim_topk_ivfpq_appended" -> ivfPqAppendedSql,
     "sim_topk_ivf" -> s"""WITH $vecsCte,
       |${lloydCtes(IvfK, IvfIters)},
       |cent AS (SELECT cid, cv FROM cent$IvfIters),
@@ -297,6 +318,70 @@ object SimSurface {
       |SELECT query_id, neighbor_id, cid, rank, cos FROM ranked
       |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
   )
+
+  /** Oracle for the daily-drop gate: coarse + residual-PQ trained on the
+    * even-id HALF (day A), the union corpus encoded against those trained
+    * artifacts — exactly what the engine's exactly-once append holds.
+    * Tail (probes/LUT/ADC rank) identical to [[ivfPqSql]].
+    */
+  private lazy val ivfPqAppendedSql: String = {
+    val subDim = Dims / PqM
+    s"""WITH $vecsCte,
+      |vA AS (SELECT vec_id, v FROM v WHERE vec_id % 2 = 0),
+      |${lloydCtes(IvfPqNlist, IvfIters, "vA")},
+      |cent AS (SELECT cid, cv FROM cent$IvfIters),
+      |assigned AS (
+      |  SELECT id, cid FROM (
+      |    SELECT v.vec_id AS id, cent.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cosSql("v.v", "cent.cv")} DESC, cent.cid) AS crank
+      |    FROM v CROSS JOIN cent)
+      |  WHERE crank = 1),
+      |rv AS (SELECT v.vec_id, a.cid,
+      |    list_transform(range(1, len(v.v) + 1), i -> v.v[i] - c.cv[i]) AS rv
+      |  FROM v JOIN assigned a ON a.id = v.vec_id JOIN cent c ON c.cid = a.cid),
+      |rvA AS (SELECT vec_id, cid, rv FROM rv WHERE vec_id % 2 = 0),
+      |${pqTrainCtes(PqM, PqKsub, PqIters, subDim, "rvA", "rv")},
+      |svAll AS (SELECT vec_id, sub,
+      |    rv[(sub * $subDim + 1):(sub * $subDim + $subDim)] AS svec
+      |  FROM rv CROSS JOIN subs),
+      |enc AS (SELECT id AS neighbor_id, sub, code FROM (
+      |    SELECT s.vec_id AS id, s.sub, c.code,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.sub
+      |        ORDER BY ${SimOracle.l2Sql("s.svec", "c.cv")} ASC, c.code) AS rk
+      |    FROM svAll s JOIN cb c ON c.sub = s.sub) WHERE rk = 1),
+      |ccodes AS (SELECT e.neighbor_id, r.cid, e.sub, e.code
+      |  FROM enc e JOIN rv r ON r.vec_id = e.neighbor_id),
+      |probes AS (
+      |  SELECT id AS query_id, cid FROM (
+      |    SELECT v.vec_id AS id, cent.cid,
+      |      ROW_NUMBER() OVER (PARTITION BY v.vec_id
+      |        ORDER BY ${cosSql("v.v", "cent.cv")} DESC, cent.cid) AS crank
+      |    FROM v CROSS JOIN cent WHERE v.vec_id < 10)
+      |  WHERE crank <= $IvfPqNprobe),
+      |qrv AS (SELECT p.query_id, p.cid,
+      |    list_transform(range(1, len(v.v) + 1), i -> v.v[i] - c.cv[i]) AS qv2
+      |  FROM probes p JOIN v ON v.vec_id = p.query_id JOIN cent c ON c.cid = p.cid),
+      |qsv AS (SELECT query_id, cid, sub,
+      |    qv2[(sub * $subDim + 1):(sub * $subDim + $subDim)] AS svec
+      |  FROM qrv CROSS JOIN subs),
+      |lut AS (SELECT q.query_id, q.cid, c.sub, c.code,
+      |    CAST(FLOOR(${SimOracle.l2Sql("q.svec", "c.cv")} * 1000000.0) AS BIGINT) AS d
+      |  FROM qsv q JOIN cb c ON c.sub = q.sub),
+      |adist AS (
+      |  SELECT l.query_id, cc.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adist
+      |  FROM ccodes cc
+      |  JOIN lut l ON l.cid = cc.cid AND l.sub = cc.sub AND l.code = cc.code
+      |  WHERE cc.neighbor_id <> l.query_id
+      |  GROUP BY l.query_id, cc.neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adist ASC, neighbor_id) AS rank
+      |  FROM adist)
+      |SELECT query_id, neighbor_id, rank, adist FROM ranked
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin
+  }
 
   private lazy val ivfPqSql: String = s"""WITH $vecsCte,
       |${lloydCtes(IvfPqNlist, IvfIters)},

@@ -68,6 +68,33 @@ class AnnIndexSpec extends SparkSpec {
     assert(e.getMessage.contains("no ANN index published"))
   }
 
+  test("incremental append: appended index searches == re-encoded union corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-app")
+      .toString + "/idx"
+    val dayA = vecs.filter($"vec_id" % 2 === 0)
+    val dayB = vecs.filter($"vec_id" % 2 === 1)
+    // index trained and built on day-A only
+    AnnIndex.buildIvfPq(dayA, "vec_id", "v", dir, Dims, M, Ksub, Iters, Nlist)
+    assert(AnnIndex.appendIvfPq(spark, dir, dayB, "vec_id", "v", "day-b"))
+    val idx = AnnIndex.load(spark, dir)
+    assert(idx.codes.count() === vecs.count())
+    val appended = AnnIndex.searchIvfPq(queries, idx, "vec_id", "v", K, Nprobe)
+    // comparator: the union corpus re-encoded against the SAME (day-A
+    // trained) coarse + codebooks — what a from-scratch encode would hold
+    val refCodes = ProductQuantization.encodeIvfPq(vecs, idx.coarse,
+      idx.codebooks, "vec_id", "v", Dims, M)
+    val reference = ProductQuantization.ivfPqSearch(queries, refCodes,
+      idx.coarse, idx.codebooks, "vec_id", "v", Dims, M, K, Nprobe)
+    assert(rows(appended) === rows(reference))
+    // replayed drop is a no-op (exactly-once tag)
+    assert(!AnnIndex.appendIvfPq(spark, dir, dayB, "vec_id", "v", "day-b"))
+    assert(AnnIndex.load(spark, dir).codes.count() === vecs.count())
+    // no staging leftovers
+    val siblings = new java.io.File(dir).getParentFile.listFiles()
+    assert(siblings.count(_.getName.contains("staging")) === 0,
+      siblings.mkString(","))
+  }
+
   test("rebuild atomically replaces an existing index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-re")
       .toString + "/idx"
