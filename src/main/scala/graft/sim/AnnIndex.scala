@@ -133,6 +133,27 @@ object AnnIndex {
     true
   }
 
+  /** Streaming ingest: keep the index fresh as vectors arrive. Each
+    * micro-batch runs the exactly-once [[appendIvfPq]] under the
+    * `batch-<id>` tag, so foreachBatch's at-least-once replays are no-ops
+    * — the streaming twin of the daily-drop append, same machinery as
+    * [[graft.streaming.StreamingProfile]]. The index must already exist
+    * (built by a batch [[buildIvfPq]] over the seed corpus — streaming
+    * never retrains codebooks, per the IVF-PQ deployment contract).
+    */
+  def startIngest(stream: DataFrame, dir: String, checkpoint: String,
+      idCol: String, vecCol: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendIvfPq(batch.sparkSession, dir, batch, idCol, vecCol,
+          s"batch-$batchId")
+        ()
+      }
+      .start()
+
   private def delete(f: java.io.File): Unit = {
     Option(f.listFiles()).getOrElse(Array.empty).foreach(delete)
     f.delete()
