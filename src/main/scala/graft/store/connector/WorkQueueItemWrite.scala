@@ -73,19 +73,10 @@ class ItemWriter(path: String, schema: StructType, queryId: String,
   private val open = scala.collection.mutable.Map
     .empty[String, (String, String, java.io.Writer)]
 
-  private def quote(s: String): String =
-    if (s == null) ""
-    else {
-      // the read side is line-based: a quoted embedded newline would span
-      // two physical lines and silently mis-parse — fail loudly instead
-      // (the connector's documented contract; a production connector's
-      // item format has no such limit)
-      require(!s.exists(c => c == '\n' || c == '\r'),
-        s"queue row values must not embed newlines: ${s.take(40)}...")
-      if (s.exists(c => c == ',' || c == '"'))
-        "\"" + s.replace("\"", "\"\"") + "\""
-      else s
-    }
+  // field encoding shared with the reader's splitter (round-trip is
+  // property-checked in GraftProps); embedded newlines fail loudly — the
+  // layout is line-based and a quoted newline would span two lines
+  private def quote(s: String): String = WorkQueueCsv.quote(s)
 
   private def str(row: InternalRow, field: String): String = {
     val i = idx(field)

@@ -299,6 +299,21 @@ final case class WorkQueueStatePartition(dir: String, state: String) extends Inp
   * Shared between the row reader and the count scan's key probe.
   */
 object WorkQueueCsv {
+  /** Writer-side field encoding: RFC-4180 quoting for separators/quotes;
+    * newlines are rejected (the layout is line-based — see
+    * [[ItemWriter]]). `split(fields.map(quote).mkString(","))` returns
+    * `fields` for any newline-free input (property-checked).
+    */
+  def quote(s: String): String =
+    if (s == null) ""
+    else {
+      require(!s.exists(c => c == '\n' || c == '\r'),
+        s"queue row values must not embed newlines: ${s.take(40)}...")
+      if (s.exists(c => c == ',' || c == '"'))
+        "\"" + s.replace("\"", "\"\"") + "\""
+      else s
+    }
+
   def split(line: String): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
