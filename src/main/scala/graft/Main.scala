@@ -551,7 +551,8 @@ object Main {
     case "vectors" =>
       // embedding-table analytics: --op covariance|pca — input parquet
       // with --id-col + --vec-col (array<float|double>), --dim required
-      val out = flags.getOrElse("output", sys.error("--output is required"))
+      // lazy: ann-append mutates the index in place, no --output needed
+      lazy val out = flags.getOrElse("output", sys.error("--output is required"))
       val vecs = spark.read.parquet(table)
       val vecCol = flags.getOrElse("vec-col", "embedding")
       val idCol = flags.getOrElse("id-col", "vec_id")
@@ -587,6 +588,18 @@ object Main {
             flags.getOrElse("iters", "2").toInt,
             flags.getOrElse("nlist", "8").toInt)
           println(s"""{"indexed": ${graft.sim.AnnIndex.load(spark, out).codes.count()}}""")
+          return
+        case "ann-append" =>
+          // exactly-once daily drop into a persisted index: encodes the
+          // input vectors with the index's codebooks (no retraining) —
+          // --tag makes replays no-ops
+          val applied = graft.sim.AnnIndex.appendIvfPq(spark,
+            flags.getOrElse("index-dir", sys.error("--index-dir is required")),
+            vecs.select(col(idCol),
+              transform(col(vecCol), x => x.cast("double")).as(vecCol)),
+            idCol, vecCol,
+            flags.getOrElse("tag", sys.error("--tag is required")))
+          println(s"""{"applied": $applied}""")
           return
         case "ann-search" =>
           // probe a persisted index: --index-dir + a --queries parquet

@@ -364,6 +364,17 @@ class MainSpec extends SparkSpec {
       "vec_id", "embedding", 10, 2)
     assert(hits.as[(Long, Long, Long, Long)].collect().toSet ===
       lib.as[(Long, Long, Long, Long)].collect().toSet)
+    // ann-append: a synthetic drop lands exactly once
+    spark.read.parquet(emb).filter($"vec_id" >= 1990)
+      .withColumn("vec_id", $"vec_id" + 10000)
+      .write.parquet(s"$dir/drop")
+    val before = graft.sim.AnnIndex.load(spark, s"$dir/idx").codes.count()
+    Main.run(spark, "vectors", s"$dir/drop",
+      Map("op" -> "ann-append", "index-dir" -> s"$dir/idx", "tag" -> "d1"))
+    Main.run(spark, "vectors", s"$dir/drop",
+      Map("op" -> "ann-append", "index-dir" -> s"$dir/idx", "tag" -> "d1"))
+    val after = graft.sim.AnnIndex.load(spark, s"$dir/idx").codes.count()
+    assert(after === before + spark.read.parquet(s"$dir/drop").count())
   }
 
   test("selection verbs: ccnet / dsir / quality keep corpus subsets") {
