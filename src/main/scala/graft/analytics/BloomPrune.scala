@@ -98,7 +98,7 @@ object BloomPrune {
   val oracles: Map[String, String] = Map(
     "q_bloom_delete" ->
       """SELECT l_returnflag, COUNT(*) AS n,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |  CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders
         |                         WHERE o_orderpriority = '1-URGENT')

@@ -131,7 +131,7 @@ object Ranking {
   val oracles: Map[String, String] = Map(
     "q_global_ranks" -> """
       |WITH t AS (SELECT o_custkey,
-      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |    CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
       |  FROM orders GROUP BY o_custkey),
       |r AS (SELECT o_custkey, total,
       |    CAST(row_number() OVER w AS BIGINT) AS rn,

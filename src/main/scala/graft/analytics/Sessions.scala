@@ -230,7 +230,7 @@ object Sessions {
       |      FROM f)
       |SELECT user_id, sess_idx, CAST(COUNT(*) AS BIGINT) AS n_events,
       |  MIN(us) AS start_us, MAX(us) AS end_us,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_value
       |FROM s GROUP BY user_id, sess_idx
       |ORDER BY user_id, sess_idx""".stripMargin,
     // the oracle uses the DIRECT theta join the binned form replaces —

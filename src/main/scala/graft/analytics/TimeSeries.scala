@@ -505,15 +505,15 @@ object TimeSeries {
       |      ${GateHopSlideMicros})) AS window_start
       |  FROM e)
       |SELECT window_start, grp, COUNT(*) AS n,
-      |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+      |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
       |FROM x GROUP BY 1, 2 ORDER BY window_start, grp""".stripMargin,
     "evt_anomalies" -> s"""
       |WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS us, value
       |  FROM events),
       |f AS (SELECT *,
       |    CAST(COUNT(*) OVER w AS BIGINT) AS n_win,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s1,
-      |    CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS s2
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS s1,
+      |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,4)) * CAST(value AS DECIMAL(18,4))) OVER w AS VARCHAR) AS DOUBLE) AS s2
       |  FROM e
       |  WINDOW w AS (PARTITION BY user_id, event_type ORDER BY us, event_id
       |    ROWS BETWEEN $AnomalyWin PRECEDING AND 1 PRECEDING)),

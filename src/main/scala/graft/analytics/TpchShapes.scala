@@ -139,10 +139,10 @@ object TpchShapes {
       |       promo_revenue, total_revenue
       |FROM (
       |  SELECT
-      |    CAST(SUM(CASE WHEN p_type = 'PROMO'
+      |    CAST(CAST(SUM(CASE WHEN p_type = 'PROMO'
       |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
-      |      ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) AS promo_revenue,
-      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |      ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE) AS promo_revenue,
+      |    CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS VARCHAR)
       |      AS DOUBLE) AS total_revenue
       |  FROM lineitem JOIN part ON l_partkey = p_partkey
       |  WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
@@ -215,7 +215,7 @@ object TpchShapes {
 
   val q19Sql: String =
     """SELECT
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS VARCHAR)
       |    AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_lines
       |FROM lineitem JOIN part ON l_partkey = p_partkey
@@ -249,11 +249,19 @@ object TpchShapes {
         sum(col("failed")).as("n_failed"),
         max(when(col("failed") === 1, col("l_suppkey"))).as("failed_supp"))
       .filter(col("n_supp") >= 2 && col("n_failed") === 1)
+    // the reference semantics GROUP BY s_name, not supplier key: if two
+    // suppliers share a name their waits pool under it (exposed by the
+    // 10x replica probe, where every name has 10 key-distinct replicas —
+    // grouping by key answered a different question than the SQL). The
+    // per-key count first keeps the shuffle on the numeric key; each order
+    // contributes exactly one failing KEY, so summing per-key order counts
+    // under the name IS count(distinct order) per name.
     perOrder.groupBy(col("failed_supp"))
-      .agg(count(lit(1)).as("numwait"))
+      .agg(count(lit(1)).as("keywait"))
       .join(Tables.supplier(spark, sfDir),
         col("failed_supp") === col("s_suppkey"))
-      .select(col("s_name"), col("numwait"))
+      .groupBy(col("s_name"))
+      .agg(sum(col("keywait")).cast("long").as("numwait"))
       .orderBy(col("numwait").desc, col("s_name"))
       .limit(20)
   }
@@ -314,7 +322,7 @@ object TpchShapes {
 
   val q22Sql: String =
     """SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n_custs,
-      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_acctbal
+      |  CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_acctbal
       |FROM customer JOIN nation ON c_nationkey = n_nationkey
       |WHERE c_nationkey IN (1, 3, 5, 7, 9, 11)
       |  AND CAST(c_acctbal AS DECIMAL(18,4)) *
@@ -342,7 +350,7 @@ object TpchShapes {
         count(lit(1)).as("n_lines"))
 
   val q6Sql: String =
-    """SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6)))
+    """SELECT CAST(CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,6))) AS VARCHAR)
       |         AS DOUBLE) AS revenue,
       |       COUNT(*) AS n_lines
       |FROM lineitem
@@ -393,15 +401,15 @@ object TpchShapes {
 
   val q8Sql: String =
     """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
-      |  CAST(SUM(CASE WHEN s_nationkey = 3
+      |  CAST(CAST(SUM(CASE WHEN s_nationkey = 3
       |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
-      |    ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) AS target_revenue,
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |    ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE) AS target_revenue,
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS VARCHAR)
       |    AS DOUBLE) AS total_revenue,
-      |  CAST(SUM(CASE WHEN s_nationkey = 3
+      |  CAST(CAST(SUM(CASE WHEN s_nationkey = 3
       |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))
-      |    ELSE CAST(0 AS DECIMAL(24,6)) END) AS DOUBLE) /
-      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)))
+      |    ELSE CAST(0 AS DECIMAL(24,6)) END) AS VARCHAR) AS DOUBLE) /
+      |  CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS VARCHAR)
       |    AS DOUBLE) AS mkt_share
       |FROM lineitem
       |JOIN part ON l_partkey = p_partkey

@@ -44,10 +44,10 @@ object WindowSuite {
   val oracles: Map[String, String] = Map(
     "q_window_frames" ->
       """SELECT o_orderkey, o_custkey, o_orderdate,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-        |    OVER (w ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_total,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-        |    OVER (w ROWS 2 PRECEDING) AS DOUBLE) AS trail3_total,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (w ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE) AS running_total,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+        |    OVER (w ROWS 2 PRECEDING) AS VARCHAR) AS DOUBLE) AS trail3_total,
         |  CAST(COUNT(*) OVER (w ROWS 2 PRECEDING) AS BIGINT) AS trail3_n,
         |  FIRST_VALUE(o_orderkey) OVER (w ROWS UNBOUNDED PRECEDING) AS first_order,
         |  LAST_VALUE(o_orderkey) OVER

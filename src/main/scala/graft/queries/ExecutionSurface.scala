@@ -84,10 +84,10 @@ object ExecutionSurface {
         |FROM items ORDER BY itemID""".stripMargin),
     "pa_rolling_elapsed" ->
       """SELECT event_id, user_id,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER recent AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER recent AS VARCHAR) AS DOUBLE)
         |    / COUNT(*) OVER recent AS avg_recent,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER cum AS DOUBLE)
-        |    + CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER recent AS DOUBLE)
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER cum AS VARCHAR) AS DOUBLE)
+        |    + CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER recent AS VARCHAR) AS DOUBLE)
         |      / COUNT(*) OVER recent AS next_elapse
         |FROM events WHERE event_type = 'purchase'
         |WINDOW recent AS (PARTITION BY user_id ORDER BY ts, event_id
@@ -98,7 +98,7 @@ object ExecutionSurface {
     "pa_monitor_windows" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
         |  COUNT(*) AS n,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
         |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
   )
 }

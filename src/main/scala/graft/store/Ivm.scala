@@ -109,6 +109,6 @@ object Ivm {
         |      UNION ALL SELECT * FROM upd),
         |f AS (SELECT * FROM m WHERE p_partkey % 7 <> 0)
         |SELECT p_brand, COUNT(*) AS cnt,
-        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_price
+        |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM f GROUP BY p_brand ORDER BY p_brand""".stripMargin)
 }
