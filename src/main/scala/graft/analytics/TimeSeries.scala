@@ -428,13 +428,13 @@ object TimeSeries {
       |  FROM m)
       |SELECT user_id, n, sx, sy, sxy, sxx,
       |  CASE WHEN den <> 0 THEN
-      |    CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) -
-      |         CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS DOUBLE)
-      |    / CAST(den AS DOUBLE) / 10000.0 END AS slope,
+      |    CAST(CAST(CAST(n AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) -
+      |         CAST(sx AS DECIMAL(38,0)) * CAST(sy AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) / 10000.0 END AS slope,
       |  CASE WHEN den <> 0 THEN
-      |    CAST(CAST(sy AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) -
-      |         CAST(sx AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) AS DOUBLE)
-      |    / CAST(den AS DOUBLE) / 10000.0 END AS intercept
+      |    CAST(CAST(CAST(sy AS DECIMAL(38,0)) * CAST(sxx AS DECIMAL(38,0)) -
+      |         CAST(sx AS DECIMAL(38,0)) * CAST(sxy AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE)
+      |    / CAST(CAST(den AS VARCHAR) AS DOUBLE) / 10000.0 END AS intercept
       |FROM d ORDER BY user_id""".stripMargin,
     "evt_ewma" -> ewmaSql,
     "evt_resample_locf" -> s"""

@@ -214,8 +214,8 @@ object Covariance {
       |  FROM el a JOIN el b ON a.vec_id = b.vec_id AND a.i <= b.i
       |  GROUP BY 1, 2)
       |SELECT sij.i, sij.j, n.n, sa.s AS s_i, sb.s AS s_j, sij.s_ij,
-      |  CAST(CAST(n.n AS DECIMAL(38,0)) * CAST(s_ij AS DECIMAL(38,0)) -
-      |    CAST(sa.s AS DECIMAL(38,0)) * CAST(sb.s AS DECIMAL(38,0)) AS DOUBLE) /
+      |  CAST(CAST(CAST(n.n AS DECIMAL(38,0)) * CAST(s_ij AS DECIMAL(38,0)) -
+      |    CAST(sa.s AS DECIMAL(38,0)) * CAST(sb.s AS DECIMAL(38,0)) AS VARCHAR) AS DOUBLE) /
       |    (CAST(n.n AS DOUBLE) * CAST(n.n AS DOUBLE) * ${(GridScale * GridScale).toDouble}) AS cov
       |FROM sij, n
       |JOIN s1 sa ON sa.i = sij.i
