@@ -97,16 +97,22 @@ object Bench {
             -1.0
         }
       }
-      var times = (1 to reps).map(_ => rep())
+      val original = (1 to reps).map(_ => rep())
       // heavy or unstable gates get extra reps: a >=1s query whose steady
       // reps disagree by >1.5x is still riding noise — two more samples
       // make the median robust to one bad rep
-      if (reps >= 3 && !times.contains(-1.0) && steadyMedian(times) >= 1.0 &&
-          spread(times) > 1.5) {
-        times = times ++ (1 to 2).map(_ => rep())
+      var times = original
+      if (reps >= 3 && !original.contains(-1.0) && steadyMedian(original) >= 1.0 &&
+          spread(original) > 1.5) {
+        times = original ++ (1 to 2).map(_ => rep())
       }
       perRep(name) = times
-      val median = if (times.contains(-1.0)) -1.0 else steadyMedian(times)
+      // a gate fails only if an ORIGINAL rep failed: a transient failure in
+      // a stabilizing EXTRA rep must not erase the valid measurements it
+      // was added to protect — the median computes over successful reps
+      val median =
+        if (original.contains(-1.0)) -1.0
+        else steadyMedian(times.filter(_ >= 0))
       name -> median
     }
     // 3-decimal seconds: ms resolution is below bench noise, and it
@@ -114,6 +120,42 @@ object Bench {
     def fmt(v: Double): String =
       if (v < 0) "-1" else BigDecimal(v).setScale(3,
         BigDecimal.RoundingMode.HALF_UP).toString
+    // Regression tripwire: compare each steady median to the previous
+    // round's artifact (SPARK_GRAFT_BENCH_PREV, else the newest
+    // BENCH_r*.json in cwd) and self-report >1.5x movers with both values —
+    // no one should have to diff round tails by hand. Sub-half-second
+    // queries are exempt (that band is scheduling noise, not plans).
+    val prevFile: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
+      .orElse {
+        Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(_.getName).lastOption.map(_.getName)
+      }
+    val prevQueries: Map[String, Double] = prevFile.flatMap { p =>
+      try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)),
+          java.nio.charset.StandardCharsets.UTF_8)
+        org.json4s.jackson.JsonMethods.parse(txt) \ "queries" match {
+          case org.json4s.JObject(fields) => Some(fields.collect {
+            case (k, org.json4s.JDouble(v)) => k -> v
+            case (k, org.json4s.JInt(v)) => k -> v.toDouble
+            case (k, org.json4s.JLong(v)) => k -> v.toDouble
+            case (k, org.json4s.JDecimal(v)) => k -> v.toDouble
+          }.toMap)
+          case _ => None
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.getOrElse(Map.empty)
+    val regressions = results.flatMap { case (k, v) =>
+      prevQueries.get(k).collect {
+        case p if v >= 0.5 && p > 0 && v > 1.5 * p =>
+          k -> s"""{"prev":${fmt(p)},"cur":${fmt(v)}}"""
+      }
+    }
+    val regressionsJson = regressions
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val regressVs = prevFile.filter(_ => prevQueries.nonEmpty).getOrElse("none")
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -123,7 +165,7 @@ object Bench {
       "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val totalsLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"n_queries":${results.size},"full_results_file":"$outPath","sf":"$sfDir"}"""
-    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"method":"steady_median_excl_warmup_rep;extra_reps_on_unstable_heavy_gates;graph_substrate_build_timed_once","settle_probe_sec":$settleJson,"queries":$qs,"per_rep_sec":$repsJson,"sf":"$sfDir"}"""
+    val json = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_reps":$reps,"method":"steady_median_excl_warmup_rep;extra_reps_on_unstable_heavy_gates;graph_substrate_build_timed_once","settle_probe_sec":$settleJson,"regressions_vs":"$regressVs","regressions":$regressionsJson,"queries":$qs,"per_rep_sec":$repsJson,"sf":"$sfDir"}"""
     // The driver captures only the TAIL of sbt output, and with 150+
     // queries the single JSON line grows past the capture window —
     // round 5's artifact lost its opening brace and parsed as null.

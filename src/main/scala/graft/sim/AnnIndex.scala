@@ -50,9 +50,23 @@ object AnnIndex {
     java.nio.file.Files.writeString(tmp.toPath.resolve("_meta.json"),
       s"""{"dims":$dims,"m":$m}""")
     val target = new java.io.File(dir)
-    if (target.exists()) delete(target)
-    if (!tmp.renameTo(target))
+    // replace-safe publish: the previous index is renamed ASIDE (one atomic
+    // op) before the new one renames in — a crash between the two steps
+    // leaves the old index recoverable under its .old- name instead of
+    // permanently lost, and the aside copy is deleted only after the new
+    // index is live. A fresh first build is a single rename.
+    val aside = if (target.exists()) {
+      val a = new java.io.File(dir + ".old-" + java.util.UUID.randomUUID())
+      if (!target.renameTo(a))
+        throw new java.io.IOException(s"cannot stage old index aside: $target -> $a")
+      Some(a)
+    } else None
+    if (!tmp.renameTo(target)) {
+      // restore the old index before failing — never leave the dir empty
+      aside.foreach(_.renameTo(target))
       throw new java.io.IOException(s"cannot publish index: $tmp -> $target")
+    }
+    aside.foreach(delete)
   }
 
   /** Load a published index; fails loudly on a missing/partial directory
@@ -97,6 +111,15 @@ object AnnIndex {
     * applied. Search over the appended index is bit-identical to
     * re-encoding the union corpus against the same codebooks
     * (spec-asserted).
+    *
+    * CONCURRENCY CONTRACT: appends are atomic per FILE, not per drop — a
+    * reader that loads/searches WHILE an append is publishing can observe
+    * a partially-appended code table (complete and correct over a subset
+    * of the drop). Run appends and queries serialized (the daily-drop
+    * deployment: ingest job, then query traffic), or put a
+    * [[graft.store.VersionedTable]]-style pinned manifest in front when
+    * readers and appenders must overlap; [[startIngest]] inherits the same
+    * contract per micro-batch.
     */
   def appendIvfPq(spark: SparkSession, dir: String, newVecs: DataFrame,
       idCol: String, vecCol: String, tag: String): Boolean = {

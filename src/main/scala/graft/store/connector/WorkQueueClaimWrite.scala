@@ -107,10 +107,29 @@ object WorkQueueClaimWrite {
 
   /** Percent-escape for lock filenames AND lock-file field values: both
     * must survive arbitrary ids/tokens (commas, newlines, separators).
+    * Escapes operate per UTF-8 BYTE (one %XX each): a per-char %XXXX escape
+    * for code points past 0xFF would be ambiguous to the two-hex-digit
+    * decoder and corrupt non-Latin-1 values on read-back
+    * ([[WorkQueueSource.unescapePartitionValue]] reassembles the byte runs
+    * and UTF-8-decodes them). Letters/digits — including non-ASCII ones,
+    * which every modern filesystem stores verbatim — pass through raw.
     */
-  private[connector] def escapeToken(s: String): String = s.flatMap {
-    case c if c.isLetterOrDigit || c == '_' || c == '-' || c == '.' => c.toString
-    case c => f"%%${c.toInt}%02X"
+  private[connector] def escapeToken(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      val c = s.charAt(i)
+      if (n == 1 && (c.isLetterOrDigit || c == '_' || c == '-' || c == '.'))
+        sb.append(c)
+      else
+        new String(Character.toChars(cp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => sb.append(f"%%${b & 0xFF}%02X"))
+      i += n
+    }
+    sb.result()
   }
 
   private[connector] def lockFile(path: String, itemID: String): JPath =

@@ -95,17 +95,32 @@ object WorkQueueSource {
       .json(new java.io.File(path, "_claims").getAbsolutePath)
       .select("itemID", "status", "lockID")
 
-  /** Undo Spark's percent-escaping of partition directory values. */
+  /** Undo percent-escaping of partition directory values — both Spark's
+    * own (ASCII specials, one %XX per char) and
+    * [[WorkQueueClaimWrite.escapeToken]]'s (one %XX per UTF-8 byte): runs
+    * of consecutive %XX groups collect into a byte buffer and decode as
+    * UTF-8, so multi-byte escapes reassemble into their original code
+    * points. A '%' not followed by two hex digits passes through verbatim.
+    */
   def unescapePartitionValue(s: String): String = {
+    def hex(c: Char): Boolean =
+      (c >= '0' && c <= '9') || (c >= 'A' && c <= 'F') || (c >= 'a' && c <= 'f')
     val out = new StringBuilder
+    val bytes = new java.io.ByteArrayOutputStream
+    def flush(): Unit = if (bytes.size > 0) {
+      out.append(new String(bytes.toByteArray,
+        java.nio.charset.StandardCharsets.UTF_8))
+      bytes.reset()
+    }
     var i = 0
     while (i < s.length) {
       val c = s.charAt(i)
-      if (c == '%' && i + 3 <= s.length) {
-        out.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+      if (c == '%' && i + 3 <= s.length && hex(s.charAt(i + 1)) && hex(s.charAt(i + 2))) {
+        bytes.write(Integer.parseInt(s.substring(i + 1, i + 3), 16))
         i += 3
-      } else { out.append(c); i += 1 }
+      } else { flush(); out.append(c); i += 1 }
     }
+    flush()
     out.result()
   }
 }

@@ -54,4 +54,28 @@ class ClaimCasSpec extends AnyFunSuite {
     val (lock, _, exp) = WorkQueueClaimWrite.lockState(dir, "item_c").get
     assert(lock === winners.head && exp > System.currentTimeMillis())
   }
+
+  test("escapeToken/unescapePartitionValue round-trip any value, including non-Latin-1") {
+    val cases = Seq(
+      "plain-id_1.2",
+      "a,b c%d=e",                  // ASCII specials: one %XX per char
+      "中文状态",                    // CJK letters pass through raw
+      "done→next",                  // U+2192: 3 UTF-8 bytes, was corrupted pre-fix
+      "emoji😀state",     // surrogate pair (4 UTF-8 bytes)
+      "nl\nand,comma",              // control chars
+      "café ß €",    // Latin-1 letters + 3-byte symbol
+      "%41 literal-ish",            // raw '%' must survive its own escape
+      "")
+    cases.foreach { s =>
+      val esc = WorkQueueClaimWrite.escapeToken(s)
+      // escaped form is filesystem-safe: no separators or path chars
+      assert(!esc.exists(c => c == '/' || c == '\n' || c == ','), esc)
+      assert(WorkQueueSource.unescapePartitionValue(esc) === s, s"via $esc")
+    }
+    // Spark-style single-byte ASCII escapes still decode (the other producer
+    // of partition-dir names this decoder must understand)
+    assert(WorkQueueSource.unescapePartitionValue("a%20b%2Cc") === "a b,c")
+    // a '%' not followed by two hex digits is literal, not an escape
+    assert(WorkQueueSource.unescapePartitionValue("100%zz%4") === "100%zz%4")
+  }
 }
