@@ -122,13 +122,15 @@ object Bench {
         BigDecimal.RoundingMode.HALF_UP).toString
     // Regression tripwire: compare each steady median to the previous
     // round's artifact (SPARK_GRAFT_BENCH_PREV, else the newest
-    // BENCH_r*.json in cwd) and self-report >1.5x movers with both values —
-    // no one should have to diff round tails by hand. Sub-half-second
-    // queries are exempt (that band is scheduling noise, not plans).
+    // BENCH_LOCAL_r*.json in cwd — the full per-query artifact; the
+    // driver's BENCH_r*.json wrapper carries only the totals line) and
+    // self-report >1.5x movers with both values — no one should have to
+    // diff round tails by hand. Sub-half-second queries are exempt (that
+    // band is scheduling noise, not plans).
     val prevFile: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .orElse {
         Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .filter(_.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
           .sortBy(_.getName).lastOption.map(_.getName)
       }
     val prevQueries: Map[String, Double] = prevFile.flatMap { p =>

@@ -55,10 +55,13 @@ class StreamingProfileSpec extends SparkSpec {
       docs.agg(max($"doc_id")).as[Long].head())
 
     // exactly-once: replaying a committed micro-batch changes nothing
-    val vBefore = VersionedTable.latestVersion(spark, s"$root/stats")
+    val vBefore = VersionedTable.latestVersion(spark, s"$root/parts")
     StreamingProfile.processBatch(
       docs.filter($"doc_id" % 3 === 0), root, 0L)
-    assert(VersionedTable.latestVersion(spark, s"$root/stats") === vBefore)
+    assert(VersionedTable.latestVersion(spark, s"$root/parts") === vBefore)
     assert(rows(StreamingProfile.snapshot(spark, root)) === oneShot)
+    // one commit per trigger (plus the one-time create): 3 batches → 4
+    // versions; the old two-table layout paid 2 commits per trigger
+    assert(vBefore === Some(4L))
   }
 }
