@@ -25,15 +25,24 @@ import org.apache.spark.sql.types.{DataType, StructType}
   *
   * Layout:
   * {{{
-  *   table/_log/v<20-digit>.json   manifest: op, schema, file list + stats
+  *   table/_log/v<20-digit>.json              delta manifest: op, schema,
+  *                                            added file entries + removed paths
+  *   table/_log/v<20-digit>.checkpoint.json   periodic full-state checkpoint
   *   table/data/<txn>/part-*.parquet
   * }}}
   *
-  * A manifest is a full snapshot (file list, not a delta of actions) — at
-  * a few thousand files per table that is kilobytes of JSON; the file-count
-  * regime where Delta needs checkpointed action logs is reachable only past
-  * ~10^6 files per table, by which point you want a real lakehouse format
-  * (documented production note, COVERAGE.md).
+  * Manifests are DELTAS of actions (the Delta/Iceberg shape): each commit
+  * records only the file entries it adds and the paths it removes, so
+  * commit cost is O(touched files), not O(table) — at the 100 TB target
+  * (~10^5–10^6 files at 128 MB each) a full-snapshot manifest would make
+  * every commit serialize hundreds of MB of JSON. Every
+  * [[CheckpointInterval]]-th commit also writes a full-state checkpoint;
+  * a reader reconstructs version v from the newest checkpoint ≤ v plus at
+  * most [[CheckpointInterval]] delta replays (`VersionedTableDeltaSpec`
+  * pins commit-manifest size flat as the table grows). Checkpoints are an
+  * optimization, never a correctness dependency: losing one only means
+  * replaying more deltas, and vacuum materializes one at the oldest
+  * retained version before dropping older deltas.
   *
   * Commit protocol — optimistic concurrency, version number = the CAS:
   *  1. write data files under `data/<fresh-uuid>/` (invisible: no manifest
@@ -67,8 +76,20 @@ object VersionedTable {
   final case class FileEntry(path: String, rows: Long,
       mins: Map[String, String], maxs: Map[String, String],
       blooms: Map[String, String] = Map.empty)
-  final case class Manifest(version: Long, op: String, schema: String,
-      files: List[FileEntry], tags: List[String] = Nil,
+  /** One commit's actions relative to its parent: entries added, paths
+    * removed, idempotence tags added. `schema`/`bloomCols` are the (small)
+    * post-commit table values, carried in full so replay needs no parent
+    * lookup for them.
+    */
+  final case class DeltaManifest(version: Long, op: String, schema: String,
+      adds: List[FileEntry] = Nil, removes: List[String] = Nil,
+      tags: List[String] = Nil, bloomCols: List[String] = Nil)
+  /** Full reconstructed state at a version — written every
+    * [[CheckpointInterval]] commits and at vacuum's oldest retained
+    * version, so reads replay a bounded delta suffix.
+    */
+  final case class CheckpointManifest(version: Long, op: String,
+      schema: String, files: List[FileEntry], tags: List[String] = Nil,
       bloomCols: List[String] = Nil)
   final case class Snapshot(version: Long, op: String, schema: StructType,
       files: Seq[FileEntry], tags: Seq[String] = Nil,
@@ -89,44 +110,129 @@ object VersionedTable {
   private def logDir(root: String) = new Path(root, "_log")
   private def vPath(root: String, v: Long) =
     new Path(logDir(root), "v" + "%020d".format(v) + ".json")
+  private def cpPath(root: String, v: Long) =
+    new Path(logDir(root), "v" + "%020d".format(v) + ".checkpoint.json")
+
+  /** Every Nth commit writes a full-state checkpoint: reads replay at most
+    * N deltas, and commit JSON stays O(touched files) forever.
+    */
+  val CheckpointInterval = 10L
 
   // ---------------------------------------------------------------- log io
 
-  private def parseManifest(text: String): Manifest =
-    org.json4s.jackson.JsonMethods.parse(text).extract[Manifest]
+  private val DeltaName = "^v(\\d{20})\\.json$".r
+  private val CheckpointName = "^v(\\d{20})\\.checkpoint\\.json$".r
 
-  private def listVersions(f: FileSystem, root: String): Seq[Long] = {
+  /** (delta versions, checkpoint versions), each ascending. */
+  private def listLog(f: FileSystem, root: String): (Seq[Long], Seq[Long]) = {
     val dir = logDir(root)
-    if (!f.exists(dir)) Seq.empty
-    else f.listStatus(dir).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v") && n.endsWith(".json"))
-      .map(n => n.stripPrefix("v").stripSuffix(".json").toLong)
-      .sorted
+    if (!f.exists(dir)) (Seq.empty, Seq.empty)
+    else {
+      val names = f.listStatus(dir).toSeq.map(_.getPath.getName)
+      (names.collect { case DeltaName(v) => v.toLong }.sorted,
+        names.collect { case CheckpointName(v) => v.toLong }.sorted)
+    }
+  }
+
+  private def listVersions(f: FileSystem, root: String): Seq[Long] =
+    listLog(f, root)._1
+
+  private def readText(f: FileSystem, p: Path): String = {
+    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(0, buf) finally in.close()
+    new String(buf, StandardCharsets.UTF_8)
   }
 
   def latestVersion(spark: SparkSession, root: String): Option[Long] =
     listVersions(fs(spark, root), root).lastOption
 
+  /** Process-local snapshot cache. SAFE because a published manifest is
+    * immutable (the CAS never rewrites `v<N>.json`), so a reconstructed
+    * Snapshot for (root, version) can never go stale; existence is still
+    * re-checked against a live listing on every call, so time travel to a
+    * vacuumed version fails correctly even when cached. Bounded LRU —
+    * commit loops and read-after-write chains hit the parent snapshot
+    * constantly, and without the cache each hit would replay the delta
+    * suffix from the last checkpoint.
+    */
+  private val SnapCacheMax = 64
+  private val snapCache =
+    new java.util.LinkedHashMap[(String, Long), Snapshot](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, Long), Snapshot]): Boolean =
+        size() > SnapCacheMax
+    }
+
+  /** Reconstruct version `v`: the newest usable base (cached ancestor
+    * snapshot or checkpoint ≤ v), then replay the delta suffix in version
+    * order — adds append, removes drop by path, tags accumulate,
+    * op/schema/bloomCols take the last delta's values. Bounded by
+    * [[CheckpointInterval]] replays on a checkpointed table, and usually
+    * ZERO log reads on the hot read-after-commit path (cache hit).
+    */
   def snapshot(spark: SparkSession, root: String,
       version: Option[Long] = None): Snapshot = {
     val f = fs(spark, root)
-    val versions = listVersions(f, root)
+    val (versions, cps) = listLog(f, root)
     require(versions.nonEmpty, s"$root is not a versioned table (empty _log)")
     val v = version.getOrElse(versions.last)
     require(versions.contains(v),
       s"version $v of $root does not exist (have ${versions.head}..${versions.last}, vacuumed versions are gone)")
-    val p = vPath(root, v)
-    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
-    val in = f.open(p)
-    try in.readFully(0, buf) finally in.close()
-    val text = new String(buf, StandardCharsets.UTF_8)
-    val m = parseManifest(text)
-    Snapshot(m.version, m.op, DataType.fromJson(m.schema).asInstanceOf[StructType],
-      m.files, m.tags, m.bloomCols)
+    snapCache.synchronized(Option(snapCache.get((root, v)))) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    // base choice: a cached ancestor beats a checkpoint when newer, and
+    // either is usable only if the whole delta chain (base, v] survives
+    // (vacuum drops ancestor deltas; versions are contiguous by
+    // construction, so the chain is complete iff its length matches)
+    val cachedBase = snapCache.synchronized {
+      import scala.jdk.CollectionConverters._
+      snapCache.keySet.asScala.toSeq
+        .collect { case (r, bv) if r == root && bv <= v => bv }
+        .sorted.lastOption.map(bv => snapCache.get((root, bv)))
+    }.filter(s => versions.count(x => x > s.version && x <= v) == v - s.version)
+    val cpV = cps.filter(_ <= v).lastOption
+      .filter(c => cachedBase.forall(_.version < c))
+    var files: Vector[FileEntry] = Vector.empty
+    var tags: Vector[String] = Vector.empty
+    var op = ""
+    var schemaJson = ""
+    var bloomCols: Seq[String] = Nil
+    var lo = Long.MinValue
+    (cpV, cachedBase) match {
+      case (Some(c), _) =>
+        val m = org.json4s.jackson.JsonMethods
+          .parse(readText(f, cpPath(root, c))).extract[CheckpointManifest]
+        files = m.files.toVector; tags = m.tags.toVector
+        op = m.op; schemaJson = m.schema; bloomCols = m.bloomCols; lo = c
+      case (None, Some(s)) =>
+        files = s.files.toVector; tags = s.tags.toVector
+        op = s.op; schemaJson = s.schema.json; bloomCols = s.bloomCols
+        lo = s.version
+      case (None, None) =>
+    }
+    for (dv <- versions if dv > lo && dv <= v) {
+      val d = org.json4s.jackson.JsonMethods
+        .parse(readText(f, vPath(root, dv))).extract[DeltaManifest]
+      val rm = d.removes.toSet
+      files = (if (rm.isEmpty) files
+        else files.filterNot(fe => rm.contains(fe.path))) ++ d.adds
+      tags = tags ++ d.tags
+      op = d.op; schemaJson = d.schema; bloomCols = d.bloomCols
+    }
+    val snap = Snapshot(v, op,
+      if (lo == Long.MinValue || schemaJson.nonEmpty)
+        DataType.fromJson(schemaJson).asInstanceOf[StructType]
+      else cachedBase.get.schema,
+      files, tags, bloomCols)
+    snapCache.synchronized { snapCache.put((root, v), snap); () }
+    snap
   }
 
-  /** Atomic publish: exactly one committer of version `v` wins. */
-  private def casPublish(f: FileSystem, root: String, v: Long,
+  /** Atomic publish at `dest`: exactly one writer wins. */
+  private def casPublishAt(f: FileSystem, root: String, dest: Path,
       json: String): Boolean = {
     val dir = logDir(root)
     f.mkdirs(dir)
@@ -134,7 +240,6 @@ object VersionedTable {
     val out = f.create(tmp, true)
     try { out.write(json.getBytes(StandardCharsets.UTF_8)); out.hflush() }
     finally out.close()
-    val dest = vPath(root, v)
     val won =
       if (f.getScheme == "file") {
         // POSIX link(2): atomic fail-if-exists — the only local-FS primitive
@@ -146,6 +251,26 @@ object VersionedTable {
     f.delete(tmp, false)
     won
   }
+
+  /** Atomic publish of version `v`'s delta: exactly one committer wins. */
+  private def casPublish(f: FileSystem, root: String, v: Long,
+      json: String): Boolean =
+    casPublishAt(f, root, vPath(root, v), json)
+
+  /** Best-effort checkpoint at `v` (full state passed in by the committer
+    * that just won `v`). Losing the publish race is fine — the racer wrote
+    * identical content; failing entirely is fine — checkpoints only bound
+    * replay length, never correctness.
+    */
+  private def writeCheckpoint(f: FileSystem, root: String, v: Long, op: String,
+      schemaJson: String, files: Seq[FileEntry], tags: Seq[String],
+      bloomCols: Seq[String]): Unit =
+    try {
+      casPublishAt(f, root, cpPath(root, v),
+        org.json4s.jackson.Serialization.write(CheckpointManifest(
+          v, op, schemaJson, files.toList, tags.toList, bloomCols.toList)))
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   // ------------------------------------------------------------- data io
 
@@ -288,12 +413,27 @@ object VersionedTable {
         if (parentTags.contains(t)) throw new TagAlreadyApplied)
       val (op, files, schema) = attempt(parent)
       val v = parent.map(_.version).getOrElse(0L) + 1
-      val m = Manifest(v, op, schema.json, files.toList,
-        (parentTags ++ addTag).toList,
-        setBloomCols.orElse(parent.map(_.bloomCols))
-          .getOrElse(Seq.empty).toList)
-      if (casPublish(f, root, v, org.json4s.jackson.Serialization.write(m)))
+      // the delta is the diff vs the parent BY PATH — valid because a path
+      // is written exactly once under a fresh txn UUID, so equal path ⇒
+      // equal entry (carried-by-reference files are the same object). The
+      // in-memory set diff is O(files) of pointer work; what it buys is
+      // O(touched) commit JSON instead of O(table).
+      val parentFiles = parent.map(_.files).getOrElse(Seq.empty)
+      val parentPaths = parentFiles.iterator.map(_.path).toSet
+      val newPaths = files.iterator.map(_.path).toSet
+      val adds = files.filterNot(fe => parentPaths.contains(fe.path))
+      val removes = parentFiles.iterator.map(_.path)
+        .filterNot(newPaths.contains).toList
+      val bloomCols = setBloomCols.orElse(parent.map(_.bloomCols))
+        .getOrElse(Seq.empty)
+      val m = DeltaManifest(v, op, schema.json, adds.toList, removes,
+        addTag.toList, bloomCols.toList)
+      if (casPublish(f, root, v, org.json4s.jackson.Serialization.write(m))) {
+        if (v % CheckpointInterval == 0)
+          writeCheckpoint(f, root, v, op, schema.json, files,
+            parentTags ++ addTag, bloomCols)
         return v
+      }
       tries += 1
     }
     sys.error(s"commit to $root lost the version race $MaxRetries times")
@@ -553,9 +693,18 @@ object VersionedTable {
   def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
-    val versions = listVersions(f, root)
+    val (versions, cps) = listLog(f, root)
     require(versions.nonEmpty, s"$root is not a versioned table")
     val keep = versions.takeRight(retainVersions)
+    // the oldest retained version must stay reconstructible after its
+    // parent deltas are dropped: materialize a checkpoint AT it first
+    // (crash between checkpoint and deletes is safe — extra checkpoint,
+    // nothing lost)
+    if (!cps.contains(keep.head)) {
+      val s = snapshot(spark, root, Some(keep.head))
+      writeCheckpoint(f, root, s.version, s.op, s.schema.json, s.files,
+        s.tags, s.bloomCols)
+    }
     val referenced = keep
       .flatMap(v => snapshot(spark, root, Some(v)).files.map(_.path)).toSet
     val dataDir = new Path(root, "data")
@@ -574,6 +723,7 @@ object VersionedTable {
         f.delete(txn.getPath, true)
     }
     for (v <- versions.dropRight(retainVersions)) f.delete(vPath(root, v), false)
+    for (c <- cps if c < keep.head) f.delete(cpPath(root, c), false)
     removed.toSeq
   }
 
