@@ -45,7 +45,8 @@ object SparkEntry {
     sim.SimSurface.queries ++ sim.Covariance.queries ++
     multimodal.MultimodalSurface.queries ++
     pipeline.PipelineSurface.queries ++ pipeline.Snapshots.queries ++
-    store.VersionedTable.queries ++ store.Ivm.queries
+    store.VersionedTable.queries ++ store.Ivm.queries ++
+    streaming.MonitorStream.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
@@ -77,5 +78,6 @@ object SparkEntry {
     sim.SimSurface.oracles ++ sim.Covariance.oracles ++
     multimodal.MultimodalSurface.oracles ++
     pipeline.PipelineSurface.oracles ++ pipeline.Snapshots.oracles ++
-    store.VersionedTable.oracles ++ store.Ivm.oracles
+    store.VersionedTable.oracles ++ store.Ivm.oracles ++
+    streaming.MonitorStream.oracles
 }

@@ -1,0 +1,123 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.store.VersionedTable
+
+/** Driver-gated STREAMING LIFECYCLE for the stateful monitor ops — the
+  * cross-engine treatment [[StreamingProfile]] got, applied to
+  * `mapGroupsWithState` running aggregates (the reference's poll-loop
+  * monitor, `code/manager.py:209-244`, kept as continuously-maintained
+  * per-key state instead of repeated scans).
+  *
+  * The gate drives a REAL Structured Streaming query: events flow through
+  * a [[MemoryStream]] in three micro-batches into
+  * [[Stateful.runningUserTotalsExact]] (update mode — each trigger emits
+  * the refreshed snapshot of every touched key), and each trigger's
+  * emissions append to a [[VersionedTable]] monitor log under the
+  * `batch-<id>` idempotence tag, batch-stamped. After the query stops, a
+  * REPLAYED trigger (the at-least-once crash/restart case foreachBatch
+  * must survive) re-appends under an already-committed tag and must be
+  * refused — if it were not, the fold below would double rows and the
+  * driver hash would break, so the gate verifies exactly-once end to end.
+  *
+  * Fold: the monitor's CURRENT state per key is its latest snapshot — one
+  * row per user at the maximum batch stamp. That must equal the batch
+  * aggregate over all events EXACTLY: counts are integers; totals
+  * accumulate on the decimal(_,4) scaled-long grid inside the state and
+  * convert to double once at emission (`BigDecimal.doubleValue` — the
+  * same correctly-rounded decimal→double every other decimal gate uses),
+  * so the DuckDB oracle is a plain GROUP BY with the decimal→VARCHAR→
+  * DOUBLE bridge.
+  *
+  * 100 TB shape: state is one (count, scaled-total) pair per key — bounded
+  * by key cardinality; per trigger the log grows by O(touched keys) rows
+  * and ONE commit; the fold reads the log, never the events.
+  */
+object MonitorStream {
+
+  private def logRoot(root: String) = s"$root/monitor"
+
+  /** One trigger's emissions → one tagged commit (idempotent on replay).
+    * Returns false when `batchId` was already applied.
+    */
+  def processBatch(emitted: DataFrame, root: String, batchId: Long): Boolean = {
+    val spark = emitted.sparkSession
+    val stamped = emitted.withColumn("batch_id", lit(batchId))
+      .repartition(1)
+    if (VersionedTable.latestVersion(spark, logRoot(root)).isEmpty)
+      VersionedTable.create(spark, logRoot(root), stamped.filter(lit(false)))
+    VersionedTable.appendBatch(spark, logRoot(root), stamped, s"batch-$batchId")
+  }
+
+  /** Latest snapshot per user from the monitor log — the monitor's answer
+    * to "what is every user's running total right now".
+    */
+  def currentTotals(spark: SparkSession, root: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("batch_id").desc, col("n_events").desc)
+    VersionedTable.read(spark, logRoot(root))
+      .withColumn("__rk", row_number().over(w))
+      .filter(col("__rk") === 1)
+      .select(col("user_id"), col("n_events"), col("total"))
+  }
+
+  /** The gate: 3 micro-batches (event_id % 3) through a live
+    * MemoryStream + mapGroupsWithState query, one tagged commit per
+    * trigger, a refused replay, then the folded snapshot.
+    */
+  def monitorStreamGate(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-monstream").toString
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft-monstream-ck").toString
+    val events = Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
+      .as[Stateful.UserEvent4]
+    val batches = (0L to 2L).map(b =>
+      events.filter(col("event_id") % 3 === b).collect().toSeq)
+    val source = MemoryStream[Stateful.UserEvent4]
+    val q = Stateful.runningUserTotalsExact(source.toDS())
+      .toDF()
+      .writeStream
+      .outputMode(Stateful.outputMode)
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, root, batchId)
+        ()
+      }
+      .start()
+    try {
+      // one addData + drain per micro-batch: three real triggers, state
+      // carried across them by the streaming engine (not by this driver)
+      batches.foreach { b => source.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    // the restarted-trigger replay: foreachBatch is at-least-once, so a
+    // crash after commit re-fires the same batchId — the tag must refuse
+    // (were it applied, the fold would emit duplicate rows and the driver
+    // hash-compare would fail)
+    val replayed = processBatch(
+      currentTotals(spark, root), root, 1L)
+    require(!replayed, "replayed micro-batch must be refused by its tag")
+    currentTotals(spark, root).orderBy("user_id")
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pa_monitor_stream" -> (monitorStreamGate _))
+
+  /** The oracle is the BATCH aggregate over all events — the gate passes
+    * only if three triggers of carried state + one refused replay fold to
+    * exactly that.
+    */
+  val oracles: Map[String, String] = Map(
+    "pa_monitor_stream" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  CAST(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)
+}

@@ -186,6 +186,45 @@ ORDER BY "column" """)
 LIFECYCLE["q_profile_stream_lineitem"] = _stream_profile_lifecycle()
 
 
+def _monitor_stream_lifecycle():
+    """DuckDB twin of the pa_monitor_stream gate's WORK: three micro-batches
+    (event_id % 3) of per-user running totals, each INSERTed batch-stamped
+    into a persisted monitor log (the replayed batch is skipped — the same
+    tag short-circuit the engine takes), then the latest-snapshot-per-user
+    fold. Running state is carried by joining the previous snapshot, which
+    is exactly what mapGroupsWithState maintains incrementally.
+    """
+    stmts = [
+        "CREATE OR REPLACE TABLE mon_log (user_id BIGINT, n_events BIGINT,"
+        " total DECIMAL(18,4), batch_id BIGINT)",
+    ]
+    for b in range(3):
+        stmts.append(
+            f"INSERT INTO mon_log"
+            f" WITH prev AS (SELECT user_id, n_events, total FROM ("
+            f"   SELECT user_id, n_events, total,"
+            f"    ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY batch_id DESC) AS rk"
+            f"   FROM mon_log) WHERE rk = 1),"
+            f" cur AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,"
+            f"   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS t"
+            f"  FROM events WHERE event_id % 3 = {b} GROUP BY user_id)"
+            f" SELECT cur.user_id,"
+            f"  cur.n + COALESCE(prev.n_events, 0) AS n_events,"
+            f"  cur.t + COALESCE(prev.total, 0) AS total,"
+            f"  {b} AS batch_id"
+            f" FROM cur LEFT JOIN prev USING (user_id)")
+    stmts.append(
+        "SELECT user_id, n_events,"
+        " CAST(CAST(total AS VARCHAR) AS DOUBLE) AS total FROM ("
+        "  SELECT user_id, n_events, total,"
+        "   ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY batch_id DESC) AS rk"
+        "  FROM mon_log) WHERE rk = 1 ORDER BY user_id")
+    return stmts
+
+
+LIFECYCLE["pa_monitor_stream"] = _monitor_stream_lifecycle()
+
+
 def main(sf_dir, oracle_path, bench_path, out_path=None):
     con = duckdb.connect()
     for t in TABLES:
