@@ -48,13 +48,18 @@ object AnnIndex {
     codes.write.mode("overwrite").partitionBy("cid")
       .parquet(new java.io.File(tmp, "codes").toString)
     java.nio.file.Files.writeString(tmp.toPath.resolve("_meta.json"),
-      s"""{"dims":$dims,"m":$m}""")
+      s"""{"kind":"ivfpq","dims":$dims,"m":$m}""")
+    publishDir(tmp, dir)
+  }
+
+  /** Replace-safe publish: the previous index is renamed ASIDE (one atomic
+    * op) before the new one renames in — a crash between the two steps
+    * leaves the old index recoverable under its .old- name instead of
+    * permanently lost, and the aside copy is deleted only after the new
+    * index is live. A fresh first build is a single rename.
+    */
+  private def publishDir(tmp: java.io.File, dir: String): Unit = {
     val target = new java.io.File(dir)
-    // replace-safe publish: the previous index is renamed ASIDE (one atomic
-    // op) before the new one renames in — a crash between the two steps
-    // leaves the old index recoverable under its .old- name instead of
-    // permanently lost, and the aside copy is deleted only after the new
-    // index is live. A fresh first build is a single rename.
     val aside = if (target.exists()) {
       val a = new java.io.File(dir + ".old-" + java.util.UUID.randomUUID())
       if (!target.renameTo(a))
@@ -68,6 +73,57 @@ object AnnIndex {
     }
     aside.foreach(delete)
   }
+
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
+      dims: Int, m: Int)
+
+  /** Train flat-PQ codebooks on `corpus`, encode it, and publish the index
+    * atomically under `dir` — the non-IVF sibling of [[buildIvfPq]] for
+    * corpora small enough that a full code-table scan per query is fine
+    * (the code table is m bytes-ish per vector; the scan does no explode
+    * and no aggregation shuffle).
+    */
+  def buildPq(corpus: DataFrame, idCol: String, vecCol: String, dir: String,
+      dims: Int, m: Int, ksub: Int, iters: Int): Unit = {
+    val cb = ProductQuantization.trainCodebooks(corpus, idCol, vecCol,
+      dims, m, ksub, iters)
+    val codes = ProductQuantization.encode(corpus, idCol, vecCol, cb, dims, m)
+      .select(col("id").as("neighbor_id"), col("codes"))
+    val tmp = new java.io.File(dir + ".tmp-" + java.util.UUID.randomUUID())
+    cb.write.mode("overwrite").parquet(new java.io.File(tmp, "codebooks").toString)
+    codes.write.mode("overwrite").parquet(new java.io.File(tmp, "codes").toString)
+    java.nio.file.Files.writeString(tmp.toPath.resolve("_meta.json"),
+      s"""{"kind":"pq","dims":$dims,"m":$m}""")
+    publishDir(tmp, dir)
+  }
+
+  /** Load a published flat-PQ index; fails loudly on a missing/partial
+    * directory or an IVF-PQ index published at the same path.
+    */
+  def loadPq(spark: SparkSession, dir: String): PqIndex = {
+    val meta = new java.io.File(dir, "_meta.json")
+    require(meta.isFile, s"no ANN index published at $dir")
+    val txt = java.nio.file.Files.readString(meta.toPath)
+    require(txt.contains(""""kind":"pq""""),
+      s"index at $dir is not a flat-PQ index: $txt")
+    def field(k: String): Int =
+      s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"bad _meta.json: $txt"))
+        .group(1).toInt
+    PqIndex(
+      codebooks = spark.read.parquet(new java.io.File(dir, "codebooks").toString),
+      codes = spark.read.parquet(new java.io.File(dir, "codes").toString),
+      dims = field("dims"), m = field("m"))
+  }
+
+  /** Probe a loaded flat-PQ index: identical semantics/results to
+    * [[ProductQuantization.topK]], but the corpus side is a scan of the
+    * persisted code table — no re-training, no re-encoding.
+    */
+  def searchPq(queries: DataFrame, index: PqIndex, idCol: String,
+      vecCol: String, k: Int): DataFrame =
+    ProductQuantization.pqSearch(queries, index.codes, index.codebooks,
+      idCol, vecCol, index.dims, index.m, k)
 
   /** Load a published index; fails loudly on a missing/partial directory
     * (an unrenamed temp dir has no `_meta.json` at `dir`).

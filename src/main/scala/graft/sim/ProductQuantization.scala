@@ -148,9 +148,19 @@ object ProductQuantization {
     */
   def topK(queries: DataFrame, corpus: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, dims: Int, m: Int, k: Int): DataFrame = {
-    val subDim = dims / m
     val codes = encode(corpus, idCol, vecCol, codebooks, dims, m)
       .select(col("id").as("neighbor_id"), col("codes"))
+    pqSearch(queries, codes, codebooks, idCol, vecCol, dims, m, k)
+  }
+
+  /** The query half of [[topK]] over a prebuilt `(neighbor_id, codes)`
+    * table: broadcast per-query LUTs, one codes-table scan, rank-window —
+    * the corpus is never re-encoded (see [[AnnIndex.buildPq]] for the
+    * persisted-index form).
+    */
+  def pqSearch(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
+      idCol: String, vecCol: String, dims: Int, m: Int, k: Int): DataFrame = {
+    val subDim = dims / m
     // lut[sub][code] as a 2D array per query — one broadcast row per query
     val lut = adcLut(
       subVectors(

@@ -98,6 +98,14 @@ object SimSurface {
       AnnIndex.searchIvfPq(queriesD(s, d),
         AnnIndex.load(s, appendedIndexDir(s, d)), "vec_id", "v", K, IvfPqNprobe)
         .orderBy("query_id", "rank")),
+    // the flat-PQ deployment twin of sim_topk_ivfpq_indexed: codebooks and
+    // code table trained+persisted once per dataset, the gate times only
+    // load + ADC probe — results bit-identical to the re-training
+    // sim_topk_pq (shared oracle)
+    "sim_topk_pq_indexed" -> ((s, d) =>
+      AnnIndex.searchPq(queriesD(s, d),
+        AnnIndex.loadPq(s, pqIndexDir(s, d)), "vec_id", "v", K)
+        .orderBy("query_id", "rank")),
   )
 
   /** One persisted IVF-PQ index per dataset per JVM (built on first use,
@@ -110,6 +118,14 @@ object SimSurface {
       val p = java.nio.file.Files.createTempDirectory("graft-ann").toString + "/ivfpq"
       AnnIndex.buildIvfPq(vecsD(s, d), "vec_id", "v", p,
         Dims, PqM, PqKsub, PqIters, IvfPqNlist)
+      p
+    })
+
+  private val pqDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def pqIndexDir(s: SparkSession, d: String): String =
+    pqDirs.getOrElseUpdate(d, {
+      val p = java.nio.file.Files.createTempDirectory("graft-ann-pq").toString + "/pq"
+      AnnIndex.buildPq(vecsD(s, d), "vec_id", "v", p, Dims, PqM, PqKsub, PqIters)
       p
     })
 
@@ -293,6 +309,20 @@ object SimSurface {
     "sim_topk_ivfpq" -> ivfPqSql,
     // reload+search is result-identical to train+search — same oracle
     "sim_topk_ivfpq_indexed" -> ivfPqSql,
+    "sim_topk_pq_indexed" -> s"""WITH $vecsCte,
+      |${pqCtes(PqM, PqKsub, PqIters, Dims / PqM)},
+      |adist AS (
+      |  SELECT l.query_id, e.neighbor_id, CAST(SUM(l.d) AS BIGINT) AS adist
+      |  FROM enc e JOIN lutq l ON l.sub = e.sub AND l.code = e.code
+      |  WHERE e.neighbor_id <> l.query_id
+      |  GROUP BY l.query_id, e.neighbor_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, adist,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY adist ASC, neighbor_id) AS rank
+      |  FROM adist)
+      |SELECT query_id, neighbor_id, rank, adist FROM ranked
+      |WHERE rank <= $K ORDER BY query_id, rank""".stripMargin,
     "sim_topk_ivfpq_appended" -> ivfPqAppendedSql,
     "sim_topk_ivf" -> s"""WITH $vecsCte,
       |${lloydCtes(IvfK, IvfIters)},

@@ -125,6 +125,35 @@ class AnnIndexSpec extends SparkSpec {
         rows(AnnIndex.searchIvfPq(queries, oneShot, "vec_id", "v", K, Nprobe)))
   }
 
+  test("reloaded flat-PQ index search is bit-identical to in-session train+search") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-pq-spec")
+      .toString + "/idx"
+    AnnIndex.buildPq(vecs, "vec_id", "v", dir, Dims, M, Ksub, Iters)
+    val cb = ProductQuantization.trainCodebooks(vecs, "vec_id", "v",
+      Dims, M, Ksub, Iters)
+    val inSession = ProductQuantization.topK(queries, vecs, cb,
+      "vec_id", "v", Dims, M, K)
+    val idx = AnnIndex.loadPq(spark, dir)
+    assert(idx.dims === Dims && idx.m === M)
+    assert(idx.codes.count() === vecs.count())
+    val reloaded = AnnIndex.searchPq(queries, idx, "vec_id", "v", K)
+    assert(rows(reloaded) === rows(inSession))
+    assert(rows(reloaded).nonEmpty)
+    // loading a flat-PQ index through the IVF loader (or vice versa) must
+    // fail loudly, not silently mis-search
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.loadPq(spark, dir.replace("/idx", "/nope"))
+    }
+    assert(e.getMessage.contains("no ANN index"))
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-ann-kind")
+      .toString + "/ivf"
+    AnnIndex.buildIvfPq(vecs, "vec_id", "v", dir2, Dims, M, Ksub, Iters, Nlist)
+    val kindErr = intercept[IllegalArgumentException] {
+      AnnIndex.loadPq(spark, dir2)
+    }
+    assert(kindErr.getMessage.contains("not a flat-PQ"))
+  }
+
   test("rebuild atomically replaces an existing index") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ann-re")
       .toString + "/idx"
