@@ -39,6 +39,27 @@ object Lineage {
     } else df.localCheckpoint(eager = true)
   }
 
+  /** LAZY cut: blocks are saved as a side effect of the CALLER'S next
+    * action instead of an eager materialization job of their own. Right
+    * for iterative operators whose next step is itself an action over the
+    * cut table (BPE's round-1 pair collect, a Lloyd assignment count):
+    * the eager variant would pay a whole extra scheduler wave just to
+    * populate storage. Same reliable-mode switch as [[cut]].
+    */
+  def cutLazy(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    if (spark.conf.get(ReliableKey, "false").toBoolean) {
+      val sc = spark.sparkContext
+      if (sc.getCheckpointDir.isEmpty) {
+        val dir = spark.conf.getOption(DirKey).getOrElse(sys.error(
+          s"$ReliableKey=true needs a checkpoint dir: set $DirKey " +
+            "or SparkContext.setCheckpointDir"))
+        sc.setCheckpointDir(dir)
+      }
+      df.checkpoint(eager = false)
+    } else df.localCheckpoint(eager = false)
+  }
+
   /** Cut + row count in ONE action. Iterative operators that test
     * convergence (k-core fixpoint, BFS frontier exhaustion) would
     * otherwise pay two full stage waves per round — an eager cut, then a

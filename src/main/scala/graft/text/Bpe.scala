@@ -99,20 +99,33 @@ object Bpe {
     * copy. Pair frequencies are identical by construction
     * (Σ weights ≡ raw occurrence count).
     */
+  /** Rounds between lineage cuts while training: a batch-apply is one
+    * narrow UDF map, so stacking a few per plan is free, while each eager
+    * cut is a whole extra materialization job over the weighted token
+    * table — at the gate's 3 rounds the training runs with ZERO
+    * intermediate cuts (one collect job per round, nothing else), and a
+    * 30k-merge production run still bounds its plan depth.
+    */
+  val CutEvery = 4
+
   def trainMerges(docs: DataFrame, textCol: String, rounds: Int,
       batch: Int = GateBatch): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    var toks = docs
+    // lazy cut: round 1's pair collect is the materializing action, so
+    // the weighted token table costs zero extra jobs to pin
+    var lastCut = docs
       .select(TextAnalysis.normalized(col(textCol)).as("ntext"))
       .filter(col("ntext").isNotNull && col("ntext") =!= "")
       .select(split(col("ntext"), " ").as("t"))
       .groupBy("t").agg(count(lit(1)).as("w"))
-      .transform(graft.plans.Lineage.cut)
+      .transform(graft.plans.Lineage.cutLazy)
+    var toks = lastCut
     // round emits as BIGINT: int32 is a driver-risk output type (see
     // tools/check_oracle.py)
     val merges = Seq.newBuilder[(Long, String, String, Long)]
     var round = 1
+    var sinceCut = 0
     var exhausted = false
     while (round <= rounds && !exhausted) {
       val top = toks
@@ -130,16 +143,24 @@ object Bpe {
       else {
         val sel = selectBatch(top)
         sel.foreach { case (a, b, c) => merges += ((round.toLong, a, b, c)) }
-        val next = toks
-          .select(applyMergesUdf(col("t"),
+        // the final round's merges are already collected — building (and
+        // materializing) its post-apply table would be pure waste
+        if (round < rounds) {
+          toks = toks.select(applyMergesUdf(col("t"),
             typedLit(sel.map(_._1)), typedLit(sel.map(_._2))).as("t"), col("w"))
-          .transform(graft.plans.Lineage.cut)
-        toks.unpersist()
-        toks = next
+          sinceCut += 1
+          if (sinceCut >= CutEvery) {
+            val cut = toks.transform(graft.plans.Lineage.cut)
+            lastCut.unpersist()
+            lastCut = cut
+            toks = cut
+            sinceCut = 0
+          }
+        }
         round += 1
       }
     }
-    toks.unpersist()
+    lastCut.unpersist()
     merges.result().toDF("round", "left", "right", "freq")
       .select(col("round"), col("left"), col("right"), col("freq"))
   }
