@@ -63,7 +63,8 @@ object WorkQueueSource {
     * itemState must not be null; ids/values with separators round-trip via
     * RFC-4180 quoting.
     */
-  def write(df: org.apache.spark.sql.DataFrame, path: String): Unit = {
+  def write(df: org.apache.spark.sql.DataFrame, path: String,
+      format: String = "csv"): Unit = {
     Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
       .filter(f => f.isDirectory && f.getName.startsWith("itemState="))
       .foreach { d =>
@@ -73,14 +74,18 @@ object WorkQueueSource {
         }
         rm(d)
       }
-    append(df, path)
+    append(df, path, format)
   }
 
-  /** Append rows into the connector's layout through the DSv2 write path. */
-  def append(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+  /** Append rows into the connector's layout through the DSv2 write path.
+    * `format`: `csv` (default) or `parquet` — both readable from one queue
+    * dir, so a layout can migrate formats file by file.
+    */
+  def append(df: org.apache.spark.sql.DataFrame, path: String,
+      format: String = "csv"): Unit =
     df.select(schema.fieldNames.map(org.apache.spark.sql.functions.col): _*)
       .write.format("graft.store.connector.WorkQueueSource")
-      .option("path", path).mode("append").save()
+      .option("path", path).option("format", format).mode("append").save()
 
   /** Claim outcomes written by the conditional-claim write path
     * ([[WorkQueueClaimWrite]]): one row per claim request —
@@ -125,6 +130,65 @@ object WorkQueueSource {
   }
 }
 
+/** Parquet shape of a queue data file (the `format=parquet` write option):
+  * same stored fields and the same CSV value semantics (null strings
+  * round-trip as ""), plus what the line layout cannot give — projection
+  * pushdown into the file and a metadata-only row count for the count
+  * scan.
+  */
+object WorkQueueParquet {
+  import org.apache.parquet.schema.{MessageType, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+  import org.apache.parquet.schema.LogicalTypeAnnotation.stringType
+
+  val FileSchema: MessageType = Types.buildMessage()
+    .required(PrimitiveTypeName.BINARY).as(stringType()).named("itemID")
+    .required(PrimitiveTypeName.BINARY).as(stringType()).named("taskID")
+    .optional(PrimitiveTypeName.INT64).named("logLength")
+    .optional(PrimitiveTypeName.INT64).named("nestedTaskCount")
+    .named("queue_item")
+
+  /** Projection of [[FileSchema]] to the named STORED fields — what the
+    * reader hands parquet-mr so unread columns never leave the file.
+    */
+  def projection(fields: Seq[String]): MessageType = {
+    val b = Types.buildMessage()
+    fields.foreach {
+      case "itemID" =>
+        b.required(PrimitiveTypeName.BINARY).as(stringType()).named("itemID"); ()
+      case "taskID" =>
+        b.required(PrimitiveTypeName.BINARY).as(stringType()).named("taskID"); ()
+      case "logLength" => b.optional(PrimitiveTypeName.INT64).named("logLength"); ()
+      case "nestedTaskCount" =>
+        b.optional(PrimitiveTypeName.INT64).named("nestedTaskCount"); ()
+      case other => throw new IllegalArgumentException(s"not a stored field: $other")
+    }
+    b.named("queue_item")
+  }
+
+  /** Open a projected record reader over one queue parquet file. */
+  def open(file: String, fields: Seq[String])
+      : org.apache.parquet.hadoop.ParquetReader[org.apache.parquet.example.data.Group] = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    conf.set(org.apache.parquet.hadoop.api.ReadSupport.PARQUET_READ_SCHEMA,
+      projection(fields).toString)
+    org.apache.parquet.hadoop.ParquetReader
+      .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
+        new org.apache.hadoop.fs.Path(file))
+      .withConf(conf)
+      .build()
+  }
+
+  /** Footer-only row count — the count scan never touches a data page. */
+  def rowCount(file: String): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+      new org.apache.hadoop.fs.Path(file),
+      new org.apache.hadoop.conf.Configuration())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
+}
+
 class WorkQueueTable(path: String, tableSchema: StructType = WorkQueueSource.schema)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
@@ -145,7 +209,8 @@ class WorkQueueTable(path: String, tableSchema: StructType = WorkQueueSource.sch
     if (fields.contains("lockID"))
       new WorkQueueClaimWrite(path, info.schema(), info.queryId())
     else if (fields.contains("itemID") && fields.contains("itemState"))
-      new WorkQueueItemWrite(path, info.schema(), info.queryId())
+      new WorkQueueItemWrite(path, info.schema(), info.queryId(),
+        info.options().getOrDefault("format", "csv"))
     else throw new IllegalArgumentException(
       s"workqueue write needs a claim (lockID...) or item (itemID, itemState...) schema, got: ${fields.mkString(",")}")
   }
@@ -281,16 +346,38 @@ class WorkQueueCountScan(path: String, state: Option[String],
           private var emitted = false
           private lazy val n: Long =
             Option(new java.io.File(p.dir).listFiles()).getOrElse(Array.empty)
-              .filter(f => f.isFile && f.getName.endsWith(".csv"))
+              .filter(f => f.isFile &&
+                (f.getName.endsWith(".csv") || f.getName.endsWith(".parquet")))
               .map { f =>
-                val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
-                try {
+                if (f.getName.endsWith(".parquet")) {
                   idF match {
-                    case None => src.getLines().length.toLong
-                    case Some(wanted) => src.getLines().count(line =>
-                      WorkQueueCsv.split(line).headOption.contains(wanted)).toLong
+                    // footer metadata only — the parquet count never reads
+                    // a data page (the CSV layout must scan every line)
+                    case None => WorkQueueParquet.rowCount(f.getAbsolutePath)
+                    case Some(wanted) =>
+                      // key probe reads exactly one projected column
+                      val r = WorkQueueParquet.open(f.getAbsolutePath, Seq("itemID"))
+                      try {
+                        var c = 0L
+                        var g = r.read()
+                        while (g != null) {
+                          if (g.getFieldRepetitionCount("itemID") > 0 &&
+                            g.getString("itemID", 0) == wanted) c += 1
+                          g = r.read()
+                        }
+                        c
+                      } finally r.close()
                   }
-                } finally src.close()
+                } else {
+                  val src = scala.io.Source.fromFile(f)(scala.io.Codec.UTF8)
+                  try {
+                    idF match {
+                      case None => src.getLines().length.toLong
+                      case Some(wanted) => src.getLines().count(line =>
+                        WorkQueueCsv.split(line).headOption.contains(wanted)).toLong
+                    }
+                  } finally src.close()
+                }
               }.sum
           override def next(): Boolean =
             if (emitted || n == 0L) false
@@ -376,7 +463,8 @@ class WorkQueueScan(path: String, state: Option[String], id: Option[String],
     stateDirs.flatMap { dir =>
       val st = WorkQueueSource.unescapePartitionValue(dir.getName.stripPrefix("itemState="))
       Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".csv"))
+        .filter(f => f.isFile &&
+          (f.getName.endsWith(".csv") || f.getName.endsWith(".parquet")))
         .map(f => WorkQueuePartition(f.getAbsolutePath, st): InputPartition)
     }
   }
@@ -386,8 +474,12 @@ class WorkQueueScan(path: String, state: Option[String], id: Option[String],
     val idF = id
     val lim = limit
     new PartitionReaderFactory {
-      override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-        new WorkQueueReader(partition.asInstanceOf[WorkQueuePartition], req, idF, lim)
+      override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+        val p = partition.asInstanceOf[WorkQueuePartition]
+        if (p.file.endsWith(".parquet"))
+          new WorkQueueParquetReader(p, req, idF, lim)
+        else new WorkQueueReader(p, req, idF, lim)
+      }
     }
   }
 }
@@ -446,4 +538,64 @@ class WorkQueueReader(partition: WorkQueuePartition, required: StructType,
   override def get(): InternalRow = current
 
   override def close(): Unit = lines.close()
+}
+
+/** Parquet twin of [[WorkQueueReader]]: the projection the scan pruned is
+  * handed to parquet-mr, so unread columns never leave the file — the
+  * pruning the CSV layout can only fake (it must parse every line whole).
+  * itemState still comes from the directory; the pushed itemID equality
+  * and limit are enforced while iterating, same as the CSV path.
+  */
+class WorkQueueParquetReader(partition: WorkQueuePartition,
+    required: StructType, idFilter: Option[String] = None,
+    limit: Option[Int] = None) extends PartitionReader[InternalRow] {
+
+  // stored fields needed: the pruned columns minus the directory-valued
+  // itemState, plus itemID when a pushed point filter must probe it
+  private val storedNeeded = {
+    val cols = required.fieldNames.filterNot(_ == "itemState").toSeq
+    if (idFilter.isDefined && !cols.contains("itemID")) "itemID" +: cols
+    else cols
+  }
+  private val reader =
+    if (storedNeeded.isEmpty) WorkQueueParquet.open(partition.file, Seq("itemID"))
+    else WorkQueueParquet.open(partition.file, storedNeeded)
+  private var current: InternalRow = _
+  private var emitted = 0
+
+  private def strField(g: org.apache.parquet.example.data.Group,
+      name: String): String =
+    if (g.getFieldRepetitionCount(name) == 0) null else g.getString(name, 0)
+  private def lngField(g: org.apache.parquet.example.data.Group,
+      name: String): java.lang.Long =
+    if (g.getFieldRepetitionCount(name) == 0) null
+    else java.lang.Long.valueOf(g.getLong(name, 0))
+
+  @annotation.tailrec
+  override final def next(): Boolean =
+    if (limit.exists(emitted >= _)) false
+    else {
+      val g = reader.read()
+      if (g == null) false
+      else if (idFilter.exists(_ != strField(g, "itemID"))) next()
+      else {
+        val values = required.fields.map { f =>
+          f.name match {
+            case "itemID" => UTF8String.fromString(strField(g, "itemID"))
+            case "taskID" => UTF8String.fromString(strField(g, "taskID"))
+            case "itemState" => UTF8String.fromString(partition.state)
+            case "logLength" => lngField(g, "logLength")
+            case "nestedTaskCount" => lngField(g, "nestedTaskCount")
+            case other => throw new IllegalArgumentException(s"unknown column $other")
+          }
+        }
+        current = InternalRow.fromSeq(values.toSeq)
+        emitted += 1
+        true
+      }
+    }
+
+  override def get(): InternalRow = current
+
+  override def close(): Unit = reader.close()
 }

@@ -145,6 +145,65 @@ class WorkQueueSourceSpec extends SparkSpec {
       Option(c.getMessage).exists(_.contains("must not embed newlines"))), e.toString)
   }
 
+  test("format=parquet: round-trip, pushdown and metadata count match the CSV layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-queue-pq").toString + "/q"
+    val items = DerivedItems.items(spark, sf0001)
+      .select($"itemID", $"taskID", $"itemState", $"logLength", $"nestedTaskCount")
+    WorkQueueSource.write(items, dir, format = "parquet")
+    // only parquet data files landed, none invisible/in-progress
+    val files = Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("itemState=")).flatMap(_.listFiles())
+      .filterNot(_.getName.startsWith("."))
+    assert(files.nonEmpty && files.forall(_.getName.endsWith(".parquet")),
+      files.map(_.getName).mkString(","))
+    val pq = spark.read.format("graft.store.connector.WorkQueueSource")
+      .option("path", dir).load()
+    // identical values to the CSV layout of the same rows
+    assert(pq.select($"itemID", $"itemState", $"logLength")
+        .as[(String, String, Long)].collect().toSet ===
+      queue.select($"itemID", $"itemState", $"logLength")
+        .as[(String, String, Long)].collect().toSet)
+    // pushdown surface identical: state prune + point lookup + limit
+    val anyId = items.filter($"itemState" === "todo")
+      .select($"itemID").as[String].head()
+    val point = pq.filter($"itemState" === "todo" && $"itemID" === anyId)
+      .select($"itemID").limit(1)
+    val plan = point.queryExecution.executedPlan.toString
+    assert(plan.contains("pushedState=Some(todo)") &&
+      plan.contains(s"pushedId=Some($anyId)") &&
+      plan.contains("pushedLimit=Some(1)"), plan.take(800))
+    assert(point.as[String].head() === anyId)
+    // complete count pushdown answers from parquet footers
+    val counts = pq.groupBy($"itemState").count()
+    assert(counts.queryExecution.executedPlan.toString.contains("WorkQueueCountScan"))
+    assert(counts.as[(String, Long)].collect().toMap ===
+      items.groupBy($"itemState").count().as[(String, Long)].collect().toMap)
+    // ... and honors a pushed itemID filter
+    assert(pq.filter($"itemID" === anyId).groupBy($"itemState").count()
+      .as[(String, Long)].collect().toMap === Map("todo" -> 1L))
+    // mixed layout: CSV appended next to parquet reads as one queue
+    WorkQueueSource.append(items.limit(5), dir, format = "csv")
+    assert(pq.count() === items.count() + 5)
+  }
+
+  test("format=parquet: null/separator value semantics identical to CSV") {
+    val rows = Seq(
+      ("id,with,commas", "task\"quoted\"", "todo", 3L, Some(5L)),
+      ("plain", null.asInstanceOf[String], "s,tate", 0L, None))
+      .toDF("itemID", "taskID", "itemState", "logLength", "nestedTaskCount")
+    def roundTrip(format: String): Set[(String, String, String, Long, Option[Long])] = {
+      val d = java.nio.file.Files.createTempDirectory(s"graft-q-$format")
+        .toString + "/q"
+      WorkQueueSource.write(rows, d, format)
+      spark.read.format("graft.store.connector.WorkQueueSource")
+        .option("path", d).load()
+        .as[(String, String, String, Long, Option[Long])].collect().toSet
+    }
+    // format choice must never change values — including the null-string ->
+    // "" convention the line layout imposes
+    assert(roundTrip("parquet") === roundTrip("csv"))
+  }
+
   private def claim(dir: String, rows: Seq[(String, String, String, String)]): Unit =
     rows.toDF("itemID", "lockID", "instanceID", "expectedLockID")
       .write.format("graft.store.connector.WorkQueueSource")
