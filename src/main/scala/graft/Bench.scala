@@ -138,9 +138,14 @@ object Bench {
     // band is scheduling noise, not plans).
     val prevFile: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .orElse {
+        val R = "BENCH_LOCAL_r(\\d+)\\.json".r
         Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-          .filter(_.getName.matches("BENCH_LOCAL_r\\d+\\.json"))
-          .sortBy(_.getName).lastOption.map(_.getName)
+          .flatMap(f => f.getName match {
+            case R(n) => Some(n.toInt -> f.getName)
+            case _ => None
+          })
+          // numeric round order — lexicographic would rank r8 above r10
+          .sortBy(_._1).lastOption.map(_._2)
       }
     val prevQueries: Map[String, Double] = prevFile.flatMap { p =>
       try {

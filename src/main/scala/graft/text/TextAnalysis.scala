@@ -141,14 +141,50 @@ object TextAnalysis {
         col("tf"), col("df"), col("n_docs"))
   }
 
-  def withFingerprints(docs: DataFrame, textCol: String = "text"): DataFrame = {
-    val tokens = split(normalized(col(textCol)), " ")
+  /** One-pass JVM kernel for the min 5-token shingle md5. The composed
+    * spelling — `array_min(transform(sequence(...), i =>
+    * md5(array_join(slice(tokens, i, 5)))))` — re-evaluates the free
+    * `tokens` reference (a regex normalize + split) inside the lambda for
+    * every shingle position: O(tokens²) regex work per doc, measured 6 s
+    * for 5k docs at sf0.1 vs 0.5 s for this kernel (the same
+    * interpreted-HOF trap the dedup substring enumeration hit). Values
+    * are identical: lowercase-hex md5 of the space-joined window,
+    * lexicographic min — exactly what both the old spelling and the
+    * DuckDB oracle compute.
+    */
+  private val minShingleMd5Udf = udf { (ntext: String) =>
+    if (ntext == null) null
+    else {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h(s: String): String = {
+        md.reset()
+        val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val sb = new java.lang.StringBuilder(32)
+        var i = 0
+        while (i < d.length) {
+          sb.append(Character.forDigit((d(i) >> 4) & 0xF, 16))
+          sb.append(Character.forDigit(d(i) & 0xF, 16))
+          i += 1
+        }
+        sb.toString
+      }
+      val toks = ntext.split(" ")
+      if (toks.length < 5) h(ntext)
+      else {
+        var best: String = null
+        var i = 0
+        while (i + 5 <= toks.length) {
+          val sh = h(toks.slice(i, i + 5).mkString(" "))
+          if (best == null || sh < best) best = sh
+          i += 1
+        }
+        best
+      }
+    }
+  }
+
+  def withFingerprints(docs: DataFrame, textCol: String = "text"): DataFrame =
     docs
       .withColumn("fp_md5", md5(normalized(col(textCol))))
-      .withColumn("fp_shingle_min",
-        when(size(tokens) >= 5,
-          array_min(transform(sequence(lit(1), size(tokens) - 4),
-            i => md5(array_join(slice(tokens, i, lit(5)), " ")))))
-          .otherwise(md5(normalized(col(textCol)))))
-  }
+      .withColumn("fp_shingle_min", minShingleMd5Udf(normalized(col(textCol))))
 }
