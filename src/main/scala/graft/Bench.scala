@@ -139,9 +139,13 @@ object Bench {
     val prevFile: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .orElse {
         val R = "BENCH_LOCAL_r(\\d+)\\.json".r
+        // this run's own output (a re-run within the round) must not be
+        // its comparison base — a self-compare reports zero regressions
+        val self = new java.io.File(
+          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")).getName
         Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
           .flatMap(f => f.getName match {
-            case R(n) => Some(n.toInt -> f.getName)
+            case R(n) if f.getName != self => Some(n.toInt -> f.getName)
             case _ => None
           })
           // numeric round order — lexicographic would rank r8 above r10

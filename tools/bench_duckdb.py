@@ -278,12 +278,20 @@ def main(sf_dir, oracle_path, bench_path, out_path=None):
         "Same queries, same parquet, same machine. DuckDB executes the",
         "driver-oracle SQL (semantically identical, results hash-equal);",
         "Spark runs the engine's DataFrame plans via `graft.Bench`.",
-        "For the `vt_*` gates DuckDB runs an equivalent CREATE/commit/query",
+        "For the `vt_*`, `q_profile_stream_lineitem` and `pa_monitor_stream`",
+        "gates DuckDB runs an equivalent CREATE/commit/query",
         "LIFECYCLE script on a file-backed database with a final CHECKPOINT",
         "(materialized mutations + incremental summary folds, final rows",
         "identical, durable like the engine's parquet commits) rather than",
         "just the final-state SELECT, so those rows compare transaction",
-        "work against transaction work.",
+        "work against transaction work. (The streaming-lifecycle gates are",
+        "still dominated on the Spark side by per-trigger machinery —",
+        "micro-batch planning + one durable commit per trigger — which is a",
+        "fixed cost that amortizes with batch size, not a scale term.)",
+        "",
+        "Spark timings are FULL EXECUTION into a noop sink (since round 11;",
+        "count()-based timing let Catalyst prune output-only aggregate work",
+        "on some gates), matching DuckDB's full fetch.",
         "",
         "| query | spark s | duckdb s | spark/duckdb |",
         "|---|---|---|---|",
