@@ -130,15 +130,12 @@ object Profile {
     */
   def sketchParts(df: DataFrame,
       quantScale: Int = 2): (DataFrame, DataFrame) = {
-    val spark = df.sparkSession
     val fields = df.schema.fields.toSeq
     val aggs = count(lit(1)).as("__n") +: fields.flatMap { f =>
       val (mn, mx) = minMax(f)
       Seq(count(col(f.name)).as(s"${f.name}__nn"),
         mn.as(s"${f.name}__mn"), mx.as(s"${f.name}__mx"))
     }
-    val r = df.agg(aggs.head, aggs.tail: _*).head()
-    val n = r.getAs[Long]("__n")
     // `kind` records each column's min/max MERGE semantics: "num"
     // (integer renderings compare numerically — "100" < "99" would lie
     // lexicographically), "str" (strings + the lexicographic-safe
@@ -148,20 +145,24 @@ object Profile {
       case StringType | TimestampType | TimestampNTZType => "str"
       case _ => "none"
     }
-    val stats = spark.createDataFrame(
-      spark.sparkContext.parallelize(fields.zipWithIndex.map { case (f, i) =>
-        Row(i, f.name, kindOf(f), n, n - r.getAs[Long](s"${f.name}__nn"),
-          r.getAs[String](s"${f.name}__mn"),
-          r.getAs[String](s"${f.name}__mx"))
-      }, 1),
-      StructType(Seq(
-        StructField("pos", IntegerType, nullable = false),
-        StructField("column", StringType, nullable = false),
-        StructField("kind", StringType, nullable = false),
-        StructField("n_rows", LongType, nullable = false),
-        StructField("n_nulls", LongType, nullable = false),
-        StructField("min_value", StringType, nullable = true),
-        StructField("max_value", StringType, nullable = true))))
+    // stats stay a LAZY plan (1-row aggregate exploded to one row per
+    // column) rather than a collected row rebuilt driver-side: a caller
+    // that writes stats ∪ registers (the streaming profile's per-trigger
+    // commit) then runs ONE job over the shared cached batch instead of
+    // an eager stats job plus a write job per trigger
+    val stats = df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(fields.zipWithIndex.map { case (f, i) =>
+        struct(lit(i).as("pos"), lit(f.name).as("column"),
+          lit(kindOf(f)).as("kind"),
+          col("__n").as("n_rows"),
+          (col("__n") - col(s"${f.name}__nn")).as("n_nulls"),
+          col(s"${f.name}__mn").cast("string").as("min_value"),
+          col(s"${f.name}__mx").cast("string").as("max_value"))
+      }: _*)).as("s"))
+      .select(col("s.pos").as("pos"), col("s.column").as("column"),
+        col("s.kind").as("kind"), col("s.n_rows").as("n_rows"),
+        col("s.n_nulls").as("n_nulls"), col("s.min_value").as("min_value"),
+        col("s.max_value").as("max_value"))
     val melted = df.select(posexplode(
         array(fields.map(canonicalCol(_, quantScale)): _*)).as(Seq("pos", "v")))
       .filter(col("v").isNotNull)
