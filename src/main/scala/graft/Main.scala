@@ -87,7 +87,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|monitor|reset|delete|compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
+      "usage: graft.Main <import|run|monitor|reset|delete|compact|queue-compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -130,7 +130,8 @@ object Main {
       flags.get("queue-dir").foreach { qd =>
         graft.store.connector.WorkQueueSource.append(
           fresh.select(col("itemID"), col("taskID"), col("itemState"),
-            col("logLength"), col("nestedTaskCount")), qd)
+            col("logLength"), col("nestedTaskCount")), qd,
+          flags.getOrElse("queue-format", "csv"))
       }
       // import tally (A9 — manager.py:376-399)
       println(s"""{"N": ${ItemStore.load(spark, table).count()}}""")
@@ -194,6 +195,25 @@ object Main {
       ItemStore.compact(spark, table,
         flags.getOrElse("files-per-partition", "1").toInt)
       println(s"""{"rows": ${ItemStore.load(spark, table).count()}}""")
+    case "queue-compact" =>
+      // rewrite a connector queue dir's data files in --format (parquet by
+      // default): the migration path from the CSV demo layout to the
+      // column-pruned/footer-stat layout without downtime — locks and
+      // _claims are untouched, only itemState=<s>/ data files rewrite. The
+      // rows STAGE through a temp parquet first: the connector's overwrite
+      // clears the state dirs before its write job runs, so writing the
+      // lazy read-back of the same dir would race its own source.
+      val fmt = flags.getOrElse("format", "parquet")
+      val staged = java.nio.file.Files
+        .createTempDirectory("graft-queue-compact").toString + "/rows"
+      spark.read.format("graft.store.connector.WorkQueueSource")
+        .option("path", table).load()
+        .write.parquet(staged)
+      graft.store.connector.WorkQueueSource.write(
+        spark.read.parquet(staged), table, fmt)
+      val n = spark.read.format("graft.store.connector.WorkQueueSource")
+        .option("path", table).load().count()
+      println(s"""{"rows": $n, "format": "$fmt"}""")
     case "corpus" =>
       // training-data pipeline ops over a documents parquet: --table is the
       // input corpus, --output the destination; each op is a deterministic

@@ -75,14 +75,20 @@ object PlanDump {
       "dedup_substring_pairs" -> ("char l-gram windows from the JVM kernel (per-doc distinct), lineage-cut gram table, SHUFFLE_HASH self-join on the gram (no stat-less SMJ sort), pair-count agg"),
       "evt_autocorr" -> ("one per-key window shuffle for the lag, then a partial-agg'd DECIMAL(38) moment aggregate; r is a post-agg projection"),
       "q20_dominant_suppliers" -> ("the correlated half-of-part-total HAVING decorrelated: window SUM over the (part,supplier) rollup — the window exchange carries the rollup, never the fact; qualifying keys LEFT SEMI into the supplier dim"),
-      "q11_important_parts" -> ("global-fraction HAVING as a 1-row aggregate broadcast cross-joined onto the per-part rollup; threshold cross-multiplied in decimal, no double division"))
+      "q11_important_parts" -> ("global-fraction HAVING as a 1-row aggregate broadcast cross-joined onto the per-part rollup; threshold cross-multiplied in decimal, no double division"),
+      "sim_topk_pq_indexed" -> ("persisted flat-PQ probe: codebooks broadcast into the per-query LUT build; the corpus side is ONE columnar scan of the persisted 4-code table — no training, no re-encode, rank via window over m integer lookups per candidate"),
+      "pa_monitor_stream" -> ("monitor-log fold: latest-snapshot-per-user via one window over the VersionedTable part log (rows = touched keys x triggers, never the event stream); the streaming side committed one tagged version per trigger"),
+      "txt_fingerprint" -> ("min-shingle fingerprint as a one-pass JVM kernel at scan speed: zero exchanges before the output ordering — the HOF spelling re-evaluated the normalize+split per shingle position"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")
     out.append("Generated by `graft.PlanDump`. What to look for is noted per query;\n")
     out.append("regenerate after plan-affecting changes.\n")
     targets.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
-      df.count() // materialize so AQE settles on the final plan
+      // materialize so AQE settles on the final plan — noop sink, not
+      // count(): a count prunes output-only subtrees and would dump a plan
+      // the real query never runs (same trap Bench fixed in round 11)
+      df.write.format("noop").mode("overwrite").save()
       out.append(s"\n## $name\n\n_${note}_\n\n```\n")
       out.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode).take(6000))

@@ -68,6 +68,21 @@ class MainSpec extends SparkSpec {
       .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
       .filter(_.getName.startsWith(".inprogress"))
     assert(leftovers.isEmpty, leftovers.mkString(","))
+
+    // queue-compact migrates the data files to parquet with identical rows
+    // (locks/_claims untouched, no downtime — the CSV->columnar path)
+    Main.run(spark, "queue-compact", qdir, Map("format" -> "parquet"))
+    val migrated = spark.read.format("graft.store.connector.WorkQueueSource")
+      .option("path", qdir).load()
+      .select($"itemID", $"itemState", $"logLength", $"nestedTaskCount")
+      .as[(String, String, Long, Option[Long])].collect().toSet
+    assert(migrated === viaTable)
+    val dataFiles = Option(new java.io.File(qdir).listFiles()).getOrElse(Array.empty)
+      .filter(d => d.isDirectory && d.getName.startsWith("itemState="))
+      .flatMap(d => Option(d.listFiles()).getOrElse(Array.empty))
+      .filterNot(_.getName.startsWith("."))
+    assert(dataFiles.nonEmpty && dataFiles.forall(_.getName.endsWith(".parquet")),
+      dataFiles.map(_.getName).mkString(","))
   }
 
   test("manifest-driven reset restarts exactly the listed items (manager.py:465-549)") {
