@@ -164,6 +164,13 @@ object VersionedTable {
         size() > SnapCacheMax
     }
 
+  /** Test hook: a warm cache masks log-corruption paths (a cached ancestor
+    * snapshot satisfies reads that a cold process could no longer
+    * reconstruct), so specs for those paths must start cold.
+    */
+  private[store] def resetSnapshotCacheForTests(): Unit =
+    snapCache.synchronized { snapCache.clear() }
+
   /** Reconstruct version `v`: the newest usable base (cached ancestor
     * snapshot or checkpoint ≤ v), then replay the delta suffix in version
     * order — adds append, removes drop by path, tags accumulate,
@@ -212,6 +219,14 @@ object VersionedTable {
         op = s.op; schemaJson = s.schema.json; bloomCols = s.bloomCols
         lo = s.version
       case (None, None) =>
+        // no base at all: the replay is only complete if the delta chain
+        // reaches back to genesis. A log whose old deltas were vacuumed but
+        // whose checkpoint was lost (or externally deleted) would otherwise
+        // silently reconstruct a PARTIAL file list.
+        require(versions.head == 1L,
+          s"$root log starts at version ${versions.head} with no checkpoint ≤ $v: " +
+            "cannot reconstruct a complete snapshot (old deltas dropped without " +
+            "a surviving checkpoint — restore a checkpoint or the missing deltas)")
     }
     for (dv <- versions if dv > lo && dv <= v) {
       val d = org.json4s.jackson.JsonMethods
@@ -262,10 +277,18 @@ object VersionedTable {
     * identical content; failing entirely is fine — checkpoints only bound
     * replay length, never correctness.
     */
+  /** Test hook simulating the swallowed-IO-failure mode of
+    * [[writeCheckpoint]] (disk full / permission / transient store error):
+    * no file lands, no exception escapes — exactly what vacuum's durability
+    * guard must catch before deleting deltas.
+    */
+  private[store] var failCheckpointWritesForTests: Boolean = false
+
   private def writeCheckpoint(f: FileSystem, root: String, v: Long, op: String,
       schemaJson: String, files: Seq[FileEntry], tags: Seq[String],
       bloomCols: Seq[String]): Unit =
     try {
+      if (failCheckpointWritesForTests) throw new java.io.IOException("injected")
       casPublishAt(f, root, cpPath(root, v),
         org.json4s.jackson.Serialization.write(CheckpointManifest(
           v, op, schemaJson, files.toList, tags.toList, bloomCols.toList)))
@@ -696,14 +719,29 @@ object VersionedTable {
     val (versions, cps) = listLog(f, root)
     require(versions.nonEmpty, s"$root is not a versioned table")
     val keep = versions.takeRight(retainVersions)
+    val dropping = versions.dropRight(retainVersions)
     // the oldest retained version must stay reconstructible after its
     // parent deltas are dropped: materialize a checkpoint AT it first
     // (crash between checkpoint and deletes is safe — extra checkpoint,
-    // nothing lost)
-    if (!cps.contains(keep.head)) {
+    // nothing lost). writeCheckpoint is best-effort by design (routine
+    // commits only use checkpoints to bound replay), but HERE the retained
+    // versions become unreconstructible if it silently failed — so verify
+    // the checkpoint actually exists before deleting anything.
+    if (!cps.contains(keep.head) && keep.head > 1L) {
       val s = snapshot(spark, root, Some(keep.head))
       writeCheckpoint(f, root, s.version, s.op, s.schema.json, s.files,
         s.tags, s.bloomCols)
+      // a durable checkpoint is a FILE that parses back at the right
+      // version — a bare exists() would accept a squatting directory or a
+      // truncated partial
+      val durable = dropping.isEmpty || (try {
+        org.json4s.jackson.JsonMethods
+          .parse(readText(f, cpPath(root, keep.head)))
+          .extract[CheckpointManifest].version == keep.head
+      } catch { case scala.util.control.NonFatal(_) => false })
+      require(durable,
+        s"vacuum of $root aborted: checkpoint at version ${keep.head} could " +
+          "not be written durably; no deltas or data files were deleted")
     }
     val referenced = keep
       .flatMap(v => snapshot(spark, root, Some(v)).files.map(_.path)).toSet

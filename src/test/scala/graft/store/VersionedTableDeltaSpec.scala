@@ -117,6 +117,58 @@ class VersionedTableDeltaSpec extends SparkSpec {
       s"vacuum must checkpoint the oldest retained version, have $names")
   }
 
+  test("vacuum aborts before deleting anything when the checkpoint cannot be written") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s").coalesce(1))
+    for (i <- 2 to 7)
+      VersionedTable.append(spark, root,
+        Seq((i.toLong, "x")).toDF("k", "s").coalesce(1))
+    val logDir = new java.io.File(root, "_log")
+    val before = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    // make the checkpoint write fail silently (writeCheckpoint swallows IO
+    // errors by design — disk full, permissions, transient store fault):
+    // vacuum MUST verify durability and abort — were it to proceed, deltas
+    // 1..5 would be deleted with no checkpoint at 6 and versions 6-7 would
+    // become unreconstructible
+    VersionedTable.failCheckpointWritesForTests = true
+    try {
+      val err = intercept[IllegalArgumentException] {
+        VersionedTable.vacuum(spark, root, retainVersions = 2)
+      }
+      assert(err.getMessage.contains("could not be written durably"))
+    } finally VersionedTable.failCheckpointWritesForTests = false
+    val after = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .map(_.getName).filterNot(_.startsWith(".")).toSet
+    assert(after === before, "aborted vacuum must not delete any log file")
+    assert(VersionedTable.read(spark, root, Some(3L)).count() === 3)
+    assert(VersionedTable.read(spark, root).count() === 7)
+    // and the recovery path still works once the dir is writable again
+    VersionedTable.vacuum(spark, root, retainVersions = 2)
+    assert(VersionedTable.read(spark, root).count() === 7)
+  }
+
+  test("snapshot fails loudly on a truncated log with no surviving checkpoint") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s").coalesce(1))
+    for (i <- 2 to 7)
+      VersionedTable.append(spark, root,
+        Seq((i.toLong, "x")).toDF("k", "s").coalesce(1))
+    VersionedTable.vacuum(spark, root, retainVersions = 2)
+    // externally lose the checkpoint vacuum materialized at v6, and start
+    // cold (the warm snapshot cache is what hides this in-process): the
+    // remaining deltas 6..7 are a suffix with no genesis — a replay from
+    // them alone would silently drop files committed in versions 1..5
+    val cp = Option(new java.io.File(root, "_log").listFiles())
+      .getOrElse(Array.empty).find(_.getName.endsWith(".checkpoint.json"))
+    assert(cp.isDefined && cp.get.delete())
+    VersionedTable.resetSnapshotCacheForTests()
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root)
+    }
+    assert(err.getMessage.contains("cannot reconstruct a complete snapshot"))
+  }
+
   test("appendBatch tag refusal survives checkpoint-based reconstruction") {
     val root = tmp()
     VersionedTable.create(spark, root, Seq((0L, "s")).toDF("k", "s").coalesce(1))
