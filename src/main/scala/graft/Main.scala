@@ -200,20 +200,57 @@ object Main {
       // default): the migration path from the CSV demo layout to the
       // column-pruned/footer-stat layout without downtime — locks and
       // _claims are untouched, only itemState=<s>/ data files rewrite. The
-      // rows STAGE through a temp parquet first: the connector's overwrite
-      // clears the state dirs before its write job runs, so writing the
-      // lazy read-back of the same dir would race its own source.
+      // new layout BUILDS inside the queue dir under a staging subdir
+      // (invisible to the source, which only lists itemState= dirs) and
+      // PUBLISHES by directory rename: any failure before the swap leaves
+      // the live queue byte-identical, the swap itself runs no Spark job
+      // (pure same-device renames), and a failure mid-swap leaves every
+      // row recoverable at the printed staging path — the previous
+      // clear-then-rewrite protocol could crash into an empty queue whose
+      // only copy sat in an unannounced /tmp dir.
       val fmt = flags.getOrElse("format", "parquet")
-      val staged = java.nio.file.Files
-        .createTempDirectory("graft-queue-compact").toString + "/rows"
-      spark.read.format("graft.store.connector.WorkQueueSource")
-        .option("path", table).load()
-        .write.parquet(staged)
-      graft.store.connector.WorkQueueSource.write(
-        spark.read.parquet(staged), table, fmt)
+      val staging = new java.io.File(table,
+        s"_compact-staging-${java.util.UUID.randomUUID()}")
+      val stagedRows = new java.io.File(staging, "rows").toString
+      val stagedQueue = new java.io.File(staging, "queue")
+      def rmTree(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+        f.delete(); ()
+      }
+      try {
+        // 1. durable row snapshot (also the recovery copy on failure)
+        spark.read.format("graft.store.connector.WorkQueueSource")
+          .option("path", table).load()
+          .write.parquet(stagedRows)
+        // 2. build the full new layout off to the side
+        graft.store.connector.WorkQueueSource.append(
+          spark.read.parquet(stagedRows), stagedQueue.toString, fmt)
+        // 3. swap: clear each live state dir, rename its staged twin in
+        val stagedDirs = Option(stagedQueue.listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith("itemState="))
+        Option(new java.io.File(table).listFiles()).getOrElse(Array.empty)
+          .filter(d => d.isDirectory && d.getName.startsWith("itemState="))
+          .foreach(rmTree)
+        stagedDirs.foreach { d =>
+          require(d.renameTo(new java.io.File(table, d.getName)),
+            s"failed to publish ${d.getName} from staging")
+        }
+        rmTree(staging)
+      } catch {
+        case e: Throwable =>
+          System.err.println(
+            s"queue-compact failed (${e.getMessage}); the live queue was " +
+              s"not cleared unless the swap had begun, and every row " +
+              s"survives as parquet at $stagedRows")
+          throw e
+      }
+      // one-shot escape-format migration: legacy lock filenames / state
+      // dir names rename to the current escapeToken form
+      val renamed = graft.store.connector.WorkQueueSource
+        .renormalizeEscaping(table)
       val n = spark.read.format("graft.store.connector.WorkQueueSource")
         .option("path", table).load().count()
-      println(s"""{"rows": $n, "format": "$fmt"}""")
+      println(s"""{"rows": $n, "format": "$fmt", "renormalized": $renamed}""")
     case "corpus" =>
       // training-data pipeline ops over a documents parquet: --table is the
       // input corpus, --output the destination; each op is a deterministic

@@ -111,8 +111,20 @@ object WorkQueueClaimWrite {
     * for code points past 0xFF would be ambiguous to the two-hex-digit
     * decoder and corrupt non-Latin-1 values on read-back
     * ([[WorkQueueSource.unescapePartitionValue]] reassembles the byte runs
-    * and UTF-8-decodes them). Letters/digits — including non-ASCII ones,
-    * which every modern filesystem stores verbatim — pass through raw.
+    * and UTF-8-decodes them).
+    *
+    * Only ASCII letters/digits/`_-.` pass through raw. Non-ASCII letters
+    * are escaped too — deliberately: filenames holding raw non-ASCII are
+    * subject to filesystem Unicode normalization (macOS stores NFD), which
+    * breaks the byte-equality round-trip a lock filename must guarantee
+    * (the same itemID must always map to the same lock file).
+    *
+    * Format history (decoders accept all three): v1 escaped chars
+    * 0x80–0xFF as ONE %XX each (Latin-1 bytes — the decoder's Latin-1
+    * fallback recovers these); v2 passed non-ASCII letters raw (verbatim
+    * passthrough still decodes); v3 (current) escapes every non-ASCII
+    * code point per UTF-8 byte. `Main`'s queue-compact verb renames v1/v2
+    * lock files to the current form as its migration step.
     */
   private[connector] def escapeToken(s: String): String = {
     val sb = new StringBuilder
@@ -121,7 +133,7 @@ object WorkQueueClaimWrite {
       val cp = s.codePointAt(i)
       val n = Character.charCount(cp)
       val c = s.charAt(i)
-      if (n == 1 && (c.isLetterOrDigit || c == '_' || c == '-' || c == '.'))
+      if (n == 1 && c < 0x80 && (c.isLetterOrDigit || c == '_' || c == '-' || c == '.'))
         sb.append(c)
       else
         new String(Character.toChars(cp))

@@ -106,6 +106,13 @@ object WorkQueueSource {
     * of consecutive %XX groups collect into a byte buffer and decode as
     * UTF-8, so multi-byte escapes reassemble into their original code
     * points. A '%' not followed by two hex digits passes through verbatim.
+    *
+    * A byte run that is NOT valid UTF-8 decodes as Latin-1 instead: the
+    * legacy (v1) escape format wrote chars 0x80–0xFF as one %XX each, and
+    * those lone high bytes would otherwise collapse to U+FFFD — the
+    * fallback keeps pre-existing queue dirs and lock files readable. (New
+    * writes always escape whole UTF-8 sequences, which the strict decode
+    * accepts, so the fallback never fires on current-format data.)
     */
   def unescapePartitionValue(s: String): String = {
     def hex(c: Char): Boolean =
@@ -113,8 +120,16 @@ object WorkQueueSource {
     val out = new StringBuilder
     val bytes = new java.io.ByteArrayOutputStream
     def flush(): Unit = if (bytes.size > 0) {
-      out.append(new String(bytes.toByteArray,
-        java.nio.charset.StandardCharsets.UTF_8))
+      val arr = bytes.toByteArray
+      val strict = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+      try out.append(strict.decode(java.nio.ByteBuffer.wrap(arr)).toString)
+      catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          out.append(new String(arr,
+            java.nio.charset.StandardCharsets.ISO_8859_1))
+      }
       bytes.reset()
     }
     var i = 0
@@ -127,6 +142,55 @@ object WorkQueueSource {
     }
     flush()
     out.result()
+  }
+
+  /** One-shot migration of legacy escape forms to the current
+    * [[WorkQueueClaimWrite.escapeToken]] encoding: lock filenames and
+    * `itemState=` directory names are decoded (the decoder accepts all
+    * historical forms) and re-encoded; entries whose canonical name differs
+    * are renamed in place. Lock CONTENT needs no rewrite — it is decoded on
+    * every read. If both a legacy and a current-format lock file exist for
+    * the same itemID, the current-format one wins (it is the one live
+    * claims resolve) and the legacy duplicate is dropped. Returns the
+    * number of renamed/dropped entries. Run via `Main queue-compact`.
+    */
+  def renormalizeEscaping(path: String): Int = {
+    var changed = 0
+    def canonicalOf(stem: String): String =
+      WorkQueueClaimWrite.escapeToken(unescapePartitionValue(stem))
+    val locks = new java.io.File(path, "locks")
+    for (f <- Option(locks.listFiles()).getOrElse(Array.empty)
+         if f.isFile && f.getName.endsWith(".lock")) {
+      val stem = f.getName.stripSuffix(".lock")
+      val canonical = canonicalOf(stem)
+      if (canonical != stem) {
+        val dest = new java.io.File(locks, canonical + ".lock")
+        if (dest.exists()) require(f.delete(), s"failed to drop ${f.getPath}")
+        else require(f.renameTo(dest),
+          s"failed to rename ${f.getPath} to its canonical escape form")
+        changed += 1
+      }
+    }
+    for (d <- Option(new java.io.File(path).listFiles()).getOrElse(Array.empty)
+         if d.isDirectory && d.getName.startsWith("itemState=")) {
+      val stem = d.getName.stripPrefix("itemState=")
+      val canonical = canonicalOf(stem)
+      if (canonical != stem) {
+        val dest = new java.io.File(path, "itemState=" + canonical)
+        if (dest.exists()) {
+          // both escape forms of the same state exist: MERGE the legacy
+          // dir's data files into the canonical dir (names are unique —
+          // they carry query/task/attempt ids), never drop rows
+          for (f <- Option(d.listFiles()).getOrElse(Array.empty))
+            require(f.renameTo(new java.io.File(dest, f.getName)),
+              s"failed to merge ${f.getPath} into ${dest.getPath}")
+          require(d.delete(), s"failed to drop emptied ${d.getPath}")
+        } else require(d.renameTo(dest),
+          s"failed to rename ${d.getPath} to its canonical escape form")
+        changed += 1
+      }
+    }
+    changed
   }
 }
 

@@ -83,6 +83,12 @@ class MainSpec extends SparkSpec {
       .filterNot(_.getName.startsWith("."))
     assert(dataFiles.nonEmpty && dataFiles.forall(_.getName.endsWith(".parquet")),
       dataFiles.map(_.getName).mkString(","))
+    // the staging dir publishes by rename and is swept on success — a
+    // leftover would hold a stale second copy of every row
+    val staleStaging = Option(new java.io.File(qdir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_compact-staging-"))
+    assert(staleStaging.isEmpty, staleStaging.mkString(","))
   }
 
   test("manifest-driven reset restarts exactly the listed items (manager.py:465-549)") {

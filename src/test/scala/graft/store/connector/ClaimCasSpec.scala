@@ -59,7 +59,7 @@ class ClaimCasSpec extends AnyFunSuite {
     val cases = Seq(
       "plain-id_1.2",
       "a,b c%d=e",                  // ASCII specials: one %XX per char
-      "中文状态",                    // CJK letters pass through raw
+      "中文状态",                    // CJK letters: escaped per UTF-8 byte
       "done→next",                  // U+2192: 3 UTF-8 bytes, was corrupted pre-fix
       "emoji😀state",     // surrogate pair (4 UTF-8 bytes)
       "nl\nand,comma",              // control chars
@@ -68,8 +68,10 @@ class ClaimCasSpec extends AnyFunSuite {
       "")
     cases.foreach { s =>
       val esc = WorkQueueClaimWrite.escapeToken(s)
-      // escaped form is filesystem-safe: no separators or path chars
-      assert(!esc.exists(c => c == '/' || c == '\n' || c == ','), esc)
+      // escaped form is filesystem-safe AND pure ASCII: raw non-ASCII in a
+      // filename is subject to FS Unicode normalization (macOS NFD), which
+      // would break the byte-equality the lock filename contract needs
+      assert(esc.forall(c => c < 0x80 && c != '/' && c != '\n' && c != ','), esc)
       assert(WorkQueueSource.unescapePartitionValue(esc) === s, s"via $esc")
     }
     // Spark-style single-byte ASCII escapes still decode (the other producer
@@ -77,5 +79,39 @@ class ClaimCasSpec extends AnyFunSuite {
     assert(WorkQueueSource.unescapePartitionValue("a%20b%2Cc") === "a b,c")
     // a '%' not followed by two hex digits is literal, not an escape
     assert(WorkQueueSource.unescapePartitionValue("100%zz%4") === "100%zz%4")
+    // legacy v1 format escaped 0x80-0xFF as ONE %XX each (Latin-1 bytes):
+    // an invalid-UTF-8 byte run falls back to Latin-1 instead of U+FFFD,
+    // so pre-existing queue dirs and lock files keep decoding correctly
+    assert(WorkQueueSource.unescapePartitionValue("caf%E9") === "café")
+    assert(WorkQueueSource.unescapePartitionValue("%E9%20%FC") === "é ü")
+    // v2 format passed non-ASCII letters raw: verbatim passthrough decodes
+    assert(WorkQueueSource.unescapePartitionValue("café") === "café")
+  }
+
+  test("renormalizeEscaping migrates legacy lock filenames and state dirs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-renorm").toString
+    val locks = new java.io.File(dir, "locks"); locks.mkdirs()
+    // v1-era lock for itemID "café" (single %XX per Latin-1 char). A
+    // v2-era RAW non-ASCII filename cannot even be created under this
+    // JVM's POSIX jnu.encoding — one more reason the current format
+    // escapes everything past ASCII.
+    java.nio.file.Files.write(new java.io.File(locks, "caf%E9.lock").toPath,
+      "lock1,inst1".getBytes("UTF-8"))
+    // a current-format lock must be untouched
+    val current = WorkQueueClaimWrite.escapeToken("plain") + ".lock"
+    java.nio.file.Files.write(new java.io.File(locks, current).toPath,
+      "lock3,inst3".getBytes("UTF-8"))
+    // legacy state dir with a data file that must survive the rename
+    val legacyState = new java.io.File(dir, "itemState=todo%E9"); legacyState.mkdirs()
+    java.nio.file.Files.write(new java.io.File(legacyState, "part-x.csv").toPath,
+      "i1,t1,0,\n".getBytes("UTF-8"))
+    assert(WorkQueueSource.renormalizeEscaping(dir) === 2)
+    // lockState resolves the migrated lock under its raw itemID
+    assert(WorkQueueClaimWrite.lockState(dir, "café").map(_._1) === Some("lock1"))
+    assert(WorkQueueClaimWrite.lockState(dir, "plain").map(_._1) === Some("lock3"))
+    val canonicalState = "itemState=" + WorkQueueClaimWrite.escapeToken("todoé")
+    assert(new java.io.File(new java.io.File(dir, canonicalState), "part-x.csv").isFile)
+    // idempotent: a second pass changes nothing
+    assert(WorkQueueSource.renormalizeEscaping(dir) === 0)
   }
 }
