@@ -915,8 +915,87 @@ object VersionedTable {
     read(spark, root).orderBy("p_partkey")
   }
 
+  /** Driver gate: OPTIMIZE as a LIFECYCLE — a create plus a micro-batch
+    * append tail (the streaming-ingest small-file pattern), compacted by
+    * [[optimize]], read back at the post-compaction version. The gate
+    * itself asserts the layout contract (file count shrank, the one
+    * already-at-target file carried by reference) so a silently broken
+    * compaction fails loudly; the driver hash then proves the rewrite was
+    * layout-ONLY — the row multiset after 8 commits + a compaction equals
+    * the plain relational union. Thresholds derive from the data so the
+    * same shape holds at sf0.01, sf0.1 and the 100× probes.
+    */
+  def compactSnapshotGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-vt-compact").toString + "/t"
+    val orders = graft.Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    val target = orders.count() / 10  // big files ≥ n/10 carry by reference
+    create(spark, root, orders.filter(col("o_orderkey") % 8 === 0).coalesce(1))
+    for (m <- 1 to 7)
+      append(spark, root,
+        orders.filter(col("o_orderkey") % 8 === m).repartition(3))
+    val before = snapshot(spark, root)
+    val bigFiles = before.files.filter(_.rows >= target).map(_.path).toSet
+    optimize(spark, root, targetRows = target)
+    val after = snapshot(spark, root)
+    require(after.op == "optimize", s"expected an optimize commit, got ${after.op}")
+    require(after.files.size < before.files.size,
+      s"compaction must shrink the file count (${before.files.size} -> ${after.files.size})")
+    require(bigFiles.subsetOf(after.files.map(_.path).toSet),
+      "files already at target size must carry by reference, not rewrite")
+    read(spark, root).orderBy("o_orderkey")
+  }
+
+  /** Driver gate: TIME TRAVEL — the same commit chain as
+    * [[mergeSnapshotGate]] built to version 4, then read AS OF version 2,
+    * cross-checked against the relational recomputation of that historical
+    * state. What it proves that the head-read gate cannot: a pinned-version
+    * snapshot replays exactly the delta prefix (base choice + replay
+    * bounds), untouched by the two newer commits.
+    */
+  def timeTravelGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-vt-tt").toString + "/t"
+    val part = graft.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+    create(spark, root, part.filter(col("p_partkey") % 3 === 0))
+    append(spark, root, part.filter(col("p_partkey") % 3 === 1))
+    merge(spark, root, part.filter(col("p_partkey") % 5 === 0)
+      .withColumn("p_retailprice", col("p_retailprice") + lit(1000.0)), "p_partkey")
+    deleteByKeys(spark, root,
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey"), "p_partkey")
+    read(spark, root, version = Some(2L)).orderBy("p_partkey")
+  }
+
+  /** Driver gate: CDC — [[changeFeedRows]] between version 2 (post-append)
+    * and version 4 (post-delete) of the same chain, classified and
+    * flattened. The engine reads ONLY files that entered or left the
+    * manifest (carried-by-reference files are identical bytes by
+    * construction); rewritten-but-equal rows fingerprint as unchanged and
+    * drop — the oracle recomputes the identical diff relationally, so the
+    * hash proves the pruned feed equals the full-table diff.
+    */
+  def changeFeedGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-vt-cdc").toString + "/t"
+    val part = graft.Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+    create(spark, root, part.filter(col("p_partkey") % 3 === 0))
+    append(spark, root, part.filter(col("p_partkey") % 3 === 1))
+    merge(spark, root, part.filter(col("p_partkey") % 5 === 0)
+      .withColumn("p_retailprice", col("p_retailprice") + lit(1000.0)), "p_partkey")
+    deleteByKeys(spark, root,
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey"), "p_partkey")
+    changeFeedRows(spark, root, fromVersion = 2L, toVersion = 4L, "p_partkey")
+      .select(col("key").as("p_partkey"), col("change"),
+        col("old.p_retailprice").as("old_price"),
+        col("new.p_retailprice").as("new_price"))
+      .orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "vt_merge_snapshot" -> (mergeSnapshotGate _))
+    "vt_merge_snapshot" -> (mergeSnapshotGate _),
+    "vt_compact_snapshot" -> (compactSnapshotGate _),
+    "vt_time_travel" -> (timeTravelGate _),
+    "vt_change_feed" -> (changeFeedGate _))
 
   val oracles: Map[String, String] = Map(
     "vt_merge_snapshot" ->
@@ -927,5 +1006,30 @@ object VersionedTable {
         |m AS (SELECT * FROM base WHERE p_partkey % 5 <> 0
         |      UNION ALL SELECT * FROM upd),
         |f AS (SELECT * FROM m WHERE p_partkey % 7 <> 0)
-        |SELECT * FROM f ORDER BY p_partkey""".stripMargin)
+        |SELECT * FROM f ORDER BY p_partkey""".stripMargin,
+    "vt_compact_snapshot" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+        |ORDER BY o_orderkey""".stripMargin,
+    "vt_time_travel" ->
+      """SELECT p_partkey, p_brand, p_retailprice FROM part
+        |WHERE p_partkey % 3 IN (0, 1) ORDER BY p_partkey""".stripMargin,
+    "vt_change_feed" ->
+      """WITH p AS (SELECT p_partkey, p_retailprice FROM part),
+        |v2 AS (SELECT * FROM p WHERE p_partkey % 3 IN (0, 1)),
+        |v4 AS (SELECT p_partkey,
+        |         CASE WHEN p_partkey % 5 = 0 THEN p_retailprice + 1000.0
+        |              ELSE p_retailprice END AS p_retailprice
+        |       FROM p
+        |       WHERE (p_partkey % 3 IN (0, 1) OR p_partkey % 5 = 0)
+        |         AND p_partkey % 7 <> 0)
+        |SELECT COALESCE(v2.p_partkey, v4.p_partkey) AS p_partkey,
+        |  CASE WHEN v2.p_partkey IS NULL THEN 'added'
+        |       WHEN v4.p_partkey IS NULL THEN 'removed'
+        |       ELSE 'changed' END AS change,
+        |  v2.p_retailprice AS old_price,
+        |  v4.p_retailprice AS new_price
+        |FROM v2 FULL OUTER JOIN v4 ON v2.p_partkey = v4.p_partkey
+        |WHERE v2.p_partkey IS NULL OR v4.p_partkey IS NULL
+        |   OR v2.p_retailprice <> v4.p_retailprice
+        |ORDER BY p_partkey""".stripMargin)
 }
