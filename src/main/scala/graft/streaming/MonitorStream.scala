@@ -77,27 +77,42 @@ object MonitorStream {
       .createTempDirectory("graft-monstream").toString
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-monstream-ck").toString
-    val events = Tables.events(spark, sfDir)
+    // one scan, split driver-side (MemoryStream is driver-fed by design):
+    // three filter+collect jobs would re-read the parquet three times
+    val batches = Tables.events(spark, sfDir)
       .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
       .as[Stateful.UserEvent4]
-    val batches = (0L to 2L).map(b =>
-      events.filter(col("event_id") % 3 === b).collect().toSeq)
+      .collect().groupBy(_.event_id % 3)
     val source = MemoryStream[Stateful.UserEvent4]
-    val q = Stateful.runningUserTotalsExact(source.toDS())
-      .toDF()
-      .writeStream
-      .outputMode(Stateful.outputMode)
-      .option("checkpointLocation", ckpt)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processBatch(batch, root, batchId)
-        ()
-      }
-      .start()
+    // state-store partition count is fixed by shuffle.partitions at FIRST
+    // query start (then pinned by the checkpoint): size it to the op —
+    // per-user running totals shard by key cardinality/throughput, and 32
+    // HDFS-backed state instances paying delta+snapshot+commit files per
+    // trigger is pure fixed overhead for a keyspace this size. At 100 TB
+    // you size this UP with the keyspace; the point is it is a sizing
+    // choice, not the global shuffle width.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      // one addData + drain per micro-batch: three real triggers, state
-      // carried across them by the streaming engine (not by this driver)
-      batches.foreach { b => source.addData(b); q.processAllAvailable() }
-    } finally q.stop()
+      val q = Stateful.runningUserTotalsExact(source.toDS())
+        .toDF()
+        .writeStream
+        .outputMode(Stateful.outputMode)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          processBatch(batch, root, batchId)
+          ()
+        }
+        .start()
+      try {
+        // one addData + drain per micro-batch: three real triggers, state
+        // carried across them by the streaming engine (not by this driver)
+        (0L to 2L).foreach { b =>
+          source.addData(batches.getOrElse(b, Array.empty).toSeq)
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // the restarted-trigger replay: foreachBatch is at-least-once, so a
     // crash after commit re-fires the same batchId — the tag must refuse
     // (were it applied, the fold would emit duplicate rows and the driver
