@@ -42,29 +42,44 @@ object TimeSeries {
     */
   def resampleLocf(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, stepMicros: Long): DataFrame = {
-    val obs0 = events.select(col(keyCol).as("key"), col(idCol).as("eid"),
+    // the gap rows [obs_i, obs_{i+1}) are generated directly from each
+    // observation and its lead — no materialized grid, no grid⋈obs join,
+    // no unbounded window frames. One explicit repartition on the key up
+    // front; HashPartitioning(key) satisfies both the (key, bucket)
+    // aggregation and the window's (key) clustering, so the whole pipeline
+    // is ONE shuffle + one sort.
+    val obs = observedBuckets(events, keyCol, tsCol, idCol, valueCol, stepMicros)
+    val w = Window.partitionBy("key").orderBy("bucket")
+    obs
+      .withColumn("nb", lead("bucket", 1).over(w))
+      .select(col("key"), col("bucket").as("ob"), col("n_obs"),
+        col("obs_value"),
+        explode(sequence(col("bucket"),
+          coalesce(col("nb") - 1, col("bucket")))).as("bucket"))
+      .select(col("key"), col("bucket"),
+        (col("bucket") * stepMicros).as("bucket_us"),
+        when(col("bucket") === col("ob"), col("n_obs")).otherwise(lit(0L))
+          .as("n_obs"),
+        col("obs_value").as("value"),  // LOCF: gaps carry the left obs
+        (col("bucket") =!= col("ob")).as("is_gap"))
+  }
+
+  /** Deterministic per-(key, bucket) observation summary — one partial-
+    * aggregatable pass: (us, eid) is unique per event, so max(struct)
+    * picks the last observation order-free.
+    */
+  private def observedBuckets(events: DataFrame, keyCol: String,
+      tsCol: String, idCol: String, valueCol: String,
+      stepMicros: Long): DataFrame =
+    events.select(col(keyCol).as("key"), col(idCol).as("eid"),
         unix_micros(col(tsCol)).as("us"), col(valueCol).as("value"))
       .withColumn("bucket", expr(s"us div ${stepMicros}L"))
-    // (us, eid) is unique per event, so max(struct) picks one observation
-    // deterministically — order-free, partial-aggregatable
-    val obs = obs0.groupBy("key", "bucket")
+      .repartition(col("key"))
+      .groupBy("key", "bucket")
       .agg(count(lit(1)).as("n_obs"),
         max(struct(col("us"), col("eid"), col("value"))).as("lastObs"))
       .select(col("key"), col("bucket"), col("n_obs"),
         col("lastObs.value").as("obs_value"))
-    val grid = obs.groupBy("key")
-      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      .select(col("key"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
-    val w = Window.partitionBy("key").orderBy("bucket")
-      .rowsBetween(Window.unboundedPreceding, 0)
-    grid.join(obs, Seq("key", "bucket"), "left")
-      .withColumn("is_gap", col("obs_value").isNull)
-      .select(col("key"), col("bucket"),
-        (col("bucket") * stepMicros).as("bucket_us"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        last("obs_value", ignoreNulls = true).over(w).as("value"),
-        col("is_gap"))
-  }
 
   /** Linear-interpolation variant of [[resampleLocf]]: empty buckets
     * between two observed buckets take the straight line between the
@@ -78,41 +93,31 @@ object TimeSeries {
     * The grid spans first..last OBSERVED bucket per key, so every gap row
     * has both neighbors and `value` is never null.
     *
-    * Scale shape: identical to LOCF — one shuffle on the key; the
-    * backward (prev obs) and forward (next obs) scans are two frames over
-    * the same window ordering, one sort.
+    * Scale shape: same single-shuffle pipeline as LOCF — each gap run is
+    * generated from its LEFT observation plus the lead (next) observation,
+    * so both interpolation endpoints ride on the generating row and no
+    * unbounded forward/backward frames are needed.
     */
   def resampleLerp(events: DataFrame, keyCol: String, tsCol: String,
       idCol: String, valueCol: String, stepMicros: Long): DataFrame = {
-    val obs0 = events.select(col(keyCol).as("key"), col(idCol).as("eid"),
-        unix_micros(col(tsCol)).as("us"), col(valueCol).as("value"))
-      .withColumn("bucket", expr(s"us div ${stepMicros}L"))
-    val obs = obs0.groupBy("key", "bucket")
-      .agg(count(lit(1)).as("n_obs"),
-        max(struct(col("us"), col("eid"), col("value"))).as("lastObs"))
-      .select(col("key"), col("bucket"), col("n_obs"),
-        col("lastObs.value").as("obs_value"))
-    val grid = obs.groupBy("key")
-      .agg(min("bucket").as("b0"), max("bucket").as("b1"))
-      .select(col("key"), explode(sequence(col("b0"), col("b1"))).as("bucket"))
-    val ord = Window.partitionBy("key").orderBy("bucket")
-    val back = ord.rowsBetween(Window.unboundedPreceding, 0)
-    val fwd = ord.rowsBetween(0, Window.unboundedFollowing)
-    val obBucket = when(col("obs_value").isNotNull, col("bucket"))
-    grid.join(obs, Seq("key", "bucket"), "left")
-      .withColumn("is_gap", col("obs_value").isNull)
-      .withColumn("pv", last("obs_value", ignoreNulls = true).over(back))
-      .withColumn("pb", last(obBucket, ignoreNulls = true).over(back))
-      .withColumn("nv", first("obs_value", ignoreNulls = true).over(fwd))
-      .withColumn("nb", first(obBucket, ignoreNulls = true).over(fwd))
+    val obs = observedBuckets(events, keyCol, tsCol, idCol, valueCol, stepMicros)
+    val w = Window.partitionBy("key").orderBy("bucket")
+    obs
+      .withColumn("nb", lead("bucket", 1).over(w))
+      .withColumn("nv", lead("obs_value", 1).over(w))
+      .select(col("key"), col("bucket").as("ob"), col("n_obs"),
+        col("obs_value"), col("nb"), col("nv"),
+        explode(sequence(col("bucket"),
+          coalesce(col("nb") - 1, col("bucket")))).as("bucket"))
       .select(col("key"), col("bucket"),
         (col("bucket") * stepMicros).as("bucket_us"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
-        when(!col("is_gap"), col("obs_value"))
-          .otherwise(col("pv") + (col("nv") - col("pv")) *
-            ((col("bucket") - col("pb")).cast("double") /
-              (col("nb") - col("pb")).cast("double"))).as("value"),
-        col("is_gap"))
+        when(col("bucket") === col("ob"), col("n_obs")).otherwise(lit(0L))
+          .as("n_obs"),
+        when(col("bucket") === col("ob"), col("obs_value"))
+          .otherwise(col("obs_value") + (col("nv") - col("obs_value")) *
+            ((col("bucket") - col("ob")).cast("double") /
+              (col("nb") - col("ob")).cast("double"))).as("value"),
+        (col("bucket") =!= col("ob")).as("is_gap"))
   }
 
   /** Gate hopping shape: 6 h windows every 2 h (overlap factor 3). */

@@ -183,6 +183,50 @@ ORDER BY "column" """)
     return stmts
 
 
+# compaction twin: 8 commits (create + 7 inserts) then a full storage
+# rewrite (DuckDB's analog of packing the small-file tail) and the read
+LIFECYCLE["vt_compact_snapshot"] = [
+    "CREATE OR REPLACE TABLE vt AS SELECT o_orderkey, o_custkey, o_totalprice"
+    " FROM orders WHERE o_orderkey % 8 = 0",
+] + [
+    f"INSERT INTO vt SELECT o_orderkey, o_custkey, o_totalprice"
+    f" FROM orders WHERE o_orderkey % 8 = {m}"
+    for m in range(1, 8)
+] + [
+    "CREATE OR REPLACE TABLE vt AS SELECT * FROM vt",
+    "SELECT * FROM vt ORDER BY o_orderkey",
+]
+
+# time-travel twin: DuckDB has no version log, so it must MATERIALIZE the
+# historical state the engine reconstructs for free from its deltas —
+# same 4-step chain, with a copy retained at version 2
+LIFECYCLE["vt_time_travel"] = [
+    "CREATE OR REPLACE TABLE vt AS SELECT p_partkey, p_brand, p_retailprice"
+    " FROM part WHERE p_partkey % 3 = 0",
+    "INSERT INTO vt SELECT p_partkey, p_brand, p_retailprice"
+    " FROM part WHERE p_partkey % 3 = 1",
+    "CREATE OR REPLACE TABLE vt_v2 AS SELECT * FROM vt",
+    "DELETE FROM vt WHERE p_partkey % 5 = 0",
+    "INSERT INTO vt SELECT p_partkey, p_brand, p_retailprice + 1000.0"
+    " FROM part WHERE p_partkey % 5 = 0",
+    "DELETE FROM vt WHERE p_partkey % 7 = 0",
+    "SELECT * FROM vt_v2 ORDER BY p_partkey",
+]
+
+# CDC twin: same chain + v2 copy, then the full diff query between the
+# materialized v2 state and the final state
+LIFECYCLE["vt_change_feed"] = LIFECYCLE["vt_time_travel"][:-1] + [
+    "SELECT COALESCE(v2.p_partkey, v4.p_partkey) AS p_partkey,"
+    " CASE WHEN v2.p_partkey IS NULL THEN 'added'"
+    "      WHEN v4.p_partkey IS NULL THEN 'removed'"
+    "      ELSE 'changed' END AS change,"
+    " v2.p_retailprice AS old_price, v4.p_retailprice AS new_price"
+    " FROM vt_v2 v2 FULL OUTER JOIN vt v4 ON v2.p_partkey = v4.p_partkey"
+    " WHERE v2.p_partkey IS NULL OR v4.p_partkey IS NULL"
+    "  OR v2.p_retailprice <> v4.p_retailprice"
+    " ORDER BY p_partkey",
+]
+
 LIFECYCLE["q_profile_stream_lineitem"] = _stream_profile_lifecycle()
 
 
