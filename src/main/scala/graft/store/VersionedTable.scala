@@ -991,11 +991,31 @@ object VersionedTable {
       .orderBy("p_partkey")
   }
 
+  /** Driver gate: SCHEMA EVOLUTION — a widening append (`mergeSchema`)
+    * adds a column mid-table-life; pre-evolution files read the new column
+    * as null without rewriting a byte (the additive-only path every
+    * long-lived 100 TB table takes — rewriting history for a new feature
+    * column is not an option). The oracle recomputes the widened union.
+    */
+  def schemaEvolutionGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val root = Files.createTempDirectory("graft-vt-evo").toString + "/t"
+    val part = graft.Tables.part(spark, sfDir)
+    create(spark, root, part.filter(col("p_partkey") % 3 === 0)
+      .select("p_partkey", "p_brand"))
+    val preEvolution = snapshot(spark, root).files.map(_.path).toSet
+    append(spark, root, part.filter(col("p_partkey") % 3 === 1)
+      .select("p_partkey", "p_brand", "p_retailprice"), mergeSchema = true)
+    require(preEvolution.subsetOf(snapshot(spark, root).files.map(_.path).toSet),
+      "schema evolution must not rewrite pre-evolution files")
+    read(spark, root).orderBy("p_partkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vt_merge_snapshot" -> (mergeSnapshotGate _),
     "vt_compact_snapshot" -> (compactSnapshotGate _),
     "vt_time_travel" -> (timeTravelGate _),
-    "vt_change_feed" -> (changeFeedGate _))
+    "vt_change_feed" -> (changeFeedGate _),
+    "vt_schema_evolution" -> (schemaEvolutionGate _))
 
   val oracles: Map[String, String] = Map(
     "vt_merge_snapshot" ->
@@ -1013,6 +1033,13 @@ object VersionedTable {
     "vt_time_travel" ->
       """SELECT p_partkey, p_brand, p_retailprice FROM part
         |WHERE p_partkey % 3 IN (0, 1) ORDER BY p_partkey""".stripMargin,
+    "vt_schema_evolution" ->
+      """SELECT p_partkey, p_brand, CAST(NULL AS DOUBLE) AS p_retailprice
+        |FROM part WHERE p_partkey % 3 = 0
+        |UNION ALL
+        |SELECT p_partkey, p_brand, p_retailprice
+        |FROM part WHERE p_partkey % 3 = 1
+        |ORDER BY p_partkey""".stripMargin,
     "vt_change_feed" ->
       """WITH p AS (SELECT p_partkey, p_retailprice FROM part),
         |v2 AS (SELECT * FROM p WHERE p_partkey % 3 IN (0, 1)),

@@ -227,6 +227,16 @@ LIFECYCLE["vt_change_feed"] = LIFECYCLE["vt_time_travel"][:-1] + [
     " ORDER BY p_partkey",
 ]
 
+# schema-evolution twin: widen, then append with the new column
+LIFECYCLE["vt_schema_evolution"] = [
+    "CREATE OR REPLACE TABLE vt AS SELECT p_partkey, p_brand"
+    " FROM part WHERE p_partkey % 3 = 0",
+    "ALTER TABLE vt ADD COLUMN p_retailprice DOUBLE",
+    "INSERT INTO vt SELECT p_partkey, p_brand, p_retailprice"
+    " FROM part WHERE p_partkey % 3 = 1",
+    "SELECT * FROM vt ORDER BY p_partkey",
+]
+
 LIFECYCLE["q_profile_stream_lineitem"] = _stream_profile_lifecycle()
 
 
