@@ -96,8 +96,124 @@ object Ivm {
       .orderBy("p_brand")
   }
 
+  /** Delta-join IVM: maintain an aggregate over `A ⋈ B` when ONE side takes
+    * a change feed — the bilinear rule specialized to per-commit deltas.
+    * Each feed row contributes signed rows (−1 old / +1 new) that join the
+    * OTHER side's current snapshot; the joined contributions fold into the
+    * summary exactly like single-table deltas. Because commits are applied
+    * one table at a time (each feed folds before the other table moves),
+    * the ΔA ⋈ ΔB cross term never arises — the standard per-transaction
+    * IVM discipline.
+    *
+    * Group-moving dimension updates are correct for free: a customer whose
+    * nation changes emits (−1, old nation) and (+1, new nation), each
+    * joined to ALL its current fact rows — the old group loses them, the
+    * new gains them. Inner-join semantics: deleting a dimension row
+    * retracts its facts from the view.
+    *
+    * 100 TB shape: per-commit work is feed ⋈ other — delta-sized on the
+    * feed side, and the other side is a scan the optimizer prunes/broadcasts
+    * like any join (for dim-feeds against a fact table, pair with
+    * [[VersionedTable.candidateFiles]]-style key pruning; for fact-feeds
+    * against a dim, the dim side broadcasts). The view itself is never
+    * recomputed.
+    *
+    * `groupCols`/`valueCol` name columns of the JOINED row (feed-row fields
+    * flattened + the other side's columns).
+    */
+  def applyJoinDelta(summary: DataFrame, feed: DataFrame, other: DataFrame,
+      feedKey: String, otherKey: String, groupCols: Seq[String],
+      valueCol: String): DataFrame = {
+    val feedCols = feed.select(col("new.*")).columns
+    val signed = feed.select(explode(array(
+        struct(lit(-1L).as("sign"), col("old").as("row")),
+        struct(lit(1L).as("sign"), col("new").as("row")))).as("c"))
+      .filter(col("c.row").isNotNull)
+      .select(col("c.sign").as("sign") +: feedCols.map(f =>
+        col(s"c.row.$f").as(f)): _*)
+    val contribs = signed
+      .join(other, signed(feedKey) === other(otherKey))
+      .select((groupCols.map(col) :+ col("sign") :+
+        col(valueCol).cast("decimal(18,4)").as("v")): _*)
+    foldContribs(summary, contribs, groupCols)
+  }
+
+  /** Shared signed-delta fold: aggregate (sign, v) per group, full-outer
+    * apply to the summary, drop groups whose count reaches zero.
+    */
+  private def foldContribs(summary: DataFrame, contribs: DataFrame,
+      groupCols: Seq[String]): DataFrame = {
+    val deltas = contribs.groupBy(groupCols.map(col): _*)
+      .agg(sum(col("sign")).as("d_cnt"),
+        sum(col("sign") * col("v")).as("d_sum"))
+    summary.join(deltas, groupCols, "full_outer")
+      .select((groupCols.map(col) :+
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt") :+
+        (coalesce(col("sum_v"), lit(0).cast("decimal(18,4)")) +
+          coalesce(col("d_sum"), lit(0).cast("decimal(18,4)")))
+          .cast("decimal(18,4)").as("sum_v")): _*)
+      .filter(col("cnt") > 0)
+  }
+
+  /** Gate: a per-nation revenue view over customer ⋈ orders, with BOTH
+    * sides versioned and mutating — orders take an append, a price merge
+    * and a delete; customers take a group-MOVING nation reassignment — and
+    * the view maintained purely from each commit's change feed joined to
+    * the other side's current state. The oracle recomputes the final join
+    * aggregate from scratch; agreement of delta-join maintenance with
+    * recompute is the check.
+    */
+  def ivmJoinGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivmj-gate").toString
+    val (aRoot, bRoot) = (s"$base/cust", s"$base/ord")
+    val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")
+    val ords = Tables.orders(spark, sfDir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+    VersionedTable.create(spark, aRoot, cust)
+    VersionedTable.create(spark, bRoot,
+      ords.filter(col("o_orderkey") % 3 === 0))
+    var summary = summarize(
+      VersionedTable.read(spark, bRoot)
+        .join(VersionedTable.read(spark, aRoot),
+          col("o_custkey") === col("c_custkey")),
+      Seq("c_nationkey"), "o_totalprice").localCheckpoint()
+
+    def stepB(commit: => Long): Unit = {
+      val v = commit
+      summary = applyJoinDelta(summary,
+        VersionedTable.changeFeedRows(spark, bRoot, v - 1, v, "o_orderkey"),
+        VersionedTable.read(spark, aRoot),
+        "o_custkey", "c_custkey", Seq("c_nationkey"), "o_totalprice")
+        .localCheckpoint()
+    }
+    stepB(VersionedTable.append(spark, bRoot,
+      ords.filter(col("o_orderkey") % 3 === 1)))
+    stepB(VersionedTable.merge(spark, bRoot,
+      ords.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0)),
+      "o_orderkey"))
+    // the dimension side moves: every 11th customer changes nation — the
+    // feed's ±rows each join that customer's CURRENT orders
+    val vA = VersionedTable.merge(spark, aRoot,
+      cust.filter(col("c_custkey") % 11 === 0)
+        .withColumn("c_nationkey", (col("c_nationkey") + 7) % 25),
+      "c_custkey")
+    summary = applyJoinDelta(summary,
+      VersionedTable.changeFeedRows(spark, aRoot, vA - 1, vA, "c_custkey"),
+      VersionedTable.read(spark, bRoot),
+      "c_custkey", "o_custkey", Seq("c_nationkey"), "o_totalprice")
+      .localCheckpoint()
+    stepB(VersionedTable.deleteByKeys(spark, bRoot,
+      ords.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
+      "o_orderkey"))
+    summary.select(col("c_nationkey"), col("cnt"),
+        col("sum_v").cast("double").as("sum_price"))
+      .orderBy("c_nationkey")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "vt_ivm_summary" -> (ivmSummaryGate _))
+    "vt_ivm_summary" -> (ivmSummaryGate _),
+    "vt_ivm_join" -> (ivmJoinGate _))
 
   val oracles: Map[String, String] = Map(
     "vt_ivm_summary" ->
@@ -110,5 +226,21 @@ object Ivm {
         |f AS (SELECT * FROM m WHERE p_partkey % 7 <> 0)
         |SELECT p_brand, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
-        |FROM f GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+        |FROM f GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "vt_ivm_join" ->
+      """WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders),
+        |of AS (SELECT o_orderkey, o_custkey,
+        |         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+        |              ELSE o_totalprice END AS o_totalprice
+        |       FROM o
+        |       WHERE (o_orderkey % 3 IN (0, 1) OR o_orderkey % 5 = 0)
+        |         AND o_orderkey % 7 <> 0),
+        |cf AS (SELECT c_custkey,
+        |         CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 7) % 25
+        |              ELSE c_nationkey END AS c_nationkey
+        |       FROM customer)
+        |SELECT c_nationkey, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM of JOIN cf ON o_custkey = c_custkey
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
 }

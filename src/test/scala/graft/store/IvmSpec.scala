@@ -50,6 +50,53 @@ class IvmSpec extends SparkSpec {
     assert(!asSet(s).exists(_._1 == "moved"), "drained group must drop out")
   }
 
+  test("delta-join maintenance equals join recompute as both sides mutate") {
+    val base = Files.createTempDirectory("graft-ivmj").toString
+    val (dimRoot, factRoot) = (s"$base/dim", s"$base/fact")
+    // dim: (dk, g); fact: (fk, dk, v) — view: per-g count/sum over dim ⋈ fact
+    VersionedTable.create(spark, dimRoot,
+      (1L to 10L).map(d => (d, s"g${d % 3}")).toDF("dk", "g"))
+    VersionedTable.create(spark, factRoot,
+      (1L to 40L).map(f => (f, f % 10 + 1, f * 0.25)).toDF("fk", "dk", "v"))
+    def recompute = Ivm.summarize(
+      VersionedTable.read(spark, factRoot)
+        .join(VersionedTable.read(spark, dimRoot).withColumnRenamed("dk", "ddk"),
+          col("dk") === col("ddk")),
+      Seq("g"), "v")
+    var s = recompute.localCheckpoint()
+
+    def stepFact(commit: => Long): Unit = {
+      val v = commit
+      s = Ivm.applyJoinDelta(s,
+        VersionedTable.changeFeedRows(spark, factRoot, v - 1, v, "fk"),
+        VersionedTable.read(spark, dimRoot).withColumnRenamed("dk", "ddk"),
+        "dk", "ddk", Seq("g"), "v").localCheckpoint()
+      assert(asSet(s) === asSet(recompute),
+        s"fact-side delta diverged from recompute at fact version $v")
+    }
+    stepFact(VersionedTable.append(spark, factRoot,
+      (41L to 55L).map(f => (f, f % 10 + 1, f * 0.25)).toDF("fk", "dk", "v")))
+    stepFact(VersionedTable.merge(spark, factRoot,
+      Seq((5L, 3L, 100.5)).toDF("fk", "dk", "v"), "fk"))
+    // dim-side GROUP MOVE: dk=3's facts must leave g0 and enter gX
+    val vDim = VersionedTable.merge(spark, dimRoot,
+      Seq((3L, "gX")).toDF("dk", "g"), "dk")
+    s = Ivm.applyJoinDelta(s,
+      VersionedTable.changeFeedRows(spark, dimRoot, vDim - 1, vDim, "dk"),
+      VersionedTable.read(spark, factRoot).withColumnRenamed("dk", "fdk"),
+      "dk", "fdk", Seq("g"), "v").localCheckpoint()
+    assert(asSet(s) === asSet(recompute), "dim-side group move diverged")
+    assert(asSet(s).exists(_._1 == "gX"))
+    // dim DELETE retracts its facts from the inner-join view
+    val vDel = VersionedTable.deleteByKeys(spark, dimRoot,
+      Seq(7L).toDF("dk"), "dk")
+    s = Ivm.applyJoinDelta(s,
+      VersionedTable.changeFeedRows(spark, dimRoot, vDel - 1, vDel, "dk"),
+      VersionedTable.read(spark, factRoot).withColumnRenamed("dk", "fdk"),
+      "dk", "fdk", Seq("g"), "v").localCheckpoint()
+    assert(asSet(s) === asSet(recompute), "dim delete retraction diverged")
+  }
+
   test("changeFeedRows prunes to entered/left files and tags changes") {
     val root = tmp()
     VersionedTable.create(spark, root,

@@ -227,6 +227,74 @@ LIFECYCLE["vt_change_feed"] = LIFECYCLE["vt_time_travel"][:-1] + [
     " ORDER BY p_partkey",
 ]
 
+# delta-join IVM twin: per-nation revenue over customer ⋈ orders maintained
+# from each commit's signed delta joined to the other side's current state
+# (same per-commit discipline as the engine: fold before the next commit)
+_IVMJ_FOLD = (
+    "CREATE OR REPLACE TABLE summ AS SELECT c_nationkey,"
+    " CAST(SUM(cnt) AS BIGINT) AS cnt,"
+    " CAST(SUM(sum_v) AS DECIMAL(18,4)) AS sum_v FROM ("
+    " SELECT * FROM summ UNION ALL SELECT * FROM d)"
+    " GROUP BY c_nationkey HAVING SUM(cnt) > 0"
+)
+LIFECYCLE["vt_ivm_join"] = [
+    "CREATE OR REPLACE TABLE c AS SELECT c_custkey, c_nationkey FROM customer",
+    "CREATE OR REPLACE TABLE o AS SELECT o_orderkey, o_custkey, o_totalprice"
+    " FROM orders WHERE o_orderkey % 3 = 0",
+    "CREATE OR REPLACE TABLE summ AS SELECT c_nationkey,"
+    " CAST(COUNT(*) AS BIGINT) AS cnt,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v"
+    " FROM o JOIN c ON o_custkey = c_custkey GROUP BY c_nationkey",
+    # step 1: fact append — delta ⋈ dim, fold
+    "CREATE OR REPLACE TABLE nd AS SELECT o_orderkey, o_custkey, o_totalprice"
+    " FROM orders WHERE o_orderkey % 3 = 1",
+    "INSERT INTO o SELECT * FROM nd",
+    "CREATE OR REPLACE TABLE d AS SELECT c_nationkey,"
+    " CAST(COUNT(*) AS BIGINT) AS cnt,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v"
+    " FROM nd JOIN c ON o_custkey = c_custkey GROUP BY c_nationkey",
+    _IVMJ_FOLD,
+    # step 2: fact merge — retract old, apply, add new
+    "CREATE OR REPLACE TABLE d AS SELECT c_nationkey,"
+    " CAST(-COUNT(*) AS BIGINT) AS cnt,"
+    " CAST(-SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v"
+    " FROM o JOIN c ON o_custkey = c_custkey WHERE o_orderkey % 5 = 0"
+    " GROUP BY c_nationkey",
+    _IVMJ_FOLD,
+    "DELETE FROM o WHERE o_orderkey % 5 = 0",
+    "CREATE OR REPLACE TABLE nd AS SELECT o_orderkey, o_custkey,"
+    " o_totalprice + 1000.0 AS o_totalprice"
+    " FROM orders WHERE o_orderkey % 5 = 0",
+    "INSERT INTO o SELECT * FROM nd",
+    "CREATE OR REPLACE TABLE d AS SELECT c_nationkey,"
+    " CAST(COUNT(*) AS BIGINT) AS cnt,"
+    " CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v"
+    " FROM nd JOIN c ON o_custkey = c_custkey GROUP BY c_nationkey",
+    _IVMJ_FOLD,
+    # step 3: dim group move — ± rows joined to the facts' current state
+    "CREATE OR REPLACE TABLE dmov AS SELECT c_custkey,"
+    " c_nationkey AS old_n, (c_nationkey + 7) % 25 AS new_n"
+    " FROM c WHERE c_custkey % 11 = 0",
+    "UPDATE c SET c_nationkey = (c_nationkey + 7) % 25 WHERE c_custkey % 11 = 0",
+    "CREATE OR REPLACE TABLE d AS SELECT s.n AS c_nationkey,"
+    " CAST(SUM(s.sgn) AS BIGINT) AS cnt,"
+    " CAST(SUM(s.sgn * CAST(o.o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v"
+    " FROM (SELECT c_custkey, old_n AS n, -1 AS sgn FROM dmov"
+    "       UNION ALL SELECT c_custkey, new_n, 1 FROM dmov) s"
+    " JOIN o ON o.o_custkey = s.c_custkey GROUP BY s.n",
+    _IVMJ_FOLD,
+    # step 4: fact delete — retraction
+    "CREATE OR REPLACE TABLE d AS SELECT c_nationkey,"
+    " CAST(-COUNT(*) AS BIGINT) AS cnt,"
+    " CAST(-SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_v"
+    " FROM o JOIN c ON o_custkey = c_custkey WHERE o_orderkey % 7 = 0"
+    " GROUP BY c_nationkey",
+    _IVMJ_FOLD,
+    "DELETE FROM o WHERE o_orderkey % 7 = 0",
+    "SELECT c_nationkey, cnt, CAST(CAST(sum_v AS VARCHAR) AS DOUBLE) AS sum_price"
+    " FROM summ ORDER BY c_nationkey",
+]
+
 # schema-evolution twin: widen, then append with the new column
 LIFECYCLE["vt_schema_evolution"] = [
     "CREATE OR REPLACE TABLE vt AS SELECT p_partkey, p_brand"
