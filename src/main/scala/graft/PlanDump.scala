@@ -54,7 +54,7 @@ object PlanDump {
       "q_profile_lineitem" -> ("exact ndistinct as N concurrent PRUNED single-column scans + native two-phase hash distinct — no count_distinct Expand (22 s), no posexplode string melt (3.7 s); this shape is 1.9 s at sf0.1"),
       "q_profile_sketch_lineitem" -> ("HLL-register profile: one melt pass whose register aggregate partial-collapses to <=64 rows per column per partition BEFORE the exchange — shuffle is metadata-sized at any data size, registers merge across daily drops"),
       "q_hll_orders_month" -> ("register build is ONE narrow shuffle keyed (month, bucket) with partial MAX; estimate collapses <=64 register rows per group — no count_distinct Expand anywhere"),
-      "evt_resample_lerp" -> ("one shuffle on the key: bucket agg, grid bounds, grid join and BOTH neighbor scans (back/forward frames) share the partitioning and a single window sort"),
+      "evt_resample_lerp" -> ("ONE exchange total: key repartition satisfies the (key,bucket) agg AND the window clustering, the sort is shared, and gap runs explode from the lead observation — no grid, no join, no unbounded frames (r12 rewrite: 1.72s -> 0.70s)"),
       "q2_min_cost_supplier" -> ("min-per-group decorrelated to a window MIN over the offer leg (no self-join back); region suppliers and size-filtered parts broadcast, the offer leg never is"),
       "q13_customer_distribution" -> ("orders aggregated to per-customer counts BEFORE the outer join — both join legs carry one row per customer, not one per order"),
       "q19_disjunctive_bands" -> ("the disjunction's union bounds (brand set, size<=15, quantity 1..30) appear as PushedFilters on BOTH scans; the exact OR evaluates once as join residual"),
