@@ -206,8 +206,9 @@ object Ivm {
     stepB(VersionedTable.deleteByKeys(spark, bRoot,
       ords.filter(col("o_orderkey") % 7 === 0).select("o_orderkey"),
       "o_orderkey"))
-    summary.select(col("c_nationkey"), col("cnt"),
-        col("sum_v").cast("double").as("sum_price"))
+    // int32 is a driver-risk output type (see tools/check_oracle.py)
+    summary.select(col("c_nationkey").cast("long").as("c_nationkey"),
+        col("cnt"), col("sum_v").cast("double").as("sum_price"))
       .orderBy("c_nationkey")
   }
 
@@ -239,7 +240,7 @@ object Ivm {
         |         CASE WHEN c_custkey % 11 = 0 THEN (c_nationkey + 7) % 25
         |              ELSE c_nationkey END AS c_nationkey
         |       FROM customer)
-        |SELECT c_nationkey, COUNT(*) AS cnt,
+        |SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, COUNT(*) AS cnt,
         |  CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
         |FROM of JOIN cf ON o_custkey = c_custkey
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)
