@@ -97,6 +97,55 @@ class IvmSpec extends SparkSpec {
     assert(asSet(s) === asSet(recompute), "dim delete retraction diverged")
   }
 
+  test("streaming join-view maintenance: tagged fact ingest + delta-join fold, replay is a no-op") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val base = Files.createTempDirectory("graft-ivmjs").toString
+    val (dimRoot, factRoot) = (s"$base/dim", s"$base/fact")
+    VersionedTable.create(spark, dimRoot,
+      (1L to 10L).map(d => (d, s"g${d % 3}")).toDF("dk", "g"))
+    VersionedTable.create(spark, factRoot,
+      (1L to 20L).map(f => (f, f % 10 + 1, f * 0.5)).toDF("fk", "dk", "v"))
+    var summary = Ivm.summarize(
+      VersionedTable.read(spark, factRoot)
+        .join(VersionedTable.read(spark, dimRoot).withColumnRenamed("dk", "ddk"),
+          col("dk") === col("ddk")),
+      Seq("g"), "v").localCheckpoint()
+    // the maintenance loop a foreachBatch sink runs: idempotence-tagged
+    // fact append; the view folds ONLY when the commit was fresh, so an
+    // at-least-once replay of a committed batch changes nothing
+    def processBatch(batch: org.apache.spark.sql.DataFrame, id: Long): Unit =
+      if (VersionedTable.appendBatch(spark, factRoot, batch, s"batch-$id")) {
+        val v = VersionedTable.latestVersion(spark, factRoot).get
+        summary = Ivm.applyJoinDelta(summary,
+          VersionedTable.changeFeedRows(spark, factRoot, v - 1, v, "fk"),
+          VersionedTable.read(spark, dimRoot).withColumnRenamed("dk", "ddk"),
+          "dk", "ddk", Seq("g"), "v").localCheckpoint()
+      }
+    val source = MemoryStream[(Long, Long, Double)]
+    val q = source.toDS().toDF("fk", "dk", "v").writeStream
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ivmjs-ck").toString)
+      .foreachBatch(processBatch _)
+      .start()
+    try {
+      source.addData((21L to 30L).map(f => (f, f % 10 + 1, f * 0.5)))
+      q.processAllAvailable()
+      source.addData((31L to 35L).map(f => (f, f % 10 + 1, f * 0.5)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val before = asSet(summary)
+    processBatch((99L to 99L).map(f => (f, 1L, 1.0)).toDF("fk", "dk", "v"), 1L)
+    assert(asSet(summary) === before, "replayed batch must not re-fold")
+    val recompute = Ivm.summarize(
+      VersionedTable.read(spark, factRoot)
+        .join(VersionedTable.read(spark, dimRoot).withColumnRenamed("dk", "ddk"),
+          col("dk") === col("ddk")),
+      Seq("g"), "v")
+    assert(asSet(summary) === asSet(recompute),
+      "streamed view must equal the batch recompute over all ingested facts")
+  }
+
   test("changeFeedRows prunes to entered/left files and tags changes") {
     val root = tmp()
     VersionedTable.create(spark, root,
