@@ -65,6 +65,15 @@ def warn_risky_types(name, side, arrow_table):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    # scale probes: the recursive-CTE oracles (survivor clustering) can
+    # materialize tens of GB at 100x — cap DuckDB and let it spill to disk
+    # instead of riding an unbounded in-memory connection into the OOM
+    # killer (env knob so the sf0.01 gate path stays untouched)
+    mem = __import__("os").environ.get("DUCKDB_MEMORY_LIMIT")
+    if mem:
+        import tempfile
+        con.execute(f"SET memory_limit='{mem}'")
+        con.execute(f"SET temp_directory='{tempfile.mkdtemp(prefix='duckspill')}'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
