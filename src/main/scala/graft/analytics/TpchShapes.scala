@@ -493,8 +493,13 @@ object TpchShapes {
       .orderBy(col("n_name"), col("o_year").desc)
   }
 
+  // decimal→VARCHAR→DOUBLE bridge: DuckDB's direct decimal→double converts
+  // the int128 mantissa first and divides by 10^scale after, drifting off
+  // the nearest double once a sum passes ~2^53/10^scale — q9's profit sums
+  // at scale 9 cross that line at the 100× probe (caught r12; the r10
+  // sweep bridged the scale-≤6 sites whose 10× sums were still exact)
   val q9Sql: String =
-    """SELECT n_name, o_year, CAST(SUM(profit) AS DOUBLE) AS sum_profit
+    """SELECT n_name, o_year, CAST(CAST(SUM(profit) AS VARCHAR) AS DOUBLE) AS sum_profit
       |FROM (
       |  SELECT n_name, EXTRACT(year FROM o_orderdate) AS o_year,
       |    CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6)) -
