@@ -15,36 +15,60 @@ import graft.Tables
   */
 object DedupSurface {
 
-  /** documents ∪ exact copies (id+100000) ∪ near copies (id+200000). */
+  /** Synthetic-id band width: the augmented copies live at id + k·band.
+    * At least the legacy 100000 (so every existing sf output and the specs
+    * pinned to those ids are unchanged); once real ids reach 100000 — the
+    * ≥20× replica probes — the band derives from the corpus max, so
+    * synthetic ids can NEVER collide with genuine ones (a collision makes
+    * corpus ids non-unique and silently diverges every per-doc-grouped
+    * oracle; caught by the 30× probe in round 12).
+    */
+  def docBand(s: SparkSession, d: String): Long =
+    math.max(100000L,
+      Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1)
+
+  def vecBand(s: SparkSession, d: String): Long =
+    math.max(100000L,
+      Tables.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0) + 1)
+
+  /** SQL twins of the band (uncorrelated scalar subqueries — DuckDB
+    * evaluates them once).
+    */
+  val docBandSql = "GREATEST(100000, (SELECT MAX(doc_id) + 1 FROM documents))"
+  val vecBandSql = "GREATEST(100000, (SELECT MAX(vec_id) + 1 FROM embeddings))"
+
+  /** documents ∪ exact copies (id+band) ∪ near copies (id+2·band). */
   def corpus(s: SparkSession, d: String): DataFrame = {
+    val off = docBand(s, d)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
     docs
       .unionByName(docs.filter(col("doc_id") % 10 === 0)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang")))
+        .select((col("doc_id") + off).as("doc_id"), col("text"), col("lang")))
       .unionByName(docs.filter(col("doc_id") % 10 === 5)
-        .select((col("doc_id") + 200000).as("doc_id"),
+        .select((col("doc_id") + 2 * off).as("doc_id"),
           concat(col("text"), lit(" duplicated tail marker")).as("text"), col("lang")))
   }
 
   val corpusCte: String =
-    """corpus AS (
+    s"""corpus AS (
       |  SELECT doc_id, text, lang FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+      |  SELECT doc_id + $docBandSql, text, lang FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
-      |  SELECT doc_id + 200000, text || ' duplicated tail marker', lang
+      |  SELECT doc_id + 2 * $docBandSql, text || ' duplicated tail marker', lang
       |  FROM documents WHERE doc_id % 10 = 5
       |)""".stripMargin
 
-  /** [[corpus]] ∪ 30-token excerpts of every …3 doc (id+600000): planted
+  /** [[corpus]] ∪ 30-token excerpts of every …3 doc (id+6·band): planted
     * asymmetric positives — each excerpt is FULLY contained in its source
     * (containment 1.0) while Jaccard-similar only in proportion to the
     * source's length.
     */
   def containmentCorpus(s: SparkSession, d: String): DataFrame = {
+    val off = docBand(s, d)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
     corpus(s, d).unionByName(docs.filter(col("doc_id") % 10 === 3)
-      .select((col("doc_id") + 600000).as("doc_id"),
+      .select((col("doc_id") + 6 * off).as("doc_id"),
         array_join(slice(split(
           graft.text.TextAnalysis.normalized(col("text")), " "), 1, 30), " ")
           .as("text"),
@@ -59,6 +83,7 @@ object DedupSurface {
     * batch-internal clustering of corpus-unmatched docs.
     */
   def incBatch(s: SparkSession, d: String): DataFrame = {
+    val off = docBand(s, d)
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"), col("lang"))
     // every 3-gram carries the id, so distinct fresh docs share NO shingles
     // (a shared prefix longer than n-1 tokens would make them near-dups of
@@ -70,29 +95,29 @@ object DedupSurface {
           lit(" gamma"), col("doc_id")).as("text"),
         col("lang"))
     docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
+      .select((col("doc_id") + off).as("doc_id"), col("text"), col("lang"))
       .unionByName(docs.filter(col("doc_id") % 10 === 5)
-        .select((col("doc_id") + 200000).as("doc_id"),
+        .select((col("doc_id") + 2 * off).as("doc_id"),
           concat(col("text"), lit(" duplicated tail marker")).as("text"), col("lang")))
-      .unionByName(fresh.select((col("doc_id") + 400000).as("doc_id"),
+      .unionByName(fresh.select((col("doc_id") + 4 * off).as("doc_id"),
         col("text"), col("lang")))
-      .unionByName(fresh.select((col("doc_id") + 500000).as("doc_id"),
+      .unionByName(fresh.select((col("doc_id") + 5 * off).as("doc_id"),
         col("text"), col("lang")))
   }
 
   val incBatchCte: String =
-    """incbatch AS (
-      |  SELECT doc_id + 100000 AS doc_id, text, lang FROM documents WHERE doc_id % 10 = 0
+    s"""incbatch AS (
+      |  SELECT doc_id + $docBandSql AS doc_id, text, lang FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
-      |  SELECT doc_id + 200000, text || ' duplicated tail marker', lang
+      |  SELECT doc_id + 2 * $docBandSql, text || ' duplicated tail marker', lang
       |  FROM documents WHERE doc_id % 10 = 5
       |  UNION ALL
-      |  SELECT doc_id + 400000,
+      |  SELECT doc_id + 4 * $docBandSql,
       |    'fresh document ' || doc_id || ' alpha' || doc_id || ' beta' ||
       |    doc_id || ' gamma' || doc_id, lang
       |  FROM documents WHERE doc_id % 7 = 0
       |  UNION ALL
-      |  SELECT doc_id + 500000,
+      |  SELECT doc_id + 5 * $docBandSql,
       |    'fresh document ' || doc_id || ' alpha' || doc_id || ' beta' ||
       |    doc_id || ' gamma' || doc_id, lang
       |  FROM documents WHERE doc_id % 7 = 0
@@ -100,19 +125,20 @@ object DedupSurface {
 
   /** embeddings (as double) ∪ 1.001-scaled copies of every 10th vector. */
   def vecs(s: SparkSession, d: String): DataFrame = {
+    val off = vecBand(s, d)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
     e.unionByName(
       Tables.embeddings(s, d).filter(col("vec_id") % 10 === 0)
-        .select((col("vec_id") + 100000).as("vec_id"),
+        .select((col("vec_id") + off).as("vec_id"),
           transform(col("embedding"), x => x.cast("double") * 1.001).as("v")))
   }
 
   val vecsCte: String =
-    """vecs AS (
+    s"""vecs AS (
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+      |  SELECT vec_id + $vecBandSql, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
       |  FROM embeddings WHERE vec_id % 10 = 0
       |)""".stripMargin
 
@@ -352,7 +378,7 @@ object DedupSurface {
       |${minhashCtes(12)},
       |${bandsCte(6, 2)},
       |m AS (SELECT b.id AS new_id, MIN(a.id) AS survivor_id
-      |      FROM bands b JOIN bands a ON ${bandJoinOn(2).replace("a.id < b.id", "a.id < 100000 AND b.id >= 100000")}
+      |      FROM bands b JOIN bands a ON ${bandJoinOn(2).replace("a.id < b.id", s"a.id < $docBandSql AND b.id >= $docBandSql")}
       |      JOIN g gn ON gn.id = b.id JOIN g go ON go.id = a.id
       |      WHERE len(list_intersect(gn.grams, go.grams)) /
       |          (len(gn.grams) + len(go.grams) - len(list_intersect(gn.grams, go.grams))) >= 0.5
@@ -494,12 +520,12 @@ object DedupSurface {
     "dedup_containment" -> s"""WITH ccorpus AS (
       |  SELECT doc_id, text, lang FROM documents
       |  UNION ALL
-      |  SELECT doc_id + 100000, text, lang FROM documents WHERE doc_id % 10 = 0
+      |  SELECT doc_id + $docBandSql, text, lang FROM documents WHERE doc_id % 10 = 0
       |  UNION ALL
-      |  SELECT doc_id + 200000, text || ' duplicated tail marker', lang
+      |  SELECT doc_id + 2 * $docBandSql, text || ' duplicated tail marker', lang
       |  FROM documents WHERE doc_id % 10 = 5
       |  UNION ALL
-      |  SELECT doc_id + 600000,
+      |  SELECT doc_id + 6 * $docBandSql,
       |    array_to_string(list_slice(string_split($ntext, ' '), 1, 30), ' '), lang
       |  FROM documents WHERE doc_id % 10 = 3
       |),

@@ -104,7 +104,8 @@ object SemanticDedup {
       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       |  FROM embeddings
       |  UNION ALL
-      |  SELECT vec_id + 100000, list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
+      |  SELECT vec_id + ${DedupSurface.vecBandSql},
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.001)
       |  FROM embeddings WHERE vec_id % 10 = 0),
       |${graft.sim.SimSurface.lloydCtes(GateK, GateIters)},
       |cent AS (SELECT cid, cv FROM cent$GateIters),
