@@ -67,11 +67,18 @@ object TimeSeries {
   /** Deterministic per-(key, bucket) observation summary — one partial-
     * aggregatable pass: (us, eid) is unique per event, so max(struct)
     * picks the last observation order-free.
+    *
+    * NULL-valued events are filtered up front: they are non-observations
+    * (the pre-rewrite `last/first(ignoreNulls)` contract treated them as
+    * gaps to carry/interpolate across), and without the filter a trailing
+    * null in a bucket would be picked by max(struct) and then propagate
+    * through the entire following gap run.
     */
   private def observedBuckets(events: DataFrame, keyCol: String,
       tsCol: String, idCol: String, valueCol: String,
       stepMicros: Long): DataFrame =
-    events.select(col(keyCol).as("key"), col(idCol).as("eid"),
+    events.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).as("key"), col(idCol).as("eid"),
         unix_micros(col(tsCol)).as("us"), col(valueCol).as("value"))
       .withColumn("bucket", expr(s"us div ${stepMicros}L"))
       .repartition(col("key"))
@@ -445,7 +452,7 @@ object TimeSeries {
     "evt_resample_locf" -> s"""
       |WITH e AS (SELECT user_id AS key, event_id AS eid, epoch_us(ts) AS us,
       |    value, epoch_us(ts) // ${GateStepMicros} AS bucket
-      |  FROM events WHERE event_type = 'purchase'),
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
       |cnt AS (SELECT key, bucket, CAST(COUNT(*) AS BIGINT) AS n_obs
       |  FROM e GROUP BY 1, 2),
       |rk AS (SELECT key, bucket, value,
@@ -470,7 +477,7 @@ object TimeSeries {
     "evt_resample_lerp" -> s"""
       |WITH e AS (SELECT user_id AS key, event_id AS eid, epoch_us(ts) AS us,
       |    value, epoch_us(ts) // ${GateStepMicros} AS bucket
-      |  FROM events WHERE event_type = 'purchase'),
+      |  FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
       |cnt AS (SELECT key, bucket, CAST(COUNT(*) AS BIGINT) AS n_obs
       |  FROM e GROUP BY 1, 2),
       |rk AS (SELECT key, bucket, value,

@@ -23,19 +23,34 @@ object DedupSurface {
     * corpus ids non-unique and silently diverges every per-doc-grouped
     * oracle; caught by the 30× probe in round 12).
     */
-  // memoized per dataset dir — the inputs are immutable, and without the
-  // cache every gate build (and every bench rep) pays an extra driver job
-  // for a value that never changes
+  // memoized per dataset CONTENT, not just path — without the cache every
+  // gate build (and every bench rep) pays an extra driver job for a value
+  // that rarely changes, but a path-only key would serve a stale band after
+  // a dataset is regenerated in place (the probe harness does exactly that)
+  // while the SQL oracle twins recompute MAX(doc_id)+1 live. The key folds
+  // in each parquet file's name/size/mtime; a non-local path (no local
+  // file) keys on path alone, preserving the old behavior there.
   private val bandCache =
-    scala.collection.concurrent.TrieMap.empty[(String, String), Long]
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), Long]
+
+  private def contentStamp(d: String, table: String): Long = {
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty)
+          .sortBy(_.getName)
+          .foldLeft(f.getName.hashCode.toLong)((a, c) => a * 1000003L ^ walk(c))
+      else f.getName.hashCode.toLong * 31 + f.length() * 1000003L + f.lastModified()
+    val f = new java.io.File(d, s"$table.parquet")
+    if (f.exists()) walk(f) else 0L
+  }
 
   def docBand(s: SparkSession, d: String): Long =
-    bandCache.getOrElseUpdate(("documents", d),
+    bandCache.getOrElseUpdate(("documents", d, contentStamp(d, "documents")),
       math.max(100000L,
         Tables.documents(s, d).agg(max(col("doc_id"))).head().getLong(0) + 1))
 
   def vecBand(s: SparkSession, d: String): Long =
-    bandCache.getOrElseUpdate(("embeddings", d),
+    bandCache.getOrElseUpdate(("embeddings", d, contentStamp(d, "embeddings")),
       math.max(100000L,
         Tables.embeddings(s, d).agg(max(col("vec_id"))).head().getLong(0) + 1))
 

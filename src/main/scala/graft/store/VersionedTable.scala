@@ -228,7 +228,17 @@ object VersionedTable {
             "cannot reconstruct a complete snapshot (old deltas dropped without " +
             "a surviving checkpoint — restore a checkpoint or the missing deltas)")
     }
-    for (dv <- versions if dv > lo && dv <= v) {
+    // the replayed chain must be CONTIGUOUS from the base to v: a delta
+    // externally deleted MID-chain (genesis or the base surviving) would
+    // otherwise replay silently and reconstruct a partial file list —
+    // the exact failure the no-base guard above describes.
+    val chain = versions.filter(dv => dv > lo && dv <= v)
+    val chainLo = if (lo == Long.MinValue) 1L else lo + 1
+    require(chain.sameElements(chainLo to v),
+      s"$root delta chain ($chainLo..$v] is not contiguous (have ${chain.mkString(",")}): " +
+        "a delta manifest was dropped without a covering checkpoint — restore it " +
+        "or a checkpoint at or after the gap")
+    for (dv <- chain) {
       val d = org.json4s.jackson.JsonMethods
         .parse(readText(f, vPath(root, dv))).extract[DeltaManifest]
       val rm = d.removes.toSet

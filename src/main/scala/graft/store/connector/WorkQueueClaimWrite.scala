@@ -124,7 +124,9 @@ object WorkQueueClaimWrite {
     * fallback recovers these); v2 passed non-ASCII letters raw (verbatim
     * passthrough still decodes); v3 (current) escapes every non-ASCII
     * code point per UTF-8 byte. `Main`'s queue-compact verb renames v1/v2
-    * lock files to the current form as its migration step.
+    * lock files to the current form as its migration step, and every live
+    * lock lookup auto-migrates via [[lockFileResolved]] so pre-upgrade
+    * claims are never shadowed between the upgrade and that run.
     */
   private[connector] def escapeToken(s: String): String = {
     val sb = new StringBuilder
@@ -144,8 +146,109 @@ object WorkQueueClaimWrite {
     sb.result()
   }
 
+  /** Legacy (v1) escape form: per Java char — letters/digits raw including
+    * non-ASCII, everything else one `%XX` of the code unit (which prints
+    * more than two hex digits past 0xFF). Kept only to LOCATE pre-upgrade
+    * lock files; never used to write.
+    */
+  private[connector] def escapeTokenV1(s: String): String = s.flatMap {
+    case c if c.isLetterOrDigit || c == '_' || c == '-' || c == '.' => c.toString
+    case c => f"%%${c.toInt}%02X"
+  }
+
+  /** Legacy Latin-1 escape form: ASCII letters/digits/`_-.` raw, every
+    * other char ≤ 0xFF one `%XX` of its code unit (the form the decoder's
+    * Latin-1 fallback exists for); chars past 0xFF per UTF-8 byte like the
+    * current encoder. Locator-only, like v1.
+    */
+  private[connector] def escapeTokenL1(s: String): String = s.flatMap {
+    case c if c < 0x80 && (c.isLetterOrDigit || c == '_' || c == '-' || c == '.') =>
+      c.toString
+    case c if c <= 0xFF => f"%%${c.toInt}%02X"
+    case c => c.toString.getBytes(StandardCharsets.UTF_8)
+      .map(b => f"%%${b & 0xFF}%02X").mkString
+  }
+
+  /** Legacy (v2) escape form: identical to the current encoder except BMP
+    * non-ASCII letters/digits passed through raw. Locator-only, like v1.
+    */
+  private[connector] def escapeTokenV2(s: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      val c = s.charAt(i)
+      if (n == 1 && (c.isLetterOrDigit || c == '_' || c == '-' || c == '.'))
+        sb.append(c)
+      else
+        new String(Character.toChars(cp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          .foreach(b => sb.append(f"%%${b & 0xFF}%02X"))
+      i += n
+    }
+    sb.result()
+  }
+
   private[connector] def lockFile(path: String, itemID: String): JPath =
     Paths.get(path, "locks", s"${escapeToken(itemID)}.lock")
+
+  /** Lease-expiry ordering where 0 means "never expires" (ranks last). */
+  private def expiryRank(e: Long): Long = if (e == 0L) Long.MaxValue else e
+
+  /** Reconcile a legacy-named lock file with its canonical twin: if no
+    * canonical lock exists the legacy file is renamed in place (the live
+    * pre-upgrade claim stays a live claim under its canonical name); if
+    * BOTH exist the claim with the LATER lease expiry wins (a non-expiring
+    * lock ranks last; ties keep the canonical) — never unconditionally
+    * drop the legacy side, it may hold the only live claim.
+    */
+  private[connector] def migrateLegacyLock(legacy: JPath, canonical: JPath): Unit = {
+    if (!Files.exists(canonical)) {
+      try Files.move(legacy, canonical, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch { case _: java.io.IOException => () } // raced: twin appeared or legacy vanished
+    } else {
+      val keepLegacy =
+        try {
+          val l = parseLock(new String(Files.readAllBytes(legacy), StandardCharsets.UTF_8))
+          val c = parseLock(new String(Files.readAllBytes(canonical), StandardCharsets.UTF_8))
+          expiryRank(l._3) > expiryRank(c._3)
+        } catch { case _: java.io.IOException => false }
+      if (keepLegacy)
+        casSwap(canonical, Files.readAllBytes(legacy), _ => true)
+      Files.deleteIfExists(legacy)
+      ()
+    }
+  }
+
+  /** The canonical lock file for an item, after migrating any pre-upgrade
+    * (v1/v2 escape-format) lock file to the canonical name. Without this, a
+    * live legacy lock for a non-ASCII itemID would be invisible to
+    * [[lockState]]/claims and a fresh CREATE_NEW on the same item would
+    * succeed — mutual exclusion broken between the format upgrade and an
+    * operator-run `queue-compact`. For ASCII ids all three escape forms
+    * coincide and this is a pure function call (no file I/O beyond the
+    * caller's own).
+    */
+  private[connector] def lockFileResolved(path: String, itemID: String): JPath = {
+    val canonical = lockFile(path, itemID)
+    val legacyStems =
+      Seq(escapeTokenV2(itemID), escapeTokenV1(itemID), escapeTokenL1(itemID))
+        .distinct.filterNot(_ == escapeToken(itemID))
+    if (legacyStems.nonEmpty) {
+      jvmLocks.computeIfAbsent(canonical.toAbsolutePath.toString,
+        _ => new Object).synchronized {
+        legacyStems.flatMap { st =>
+          // a raw-non-ASCII (v2) stem may be unmappable under the JVM's
+          // POSIX jnu.encoding — then no such file can exist here; skip it
+          try Some(Paths.get(path, "locks", s"$st.lock"))
+          catch { case _: java.nio.file.InvalidPathException => None }
+        }.filter(Files.exists(_))
+          .foreach(migrateLegacyLock(_, canonical))
+      }
+    }
+    canonical
+  }
 
   /** Parse lock-file content `escapedLock,escapedInstance[,expiresAt]` —
     * raw lockID, raw instanceID, expiry epoch-millis (0 = never expires;
@@ -166,7 +269,7 @@ object WorkQueueClaimWrite {
     * holder and lease expiry of an item's lock, if locked.
     */
   def lockState(path: String, itemID: String): Option[(String, String, Long)] = {
-    val f = lockFile(path, itemID)
+    val f = lockFileResolved(path, itemID)
     if (!Files.exists(f)) None
     else try Some(parseLock(new String(Files.readAllBytes(f), StandardCharsets.UTF_8)))
     catch { case _: java.io.IOException => None }
@@ -234,7 +337,7 @@ object WorkQueueClaimWrite {
     val expiresAt = if (leaseMillis > 0) System.currentTimeMillis() + leaseMillis else 0L
     val content = (escapeToken(lockID) + "," + escapeToken(instanceID) + "," + expiresAt)
       .getBytes(StandardCharsets.UTF_8)
-    val f = lockFile(path, itemID)
+    val f = lockFileResolved(path, itemID)
     Files.exists(f) && casSwap(f, content, cur => cur._1 == lockID).isRight
   }
 }
@@ -278,7 +381,9 @@ class ClaimWriter(path: String, schema: StructType) extends DataWriter[InternalR
     val expected = str(row, idxExpected)
     val lease = if (idxLease < 0 || row.isNullAt(idxLease)) 0L else row.getLong(idxLease)
     val expiresAt = if (lease > 0) System.currentTimeMillis() + lease else 0L
-    val file = WorkQueueClaimWrite.lockFile(path, itemID)
+    // resolved, not raw: migrates any pre-upgrade (v1/v2-named) lock first,
+    // so a live legacy claim rejects this CREATE_NEW instead of being shadowed
+    val file = WorkQueueClaimWrite.lockFileResolved(path, itemID)
     // fields are percent-escaped so the comma separator is unambiguous for
     // any lock token (and the compare below works on escaped forms)
     val content = (WorkQueueClaimWrite.escapeToken(lockID) + "," +

@@ -150,8 +150,8 @@ object WorkQueueSource {
     * historical forms) and re-encoded; entries whose canonical name differs
     * are renamed in place. Lock CONTENT needs no rewrite — it is decoded on
     * every read. If both a legacy and a current-format lock file exist for
-    * the same itemID, the current-format one wins (it is the one live
-    * claims resolve) and the legacy duplicate is dropped. Returns the
+    * the same itemID, the claim with the later lease expiry wins (a
+    * non-expiring lock ranks last; ties keep the canonical). Returns the
     * number of renamed/dropped entries. Run via `Main queue-compact`.
     */
   def renormalizeEscaping(path: String): Int = {
@@ -164,10 +164,13 @@ object WorkQueueSource {
       val stem = f.getName.stripSuffix(".lock")
       val canonical = canonicalOf(stem)
       if (canonical != stem) {
+        // reconcile, don't drop: if a canonical twin exists the claim with
+        // the LATER lease expiry survives (the legacy file may hold the only
+        // live pre-upgrade claim; discarding it silently would break mutual
+        // exclusion for its holder)
         val dest = new java.io.File(locks, canonical + ".lock")
-        if (dest.exists()) require(f.delete(), s"failed to drop ${f.getPath}")
-        else require(f.renameTo(dest),
-          s"failed to rename ${f.getPath} to its canonical escape form")
+        WorkQueueClaimWrite.migrateLegacyLock(f.toPath, dest.toPath)
+        require(!f.exists(), s"failed to migrate ${f.getPath}")
         changed += 1
       }
     }

@@ -96,6 +96,31 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("resample: NULL-valued events are non-observations (gaps), not emitted values") {
+    val step = 10L * 1000 * 1000
+    // bucket 1 holds ONLY a null-valued event: it must resample as a GAP
+    // (LOCF carries 10.0 across; lerp interpolates 10→40), and a trailing
+    // null in bucket 0 must not shadow the real 10.0 observation
+    val events = Seq(
+      (1L, 100L, ts(1L * 1000 * 1000), Some(10.0)),  // bucket 0
+      (1L, 101L, ts(9L * 1000 * 1000), None),        // bucket 0, later ts, null
+      (1L, 102L, ts(15L * 1000 * 1000), None),       // bucket 1, null only
+      (1L, 103L, ts(35L * 1000 * 1000), Some(40.0))) // bucket 3
+      .toDF("user_id", "event_id", "ts", "value")
+    val locf = TimeSeries.resampleLocf(events, "user_id", "ts", "event_id",
+        "value", step)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().sortBy(_._2)
+    assert(locf.map(_._2).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(locf(0)._5 === 10.0 && locf(0)._4 === 1L, "null obs must not win the bucket")
+    assert(locf(1) === ((1L, 1L, step, 0L, 10.0, true)), "null-only bucket is a gap")
+    assert(locf(2)._5 === 10.0 && locf(2)._6)
+    assert(locf(3)._5 === 40.0 && !locf(3)._6)
+    val lerp = TimeSeries.resampleLerp(events, "user_id", "ts", "event_id",
+        "value", step)
+      .as[(Long, Long, Long, Long, Double, Boolean)].collect().sortBy(_._2)
+    assert(lerp(1)._5 === 20.0 && lerp(2)._5 === 30.0, "nulls interpolate across")
+  }
+
   test("resampleLerp: straight-line fill between observed buckets") {
     val step = 10L * 1000 * 1000
     // key 1: obs 10.0 at bucket 0 and 40.0 at bucket 3 — gaps at 1, 2

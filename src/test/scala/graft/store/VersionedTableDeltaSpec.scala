@@ -169,6 +169,26 @@ class VersionedTableDeltaSpec extends SparkSpec {
     assert(err.getMessage.contains("cannot reconstruct a complete snapshot"))
   }
 
+  test("snapshot fails loudly on a MID-chain gap even when genesis survives") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s").coalesce(1))
+    for (i <- 2 to 5)
+      VersionedTable.append(spark, root,
+        Seq((i.toLong, "x")).toDF("k", "s").coalesce(1))
+    // externally lose a delta in the MIDDLE of the chain: the log still
+    // starts at genesis (v1), so the old head-only guard passed and the
+    // replay silently skipped v3's adds — a partial file list
+    assert(new java.io.File(root, "_log/v%020d.json".format(3L)).delete())
+    VersionedTable.resetSnapshotCacheForTests()
+    val err = intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root)
+    }
+    assert(err.getMessage.contains("not contiguous"))
+    // versions at or before the gap still reconstruct
+    VersionedTable.resetSnapshotCacheForTests()
+    assert(VersionedTable.read(spark, root, Some(2L)).count() === 2)
+  }
+
   test("appendBatch tag refusal survives checkpoint-based reconstruction") {
     val root = tmp()
     VersionedTable.create(spark, root, Seq((0L, "s")).toDF("k", "s").coalesce(1))

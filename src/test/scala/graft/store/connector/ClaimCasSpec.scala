@@ -114,4 +114,45 @@ class ClaimCasSpec extends AnyFunSuite {
     // idempotent: a second pass changes nothing
     assert(WorkQueueSource.renormalizeEscaping(dir) === 0)
   }
+
+  test("live legacy-named lock stays visible WITHOUT queue-compact: lookups auto-migrate") {
+    val dir = Files.createTempDirectory("graft-legacylock").toString
+    val locks = new java.io.File(dir, "locks"); locks.mkdirs()
+    // a live pre-upgrade (v1-named) claim on itemID "café", non-expiring
+    Files.write(new java.io.File(locks, "caf%E9.lock").toPath,
+      "lockL,instL".getBytes(StandardCharsets.UTF_8))
+    // first touch resolves (and migrates) it — no operator migration ran
+    assert(WorkQueueClaimWrite.lockState(dir, "café").map(_._1) === Some("lockL"))
+    assert(!new java.io.File(locks, "caf%E9.lock").exists(),
+      "legacy file should be renamed to canonical on first lookup")
+    assert(Files.exists(WorkQueueClaimWrite.lockFile(dir, "café")))
+    // the live legacy claim must REJECT a renew under the wrong lockID and
+    // accept one under its own (mutual exclusion preserved across upgrade)
+    assert(!WorkQueueClaimWrite.renew(dir, "café", "other", "w2", 60000L))
+    assert(WorkQueueClaimWrite.renew(dir, "café", "lockL", "instL", 60000L))
+  }
+
+  test("legacy+canonical lock twins reconcile by later lease expiry, not format") {
+    def setup(legacyContent: String, canonContent: String): String = {
+      val dir = Files.createTempDirectory("graft-locktwin").toString
+      val locks = new java.io.File(dir, "locks"); locks.mkdirs()
+      Files.write(new java.io.File(locks, "caf%E9.lock").toPath,
+        legacyContent.getBytes(StandardCharsets.UTF_8))
+      Files.write(WorkQueueClaimWrite.lockFile(dir, "café"),
+        canonContent.getBytes(StandardCharsets.UTF_8))
+      dir
+    }
+    val far = System.currentTimeMillis() + 3600000L
+    // legacy holds the LATER-expiring (here: non-expiring) claim → it wins
+    val d1 = setup("lockOld,instOld", s"lockNew,instNew,$far")
+    assert(WorkQueueSource.renormalizeEscaping(d1) === 1)
+    assert(WorkQueueClaimWrite.lockState(d1, "café").map(_._1) === Some("lockOld"))
+    // canonical holds the later expiry → legacy twin dropped
+    val d2 = setup(s"lockOld,instOld,${far - 60000L}", s"lockNew,instNew,$far")
+    assert(WorkQueueSource.renormalizeEscaping(d2) === 1)
+    assert(WorkQueueClaimWrite.lockState(d2, "café").map(_._1) === Some("lockNew"))
+    // same through the auto-migrating lookup path (no compact run)
+    val d3 = setup("lockOld,instOld", s"lockNew,instNew,$far")
+    assert(WorkQueueClaimWrite.lockState(d3, "café").map(_._1) === Some("lockOld"))
+  }
 }
