@@ -87,7 +87,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|monitor|reset|delete|compact|queue-compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
+      "usage: graft.Main <import|run|monitor|reset|delete|compact|queue-compact|dedup-index-build|dedup-index-append|dedup-index-query|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -251,6 +251,61 @@ object Main {
       val n = spark.read.format("graft.store.connector.WorkQueueSource")
         .option("path", table).load().count()
       println(s"""{"rows": $n, "format": "$fmt", "renormalized": $renamed}""")
+    case "dedup-index-build" =>
+      // build + persist a near-dup corpus index (VersionedTable-backed):
+      // --table the corpus parquet, --index the index dir, --kind
+      // band (MinHash LSH, default) or prefix (PPJoin, exact at --threshold)
+      val dir = flags.getOrElse("index", sys.error("--index is required"))
+      val docs = spark.read.parquet(table)
+      val idCol = flags.getOrElse("id-col", "doc_id")
+      val textCol = flags.getOrElse("text-col", "text")
+      flags.getOrElse("kind", "band") match {
+        case "band" =>
+          graft.dedup.DedupIndex.buildBand(docs, idCol, textCol, dir,
+            flags.getOrElse("bands", "6").toInt,
+            flags.getOrElse("rows-per-band", "2").toInt)
+        case "prefix" =>
+          graft.dedup.DedupIndex.buildPrefix(docs, idCol, textCol, dir,
+            flags.getOrElse("threshold", "0.5").toDouble)
+        case other => sys.error(s"--kind must be band|prefix, got $other")
+      }
+      println(s"""{"built": "$dir"}""")
+    case "dedup-index-append" =>
+      // exactly-once daily fold of new docs into a persisted index:
+      // --table the new-docs parquet, --index the index dir, --tag makes
+      // replays no-ops; kind is read from the index's own meta
+      val dir = flags.getOrElse("index", sys.error("--index is required"))
+      val tag = flags.getOrElse("tag", sys.error("--tag is required"))
+      val docs = spark.read.parquet(table)
+      val idCol = flags.getOrElse("id-col", "doc_id")
+      val textCol = flags.getOrElse("text-col", "text")
+      val applied = flags.getOrElse("kind", "band") match {
+        case "band" =>
+          graft.dedup.DedupIndex.appendBand(spark, dir, docs, idCol, textCol, tag)
+        case "prefix" =>
+          graft.dedup.DedupIndex.appendPrefix(spark, dir, docs, idCol, textCol, tag)
+        case other => sys.error(s"--kind must be band|prefix, got $other")
+      }
+      println(s"""{"applied": $applied}""")
+    case "dedup-index-query" =>
+      // dedup a daily batch against a persisted index without touching the
+      // corpus: --table the batch parquet, --index the index dir, --output
+      // the result. band -> (doc_id, survivor_id); prefix -> exact pairs
+      val dir = flags.getOrElse("index", sys.error("--index is required"))
+      val out = flags.getOrElse("output", sys.error("--output is required"))
+      val docs = spark.read.parquet(table)
+      val idCol = flags.getOrElse("id-col", "doc_id")
+      val textCol = flags.getOrElse("text-col", "text")
+      val result = flags.getOrElse("kind", "band") match {
+        case "band" =>
+          graft.dedup.DedupIndex.dedupBatch(spark, dir, docs, idCol, textCol,
+            flags.getOrElse("threshold", "0.5").toDouble)
+        case "prefix" =>
+          graft.dedup.DedupIndex.ppjoinBatch(spark, dir, docs, idCol, textCol)
+        case other => sys.error(s"--kind must be band|prefix, got $other")
+      }
+      result.write.mode("overwrite").parquet(out)
+      println(s"""{"rows": ${spark.read.parquet(out).count()}}""")
     case "corpus" =>
       // training-data pipeline ops over a documents parquet: --table is the
       // input corpus, --output the destination; each op is a deterministic

@@ -361,9 +361,51 @@ object DedupSurface {
       Dedup.lshCosinePairs(vecs(s, d), "vec_id", "v", 0.999,
         graft.sim.SimSurface.Planes, graft.sim.SimSurface.Dims)
         .orderBy("vec_a", "vec_b")),
+    // the deployment shape of dedup_incremental: the corpus band index is
+    // BUILT AND PERSISTED once per dataset (VersionedTable-backed), and the
+    // gate times only load + batch-vs-index — the daily-import query cost
+    // once the corpus is indexed. Results bit-identical to the rebuild form
+    // (shared oracle).
+    "dedup_incremental_indexed" -> ((s, d) =>
+      DedupIndex.dedupBatch(s, bandIndexDir(s, d), incBatch(s, d),
+        "doc_id", "text", 0.5)
+        .orderBy("doc_id")),
+    // same for the EXACT path: persisted PPJoin prefix index, gate times
+    // load + batch join only (zero false negatives preserved — the index
+    // is the same artifact the rebuild derives)
+    "dedup_ppjoin_indexed" -> ((s, d) =>
+      DedupIndex.ppjoinBatch(s, prefixIndexDir(s, d), incBatch(s, d),
+        "doc_id", "text")
+        .orderBy("doc_a", "doc_b")),
   )
 
-  val oracles: Map[String, String] = Map(
+  /** One persisted dedup index per dataset CONTENT per JVM (the
+    * [[graft.sim.SimSurface]] indexDir pattern, content-stamped like
+    * [[docBand]]'s memo): built on first use under java.io.tmpdir, the
+    * gates above time only the load + batch-vs-index query.
+    */
+  private val dedupIndexDirs =
+    scala.collection.concurrent.TrieMap.empty[(String, String, Long), String]
+
+  private def bandIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(("band", d, contentStamp(d, "documents")), {
+      val p = java.nio.file.Files.createTempDirectory("graft-dedup-band").toString
+      DedupIndex.buildBand(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", p)
+      p
+    })
+
+  private def prefixIndexDir(s: SparkSession, d: String): String =
+    dedupIndexDirs.getOrElseUpdate(("prefix", d, contentStamp(d, "documents")), {
+      val p = java.nio.file.Files.createTempDirectory("graft-dedup-prefix").toString
+      DedupIndex.buildPrefix(
+        Tables.documents(s, d).select(col("doc_id"), col("text")),
+        "doc_id", "text", p, PpjoinTau)
+      p
+    })
+
+  private val oraclesBase: Map[String, String] = Map(
     "dedup_exact_groups" -> s"""WITH $corpusCte
       |SELECT md5($ntext) AS fp, COUNT(*) AS n, MIN(doc_id) AS survivor_id
       |FROM corpus GROUP BY 1 ORDER BY fp""".stripMargin,
@@ -593,4 +635,12 @@ object DedupSurface {
       |WHERE ${graft.sim.SimOracle.cosSql("a.v", "b.v")} >= 0.999
       |ORDER BY vec_a, vec_b""".stripMargin,
   )
+
+  /** The persisted-index twins return bit-identical results to their
+    * rebuild forms (same pipeline, index round-tripped through parquet),
+    * so they share those oracles verbatim.
+    */
+  val oracles: Map[String, String] = oraclesBase ++ Map(
+    "dedup_incremental_indexed" -> oraclesBase("dedup_incremental"),
+    "dedup_ppjoin_indexed" -> oraclesBase("dedup_ppjoin_incremental"))
 }
