@@ -265,23 +265,31 @@ object Profile {
     "q_histogram_price" -> ((s, d) =>
       histogram(Tables.lineitem(s, d), "l_extendedprice", HistBins)
         .orderBy("bin")),
-    // the STREAMING form hash-checked cross-engine: ingest lineitem as
-    // three micro-batches through StreamingProfile's append-only part
-    // logs (including a replayed batch, which the idempotence tag must
-    // refuse), then fold the logs — the snapshot must equal DuckDB
-    // profiling the whole table in one shot
+    // the STREAMING form hash-checked cross-engine: ingest lineitem as a
+    // REAL file-stream query (3 staged parquet files, maxFilesPerTrigger 1
+    // — one trigger per file, ingestion executor-side with no driver data
+    // ceiling) through StreamingProfile's append-only part log, replay a
+    // committed batch (which the idempotence tag must refuse), then fold
+    // the log — the snapshot must equal DuckDB profiling the whole table
+    // in one shot. The fold is order- and split-invariant, so the hash is
+    // identical to any other batching of the same rows.
     "q_profile_stream_lineitem" -> ((s, d) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-streamprof").toString
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-streamprof-ck").toString
+      val staging = java.nio.file.Files
+        .createTempDirectory("graft-streamprof-src").toString
       val li = Tables.lineitem(s, d)
-      for (b <- 0L to 2L)
-        graft.streaming.StreamingProfile.processBatch(
-          li.filter(col("l_orderkey") % 3 === b), root, b)
+      li.repartition(3).write.mode("overwrite").parquet(staging)
+      val stream = s.readStream.schema(li.schema)
+        .option("maxFilesPerTrigger", "1").parquet(staging)
+      val q = graft.streaming.StreamingProfile.start(stream, root, ckpt)
+      try q.processAllAvailable() finally q.stop()
       // replay of batch 1 (e.g. a restarted trigger): refused by tag,
       // so the snapshot is unchanged — the gate would hash-mismatch
       // otherwise (every count doubled for that slice)
-      graft.streaming.StreamingProfile.processBatch(
-        li.filter(col("l_orderkey") % 3 === 1), root, 1L)
+      graft.streaming.StreamingProfile.processBatch(li, root, 1L)
       graft.streaming.StreamingProfile.snapshot(s, root).orderBy("column")
     }))
 

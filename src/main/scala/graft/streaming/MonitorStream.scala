@@ -1,7 +1,6 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,7 +14,7 @@ import graft.store.VersionedTable
   * per-key state instead of repeated scans).
   *
   * The gate drives a REAL Structured Streaming query: events flow through
-  * a [[MemoryStream]] in three micro-batches into
+  * a parquet FILE STREAM (`maxFilesPerTrigger 1`) in three micro-batches into
   * [[Stateful.runningUserTotalsExact]] (update mode — each trigger emits
   * the refreshed snapshot of every touched key), and each trigger's
   * emissions append to a [[VersionedTable]] monitor log under the
@@ -66,24 +65,37 @@ object MonitorStream {
       .select(col("user_id"), col("n_events"), col("total"))
   }
 
-  /** The gate: 3 micro-batches (event_id % 3) through a live
-    * MemoryStream + mapGroupsWithState query, one tagged commit per
-    * trigger, a refused replay, then the folded snapshot.
+  /** The gate: 3 micro-batches through a live FILE-STREAM +
+    * mapGroupsWithState query, one tagged commit per trigger, a refused
+    * replay, then the folded snapshot.
+    *
+    * Ingestion is executor-side end to end: the events projection is
+    * staged as a 3-file parquet directory (one distributed write job) and
+    * consumed with `maxFilesPerTrigger 1` — one trigger per file, the
+    * [[graft.exec.StreamingRunner.itemStream]] shape — so the gate has no
+    * driver data ceiling (the prior MemoryStream form collected every
+    * event to the driver, a shape that caps out long before 100 TB). The
+    * folded snapshot is split-invariant (each key's last emission carries
+    * its full running state), so the output hash is identical.
     */
   def monitorStreamGate(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = java.nio.file.Files
       .createTempDirectory("graft-monstream").toString
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-monstream-ck").toString
-    // one scan, split driver-side (MemoryStream is driver-fed by design):
-    // three filter+collect jobs would re-read the parquet three times
-    val batches = Tables.events(spark, sfDir)
-      .select(col("user_id"), col("event_type"), col("value"), col("event_id"))
-      .as[Stateful.UserEvent4]
-      .collect().groupBy(_.event_id % 3)
-    val source = MemoryStream[Stateful.UserEvent4]
+    val staging = java.nio.file.Files
+      .createTempDirectory("graft-monstream-src").toString
+    Tables.events(spark, sfDir)
+      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+        col("value").cast("double").as("value"),
+        col("event_id").cast("long").as("event_id"))
+      .repartition(3)
+      .write.mode("overwrite").parquet(staging)
+    val source = spark.readStream
+      .schema(org.apache.spark.sql.Encoders.product[Stateful.UserEvent4].schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(staging)
     // state-store partition count is fixed by shuffle.partitions at FIRST
     // query start (then pinned by the checkpoint): size it to the op —
     // per-user running totals shard by key cardinality/throughput, and 32
@@ -94,7 +106,7 @@ object MonitorStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      val q = Stateful.runningUserTotalsExact(source.toDS())
+      val q = Stateful.runningUserTotalsExact(source.as[Stateful.UserEvent4])
         .toDF()
         .writeStream
         .outputMode(Stateful.outputMode)
@@ -104,14 +116,9 @@ object MonitorStream {
           ()
         }
         .start()
-      try {
-        // one addData + drain per micro-batch: three real triggers, state
-        // carried across them by the streaming engine (not by this driver)
-        (0L to 2L).foreach { b =>
-          source.addData(batches.getOrElse(b, Array.empty).toSeq)
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      // drain: maxFilesPerTrigger=1 → three real triggers, state carried
+      // across them by the streaming engine (not by this driver)
+      try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // the restarted-trigger replay: foreachBatch is at-least-once, so a
     // crash after commit re-fires the same batchId — the tag must refuse
