@@ -96,6 +96,109 @@ object Ivm {
       .orderBy("p_brand")
   }
 
+  // ------------------------------------------------------ persisted view
+
+  private val UpstreamTag = "upstream-v(\\d+)".r
+
+  /** The upstream version the persisted view at `viewRoot` has applied —
+    * recovered from the view table's own idempotence tags, so it survives
+    * any crash that the committed state survives.
+    */
+  def appliedVersion(spark: SparkSession, viewRoot: String): Option[Long] =
+    VersionedTable.latestVersion(spark, viewRoot).flatMap { _ =>
+      val vs = VersionedTable.snapshot(spark, viewRoot).tags
+        .collect { case UpstreamTag(n) => n.toLong }
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+
+  /** Materialize (or crash-recover) the persisted summary view over the
+    * upstream table's CURRENT version: the summary lands in its own
+    * [[VersionedTable]] under the `upstream-v<V>` idempotence tag. Returns
+    * the upstream version the view now reflects. Re-running after a crash
+    * between the table create and the tagged overwrite simply retries the
+    * overwrite; re-running against an already-materialized view is refused
+    * by the tag and changes nothing.
+    */
+  def materializeView(spark: SparkSession, viewRoot: String,
+      upstreamRoot: String, groupCols: Seq[String], valueCol: String): Long = {
+    val v = VersionedTable.latestVersion(spark, upstreamRoot)
+      .getOrElse(sys.error(s"$upstreamRoot does not exist"))
+    val summary = summarize(
+      VersionedTable.read(spark, upstreamRoot, Some(v)), groupCols, valueCol)
+    if (VersionedTable.latestVersion(spark, viewRoot).isEmpty)
+      VersionedTable.create(spark, viewRoot, summary.filter(lit(false)))
+    VersionedTable.overwriteBatch(spark, viewRoot, summary, s"upstream-v$v")
+    v
+  }
+
+  /** Fold the upstream change feed `(applied, toVersion]` into the
+    * persisted view and commit the refreshed view as ONE tagged overwrite —
+    * the production shape the in-memory gates prototype:
+    *
+    *  - exactly-once: the commit carries `upstream-v<toVersion>`; a
+    *    replayed refresh (same or older upstream version) returns false
+    *    without touching the table — refused here by the version compare
+    *    and, against a racing twin, atomically by the tag CAS;
+    *  - crash-recoverable: a crash between feed-read and view-commit
+    *    persists nothing, and the next refresh recomputes the SAME fold
+    *    from the durable `appliedVersion` watermark (multi-version feeds
+    *    compose — `changeFeedRows(applied, latest)` spans any number of
+    *    missed commits);
+    *  - scale: per refresh the work is feed-sized deltas + a group-sized
+    *    full-outer fold + a group-sized table rewrite, never an upstream
+    *    recompute.
+    */
+  def refreshView(spark: SparkSession, viewRoot: String, upstreamRoot: String,
+      key: String, groupCols: Seq[String], valueCol: String,
+      toVersion: Option[Long] = None): Boolean = {
+    val v = toVersion.orElse(VersionedTable.latestVersion(spark, upstreamRoot))
+      .getOrElse(sys.error(s"$upstreamRoot does not exist"))
+    val applied = appliedVersion(spark, viewRoot)
+      .getOrElse(sys.error(s"$viewRoot is not a materialized view " +
+        "(no upstream-v tag — run materializeView first)"))
+    if (v <= applied) return false
+    val feed = VersionedTable.changeFeedRows(spark, upstreamRoot, applied, v, key)
+    val next = applyDelta(VersionedTable.read(spark, viewRoot), feed,
+      groupCols, valueCol)
+    VersionedTable.overwriteBatch(spark, viewRoot, next, s"upstream-v$v")
+  }
+
+  /** Gate: [[ivmSummaryGate]]'s mutation chain with the view PERSISTED —
+    * materialized once, then refreshed per upstream commit through the
+    * tagged-overwrite path (one refresh deliberately spans two commits to
+    * exercise the multi-version feed), with a replayed refresh refused, and
+    * the final answer read back FROM DISK. Shares vt_ivm_summary's
+    * recompute oracle: the gate passes only if the durable view equals the
+    * from-scratch aggregate.
+    */
+  def ivmPersistedGate(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = java.nio.file.Files.createTempDirectory("graft-ivmp-gate").toString
+    val (root, viewRoot) = (s"$base/t", s"$base/view")
+    val part = Tables.part(spark, sfDir)
+      .select("p_partkey", "p_brand", "p_retailprice")
+    VersionedTable.create(spark, root, part.filter(col("p_partkey") % 3 === 0))
+    materializeView(spark, viewRoot, root, Seq("p_brand"), "p_retailprice")
+    VersionedTable.append(spark, root, part.filter(col("p_partkey") % 3 === 1))
+    require(refreshView(spark, viewRoot, root, "p_partkey",
+      Seq("p_brand"), "p_retailprice"), "fresh refresh must apply")
+    // a replayed refresh at the same upstream version must be a no-op
+    require(!refreshView(spark, viewRoot, root, "p_partkey",
+      Seq("p_brand"), "p_retailprice"), "replayed refresh must be refused")
+    // two upstream commits, ONE refresh: the feed spans (v2, v4]
+    VersionedTable.merge(spark, root,
+      part.filter(col("p_partkey") % 5 === 0)
+        .withColumn("p_retailprice", col("p_retailprice") + lit(1000.0)),
+      "p_partkey")
+    VersionedTable.deleteByKeys(spark, root,
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey"), "p_partkey")
+    require(refreshView(spark, viewRoot, root, "p_partkey",
+      Seq("p_brand"), "p_retailprice"), "catch-up refresh must apply")
+    VersionedTable.read(spark, viewRoot)
+      .select(col("p_brand"), col("cnt"),
+        col("sum_v").cast("double").as("sum_price"))
+      .orderBy("p_brand")
+  }
+
   /** Delta-join IVM: maintain an aggregate over `A ⋈ B` when ONE side takes
     * a change feed — the bilinear rule specialized to per-commit deltas.
     * Each feed row contributes signed rows (−1 old / +1 new) that join the
@@ -214,10 +317,24 @@ object Ivm {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vt_ivm_summary" -> (ivmSummaryGate _),
-    "vt_ivm_join" -> (ivmJoinGate _))
+    "vt_ivm_join" -> (ivmJoinGate _),
+    "vt_ivm_persisted" -> (ivmPersistedGate _))
 
   val oracles: Map[String, String] = Map(
     "vt_ivm_summary" ->
+      """WITH p AS (SELECT p_partkey, p_brand, p_retailprice FROM part),
+        |base AS (SELECT * FROM p WHERE p_partkey % 3 IN (0, 1)),
+        |upd AS (SELECT p_partkey, p_brand, p_retailprice + 1000.0 AS p_retailprice
+        |        FROM p WHERE p_partkey % 5 = 0),
+        |m AS (SELECT * FROM base WHERE p_partkey % 5 <> 0
+        |      UNION ALL SELECT * FROM upd),
+        |f AS (SELECT * FROM m WHERE p_partkey % 7 <> 0)
+        |SELECT p_brand, COUNT(*) AS cnt,
+        |  CAST(CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price
+        |FROM f GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    // the persisted view must fold to the same from-scratch aggregate as
+    // the in-memory chain — identical mutation sequence, identical oracle
+    "vt_ivm_persisted" ->
       """WITH p AS (SELECT p_partkey, p_brand, p_retailprice FROM part),
         |base AS (SELECT * FROM p WHERE p_partkey % 3 IN (0, 1)),
         |upd AS (SELECT p_partkey, p_brand, p_retailprice + 1000.0 AS p_retailprice

@@ -540,6 +540,29 @@ object VersionedTable {
     } catch { case _: TagAlreadyApplied => false }
   }
 
+  /** Idempotent overwrite for exactly-once derived-state maintenance (the
+    * [[Ivm]] persisted view): replaces the table contents IFF no committed
+    * version already carries `tag` — checked atomically under the version
+    * CAS, like [[appendBatch]]. Returns false (leaving only unreferenced
+    * files for vacuum) when the tag was already applied, so a replayed
+    * refresh is a no-op. Reading the table being overwritten inside `df`
+    * is safe: the new files are fully written before the commit swaps the
+    * manifest, and the old files stay on disk until vacuum.
+    */
+  def overwriteBatch(spark: SparkSession, root: String, df: DataFrame,
+      tag: String): Boolean = {
+    val head = snapshot(spark, root)
+    if (head.tags.contains(tag)) return false
+    val files = writeData(df, root, head.bloomCols)
+    try {
+      commitLoop(spark, root, Some(tag)) { parent =>
+        require(parent.nonEmpty, s"$root does not exist")
+        ("overwrite", files, df.schema)
+      }
+      true
+    } catch { case _: TagAlreadyApplied => false }
+  }
+
   /** Replace the table contents (last-writer-wins). */
   def overwrite(spark: SparkSession, root: String, df: DataFrame): Long = {
     val files = writeData(df, root, snapshot(spark, root).bloomCols)

@@ -50,6 +50,45 @@ class IvmSpec extends SparkSpec {
     assert(!asSet(s).exists(_._1 == "moved"), "drained group must drop out")
   }
 
+  test("persisted view: tagged refresh, replay refused, crash recoverable, multi-version catch-up") {
+    val base = Files.createTempDirectory("graft-ivmp").toString
+    val (root, viewRoot) = (s"$base/t", s"$base/view")
+    VersionedTable.create(spark, root,
+      (1L to 50L).map(k => (k, s"g${k % 5}", k * 1.5)).toDF("k", "g", "v"))
+    assert(Ivm.materializeView(spark, viewRoot, root, Seq("g"), "v") === 1L)
+    assert(Ivm.appliedVersion(spark, viewRoot) === Some(1L))
+    assert(asSet(VersionedTable.read(spark, viewRoot)) === summaryOf(root))
+
+    // one commit, one refresh
+    VersionedTable.append(spark, root,
+      (51L to 70L).map(k => (k, s"g${k % 5}", k * 1.5)).toDF("k", "g", "v"))
+    assert(Ivm.refreshView(spark, viewRoot, root, "k", Seq("g"), "v"))
+    assert(asSet(VersionedTable.read(spark, viewRoot)) === summaryOf(root))
+
+    // replay at the same upstream version: refused, view untouched
+    val viewV = VersionedTable.latestVersion(spark, viewRoot)
+    assert(!Ivm.refreshView(spark, viewRoot, root, "k", Seq("g"), "v"))
+    assert(VersionedTable.latestVersion(spark, viewRoot) === viewV)
+
+    // crash window: two upstream commits land with NO refresh between
+    // (a refresh crashing between feed-read and view-commit persists
+    // nothing — the applied watermark still reads 2) …
+    VersionedTable.merge(spark, root,
+      Seq((10L, "moved", 999.25), (71L, "g1", 7.0)).toDF("k", "g", "v"), "k")
+    VersionedTable.deleteByKeys(spark, root, Seq(1L, 2L, 20L).toDF("k"), "k")
+    assert(Ivm.appliedVersion(spark, viewRoot) === Some(2L))
+    // … and ONE catch-up refresh spans the multi-version feed exactly
+    assert(Ivm.refreshView(spark, viewRoot, root, "k", Seq("g"), "v"))
+    assert(Ivm.appliedVersion(spark, viewRoot) === Some(4L))
+    assert(asSet(VersionedTable.read(spark, viewRoot)) === summaryOf(root))
+
+    // an older-version refresh request is refused too (v <= applied)
+    val vBefore = VersionedTable.latestVersion(spark, viewRoot)
+    assert(!Ivm.refreshView(spark, viewRoot, root, "k", Seq("g"), "v",
+      toVersion = Some(3L)))
+    assert(VersionedTable.latestVersion(spark, viewRoot) === vBefore)
+  }
+
   test("delta-join maintenance equals join recompute as both sides mutate") {
     val base = Files.createTempDirectory("graft-ivmj").toString
     val (dimRoot, factRoot) = (s"$base/dim", s"$base/fact")
