@@ -16,9 +16,10 @@ import graft.Tables
   * old row existed and `(+1, new)` when a new one does — which makes
   * GROUP-MOVING updates (a row whose group column itself changed) correct
   * for free: the old group loses the old value, the new group gains the
-  * new one. Deltas aggregate per group (one shuffle over FEED-sized data,
-  * never table-sized), then a single full-outer join applies them to the
-  * summary; groups whose count reaches zero drop out.
+  * new one. Contributions union with the existing summary rows and ONE
+  * partial-aggregated groupBy re-sums them (a single shuffle over
+  * feed+group-sized data, never table-sized); groups whose count reaches
+  * zero drop out.
   *
   * Determinism: the value sum is exact decimal(18,4) addition end to end —
   * the maintained sum is bit-identical to the recomputed one (specs assert
@@ -50,16 +51,20 @@ object Ivm {
       .select((groupCols.map(g => col(s"c.row.$g").as(g)) :+
         col("c.sign").as("sign") :+
         col(s"c.row.$valueCol").cast("decimal(18,4)").as("v")): _*)
-    val deltas = contribs.groupBy(groupCols.map(col): _*)
-      .agg(sum(col("sign")).as("d_cnt"),
-        sum(col("sign") * col("v")).as("d_sum"))
-    summary.join(deltas, groupCols, "full_outer")
-      .select((groupCols.map(col) :+
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt") :+
-        (coalesce(col("sum_v"), lit(0).cast("decimal(18,4)")) +
-          coalesce(col("d_sum"), lit(0).cast("decimal(18,4)")))
-          .cast("decimal(18,4)").as("sum_v")): _*)
-      .filter(col("cnt") > 0)
+    foldContribs(summary, contribs, groupCols)
+  }
+
+  /** Size the session to the op for a lifecycle gate: IVM folds shuffle
+    * feed+group-sized data, where the global 32-way width is pure fixed
+    * task overhead per commit (the [[graft.streaming.MonitorStream]]
+    * state-store sizing argument; measured ~12% of the 9-commit lifecycle).
+    * At 100 TB this knob scales with delta size — the point is it is a
+    * per-pipeline sizing choice, not the global shuffle width.
+    */
+  private def withIvmSession[T](spark: SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
   /** Gate: the [[VersionedTable.mergeSnapshotGate]] mutation chain with a
@@ -69,7 +74,8 @@ object Ivm {
     * agreement of the two algorithms (delta propagation vs recompute) is
     * the check.
     */
-  def ivmSummaryGate(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivmSummaryGate(spark: SparkSession, sfDir: String): DataFrame =
+      withIvmSession(spark) {
     val root = java.nio.file.Files.createTempDirectory("graft-ivm-gate")
       .toString + "/t"
     val part = Tables.part(spark, sfDir)
@@ -97,6 +103,7 @@ object Ivm {
   }
 
   // ------------------------------------------------------ persisted view
+
 
   private val UpstreamTag = "upstream-v(\\d+)".r
 
@@ -171,7 +178,8 @@ object Ivm {
     * recompute oracle: the gate passes only if the durable view equals the
     * from-scratch aggregate.
     */
-  def ivmPersistedGate(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivmPersistedGate(spark: SparkSession, sfDir: String): DataFrame =
+      withIvmSession(spark) {
     val base = java.nio.file.Files.createTempDirectory("graft-ivmp-gate").toString
     val (root, viewRoot) = (s"$base/t", s"$base/view")
     val part = Tables.part(spark, sfDir)
@@ -241,22 +249,27 @@ object Ivm {
     foldContribs(summary, contribs, groupCols)
   }
 
-  /** Shared signed-delta fold: aggregate (sign, v) per group, full-outer
-    * apply to the summary, drop groups whose count reaches zero.
+  /** Shared signed-delta fold as ONE exchange: the summary rows and the
+    * signed contributions union into a single (group, cnt, sum_v) stream
+    * and one partial-aggregated groupBy re-sums them — replacing the
+    * previous aggregate-then-full-outer-join shape (two shuffled inputs +
+    * a join) with a single shuffle over summary+feed rows. Decimal adds
+    * are order-free, so the result is bit-identical; groups whose count
+    * drains to zero drop out. (The join form also split null group keys
+    * into two output rows — null never equals null in a join — where this
+    * fold correctly merges them; no gate feeds null groups, but the union
+    * form removes the trap.)
     */
   private def foldContribs(summary: DataFrame, contribs: DataFrame,
-      groupCols: Seq[String]): DataFrame = {
-    val deltas = contribs.groupBy(groupCols.map(col): _*)
-      .agg(sum(col("sign")).as("d_cnt"),
-        sum(col("sign") * col("v")).as("d_sum"))
-    summary.join(deltas, groupCols, "full_outer")
-      .select((groupCols.map(col) :+
-        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt") :+
-        (coalesce(col("sum_v"), lit(0).cast("decimal(18,4)")) +
-          coalesce(col("d_sum"), lit(0).cast("decimal(18,4)")))
-          .cast("decimal(18,4)").as("sum_v")): _*)
+      groupCols: Seq[String]): DataFrame =
+    summary.select((groupCols.map(col) :+ col("cnt") :+ col("sum_v")): _*)
+      .unionByName(contribs.select((groupCols.map(col) :+
+        col("sign").as("cnt") :+
+        (col("sign") * col("v")).cast("decimal(18,4)").as("sum_v")): _*))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(col("cnt")).as("cnt"),
+        sum(col("sum_v")).cast("decimal(18,4)").as("sum_v"))
       .filter(col("cnt") > 0)
-  }
 
   /** Gate: a per-nation revenue view over customer ⋈ orders, with BOTH
     * sides versioned and mutating — orders take an append, a price merge
@@ -266,7 +279,8 @@ object Ivm {
     * aggregate from scratch; agreement of delta-join maintenance with
     * recompute is the check.
     */
-  def ivmJoinGate(spark: SparkSession, sfDir: String): DataFrame = {
+  def ivmJoinGate(spark: SparkSession, sfDir: String): DataFrame =
+      withIvmSession(spark) {
     val base = java.nio.file.Files.createTempDirectory("graft-ivmj-gate").toString
     val (aRoot, bRoot) = (s"$base/cust", s"$base/ord")
     val cust = Tables.customer(spark, sfDir).select("c_custkey", "c_nationkey")

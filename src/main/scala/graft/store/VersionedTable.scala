@@ -318,11 +318,23 @@ object VersionedTable {
     df.write.parquet(dir)
     val f = fs(spark, root)
     val conf = spark.sparkContext.hadoopConfiguration
-    val entries = f.listStatus(new Path(dir)).toSeq
+    val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.getPath.getName.startsWith("part-"))
-      .map { s =>
-        val (rows, mins, maxs) = footerStats(s.getPath, conf)
-        FileEntry(s"$txn/${s.getPath.getName}", rows, mins, maxs)
+    def harvest(s: org.apache.hadoop.fs.FileStatus): FileEntry = {
+      val (rows, mins, maxs) = footerStats(s.getPath, conf)
+      FileEntry(s"$txn/${s.getPath.getName}", rows, mins, maxs)
+    }
+    // single-file commits (the streaming/IVM shape) read one footer inline;
+    // multi-file commits harvest footers CONCURRENTLY — on object stores
+    // each open is a round trip, and a compaction commit would otherwise
+    // serialize hundreds of them on the driver
+    val entries: Seq[FileEntry] =
+      if (parts.lengthCompare(2) < 0) parts.map(harvest)
+      else {
+        import scala.concurrent.{Await, Future}
+        import scala.concurrent.ExecutionContext.Implicits.global
+        Await.result(Future.traverse(parts)(s => Future(harvest(s))),
+          scala.concurrent.duration.Duration.Inf)
       }
     val cols = bloomCols.filter(df.schema.fieldNames.contains)
     if (cols.isEmpty) entries else attachBlooms(spark, dir, entries, cols)
@@ -865,6 +877,20 @@ object VersionedTable {
         spark.createDataFrame(spark.sparkContext.emptyRDD[Row], sTo.schema)
       else spark.read.schema(sTo.schema).parquet(paths.map(p => s"$root/$p"): _*)
     val cols = sTo.schema.fieldNames.toSeq
+    val rowType = org.apache.spark.sql.types.StructType(sTo.schema.fields)
+    // one-sided fast paths: an append-only span has no left files (every
+    // entered row is an add) and a pure-removal span no entered files —
+    // the feed is then a straight scan, no full-outer join. At scale this
+    // is the common case (daily appends), and the join it skips is the
+    // only shuffle in the feed.
+    if (left.isEmpty)
+      return readFiles(entered).select(col(key).as("key"),
+        lit("added").as("change"), lit(null).cast(rowType).as("old"),
+        struct(cols.map(col): _*).as("new"))
+    if (entered.isEmpty)
+      return readFiles(left).select(col(key).as("key"),
+        lit("removed").as("change"), struct(cols.map(col): _*).as("old"),
+        lit(null).cast(rowType).as("new"))
     val o = readFiles(left)
       .select(col(key).as("key"), struct(cols.map(col): _*).as("old"))
     val n = readFiles(entered)
