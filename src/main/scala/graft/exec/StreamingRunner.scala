@@ -21,6 +21,25 @@ object StreamingRunner {
   def itemStream(spark: SparkSession, storePath: String): DataFrame =
     spark.readStream.schema(WorkItem.schema).parquet(storePath)
 
+  /** Open a CONNECTOR queue directory as a micro-batch stream — the
+    * DynamoDB-streams analog of the reference's poll loop
+    * (`code/runner.py:144-238`): each queue data file arrives in exactly
+    * one micro-batch, with the batch scan's source-side pruning: `state`
+    * prunes whole state directories out of every offset listing (the GSI
+    * key-condition analog — declared as a read option because Spark's
+    * optimizer does not push filters into micro-batch scans).
+    * `maxFilesPerTrigger` bounds each trigger's admission.
+    */
+  def queueStream(spark: SparkSession, queuePath: String,
+      maxFilesPerTrigger: Option[Int] = None,
+      state: Option[String] = None): DataFrame = {
+    val r = spark.readStream.format("graft.store.connector.WorkQueueSource")
+      .option("path", queuePath)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n.toString))
+    state.foreach(s => r.option("itemState", s))
+    r.load()
+  }
+
   /** foreachBatch dispatcher: run every todo item of the micro-batch,
     * append updated items to `resultPath` (an ItemStore-shaped table whose
     * latest row per itemID is the current state). The append is

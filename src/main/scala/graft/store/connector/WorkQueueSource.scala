@@ -262,9 +262,18 @@ class WorkQueueTable(path: String, tableSchema: StructType = WorkQueueSource.sch
   override def name(): String = s"workqueue($path)"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
+  // itemState/itemID read OPTIONS are the STREAMING pushdown surface:
+  // Spark's V2ScanRelationPushDown only rewrites batch relations (checked
+  // against 4.1 — MicroBatchExecution builds its scan without it), so a
+  // streaming reader declares its key conditions up front and gets the
+  // same source-side pruning the batch optimizer derives from filters
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new WorkQueueScanBuilder(path)
+    new WorkQueueScanBuilder(path,
+      Option(options.get("maxFilesPerTrigger")).map(_.toInt),
+      Option(options.get("itemState")),
+      Option(options.get("itemID")))
   // writes are schema-dispatched: a claim-shaped frame (has lockID) runs
   // the conditional-claim protocol; an item-shaped frame (has itemState)
   // appends queue rows — the connector is a full source/sink pair, the
@@ -283,13 +292,16 @@ class WorkQueueTable(path: String, tableSchema: StructType = WorkQueueSource.sch
   }
 }
 
-class WorkQueueScanBuilder(path: String)
+class WorkQueueScanBuilder(path: String,
+    maxFilesPerTrigger: Option[Int] = None,
+    presetState: Option[String] = None,
+    presetId: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns with SupportsPushDownAggregates
     with SupportsPushDownLimit {
 
-  private var stateFilter: Option[String] = None
-  private var idFilter: Option[String] = None
+  private var stateFilter: Option[String] = presetState
+  private var idFilter: Option[String] = presetId
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = WorkQueueSource.schema
   private var countByState = false
@@ -299,12 +311,12 @@ class WorkQueueScanBuilder(path: String)
     // accept exactly ONE itemState equality; a second (possibly conflicting)
     // one must stay post-scan or Spark would trust us to have enforced both
     val firstEq = filters.collectFirst { case f @ EqualTo("itemState", _: String) => f }
-    stateFilter = firstEq.map(_.value.asInstanceOf[String])
+    stateFilter = firstEq.map(_.value.asInstanceOf[String]).orElse(presetState)
     // an itemID equality is the point-lookup key (S4/S5, the reference's
     // getCurrentState/getLockID — `code/client.py:139-184`): enforced in the
     // reader during parsing, so LIMIT can then also push beneath it
     val idEq = filters.collectFirst { case f @ EqualTo("itemID", _: String) => f }
-    idFilter = idEq.map(_.value.asInstanceOf[String])
+    idFilter = idEq.map(_.value.asInstanceOf[String]).orElse(presetId)
     // IsNotNull(c) is implied by a pushed EqualTo(c, nonNullLiteral) — the
     // equality enforcement subsumes it, and leaving it residual would block
     // LIMIT pushdown (Spark only pushes a limit through a fully-pushed
@@ -367,7 +379,8 @@ class WorkQueueScanBuilder(path: String)
 
   override def build(): Scan =
     if (countByState) new WorkQueueCountScan(path, stateFilter, idFilter)
-    else new WorkQueueScan(path, stateFilter, idFilter, limit, required)
+    else new WorkQueueScan(path, stateFilter, idFilter, limit, required,
+      maxFilesPerTrigger)
 }
 
 /** Complete-pushdown scan for `COUNT(*) GROUP BY itemState`: one input
@@ -508,11 +521,17 @@ object WorkQueueCsv {
 }
 
 class WorkQueueScan(path: String, state: Option[String], id: Option[String],
-    limit: Option[Int], required: StructType)
+    limit: Option[Int], required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  // the same pushed state/id/columns ride into the streaming read — the
+  // dispatcher's plan is pruned exactly like the batch plan's
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WorkQueueMicroBatchStream(path, state, id, required, maxFilesPerTrigger)
   override def description(): String =
     s"WorkQueueScan(path=$path, pushedState=$state, pushedId=$id, " +
       s"pushedLimit=$limit, columns=${required.fieldNames.mkString(",")})"

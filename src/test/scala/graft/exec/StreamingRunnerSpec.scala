@@ -37,6 +37,69 @@ class StreamingRunnerSpec extends SparkSpec {
     assert(stdout === "1\n2\n")
   }
 
+  test("queue connector streams micro-batches: state-dir pruning in the plan, claim semantics per batch") {
+    import graft.store.connector.WorkQueueSource
+    val dir = java.nio.file.Files.createTempDirectory("graft-qstream").toFile
+    val queue = new java.io.File(dir, "queue").toString
+    val registry = new java.io.File(dir, "registry").toString
+    def rows(ids: (String, String)*) = ids.toSeq.toDF("itemID", "itemState")
+      .selectExpr("itemID", "itemID AS taskID", "itemState",
+        "CAST(null AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    // two appends → at least two todo data files; a done file is POISONED
+    // (malformed row): with state-dir pruning it is never listed, never
+    // opened — the stream would throw otherwise
+    WorkQueueSource.append(rows("A" -> "todo", "B" -> "todo").coalesce(1), queue)
+    WorkQueueSource.append(rows("C" -> "todo").coalesce(1), queue)
+    val doneDir = new java.io.File(queue, "itemState=done"); doneDir.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(doneDir, "poison.csv").toPath, "only,three,fields\n")
+
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    val batches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = StreamingRunner.queueStream(spark, queue,
+        maxFilesPerTrigger = Some(1), state = Some("todo"))
+      .filter($"itemState" === "todo") // residual guard; pruning is source-side
+      .select($"itemID")
+      .writeStream
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        // the claimedDispatcher shape: claim each micro-batch's items
+        // through the connector's conditional write, then record the wins
+        if (!batch.isEmpty) {
+          batches.incrementAndGet()
+          batch.select($"itemID",
+              concat(lit(s"lock-$batchId-"), $"itemID").as("lockID"),
+              lit("stream-worker").as("instanceID"),
+              lit(null).cast("string").as("expectedLockID"),
+              lit(null).cast("long").as("leaseMillis"))
+            .write.format("graft.store.connector.WorkQueueSource")
+            .option("path", registry).mode("append").save()
+          batch.collect().foreach(r => seen.add(r.getString(0)))
+        }
+        ()
+      }
+      .start()
+    try {
+      q.processAllAvailable()
+      // the streaming source itself reports the pushed state: unselected
+      // state dirs never enter an offset (the GSI key-condition analog)
+      val desc = q.lastProgress.sources.head.description
+      assert(desc.contains("pushedState=Some(todo)"),
+        s"state pushdown missing from streaming source: $desc")
+      // live growth: a file appended while the query runs arrives too
+      WorkQueueSource.append(rows("D" -> "todo").coalesce(1), queue)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    import scala.collection.JavaConverters._
+    assert(seen.asScala === Set("A", "B", "C", "D"))
+    assert(batches.get() >= 3, s"maxFilesPerTrigger=1 over 3+ files must yield 3+ batches, got ${batches.get()}")
+    // every item claimed exactly once across the run (accepted, no rejects)
+    val claims = WorkQueueSource.claimResults(spark, registry)
+    assert(claims.filter($"status" === "accepted").count() === 4)
+    assert(claims.filter($"status" === "rejected").count() === 0)
+  }
+
   test("commitBatch is exactly-once under replay and partial-commit crashes") {
     val dir = java.nio.file.Files.createTempDirectory("graft-eos").toFile
     val store = dir.toPath.resolve("results").toString
