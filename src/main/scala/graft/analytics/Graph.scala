@@ -405,7 +405,7 @@ object Graph {
   /** All distinct co-occurrence edges (support ≥ 1) off the shared
     * substrate — same rows as [[coOccurrenceEdges]] on the gate input.
     */
-  private def gateEdges(s: SparkSession, d: String): DataFrame =
+  private[graft] def gateEdges(s: SparkSession, d: String): DataFrame =
     pairSupport(s, d).select("src", "dst")
 
   /** Support-filtered edges off the shared substrate — same rows as
