@@ -78,7 +78,10 @@ object PlanDump {
       "q11_important_parts" -> ("global-fraction HAVING as a 1-row aggregate broadcast cross-joined onto the per-part rollup; threshold cross-multiplied in decimal, no double division"),
       "sim_topk_pq_indexed" -> ("persisted flat-PQ probe: codebooks broadcast into the per-query LUT build; the corpus side is ONE columnar scan of the persisted 4-code table — no training, no re-encode, rank via window over m integer lookups per candidate"),
       "pa_monitor_stream" -> ("monitor-log fold: latest-snapshot-per-user via one window over the VersionedTable part log (rows = touched keys x triggers, never the event stream); the streaming side committed one tagged version per trigger"),
-      "txt_fingerprint" -> ("min-shingle fingerprint as a one-pass JVM kernel at scan speed: zero exchanges before the output ordering — the HOF spelling re-evaluated the normalize+split per shingle position"))
+      "txt_fingerprint" -> ("min-shingle fingerprint as a one-pass JVM kernel at scan speed: zero exchanges before the output ordering — the HOF spelling re-evaluated the normalize+split per shingle position"),
+      "dedup_incremental_indexed" -> ("persisted band index: the batch side shingles+signs ITS OWN rows only and equi-joins the VersionedTable-backed index scan — the corpus is never re-shingled, per-batch cost independent of corpus size"),
+      "dedup_ppjoin_indexed" -> ("persisted prefix index: batch prefixes ranked by the frozen build-time (df, gram) order equi-join the index's prefix rows; exact verification touches only surviving candidates"),
+      "vt_ivm_persisted" -> ("durable view refresh: feed-sized change scan + ONE union+groupBy fold against the group-sized persisted view, committed as a tagged overwrite — no upstream recompute anywhere in the plan"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")
     out.append("Generated by `graft.PlanDump`. What to look for is noted per query;\n")
