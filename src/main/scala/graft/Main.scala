@@ -488,12 +488,13 @@ object Main {
               graft.dedup.Dedup.prefixFilterJaccardPairs(docs, idCol,
                 textCol, threshold)
             case Some(dir) =>
-              val fs = new java.io.File(s"$dir/prefix")
+              val fs = new java.io.File(s"$dir/members")
               val ix =
                 if (fs.exists()) graft.dedup.Dedup.PrefixIndex(
                   spark.read.parquet(s"$dir/freq"),
                   spark.read.parquet(s"$dir/prefix"),
-                  spark.read.parquet(s"$dir/grams"))
+                  spark.read.parquet(s"$dir/grams"),
+                  spark.read.parquet(s"$dir/members"))
                 else {
                   val corpus = spark.read.parquet(
                     flags.getOrElse("corpus", sys.error(
@@ -503,6 +504,7 @@ object Main {
                   built.freq.write.parquet(s"$dir/freq")
                   built.prefix.write.parquet(s"$dir/prefix")
                   built.grams.write.parquet(s"$dir/grams")
+                  built.members.write.parquet(s"$dir/members")
                   built
                 }
               graft.dedup.Dedup.ppjoinAgainst(ix, docs, idCol, textCol,

@@ -547,11 +547,7 @@ object Dedup {
     */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
-    val g = docs
-      .select(col(idCol).cast("long").as("id"),
-        distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .transform(graft.plans.Lineage.cut) // consumed by prefix AND verify
+    val (g, members) = collapseExactFamilies(docs, idCol, textCol)
     val toks = g.select(col("id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     val freq = toks.groupBy("gram").agg(count(lit(1)).as("df"))
@@ -586,7 +582,7 @@ object Dedup {
           greatest(col("sz_a"), col("sz_b")) >= threshold &&
         ub / (col("sz_a") + col("sz_b") - ub) >= threshold)
       .select("doc_a", "doc_b").distinct()
-    cand
+    val repPairs = cand
       .join(g.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
       .join(g.select(col("id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
       .withColumn("jaccard",
@@ -594,35 +590,101 @@ object Dedup {
           size(array_union(col("ga"), col("gb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    expandFamilies(repPairs, members, members)
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+      .unionByName(familyPairs(members))
   }
 
+  /** Exact-dup family collapse ahead of PPJoin pairing — the collapse-first
+    * rule [[bandIndex]] and [[substringPairs]] already apply, extended to
+    * the prefix-filter family: one REPRESENTATIVE (min id) per distinct
+    * normalized text ([[exactGroups]]' md5 fingerprint), plus the
+    * (rep, id) member map (reps map to themselves). Candidate generation
+    * and verification then run over representatives only, so candidate
+    * volume AND the gram-array-carrying verify join become independent of
+    * duplicate multiplicity — the dominant term in dirty corpora (the 100×
+    * probe's 100-member replica families put ~75 GB of spill through the
+    * rep-free form: replicas² candidate rows, then replicas² verify rows
+    * each dragging two full gram arrays). The exact per-doc pair set is
+    * recovered afterward by [[expandFamilies]] (id-only rows), and
+    * within-family pairs are emitted directly with jaccard exactly 1.0
+    * (identical normalized texts have identical gram sets).
+    *
+    * Returns (reps, members): reps = (id, grams) one row per family;
+    * members = (rep, id) covering every doc with non-empty grams. One
+    * exchange (the fp window) covers both.
+    */
+  private[graft] def collapseExactFamilies(docs: DataFrame, idCol: String,
+      textCol: String): (DataFrame, DataFrame) = {
+    val norm = TextAnalysis.normalized(col(textCol))
+    val base = docs.select(col(idCol).cast("long").as("id"),
+        md5(norm).as("fp"), distinctNgramsUdf(3)(norm).as("grams"))
+      .filter(size(col("grams")) > 0)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+    val tagged = base.withColumn("rep", min(col("id")).over(w))
+      .transform(graft.plans.Lineage.cut) // consumed by reps AND members
+    (tagged.filter(col("id") === col("rep")).select(col("id"), col("grams")),
+      tagged.select(col("rep"), col("id")))
+  }
+
+  /** Rep-level verified pairs → per-doc pairs through the member maps.
+    * Families partition the docs, so every (ma, mb) pair arises from
+    * exactly ONE rep pair — expansion is multiplicity-exact. Output ids
+    * are NOT order-normalized (member ids need not respect the rep order);
+    * callers apply least/greatest.
+    */
+  private def expandFamilies(repPairs: DataFrame, memA: DataFrame,
+      memB: DataFrame): DataFrame = repPairs
+    .join(memA.select(col("rep").as("doc_a"), col("id").as("ma")),
+      Seq("doc_a"))
+    .join(memB.select(col("rep").as("doc_b"), col("id").as("mb")),
+      Seq("doc_b"))
+    .select(col("ma"), col("mb"), col("jaccard"))
+
+  /** All within-family pairs (a < b), jaccard exactly 1.0 — the pairs the
+    * rep-level candidate join can no longer see (one rep per family).
+    * The self-join buckets are family-sized: output-sized by definition,
+    * never corpus-quadratic.
+    */
+  private def familyPairs(members: DataFrame): DataFrame = members
+    .join(members.select(col("rep"), col("id").as("id_b")), Seq("rep"))
+    .filter(col("id") < col("id_b"))
+    .select(col("id").as("doc_a"), col("id_b").as("doc_b"),
+      lit(1.0).as("jaccard"))
+
   /** Persistable prefix index for [[ppjoinAgainst]] — the EXACT-dedup
-    * analog of [[bandIndex]]: three plain parquet-writable frames
-    * (document frequencies, per-doc prefix rows at the index threshold,
-    * distinct gram sets), computed ONCE over the corpus and reloaded per
-    * daily batch. All derived under the same global (df asc, gram asc)
-    * order as [[prefixFilterJaccardPairs]].
+    * analog of [[bandIndex]]: four plain parquet-writable frames
+    * (document frequencies, per-REPRESENTATIVE prefix rows at the index
+    * threshold, representative gram sets, and the exact-dup member map),
+    * computed ONCE over the corpus and reloaded per daily batch. All
+    * derived under the same global (df asc, gram asc) order as
+    * [[prefixFilterJaccardPairs]]. Like [[bandIndex]], the index holds one
+    * prefix/gram row per exact-dup FAMILY ([[collapseExactFamilies]]):
+    * index size and join fanout are independent of duplicate multiplicity,
+    * and `members` recovers the per-doc pair set.
     */
   final case class PrefixIndex(freq: DataFrame, prefix: DataFrame,
-      grams: DataFrame)
+      grams: DataFrame, members: DataFrame)
 
   def prefixIndex(corpus: DataFrame, idCol: String, textCol: String,
       threshold: Double): PrefixIndex = {
-    val g = corpus
-      .select(col(idCol).cast("long").as("id"),
-        distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
-      .filter(size(col("grams")) > 0)
+    val (g, members) = collapseExactFamilies(corpus, idCol, textCol)
     val toks = g.select(col("id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     val freq = toks.groupBy("gram").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df"), col("gram"))
-    // same conservative prefix predicate as [[prefixFilterJaccardPairs]]
+    // same conservative prefix predicate as [[prefixFilterJaccardPairs]].
+    // df counts REPRESENTATIVES (distinct texts), not raw docs — any
+    // consistent global order preserves the exactness lemmas, and rep-df
+    // is the better selectivity signal (a million exact copies of one
+    // boilerplate page shouldn't demote its discriminative grams).
     val prefix = toks.join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
       .select("id", "sz", "rn", "gram")
-    PrefixIndex(freq, prefix, g)
+    PrefixIndex(freq, prefix, g, members)
   }
 
   /** Incremental EXACT near-dedup — [[prefixFilterJaccardPairs]]'
@@ -654,12 +716,8 @@ object Dedup {
     */
   private[graft] def ppjoinBatchSide(index: PrefixIndex, batch: DataFrame,
       idCol: String, textCol: String,
-      threshold: Double): (DataFrame, DataFrame) = {
-    val bg = batch
-      .select(col(idCol).cast("long").as("id"),
-        distinctNgramsUdf(3)(TextAnalysis.normalized(col(textCol))).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .transform(graft.plans.Lineage.cut)
+      threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+    val (bg, bmembers) = collapseExactFamilies(batch, idCol, textCol)
     val btoks = bg.select(col("id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     val w = org.apache.spark.sql.expressions.Window
@@ -670,14 +728,18 @@ object Dedup {
       .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
       .select("id", "sz", "rn", "gram")
       .transform(graft.plans.Lineage.cut)
-    (bg, bprefix)
+    (bg, bprefix, bmembers)
   }
 
   def ppjoinAgainst(index: PrefixIndex, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
-    val (bg, bprefix) = ppjoinBatchSide(index, batch, idCol, textCol, threshold)
+    val (bg, bprefix, bmem) =
+      ppjoinBatchSide(index, batch, idCol, textCol, threshold)
     // boundary-exact candidate predicates — the verify comparison on the
-    // overlap upper bound, per [[prefixFilterJaccardPairs]]'s analysis
+    // overlap upper bound, per [[prefixFilterJaccardPairs]]'s analysis.
+    // Both sides are FAMILY REPRESENTATIVES ([[collapseExactFamilies]]),
+    // so candidates and the array-carrying verify are duplicate-free;
+    // [[expandFamilies]] recovers the per-doc pair set at id-row cost.
     val ub = lit(1) +
       least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
     def filters(c: DataFrame): DataFrame = c
@@ -700,13 +762,18 @@ object Dedup {
         size(array_intersect(col("ga"), col("gb"))) /
           size(array_union(col("ga"), col("gb"))))
       .filter(col("jaccard") >= threshold)
-    verify(cross, bg, index.grams)
-      .unionByName(verify(internal, bg, bg))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    expandFamilies(verify(cross, bg, index.grams), bmem, index.members)
+      .unionByName(
+        expandFamilies(verify(internal, bg, bg), bmem, bmem))
       // a doc present in BOTH corpus and batch would cross-pair with
       // itself — drop the degenerate pair, normalize the id order
-      .filter(col("doc_a") =!= col("doc_b"))
-      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-        greatest(col("doc_a"), col("doc_b")).as("doc_b"), col("jaccard"))
+      .filter(col("ma") =!= col("mb"))
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+      // batch-internal exact dups share one rep, invisible to the rep-level
+      // candidate join — emitted directly at jaccard exactly 1.0
+      .unionByName(familyPairs(bmem))
   }
 
   /** Exact substring dedup (the character-level "exact substring match"

@@ -59,6 +59,7 @@ object DedupIndex {
   private def freqRoot(dir: String) = s"$dir/freq"
   private def prefixRoot(dir: String) = s"$dir/prefix"
   private def gramsRoot(dir: String) = s"$dir/grams"
+  private def membersRoot(dir: String) = s"$dir/members"
   private def metaFile(dir: String) = new java.io.File(dir, "_meta.json")
 
   private def writeMeta(dir: String, json: String): Unit = {
@@ -142,38 +143,53 @@ object DedupIndex {
       dir: String, threshold: Double): Unit = {
     val spark = corpus.sparkSession
     val ix = Dedup.prefixIndex(corpus, idCol, textCol, threshold)
-    writeMeta(dir, s"""{"kind":"prefix","threshold":$threshold}""")
+    // "v":2 — the collapsed format: prefix/gram rows per exact-dup FAMILY
+    // representative plus the member map (loadPrefix refuses v1 artifacts,
+    // which stored per-doc rows and no members table)
+    writeMeta(dir, s"""{"kind":"prefix","v":2,"threshold":$threshold}""")
     VersionedTable.create(spark, freqRoot(dir), ix.freq)
     VersionedTable.create(spark, prefixRoot(dir), ix.prefix)
     VersionedTable.create(spark, gramsRoot(dir), ix.grams)
+    VersionedTable.create(spark, membersRoot(dir), ix.members)
     ()
   }
 
-  /** Exactly-once append of `newDocs`' prefix + gram rows under `tag`,
-    * ranked by the ORIGINAL frequency table (never updated — the shared
-    * total order the exactness proof needs). Two tables commit under the
-    * same tag; a crash between the two is safe: the recomputation is
-    * deterministic (frozen freq, same batch), each table's replay is
-    * refused independently, and a doc present in only one table contributes
-    * no candidate pairs (candidates need its prefix row, verification its
-    * gram set) until the replay completes it.
+  /** Exactly-once append of `newDocs`' family rows under `tag` — the batch
+    * is collapsed to exact-dup representatives whose prefixes rank by the
+    * ORIGINAL frequency table (never updated — the shared total order the
+    * exactness proof needs), plus its member rows. Three tables commit
+    * under the same tag; a crash between them is safe: the recomputation
+    * is deterministic (frozen freq, same batch), each table's replay is
+    * refused independently, and a family present in only some tables
+    * contributes no pairs (candidates need its prefix row, verification
+    * its gram set, expansion its member rows) until the replay completes
+    * it. A batch doc exactly duplicating an already-indexed text yields a
+    * second representative with an identical gram set — harmless, as in
+    * [[appendBand]]: both families match the same future batches and
+    * expansion unions their (disjoint) member lists.
     */
   def appendPrefix(spark: SparkSession, dir: String, newDocs: DataFrame,
       idCol: String, textCol: String, tag: String): Boolean = {
     val meta = readMeta(dir, "prefix")
     val ix = loadPrefix(spark, dir)
-    val (bg, bprefix) = Dedup.ppjoinBatchSide(ix, newDocs, idCol, textCol,
-      doubleField(meta, "threshold"))
+    val (bg, bprefix, bmembers) = Dedup.ppjoinBatchSide(ix, newDocs, idCol,
+      textCol, doubleField(meta, "threshold"))
     val a = VersionedTable.appendBatch(spark, prefixRoot(dir), bprefix, tag)
     val b = VersionedTable.appendBatch(spark, gramsRoot(dir), bg, tag)
-    a || b
+    val c = VersionedTable.appendBatch(spark, membersRoot(dir), bmembers, tag)
+    a || b || c
   }
 
-  def loadPrefix(spark: SparkSession, dir: String): Dedup.PrefixIndex =
+  def loadPrefix(spark: SparkSession, dir: String): Dedup.PrefixIndex = {
+    val meta = readMeta(dir, "prefix")
+    require(intField(meta, "v") == 2,
+      s"prefix index at $dir predates the collapsed v2 format — rebuild it")
     Dedup.PrefixIndex(
       VersionedTable.read(spark, freqRoot(dir)),
       VersionedTable.read(spark, prefixRoot(dir)),
-      VersionedTable.read(spark, gramsRoot(dir)))
+      VersionedTable.read(spark, gramsRoot(dir)),
+      VersionedTable.read(spark, membersRoot(dir)))
+  }
 
   /** The persisted index's build threshold. */
   def prefixThreshold(dir: String): Double =

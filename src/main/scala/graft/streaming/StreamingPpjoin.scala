@@ -22,16 +22,19 @@ import graft.store.VersionedTable
   * prefix-filter + positional-filter lemmas hold for every cross pair —
   * batch×corpus, batch×earlier-batch, and batch-internal alike.
   *
-  * Exactly-once: three [[VersionedTable]]s (emitted pairs, extension
-  * prefix rows, extension gram sets) each commit the micro-batch under the
-  * idempotence tag `batch-<id>` ([[VersionedTable.appendBatch]] refuses a
-  * replayed tag atomically under the manifest CAS). A crash between the
-  * three commits is safe: the pair computation only ever READS extension
-  * state from BEFORE this batch's appends, and a partially-applied
-  * extension (grams without prefix rows, or vice versa) contributes no
-  * candidates — candidates need a prefix row, verification needs the gram
-  * set, and the inner joins drop one-sided docs — so a replay recomputes
-  * bit-identical pairs and each append lands exactly once.
+  * Exactly-once: four [[VersionedTable]]s (emitted pairs, extension
+  * prefix rows, extension gram sets, extension member rows) each commit
+  * the micro-batch under the idempotence tag `batch-<id>`
+  * ([[VersionedTable.appendBatch]] refuses a replayed tag atomically under
+  * the manifest CAS). A crash between the commits is safe: the pair
+  * computation only ever READS extension state from BEFORE this batch's
+  * appends, and a partially-applied extension contributes no pairs —
+  * candidates need a family's prefix row, verification its gram set,
+  * expansion its member rows, and the inner joins drop incomplete
+  * families — so a replay recomputes bit-identical pairs and each append
+  * lands exactly once (Structured Streaming replays batch N to completion
+  * before starting N+1, so no later batch ever pairs against a torn
+  * extension).
   *
   * 100 TB shape: per trigger, work is (batch prefix build) + equi-joins of
   * the batch's prefix grams against the persisted index — the corpus is
@@ -45,6 +48,7 @@ object StreamingPpjoin {
   private def pairsRoot(root: String) = s"$root/pairs"
   private def prefixRoot(root: String) = s"$root/ext_prefix"
   private def gramsRoot(root: String) = s"$root/ext_grams"
+  private def membersRoot(root: String) = s"$root/ext_members"
 
   private def ensure(spark: SparkSession, tableRoot: String,
       like: DataFrame): Unit =
@@ -60,21 +64,25 @@ object StreamingPpjoin {
       batchId: Long): Unit = {
     val spark = batch.sparkSession
     val tag = s"batch-$batchId"
-    val (bg, bprefix) =
+    val (bg, bprefix, bmembers) =
       Dedup.ppjoinBatchSide(index, batch, idCol, textCol, threshold)
     ensure(spark, prefixRoot(root), bprefix)
     ensure(spark, gramsRoot(root), bg)
+    ensure(spark, membersRoot(root), bmembers)
     val extPrefix = VersionedTable.read(spark, prefixRoot(root))
     val extGrams = VersionedTable.read(spark, gramsRoot(root))
+    val extMembers = VersionedTable.read(spark, membersRoot(root))
     val effective = PrefixIndex(index.freq,
       index.prefix.unionByName(extPrefix),
-      index.grams.unionByName(extGrams))
+      index.grams.unionByName(extGrams),
+      index.members.unionByName(extMembers))
     val pairs =
       Dedup.ppjoinAgainst(effective, batch, idCol, textCol, threshold)
     ensure(spark, pairsRoot(root), pairs)
     VersionedTable.appendBatch(spark, pairsRoot(root), pairs, tag)
     VersionedTable.appendBatch(spark, prefixRoot(root), bprefix, tag)
     VersionedTable.appendBatch(spark, gramsRoot(root), bg, tag)
+    VersionedTable.appendBatch(spark, membersRoot(root), bmembers, tag)
   }
 
   /** Accumulated exact-Jaccard pairs emitted so far. */

@@ -274,10 +274,12 @@ class DedupSpec extends SparkSpec {
     ix.freq.write.parquet(s"$dir/freq")
     ix.prefix.write.parquet(s"$dir/prefix")
     ix.grams.write.parquet(s"$dir/grams")
+    ix.members.write.parquet(s"$dir/members")
     val reloaded = Dedup.PrefixIndex(
       spark.read.parquet(s"$dir/freq"),
       spark.read.parquet(s"$dir/prefix"),
-      spark.read.parquet(s"$dir/grams"))
+      spark.read.parquet(s"$dir/grams"),
+      spark.read.parquet(s"$dir/members"))
     val again = Dedup.ppjoinAgainst(reloaded, batch, "doc_id", "text", tau)
       .as[(Long, Long, Double)].collect().toSet
     assert(again === inc)
