@@ -60,12 +60,18 @@ object ScaleInvariants {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {
+      // print per family as it completes — a multi-hour 100× run that dies
+      // in family 3 must not lose families 1–2's certificates
+      def emit(rs: Seq[Result]): Seq[Result] = {
+        rs.foreach(r => println(
+          s"""{"check": "${r.check}", "pass": ${r.pass}, "detail": "${r.detail}"}"""))
+        Console.out.flush()
+        rs
+      }
       val results =
-        (if (wanted("survivors")) survivorInvariants(spark, sfDir) else Nil) ++
-        (if (wanted("pagerank")) pagerankInvariants(spark, sfDir) else Nil) ++
-        (if (wanted("fuzzy")) fuzzyInvariants(spark, sfDir) else Nil)
-      results.foreach(r => println(
-        s"""{"check": "${r.check}", "pass": ${r.pass}, "detail": "${r.detail}"}"""))
+        (if (wanted("survivors")) emit(survivorInvariants(spark, sfDir)) else Nil) ++
+        (if (wanted("pagerank")) emit(pagerankInvariants(spark, sfDir)) else Nil) ++
+        (if (wanted("fuzzy")) emit(fuzzyInvariants(spark, sfDir)) else Nil)
       if (results.exists(!_.pass)) sys.exit(1)
     } finally spark.stop()
   }
@@ -129,11 +135,12 @@ object ScaleInvariants {
   def pagerankInvariants(spark: SparkSession, d: String): Seq[Result] = {
     val edges = Graph.gateEdges(spark, d).cache()
     val e2 = edges.count() * 2 // directed contribution count
-    def ranks(iters: Int): DataFrame = Graph.pageRank(edges, iters)
     val k = Graph.PrIters
-    val r0 = ranks(k).withColumnRenamed("pr", "pr0")
-    val r1 = ranks(k + 1).withColumnRenamed("pr", "pr1")
-    val r2 = ranks(k + 2).withColumnRenamed("pr", "pr2")
+    // one fixpoint pass with snapshots at k, k+1, k+2 — not three full runs
+    val snaps = Graph.pageRankSnapshots(edges, Seq(k, k + 1, k + 2))
+    val r0 = snaps(k).withColumnRenamed("pr", "pr0")
+    val r1 = snaps(k + 1).withColumnRenamed("pr", "pr1")
+    val r2 = snaps(k + 2).withColumnRenamed("pr", "pr2")
     val joined = r0.join(r1, "node").join(r2, "node").cache()
     val m = joined.agg(
       max(abs(col("pr1") - col("pr0"))).as("d1"),

@@ -153,7 +153,21 @@ object Graph {
     * degree ≥ 1).
     */
   def pageRank(edges: DataFrame, iters: Int = PrIters,
-      damping: Double = PrDamping): DataFrame = {
+      damping: Double = PrDamping): DataFrame =
+    pageRankSnapshots(edges, Seq(iters), damping)(iters)
+
+  /** One fixpoint pass, snapshotting the rank vector after each requested
+    * round — the ScaleInvariants contraction certificate needs rounds
+    * (k, k+1, k+2), and re-running the whole fixpoint once per round
+    * triples the dominant cost (each round is a data-sized join+groupBy;
+    * 100× probe: ~60 s/round). Snapshots are the loop's own
+    * [[graft.plans.Lineage.cut]] tables, kept persisted; round 0 is the
+    * uniform start vector.
+    */
+  def pageRankSnapshots(edges: DataFrame, rounds: Seq[Int],
+      damping: Double = PrDamping): Map[Int, DataFrame] = {
+    require(rounds.nonEmpty && rounds.forall(_ >= 0),
+      s"rounds must be non-negative: $rounds")
     // checkpoint the directed edge list: every round joins against it, and
     // a lazy plan would re-run the upstream edge construction (the
     // co-occurrence self-join) once per round. (Pre-partitioning it on `u`
@@ -173,8 +187,12 @@ object Graph {
     var ranks = dirDeg.select(col("u").as("node")).distinct()
       .select(col("node"), lit(1.0).as("pr"))
       .transform(graft.plans.Lineage.cut)
+    val keep = rounds.toSet
+    val out = scala.collection.mutable.Map.empty[Int, DataFrame]
+    if (keep(0)) out(0) = ranks
+    var prevKept = keep(0)
     val roundLog = graft.plans.RoundLog.timer(edges.sparkSession, "pagerank")
-    for (it <- 1 to iters) {
+    for (it <- 1 to rounds.max) {
       val contrib = dirDeg
         .join(ranks.withColumnRenamed("node", "u"), Seq("u"))
         .select(col("v").as("node"),
@@ -183,12 +201,14 @@ object Graph {
         .agg((lit(1.0) - damping) +
           lit(damping) * (sum("qc").cast("double") / PrScale) as "pr")
         .transform(graft.plans.Lineage.cut)
-      ranks.unpersist()
+      if (!prevKept) ranks.unpersist()
       ranks = next
+      prevKept = keep(it)
+      if (prevKept) out(it) = next
       roundLog(it, "")
     }
     dirDeg.unpersist()
-    ranks
+    out.toMap
   }
 
   /** Top-20 parts by PageRank in the co-purchase graph (deterministic
