@@ -70,7 +70,7 @@ object PlanDump {
       "evt_trend_ols" -> ("regression as one partial aggregate: per-key integer moments ride a single user_id exchange shared with the min-time window"),
       "evt_interval_coverage" -> ("one window shuffle shared by the running-max/break/block chain and both aggregates"),
       "q_copurchase_pairs" -> ("in-group pair expansion after one group-key exchange; global top-20 is TakeOrderedAndProject"),
-      "dedup_ppjoin_pairs" -> ("exact jaccard join: candidates via an equi-join on PREFIX grams only (df-asc order keeps prefix buckets rare-gram-small); the verify join touches only surviving pairs — no theta join, no all-pairs"),
+      "dedup_ppjoin_pairs" -> ("exact jaccard join over exact-dup FAMILY REPRESENTATIVES (collapse-first: candidates and the gram-array verify are independent of duplicate multiplicity); candidates via an equi-join on PREFIX grams only (df-asc order keeps prefix buckets rare-gram-small); per-doc pairs recovered by the id-only member-map expansion — no theta join, no all-pairs"),
       "dedup_snm_pairs" -> ("positions from range-repartition + narrow numbering (no single-partition window); within-window pairing is a grid-cell equi-join with the |delta-pos|<=w residual"),
       "dedup_substring_pairs" -> ("char l-gram windows from the JVM kernel (per-doc distinct), lineage-cut gram table, SHUFFLE_HASH self-join on the gram (no stat-less SMJ sort), pair-count agg"),
       "evt_autocorr" -> ("one per-key window shuffle for the lag, then a partial-agg'd DECIMAL(38) moment aggregate; r is a post-agg projection"),
@@ -80,7 +80,7 @@ object PlanDump {
       "pa_monitor_stream" -> ("monitor-log fold: latest-snapshot-per-user via one window over the VersionedTable part log (rows = touched keys x triggers, never the event stream); the streaming side committed one tagged version per trigger"),
       "txt_fingerprint" -> ("min-shingle fingerprint as a one-pass JVM kernel at scan speed: zero exchanges before the output ordering — the HOF spelling re-evaluated the normalize+split per shingle position"),
       "dedup_incremental_indexed" -> ("persisted band index: the batch side shingles+signs ITS OWN rows only and equi-joins the VersionedTable-backed index scan — the corpus is never re-shingled, per-batch cost independent of corpus size"),
-      "dedup_ppjoin_indexed" -> ("persisted prefix index: batch prefixes ranked by the frozen build-time (df, gram) order equi-join the index's prefix rows; exact verification touches only surviving candidates"),
+      "dedup_ppjoin_indexed" -> ("persisted prefix index (v2: one prefix/gram row per exact-dup family + member map): batch reps ranked by the frozen build-time (df, gram) order equi-join the index's rep prefix rows; exact verification touches only surviving rep candidates, per-doc pairs via member expansion"),
       "vt_ivm_persisted" -> ("durable view refresh: feed-sized change scan + ONE union+groupBy fold against the group-sized persisted view, committed as a tagged overwrite — no upstream recompute anywhere in the plan"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")

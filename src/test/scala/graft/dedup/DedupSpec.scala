@@ -62,6 +62,51 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(pp5))
   }
 
+  test("ppjoin under heavy exact-dup multiplicity: pair set exact, family pairs at exactly 1.0") {
+    // the collapse-first path's contract: with k-member exact-dup families
+    // (the 100× probe's replica shape, where the pre-collapse form spilled
+    // ~75 GB), the per-doc pair set is STILL exactly brute force, and every
+    // within-family pair carries jaccard == 1.0 bit-exactly
+    import org.apache.spark.sql.functions._
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "the quick brown fox jumps over the lazy dog near the river edge"
+    val c = "columnar storage formats amortize scan cost across wide tables"
+    val docs = ((0L until 25L).map(i => (i, a)) ++
+      (100L until 125L).map(i => (i, b)) ++
+      Seq((200L, c), (201L, c))).toDF("doc_id", "text")
+    val tau = 0.7
+    val brute = Dedup.jaccardPairs(docs.withColumn("blk", lit("x")),
+        "doc_id", "text", "blk", tau)
+      .as[(Long, Long, Double)].collect().toSet
+    val pp = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", tau)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(pp === brute)
+    // 25·24/2 within-A + within-B + cross A×B + the C twin
+    assert(pp.size === 300 + 300 + 625 + 1)
+    assert(pp.filter(p => p._1 < 25 && p._2 < 25).forall(_._3 == 1.0))
+    // incremental form under the same multiplicity: 10 more A copies +
+    // a batch-internal fresh twin, against the indexed corpus
+    val batch = ((300L until 310L).map(i => (i, a)) ++
+      Seq((400L, "an entirely fresh topic unseen anywhere in this corpus"),
+        (401L, "an entirely fresh topic unseen anywhere in this corpus")))
+      .toDF("doc_id", "text")
+    val batchIds = (300L until 310L).toSet ++ Set(400L, 401L)
+    val bruteInc = Dedup.jaccardPairs(
+        docs.unionByName(batch).withColumn("blk", lit("x")),
+        "doc_id", "text", "blk", tau)
+      .as[(Long, Long, Double)].collect().toSet
+      .filter(p => batchIds(p._1) || batchIds(p._2))
+    val inc = Dedup.ppjoinAgainst(
+        Dedup.prefixIndex(docs, "doc_id", "text", tau),
+        batch, "doc_id", "text", tau)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(inc === bruteInc)
+    // batch A-copies pair with all 25 corpus A's (cross, 1.0), all 25 B's
+    // (cross, τ-passing), and each other (family, exactly 1.0)
+    assert(inc.count(p => p._3 == 1.0 && batchIds(p._1) && batchIds(p._2))
+      === 45 + 1)
+  }
+
   test("sorted-neighborhood pairs: adjacency in sort order, window bound respected") {
     import org.apache.spark.sql.functions._
     // crafted corpus: docs 1/2 share a long prefix (sort adjacent, near-dup),
