@@ -161,23 +161,33 @@ object ScaleInvariants {
         f"mass=$mass%.6f nodes=$n lo=$massLo%.6f"))
   }
 
-  /** Planted-recall + independent-recheck certificate for the fuzzy join. */
+  /** Planted-recall + independent-recheck certificate for the fuzzy join.
+    * All four counters ride ONE aggregation pass over the gate's output —
+    * caching the full 100× result (tens of GB of string pairs) OOM'd a
+    * 48 g heap, and three separate actions would re-run the join thrice.
+    * The unbanded-levenshtein recheck evaluates only on the %97 sample
+    * rows (conditional value short-circuit).
+    */
   def fuzzyInvariants(spark: SparkSession, d: String): Seq[Result] = {
-    val result = FuzzyJoin.queries("q_fuzzy_join")(spark, d).cache()
+    val result = FuzzyJoin.queries("q_fuzzy_join")(spark, d)
     val nProbes = Tables.part(spark, d)
       .filter(col("p_partkey") % 10 === 0).count()
-    // every probe is a 1-deletion of its own part name: the self pair must
-    // surface with dist exactly 1
-    val planted = result.filter(col("probe_key") === col("p_partkey") &&
-      col("dist") === 1).count()
-    // independent recheck: Spark's codegen'd levenshtein vs the operator's
-    // banded-DP kernel on a deterministic sample
-    val sample = result.filter(col("probe_key") % 97 === 0)
-    val mismatches = sample
-      .filter(levenshtein(col("probe"), col("p_name")) =!= col("dist")).count()
-    val sampled = sample.count()
-    val overBound = result.filter(col("dist") > FuzzyJoin.GateMaxDist).count()
-    result.unpersist()
+    val m = result.agg(
+      // every probe is a 1-deletion of its own part name: the self pair
+      // must surface with dist exactly 1
+      coalesce(sum(when(col("probe_key") === col("p_partkey") &&
+        col("dist") === 1, 1L).otherwise(0L)), lit(0L)).as("planted"),
+      // independent recheck: Spark's codegen'd levenshtein vs the
+      // operator's banded-DP kernel on a deterministic sample
+      coalesce(sum(when(col("probe_key") % 97 === 0 &&
+        levenshtein(col("probe"), col("p_name")) =!= col("dist"),
+        1L).otherwise(0L)), lit(0L)).as("mismatches"),
+      coalesce(sum(when(col("probe_key") % 97 === 0, 1L).otherwise(0L)),
+        lit(0L)).as("sampled"),
+      coalesce(sum(when(col("dist") > FuzzyJoin.GateMaxDist, 1L)
+        .otherwise(0L)), lit(0L)).as("overBound")).head()
+    val (planted, mismatches) = (m.getLong(0), m.getLong(1))
+    val (sampled, overBound) = (m.getLong(2), m.getLong(3))
     Seq(
       Result("fuzzy_planted_recall", planted == nProbes,
         s"probes=$nProbes selfPairsAtDist1=$planted"),

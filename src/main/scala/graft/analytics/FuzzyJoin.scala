@@ -135,6 +135,13 @@ object FuzzyJoin {
     val candidates = pSegs.join(cSegs, Seq("cl", "si", "seg"))
       .drop("cl", "si", "seg")
       .distinct()
+      // AQE coalesces the distinct's exchange by BYTES, but the banded-DP
+      // levenshtein right above it is CPU-bound per row — a byte-small
+      // candidate set otherwise verifies in ONE task (probe-caught at
+      // 100×: 30+ min on a single core for ~byte-tiny string pairs). An
+      // explicit repartition pins the verify's parallelism; AQE respects
+      // user-specified partition counts.
+      .repartition(corpus.sparkSession.sessionState.conf.numShufflePartitions)
     val verified = candidates
       .withColumn("dist", levenshtein(col(probeCol), col(corpusCol), maxDist))
       .filter(col("dist") >= 0)
