@@ -489,6 +489,15 @@ object Main {
                 textCol, threshold)
             case Some(dir) =>
               val fs = new java.io.File(s"$dir/members")
+              // a v1 artifact (freq/prefix/grams written before the
+              // collapsed format added members/) would otherwise fall
+              // into the rebuild branch and die on 'path already exists'
+              // — fail with the real diagnosis instead
+              if (!fs.exists() && new java.io.File(s"$dir/freq").exists())
+                sys.error(s"prefix index at $dir predates the collapsed " +
+                  "v2 format (freq/ present, members/ missing) — delete " +
+                  "the directory and rebuild, or point --index-dir at a " +
+                  "fresh location")
               val ix =
                 if (fs.exists()) graft.dedup.Dedup.PrefixIndex(
                   spark.read.parquet(s"$dir/freq"),

@@ -618,14 +618,22 @@ object Dedup {
   private[graft] def collapseExactFamilies(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
     val norm = TextAnalysis.normalized(col(textCol))
+    // grams are computed ONCE (the cut materializes them) and never travel
+    // through a fp-keyed exchange: rep election and the member map run on
+    // (fp, id) rows alone — a million-copy boilerplate family costs one
+    // map-side-combined min, not a single window task dragging a million
+    // gram arrays — and the rep rows rejoin their arrays through an
+    // id-keyed (unique, evenly distributed) join
     val base = docs.select(col(idCol).cast("long").as("id"),
         md5(norm).as("fp"), distinctNgramsUdf(3)(norm).as("grams"))
       .filter(size(col("grams")) > 0)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-    val tagged = base.withColumn("rep", min(col("id")).over(w))
-      .transform(graft.plans.Lineage.cut) // consumed by reps AND members
-    (tagged.filter(col("id") === col("rep")).select(col("id"), col("grams")),
-      tagged.select(col("rep"), col("id")))
+      .transform(graft.plans.Lineage.cut) // consumed by fams, members, reps
+    val fams = base.select(col("fp"), col("id"))
+      .groupBy("fp").agg(min(col("id")).as("rep"))
+    (base.join(fams.select(col("rep").as("id")), Seq("id"))
+        .select(col("id"), col("grams")),
+      base.select(col("fp"), col("id")).join(fams, Seq("fp"))
+        .select(col("rep"), col("id")))
   }
 
   /** Rep-level verified pairs → per-doc pairs through the member maps.
@@ -703,6 +711,13 @@ object Dedup {
     * prefix form). Cost: one batch-sized prefix build + equi-joins on
     * prefix grams against the k-rows-per-doc index — the corpus is never
     * self-paired.
+    *
+    * Input contract: batch ids must be DISJOINT from the indexed ids
+    * (the natural shape — a daily delta vs the already-ingested corpus,
+    * and what every caller here provides). An id present on both sides
+    * would emit its pairs twice — once through the cross expansion and
+    * once through the internal/family path — with only the degenerate
+    * self-pair filtered.
     */
   /** Batch-side shingle sets and prefix rows ranked by the INDEX's
     * (df, gram) total order with unseen grams at df 0 — the shared-order

@@ -20,9 +20,12 @@ import graft.store.VersionedTable
   * crashed build is invisible — no manifest, no table), appends are
   * exactly-once under an idempotence tag ([[VersionedTable.appendBatch]]
   * refuses a replayed tag atomically under the manifest CAS), and readers
-  * always see a complete committed snapshot even while an append publishes
-  * (the manifest pins the file list — the reader/appender overlap AnnIndex's
-  * directory appends explicitly exclude).
+  * always see a complete committed snapshot of EACH table even while an
+  * append publishes (the manifest pins the file list — the reader/appender
+  * overlap AnnIndex's directory appends explicitly exclude). Atomicity is
+  * per table, not across the prefix index's three tables — cross-table
+  * consistency for concurrent readers comes from [[appendPrefix]]'s
+  * support-first commit order instead (see its scaladoc).
   *
   * Why this matters at 100 TB: the reference's whole operating mode is
   * incremental daily import (`/root/reference/code/manager.py:363-407` keeps
@@ -81,6 +84,15 @@ object DedupIndex {
   private def intField(txt: String, k: String): Int =
     s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
       .getOrElse(sys.error(s"missing $k in index meta: $txt")).group(1).toInt
+
+  /** Like [[intField]] but absent-tolerant — v1 artifacts predate the "v"
+    * meta field entirely, so version parsing must default (to 1) rather
+    * than throw, or the curated "rebuild it" migration error below could
+    * never fire for exactly the artifacts it was written for.
+    */
+  private def intFieldOr(txt: String, k: String, default: Int): Int =
+    s""""$k":(\\d+)""".r.findFirstMatchIn(txt)
+      .map(_.group(1).toInt).getOrElse(default)
 
   private def doubleField(txt: String, k: String): Double =
     s""""$k":([0-9.]+)""".r.findFirstMatchIn(txt)
@@ -147,10 +159,13 @@ object DedupIndex {
     // representative plus the member map (loadPrefix refuses v1 artifacts,
     // which stored per-doc rows and no members table)
     writeMeta(dir, s"""{"kind":"prefix","v":2,"threshold":$threshold}""")
+    // support-first order (freq, members, grams before prefix) — same
+    // rationale as [[appendPrefix]]: a reader that can see a prefix row
+    // must be able to see everything that row's candidates need
     VersionedTable.create(spark, freqRoot(dir), ix.freq)
-    VersionedTable.create(spark, prefixRoot(dir), ix.prefix)
-    VersionedTable.create(spark, gramsRoot(dir), ix.grams)
     VersionedTable.create(spark, membersRoot(dir), ix.members)
+    VersionedTable.create(spark, gramsRoot(dir), ix.grams)
+    VersionedTable.create(spark, prefixRoot(dir), ix.prefix)
     ()
   }
 
@@ -158,12 +173,23 @@ object DedupIndex {
     * is collapsed to exact-dup representatives whose prefixes rank by the
     * ORIGINAL frequency table (never updated — the shared total order the
     * exactness proof needs), plus its member rows. Three tables commit
-    * under the same tag; a crash between them is safe: the recomputation
-    * is deterministic (frozen freq, same batch), each table's replay is
-    * refused independently, and a family present in only some tables
-    * contributes no pairs (candidates need its prefix row, verification
-    * its gram set, expansion its member rows) until the replay completes
-    * it. A batch doc exactly duplicating an already-indexed text yields a
+    * under the same tag, SUPPORT FIRST: `members`, then `grams`, then
+    * `prefix` LAST. Candidates originate exclusively from prefix rows
+    * ([[Dedup.ppjoinAgainst]]'s cross join), so a concurrent
+    * [[ppjoinBatch]] reader — the daily-ingest pattern this index exists
+    * for — either cannot see the batch's families at all (prefix not yet
+    * committed: the append is invisible, as if it ran later) or sees
+    * prefix rows whose gram sets and member rows are already committed
+    * (every candidate it generates is fully supported through verify and
+    * expansion). The reverse order would let a reader generate candidates
+    * whose verify support is missing — the inner joins in `ppjoinAgainst`
+    * would silently DROP them: false negatives in an operator whose
+    * contract is zero false negatives (mid-append reader spec-asserted in
+    * DedupIndexSpec). A crash between commits is safe for the same
+    * reason plus determinism: the recomputation is deterministic (frozen
+    * freq, same batch), each table's replay is refused independently, and
+    * the replay completes the partially-committed batch.
+    * A batch doc exactly duplicating an already-indexed text yields a
     * second representative with an identical gram set — harmless, as in
     * [[appendBand]]: both families match the same future batches and
     * expansion unions their (disjoint) member lists.
@@ -174,15 +200,15 @@ object DedupIndex {
     val ix = loadPrefix(spark, dir)
     val (bg, bprefix, bmembers) = Dedup.ppjoinBatchSide(ix, newDocs, idCol,
       textCol, doubleField(meta, "threshold"))
-    val a = VersionedTable.appendBatch(spark, prefixRoot(dir), bprefix, tag)
+    val a = VersionedTable.appendBatch(spark, membersRoot(dir), bmembers, tag)
     val b = VersionedTable.appendBatch(spark, gramsRoot(dir), bg, tag)
-    val c = VersionedTable.appendBatch(spark, membersRoot(dir), bmembers, tag)
+    val c = VersionedTable.appendBatch(spark, prefixRoot(dir), bprefix, tag)
     a || b || c
   }
 
   def loadPrefix(spark: SparkSession, dir: String): Dedup.PrefixIndex = {
     val meta = readMeta(dir, "prefix")
-    require(intField(meta, "v") == 2,
+    require(intFieldOr(meta, "v", 1) == 2,
       s"prefix index at $dir predates the collapsed v2 format — rebuild it")
     Dedup.PrefixIndex(
       VersionedTable.read(spark, freqRoot(dir)),

@@ -104,11 +104,55 @@ class DedupIndexSpec extends SparkSpec {
       ids.contains((1L, 32L)) && ids.contains((21L, 32L)))
   }
 
+  test("mid-append reader sees none-or-all: support-first commit order") {
+    val dir = tmp("graft-prefixmid")
+    DedupIndex.buildPrefix(corpus, "doc_id", "text", dir, 0.5)
+    val day1 = docs( // an exact-dup family within the day's batch
+      21L -> "the quick brown fox jumps over the lazy dog near the river edge",
+      22L -> "the quick brown fox jumps over the lazy dog near the river edge")
+    // replicate appendPrefix's exact sub-steps, pausing a concurrent
+    // ppjoinBatch reader between each sub-table commit — the daily-ingest
+    // overlap the support-first (members -> grams -> prefix-last) order
+    // exists for: the reader must see either NONE of the batch's families
+    // (append invisible) or ALL the support its candidates need
+    val ix0 = DedupIndex.loadPrefix(spark, dir)
+    val (bg, bprefix, bmembers) =
+      Dedup.ppjoinBatchSide(ix0, day1, "doc_id", "text", 0.5)
+    val probe =
+      docs(31L -> "the quick brown fox jumps over the lazy dog near the river edge")
+    def readerIds(): Set[(Long, Long)] =
+      pairsOf(DedupIndex.ppjoinBatch(spark, dir, probe, "doc_id", "text"))
+        .map(p => (p._1, p._2))
+    val before = readerIds()
+    assert(before === Set((1L, 31L), (3L, 31L)))
+    import graft.store.VersionedTable
+    assert(VersionedTable.appendBatch(spark, s"$dir/members", bmembers, "day-1"))
+    assert(readerIds() === before,
+      "members committed, prefix absent: the append must be invisible")
+    assert(VersionedTable.appendBatch(spark, s"$dir/grams", bg, "day-1"))
+    assert(readerIds() === before,
+      "members+grams committed, prefix absent: the append must be invisible")
+    assert(VersionedTable.appendBatch(spark, s"$dir/prefix", bprefix, "day-1"))
+    assert(readerIds() === before ++ Set((21L, 31L), (22L, 31L)),
+      "prefix committed last: the whole family is visible, fully supported")
+    // the composed verb replays the same tag as a no-op
+    assert(!DedupIndex.appendPrefix(spark, dir, day1, "doc_id", "text", "day-1"))
+  }
+
   test("loads fail loudly on missing or mismatched indexes") {
     val none = tmp("graft-noix")
     intercept[IllegalArgumentException](DedupIndex.loadBand(spark, none))
     val dir = tmp("graft-kindmix")
     DedupIndex.buildBand(corpus, "doc_id", "text", dir)
     intercept[IllegalArgumentException](DedupIndex.loadPrefix(spark, dir))
+    // a v1 artifact's meta has no "v" field at all — the version must
+    // default (not throw) so the curated migration error actually fires
+    val v1 = tmp("graft-v1meta")
+    new java.io.File(v1).mkdirs()
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(v1, "_meta.json"),
+      """{"kind":"prefix","threshold":0.5}""")
+    val e = intercept[IllegalArgumentException](DedupIndex.loadPrefix(spark, v1))
+    assert(e.getMessage.contains("predates the collapsed v2 format"))
   }
 }
