@@ -81,7 +81,8 @@ object PlanDump {
       "txt_fingerprint" -> ("min-shingle fingerprint as a one-pass JVM kernel at scan speed: zero exchanges before the output ordering — the HOF spelling re-evaluated the normalize+split per shingle position"),
       "dedup_incremental_indexed" -> ("persisted band index: the batch side shingles+signs ITS OWN rows only and equi-joins the VersionedTable-backed index scan — the corpus is never re-shingled, per-batch cost independent of corpus size"),
       "dedup_ppjoin_indexed" -> ("persisted prefix index (v2: one prefix/gram row per exact-dup family + member map): batch reps ranked by the frozen build-time (df, gram) order equi-join the index's rep prefix rows; exact verification touches only surviving rep candidates, per-doc pairs via member expansion"),
-      "vt_ivm_persisted" -> ("durable view refresh: feed-sized change scan + ONE union+groupBy fold against the group-sized persisted view, committed as a tagged overwrite — no upstream recompute anywhere in the plan"))
+      "vt_ivm_persisted" -> ("durable view refresh: feed-sized change scan + ONE union+groupBy fold against the group-sized persisted view, committed as a tagged overwrite — no upstream recompute anywhere in the plan"),
+      "dedup_ppjoin_family_pairs" -> ("the scale-safe OUTPUT CONTRACT: verified rep pairs joined to family sizes, output-linear in FAMILIES — no member-map expansion anywhere in the plan (the expanded pair list is quadratic in family size by contract: use this form on dirty corpora, expand lazily per consumer)"))
     val out = new StringBuilder
     out.append("# PLANS — formatted physical plans of flagship queries (sf0.01)\n\n")
     out.append("Generated by `graft.PlanDump`. What to look for is noted per query;\n")

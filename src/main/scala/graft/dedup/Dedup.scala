@@ -547,6 +547,21 @@ object Dedup {
     */
   def prefixFilterJaccardPairs(docs: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
+    val (repPairs, members) =
+      prefixFilterRepPairs(docs, idCol, textCol, threshold)
+    expandFamilies(repPairs, members, members)
+      .select(least(col("ma"), col("mb")).as("doc_a"),
+        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
+      .unionByName(familyPairs(members))
+  }
+
+  /** The rep-level core of [[prefixFilterJaccardPairs]]: verified
+    * cross-family pairs over exact-dup representatives, plus the member
+    * map. Shared by the per-doc expansion above and the family-level
+    * contract [[prefixFilterJaccardFamilyPairs]].
+    */
+  private def prefixFilterRepPairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): (DataFrame, DataFrame) = {
     val (g, members) = collapseExactFamilies(docs, idCol, textCol)
     val toks = g.select(col("id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
@@ -590,10 +605,61 @@ object Dedup {
           size(array_union(col("ga"), col("gb"))))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
-    expandFamilies(repPairs, members, members)
-      .select(least(col("ma"), col("mb")).as("doc_a"),
-        greatest(col("ma"), col("mb")).as("doc_b"), col("jaccard"))
-      .unionByName(familyPairs(members))
+    (repPairs, members)
+  }
+
+  /** The 100 TB-safe OUTPUT CONTRACT for dirty corpora: family-level
+    * near-dup pairs instead of the per-doc expansion. Each row is a
+    * verified cross-family rep pair (doc_a < doc_b, both exact-dup family
+    * representatives = min member id) with the two family sizes — the
+    * per-doc pair count it stands for is `n_a · n_b` (plus
+    * `n·(n−1)/2` within each family at jaccard 1.0, recoverable from
+    * [[exactFamilySummary]]). [[prefixFilterJaccardPairs]]' expanded pair
+    * list is quadratic in family size BY CONTRACT: a 10⁵-member
+    * boilerplate family on real crawl data yields ~5·10⁹ rows for that
+    * family alone, regardless of how efficiently they're computed. This
+    * form is output-linear in the number of FAMILIES — the one to use at
+    * scale; expand lazily (and locally) only where a consumer genuinely
+    * needs doc-level rows.
+    */
+  def prefixFilterJaccardFamilyPairs(docs: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val (repPairs, members) =
+      prefixFilterRepPairs(docs, idCol, textCol, threshold)
+    val sizes = members.groupBy("rep").agg(count(lit(1)).as("n"))
+    repPairs
+      .join(sizes.select(col("rep").as("doc_a"), col("n").as("n_a")),
+        Seq("doc_a"))
+      .join(sizes.select(col("rep").as("doc_b"), col("n").as("n_b")),
+        Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("n_a"),
+        col("n_b"))
+  }
+
+  /** Exact-dup families as (rep, n_members, sample_members) — the
+    * family-level companion to [[prefixFilterJaccardFamilyPairs]]:
+    * `rep` is the min member id, `sample_members` the first three member
+    * ids in ascending order (comma-joined — deterministic, so
+    * hash-comparable). Output-linear in distinct texts; the member map
+    * itself stays distributed and is never expanded into pairs.
+    */
+  def exactFamilySummary(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val (_, members) = collapseExactFamilies(docs, idCol, textCol)
+    // the sample is rank-bounded BEFORE any aggregation buffer: a
+    // 10⁵-member family contributes 3 rows to the collect, not 10⁵ ids
+    // to a grouped array (the rank window handles id-only rows — the
+    // same tiny-row skew budget as rep election)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("rep").orderBy("id")
+    val sample = members.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy("rep").agg(
+        array_join(sort_array(collect_list(col("id")))
+          .cast("array<string>"), ",").as("sample_members"))
+    members.groupBy("rep").agg(count(lit(1)).as("n_members"))
+      .join(sample, Seq("rep"))
+      .select(col("rep"), col("n_members"), col("sample_members"))
   }
 
   /** Exact-dup family collapse ahead of PPJoin pairing — the collapse-first

@@ -305,6 +305,18 @@ object DedupSurface {
     "dedup_ppjoin_pairs" -> ((s, d) =>
       Dedup.prefixFilterJaccardPairs(corpus(s, d), "doc_id", "text", PpjoinTau)
         .orderBy("doc_a", "doc_b")),
+    // the 100 TB-safe family-level contract: verified cross-family rep
+    // pairs with family sizes — output-linear in FAMILIES where the
+    // expanded pair list above is quadratic in family size by contract
+    // (a 10⁵-member boilerplate family = ~5·10⁹ expanded rows)
+    "dedup_ppjoin_family_pairs" -> ((s, d) =>
+      Dedup.prefixFilterJaccardFamilyPairs(corpus(s, d), "doc_id", "text",
+        PpjoinTau).orderBy("doc_a", "doc_b")),
+    // its companion family table: (rep, n_members, sample_members) — the
+    // within-family jaccard-1.0 mass as counts, never expanded
+    "dedup_ppjoin_families" -> ((s, d) =>
+      Dedup.exactFamilySummary(corpus(s, d), "doc_id", "text")
+        .orderBy("rep")),
     // incremental EXACT dedup: batch pairs against a prebuilt corpus
     // prefix index (corpus never self-paired, zero false negatives —
     // the guarantee dedup_incremental's LSH path trades away)
@@ -508,6 +520,43 @@ object DedupSurface {
       |WHERE len(list_intersect(ga.grams, gb.grams)) /
       |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= $PpjoinTau
       |ORDER BY doc_a, doc_b""".stripMargin,
+    // family-level twin: the identical exact pipeline run over exact-dup
+    // representatives (min id per normalized-text fingerprint), df counted
+    // over reps — both sides are zero-miss over the same rep set, so the
+    // verified rep-pair sets must coincide; family sizes join in at the end
+    "dedup_ppjoin_family_pairs" -> s"""WITH $corpusCte,
+      |raw AS (SELECT doc_id AS id, md5($ntext) AS fp,
+      |               list_distinct($gramsExpr) AS grams FROM corpus),
+      |fam AS (SELECT fp, MIN(id) AS rep, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM raw WHERE len(grams) > 0 GROUP BY fp),
+      |g AS (SELECT fam.rep AS id, raw.grams AS grams, fam.n AS n
+      |      FROM fam JOIN raw ON raw.id = fam.rep),
+      |t AS (SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM g),
+      |f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY 1),
+      |r AS (SELECT id, sz, t.gram,
+      |    row_number() OVER (PARTITION BY id ORDER BY df, t.gram) AS rn
+      |  FROM t JOIN f USING (gram)),
+      |p AS (SELECT id, sz, rn, gram FROM r WHERE (sz - rn + 1) / sz >= $PpjoinTau),
+      |cand AS (SELECT DISTINCT a.id AS doc_a, b.id AS doc_b
+      |  FROM p a JOIN p b ON a.gram = b.gram AND a.id < b.id
+      |    AND least(a.sz, b.sz) / greatest(a.sz, b.sz) >= $PpjoinTau
+      |    AND (1 + least(a.sz - a.rn, b.sz - b.rn)) /
+      |        (a.sz + b.sz - (1 + least(a.sz - a.rn, b.sz - b.rn))) >= $PpjoinTau)
+      |SELECT doc_a, doc_b,
+      |  len(list_intersect(ga.grams, gb.grams)) /
+      |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) AS jaccard,
+      |  ga.n AS n_a, gb.n AS n_b
+      |FROM cand JOIN g ga ON ga.id = doc_a JOIN g gb ON gb.id = doc_b
+      |WHERE len(list_intersect(ga.grams, gb.grams)) /
+      |    (len(ga.grams) + len(gb.grams) - len(list_intersect(ga.grams, gb.grams))) >= $PpjoinTau
+      |ORDER BY doc_a, doc_b""".stripMargin,
+    // family table: a plain GROUP BY over the normalized-text fingerprint
+    "dedup_ppjoin_families" -> s"""WITH $corpusCte,
+      |g AS (SELECT doc_id AS id, md5($ntext) AS fp FROM corpus
+      |      WHERE len(list_distinct($gramsExpr)) > 0)
+      |SELECT MIN(id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  array_to_string(list_sort(list(id))[1:3], ',') AS sample_members
+      |FROM g GROUP BY fp ORDER BY rep""".stripMargin,
     // incremental prefix-filter: corpus df only, batch grams unseen in the
     // corpus rank at df 0 (candidate-set differences between engines are
     // harmless — both sides are lossless, and only verified pairs emit)

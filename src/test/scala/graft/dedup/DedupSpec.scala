@@ -107,6 +107,34 @@ class DedupSpec extends SparkSpec {
       === 45 + 1)
   }
 
+  test("family-level contract: rep pairs + family table account for every expanded pair") {
+    import org.apache.spark.sql.functions._
+    val a = "the quick brown fox jumps over the lazy dog near the river bank"
+    val b = "the quick brown fox jumps over the lazy dog near the river edge"
+    val c = "columnar storage formats amortize scan cost across wide tables"
+    val docs = ((0L until 25L).map(i => (i, a)) ++
+      (100L until 125L).map(i => (i, b)) ++
+      Seq((200L, c), (201L, c), (300L, "a singleton text unlike all others here"))
+      ).toDF("doc_id", "text")
+    val tau = 0.7
+    val fams = Dedup.exactFamilySummary(docs, "doc_id", "text")
+      .as[(Long, Long, String)].collect().toSet
+    assert(fams === Set((0L, 25L, "0,1,2"), (100L, 25L, "100,101,102"),
+      (200L, 2L, "200,201"), (300L, 1L, "300")))
+    val fp = Dedup.prefixFilterJaccardFamilyPairs(docs, "doc_id", "text", tau)
+      .as[(Long, Long, Double, Long, Long)].collect().toSet
+    // exactly one cross-family rep pair (A×B); C and the singleton clear τ
+    // with nothing
+    assert(fp.map(p => (p._1, p._2, p._4, p._5)) === Set((0L, 100L, 25L, 25L)))
+    assert(fp.forall(p => p._3 >= tau && p._3 < 1.0))
+    // accounting: Σ n_a·n_b (cross) + Σ n·(n−1)/2 (within) = expanded rows
+    val expanded = Dedup.prefixFilterJaccardPairs(docs, "doc_id", "text", tau)
+      .count()
+    val cross = fp.toSeq.map(p => p._4 * p._5).sum
+    val within = fams.toSeq.map(f => f._2 * (f._2 - 1) / 2).sum
+    assert(cross + within === expanded)
+  }
+
   test("sorted-neighborhood pairs: adjacency in sort order, window bound respected") {
     import org.apache.spark.sql.functions._
     // crafted corpus: docs 1/2 share a long prefix (sort adjacent, near-dup),
