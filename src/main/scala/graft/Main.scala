@@ -87,7 +87,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|monitor|reset|delete|compact|queue-compact|dedup-index-build|dedup-index-append|dedup-index-query|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
+      "usage: graft.Main <import|run|monitor|reset|delete|compact|queue-compact|dedup-index-build|dedup-index-append|dedup-index-query|dedup-index-compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -287,6 +287,14 @@ object Main {
         case other => sys.error(s"--kind must be band|prefix, got $other")
       }
       println(s"""{"applied": $applied}""")
+    case "dedup-index-compact" =>
+      // offline maintenance: fold duplicate representatives (both kinds)
+      // and re-rank prefixes under fresh document frequencies (prefix
+      // kind) — the drift daily appends deliberately tolerate. --table is
+      // the index dir; run between appends (exclusive write access)
+      val st = graft.dedup.DedupIndex.compact(spark, table)
+      println(s"""{"kind": "${st.kind}", "reps_before": ${st.repsBefore}, """ +
+        s""""reps_after": ${st.repsAfter}}""")
     case "dedup-index-query" =>
       // dedup a daily batch against a persisted index without touching the
       // corpus: --table the batch parquet, --index the index dir, --output

@@ -812,15 +812,16 @@ object Dedup {
     (bg, bprefix, bmembers)
   }
 
-  def ppjoinAgainst(index: PrefixIndex, batch: DataFrame, idCol: String,
-      textCol: String, threshold: Double): DataFrame = {
-    val (bg, bprefix, bmem) =
-      ppjoinBatchSide(index, batch, idCol, textCol, threshold)
-    // boundary-exact candidate predicates — the verify comparison on the
-    // overlap upper bound, per [[prefixFilterJaccardPairs]]'s analysis.
-    // Both sides are FAMILY REPRESENTATIVES ([[collapseExactFamilies]]),
-    // so candidates and the array-carrying verify are duplicate-free;
-    // [[expandFamilies]] recovers the per-doc pair set at id-row cost.
+  /** The (cross, batch-internal) candidate rep-pair sets of
+    * [[ppjoinAgainst]] — boundary-exact candidate predicates: the verify
+    * comparison on the overlap upper bound, per
+    * [[prefixFilterJaccardPairs]]'s analysis. Exposed `private[graft]` so
+    * the index-compaction spec can measure candidate fan-out before/after
+    * a re-rank (the pair SET is invariant — exactness — but the candidate
+    * volume is what stale prefix ranking inflates).
+    */
+  private[graft] def ppjoinCandidatePairs(indexPrefix: DataFrame,
+      bprefix: DataFrame, threshold: Double): (DataFrame, DataFrame) = {
     val ub = lit(1) +
       least(col("sz_a") - col("rn_a"), col("sz_b") - col("rn_b"))
     def filters(c: DataFrame): DataFrame = c
@@ -831,11 +832,22 @@ object Dedup {
     def tagged(d: DataFrame, tag: String) = d.select(
       col("id").as(s"doc_$tag"), col("sz").as(s"sz_$tag"),
       col("rn").as(s"rn_$tag"), col("gram"))
-    val cross = filters(
-      tagged(bprefix, "a").join(tagged(index.prefix, "b"), Seq("gram")))
-    val internal = filters(
-      tagged(bprefix, "a").join(tagged(bprefix, "b"), Seq("gram"))
-        .filter(col("doc_a") < col("doc_b")))
+    (filters(
+        tagged(bprefix, "a").join(tagged(indexPrefix, "b"), Seq("gram"))),
+      filters(
+        tagged(bprefix, "a").join(tagged(bprefix, "b"), Seq("gram"))
+          .filter(col("doc_a") < col("doc_b"))))
+  }
+
+  def ppjoinAgainst(index: PrefixIndex, batch: DataFrame, idCol: String,
+      textCol: String, threshold: Double): DataFrame = {
+    val (bg, bprefix, bmem) =
+      ppjoinBatchSide(index, batch, idCol, textCol, threshold)
+    // both sides are FAMILY REPRESENTATIVES ([[collapseExactFamilies]]),
+    // so candidates and the array-carrying verify are duplicate-free;
+    // [[expandFamilies]] recovers the per-doc pair set at id-row cost.
+    val (cross, internal) =
+      ppjoinCandidatePairs(index.prefix, bprefix, threshold)
     def verify(cand: DataFrame, ga: DataFrame, gb: DataFrame): DataFrame = cand
       .join(ga.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
       .join(gb.select(col("id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))

@@ -229,4 +229,140 @@ object DedupIndex {
       idCol: String, textCol: String): DataFrame =
     Dedup.ppjoinAgainst(loadPrefix(spark, dir), batch, idCol, textCol,
       prefixThreshold(dir))
+
+  // ------------------------------------------------------------- compact
+
+  /** Families (reps) before/after an index [[compact]]. */
+  final case class CompactStats(kind: String, repsBefore: Long,
+      repsAfter: Long)
+
+  /** Offline maintenance pass over a persisted index — the counterpart of
+    * the queue-compact verb, fixing the two forms of append drift the
+    * append paths deliberately tolerate:
+    *
+    *  - BOTH kinds: duplicate representatives. Appends collapse exact-dup
+    *    families within their own batch only, so a batch doc duplicating
+    *    an already-indexed text becomes a second representative with an
+    *    identical gram set (documented-harmless for correctness — both
+    *    match the same future batches) — but index size then grows with
+    *    the DUPLICATE rate, not the corpus's distinct-text count. Compact
+    *    folds identical-gram-set families onto the min-id representative
+    *    (band: drop the loser's band rows — min-over-matches is unchanged
+    *    because identical gram sets always co-match; prefix: union the
+    *    member lists under the surviving rep — expansion emits the same
+    *    per-doc pairs because equal gram sets give equal jaccard against
+    *    every batch doc, and corpus families are never paired with each
+    *    other).
+    *  - PREFIX kind: stale prefix ranking. Appends never update the
+    *    frequency table (correct — one frozen global order is what the
+    *    exactness lemmas need), so after many appends prefixes are chosen
+    *    by stale df and candidate fan-out drifts up: a gram unseen at
+    *    build ranks at df 0 — "rarest" — in every appended doc's prefix
+    *    and in every future batch's, even once appends have made it
+    *    boilerplate. Compact recomputes df over the surviving reps and
+    *    re-ranks every prefix under the fresh (df, gram) order — a NEW
+    *    frozen global order, equally exact (any consistent total order
+    *    satisfies the prefix/positional lemmas; batches rank against the
+    *    rewritten freq table, so index and batch stay in ONE order).
+    *
+    * Publication rides the tables' own commit protocol — every rewritten
+    * table is a [[VersionedTable.overwrite]] commit (atomic under the
+    * manifest CAS, old versions stay time-travelable until vacuum; a
+    * directory swap would instead silently violate the snapshot cache's
+    * manifest-immutability contract). The BAND kind is one table = one
+    * atomic commit; readers see the old or new index, both correct. The
+    * PREFIX kind rewrites four tables that must change TOGETHER — a
+    * fresh-freq/stale-prefix mix puts batch and index prefixes in two
+    * different total orders and breaks the zero-false-negative lemma — so
+    * `_meta.json` is retired first (readers fail LOUDLY, "no dedup index
+    * published", for the whole window) and restored after the last
+    * commit. All four results are materialized BEFORE the first commit
+    * (no staged plan ever reads a half-rewritten table), and commits run
+    * members → grams → freq → prefix so a crashed run is RE-RUNNABLE
+    * from any intermediate state: compact derives everything from
+    * (members, grams) alone, and that pair is consistent-or-rederivable
+    * at every crash point (new members' reps are survivors, which old
+    * grams still contain). A crash leaves `_meta.json.compacting-*` in
+    * place of the meta — the index stays offline-loud until compact is
+    * re-run, which adopts the retired meta and finishes the job.
+    * Requires exclusive WRITE access (the maintenance window between
+    * daily appends).
+    */
+  def compact(spark: SparkSession, dir: String): CompactStats = {
+    val metaF = metaFile(dir)
+    val retired = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_meta.json.compacting-"))
+      .sortBy(_.getName)
+    require(metaF.isFile || retired.nonEmpty,
+      s"no dedup index published at $dir")
+    // a crashed compact left the meta retired: adopt it and finish
+    val meta =
+      if (metaF.isFile) java.nio.file.Files.readString(metaF.toPath)
+      else java.nio.file.Files.readString(retired.last.toPath)
+    val kind = if (meta.contains(""""kind":"band"""")) "band" else "prefix"
+    def gramKey(g: org.apache.spark.sql.Column) =
+      md5(to_json(sort_array(g)))
+    def cut(df: DataFrame) = graft.plans.Lineage.cut(df)
+
+    val stats = kind match {
+      case "band" =>
+        val index = VersionedTable.read(spark, bandRoot(dir))
+        val reps = index
+          .select(col("old_id"), gramKey(col("old_grams")).as("gk"))
+          .distinct()
+        val keep = reps.groupBy("gk").agg(min("old_id").as("old_id"))
+          .select("old_id")
+        val vacuumed = cut(index.join(keep, Seq("old_id"))
+          .select("old_id", "old_grams", "j", "bkey"))
+        val (before, after) = (reps.count(), keep.count())
+        VersionedTable.overwrite(spark, bandRoot(dir), vacuumed)
+        CompactStats(kind, before, after)
+      case _ =>
+        val grams0 = VersionedTable.read(spark, gramsRoot(dir))
+        val members0 = VersionedTable.read(spark, membersRoot(dir))
+        val threshold = doubleField(meta, "threshold")
+        val keyed = cut(grams0
+          .select(col("id"), col("grams"), gramKey(col("grams")).as("gk")))
+        val fam = keyed.select(col("gk"), col("id"))
+          .groupBy("gk").agg(min("id").as("nrep"))
+        val repMap = keyed.select(col("id").as("rep"), col("gk"))
+          .join(fam, Seq("gk")).select(col("rep"), col("nrep"))
+        val members2 = cut(members0.join(repMap, Seq("rep"))
+          .select(col("nrep").as("rep"), col("id")))
+        val grams2 = cut(keyed
+          .join(fam.select(col("nrep").as("id")), Seq("id"))
+          .select(col("id"), col("grams")))
+        val toks = grams2.select(col("id"), size(col("grams")).as("sz"),
+          explode(col("grams")).as("gram"))
+        val freq2 = cut(toks.groupBy("gram").agg(count(lit(1)).as("df")))
+        // same conservative prefix predicate as Dedup.prefixIndex, under
+        // the FRESH (df, gram) total order
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("id").orderBy(col("df"), col("gram"))
+        val prefix2 = cut(toks.join(freq2, Seq("gram"))
+          .withColumn("rn", row_number().over(w))
+          .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
+          .select("id", "sz", "rn", "gram"))
+        val (before, after) = (keyed.count(), fam.count())
+        // fence readers for the multi-table window, then commit in the
+        // re-runnable order (see scaladoc)
+        if (metaF.isFile) {
+          val park = new java.io.File(dir,
+            s"_meta.json.compacting-${java.util.UUID.randomUUID()}")
+          require(metaF.renameTo(park),
+            s"cannot retire $dir/_meta.json — compact aborted before any commit")
+        }
+        VersionedTable.overwrite(spark, membersRoot(dir), members2)
+        VersionedTable.overwrite(spark, gramsRoot(dir), grams2)
+        VersionedTable.overwrite(spark, freqRoot(dir), freq2)
+        VersionedTable.overwrite(spark, prefixRoot(dir), prefix2)
+        writeMeta(dir, meta)
+        CompactStats(kind, before, after)
+    }
+    Option(new java.io.File(dir).listFiles()).getOrElse(Array.empty)
+      .filter(_.getName.startsWith("_meta.json.compacting-"))
+      .foreach(_.delete())
+    stats
+  }
 }

@@ -139,6 +139,96 @@ class DedupIndexSpec extends SparkSpec {
     assert(!DedupIndex.appendPrefix(spark, dir, day1, "doc_id", "text", "day-1"))
   }
 
+  test("band compact folds duplicate representatives; query results identical") {
+    val dir = tmp("graft-bandcompact")
+    DedupIndex.buildBand(corpus, "doc_id", "text", dir)
+    // day-1 doc 21 exactly duplicates indexed doc 1's text -> a second
+    // representative with an identical gram set (documented-harmless,
+    // but index rows then grow with the duplicate rate)
+    val day1 = docs(
+      21L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      22L -> "some fresh day one content matching nothing else in the corpus")
+    assert(DedupIndex.appendBand(spark, dir, day1, "doc_id", "text", "day-1"))
+    val batch =
+      docs(31L -> "the quick brown fox jumps over the lazy dog near the river bank")
+    val before = survivorsOf(
+      DedupIndex.dedupBatch(spark, dir, batch, "doc_id", "text", 0.5))
+    val rowsBefore = DedupIndex.loadBand(spark, dir)._1.count()
+    val st = DedupIndex.compact(spark, dir)
+    // corpus has 4 distinct texts (1≡3) + 2 appended = 6 reps, one of
+    // which (21) duplicates rep 1's gram set
+    assert(st.kind === "band" && st.repsBefore === 6L && st.repsAfter === 5L)
+    val rowsAfter = DedupIndex.loadBand(spark, dir)._1.count()
+    assert(rowsAfter < rowsBefore)
+    assert(survivorsOf(
+      DedupIndex.dedupBatch(spark, dir, batch, "doc_id", "text", 0.5))
+      === before)
+    assert(before === Set(31L -> 1L))
+  }
+
+  test("prefix compact: fresh-df re-rank cuts candidates, merges dup reps, pair set invariant") {
+    val dir = tmp("graft-prefixcompact")
+    val corpus0 = docs(
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank",
+      2L -> "a completely different document about distributed query engines",
+      4L -> "columnar storage formats amortize scan cost across wide tables")
+    DedupIndex.buildPrefix(corpus0, "doc_id", "text", dir, 0.5)
+    // day-1 drift: 30 docs sharing the gram "boiler plate prefix" — unseen
+    // at build, so it ranks at df 0 ("rarest") in every appended prefix
+    // and in every future batch's, even though appends made it boilerplate
+    // — plus doc 131 exactly duplicating indexed doc 1 (a duplicate rep)
+    val day1 = docs(((100L until 130L).map(i =>
+        i -> s"boiler plate prefix zz$i yy$i") :+
+      (131L -> "the quick brown fox jumps over the lazy dog near the river bank")): _*)
+    assert(DedupIndex.appendPrefix(spark, dir, day1, "doc_id", "text", "day-1"))
+    val batch = docs(
+      900L -> "boiler plate prefix qq1 qq2",
+      901L -> "the quick brown fox jumps over the lazy dog near the river bank")
+    def candidates(): Long = {
+      val ix = DedupIndex.loadPrefix(spark, dir)
+      val (_, bprefix, _) =
+        Dedup.ppjoinBatchSide(ix, batch, "doc_id", "text", 0.5)
+      val (cross, internal) =
+        Dedup.ppjoinCandidatePairs(ix.prefix, bprefix, 0.5)
+      cross.count() + internal.count()
+    }
+    val pairsBefore =
+      pairsOf(DedupIndex.ppjoinBatch(spark, dir, batch, "doc_id", "text"))
+    val candBefore = candidates()
+    // doc 900 shares the stale-"rare" boilerplate gram with all 30 drifted
+    // prefixes — none of which verify
+    assert(candBefore >= 30L)
+    val st = DedupIndex.compact(spark, dir)
+    assert(st.kind === "prefix" && st.repsBefore === 34L && st.repsAfter === 33L)
+    val candAfter = candidates()
+    assert(candAfter < candBefore,
+      s"fresh-df re-rank must cut candidate fan-out ($candBefore -> $candAfter)")
+    val pairsAfter =
+      pairsOf(DedupIndex.ppjoinBatch(spark, dir, batch, "doc_id", "text"))
+    assert(pairsAfter === pairsBefore, "the pair set is the exactness contract")
+    // the merged 1/131 family still expands both members against doc 901
+    assert(pairsAfter.map(p => (p._1, p._2)) === Set((1L, 901L), (131L, 901L)))
+  }
+
+  test("a crashed prefix compact leaves the index offline-loud and re-runnable") {
+    val dir = tmp("graft-prefixcrash")
+    DedupIndex.buildPrefix(corpus, "doc_id", "text", dir, 0.5)
+    // simulate a compact that died right after fencing readers
+    val metaF = new java.io.File(dir, "_meta.json")
+    assert(metaF.renameTo(new java.io.File(dir, "_meta.json.compacting-x")))
+    val e = intercept[IllegalArgumentException](
+      DedupIndex.ppjoinBatch(spark, dir, batch, "doc_id", "text"))
+    assert(e.getMessage.contains("no dedup index published"))
+    // re-running compact adopts the retired meta and finishes the job
+    val st = DedupIndex.compact(spark, dir)
+    assert(st.kind === "prefix")
+    assert(metaF.isFile)
+    assert(!new java.io.File(dir, "_meta.json.compacting-x").exists())
+    val viaIndex = DedupIndex.ppjoinBatch(spark, dir, batch, "doc_id", "text")
+    assert(pairsOf(viaIndex).map(p => (p._1, p._2)) ===
+      Set((1L, 11L), (3L, 11L), (2L, 12L), (13L, 14L)))
+  }
+
   test("loads fail loudly on missing or mismatched indexes") {
     val none = tmp("graft-noix")
     intercept[IllegalArgumentException](DedupIndex.loadBand(spark, none))
