@@ -266,30 +266,38 @@ object Profile {
       histogram(Tables.lineitem(s, d), "l_extendedprice", HistBins)
         .orderBy("bin")),
     // the STREAMING form hash-checked cross-engine: ingest lineitem as a
-    // REAL file-stream query (3 staged parquet files, maxFilesPerTrigger 1
-    // — one trigger per file, ingestion executor-side with no driver data
-    // ceiling) through StreamingProfile's append-only part log, replay a
-    // committed batch (which the idempotence tag must refuse), then fold
-    // the log — the snapshot must equal DuckDB profiling the whole table
-    // in one shot. The fold is order- and split-invariant, so the hash is
-    // identical to any other batching of the same rows.
+    // REAL file-stream query (12 staged parquet files admitted 4 per
+    // trigger = 3 real triggers with production-like batching; staging is
+    // the ARRIVAL fixture, memoized per dataset content — see
+    // StagedSources) through StreamingProfile's append-only part log,
+    // replay a committed batch (which the idempotence tag must refuse),
+    // then fold the log — the snapshot must equal DuckDB profiling the
+    // whole table in one shot. The fold is order- and split-invariant, so
+    // the hash is identical under ANY admission (the sweep knob
+    // SPARK_GRAFT_STREAM_MFPT re-runs this gate at 1/4/16 files per
+    // trigger; results in BENCH_COMPARE.md).
     "q_profile_stream_lineitem" -> ((s, d) => {
       val root = java.nio.file.Files
         .createTempDirectory("graft-streamprof").toString
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-streamprof-ck").toString
-      val staging = java.nio.file.Files
-        .createTempDirectory("graft-streamprof-src").toString
       val li = Tables.lineitem(s, d)
-      li.repartition(3).write.mode("overwrite").parquet(staging)
+      val staging = graft.streaming.StagedSources
+        .dir("profile-lineitem", d, "lineitem") { p =>
+          li.repartition(graft.streaming.StagedSources.StagedFiles)
+            .write.mode("overwrite").parquet(p)
+        }
       val stream = s.readStream.schema(li.schema)
-        .option("maxFilesPerTrigger", "1").parquet(staging)
+        .option("maxFilesPerTrigger",
+          graft.streaming.StagedSources.filesPerTrigger)
+        .parquet(staging)
       val q = graft.streaming.StreamingProfile.start(stream, root, ckpt)
       try q.processAllAvailable() finally q.stop()
-      // replay of batch 1 (e.g. a restarted trigger): refused by tag,
-      // so the snapshot is unchanged — the gate would hash-mismatch
-      // otherwise (every count doubled for that slice)
-      graft.streaming.StreamingProfile.processBatch(li, root, 1L)
+      // replay of batch 0 (e.g. a restarted trigger; 0 is committed under
+      // EVERY admission the sweep knob can pick): refused by tag, so the
+      // snapshot is unchanged — the gate would hash-mismatch otherwise
+      // (every count doubled for that slice)
+      graft.streaming.StreamingProfile.processBatch(li, root, 0L)
       graft.streaming.StreamingProfile.snapshot(s, root).orderBy("column")
     }))
 

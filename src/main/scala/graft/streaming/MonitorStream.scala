@@ -14,7 +14,8 @@ import graft.store.VersionedTable
   * per-key state instead of repeated scans).
   *
   * The gate drives a REAL Structured Streaming query: events flow through
-  * a parquet FILE STREAM (`maxFilesPerTrigger 1`) in three micro-batches into
+  * a parquet FILE STREAM (12 staged files, 4 per trigger) in three
+  * micro-batches into
   * [[Stateful.runningUserTotalsExact]] (update mode — each trigger emits
   * the refreshed snapshot of every touched key), and each trigger's
   * emissions append to a [[VersionedTable]] monitor log under the
@@ -70,11 +71,12 @@ object MonitorStream {
     * replay, then the folded snapshot.
     *
     * Ingestion is executor-side end to end: the events projection is
-    * staged as a 3-file parquet directory (one distributed write job) and
-    * consumed with `maxFilesPerTrigger 1` — one trigger per file, the
-    * [[graft.exec.StreamingRunner.itemStream]] shape — so the gate has no
-    * driver data ceiling (the prior MemoryStream form collected every
-    * event to the driver, a shape that caps out long before 100 TB). The
+    * staged as a 12-file parquet directory (one distributed write job,
+    * memoized per dataset content) and consumed 4 files per trigger —
+    * the [[graft.exec.StreamingRunner.itemStream]] shape — so the gate
+    * has no driver data ceiling (the prior MemoryStream form collected
+    * every event to the driver, a shape that caps out long before
+    * 100 TB). The
     * folded snapshot is split-invariant (each key's last emission carries
     * its full running state), so the output hash is identical.
     */
@@ -84,17 +86,20 @@ object MonitorStream {
       .createTempDirectory("graft-monstream").toString
     val ckpt = java.nio.file.Files
       .createTempDirectory("graft-monstream-ck").toString
-    val staging = java.nio.file.Files
-      .createTempDirectory("graft-monstream-src").toString
-    Tables.events(spark, sfDir)
-      .select(col("user_id").cast("long").as("user_id"), col("event_type"),
-        col("value").cast("double").as("value"),
-        col("event_id").cast("long").as("event_id"))
-      .repartition(3)
-      .write.mode("overwrite").parquet(staging)
+    // staging simulates ARRIVAL (memoized per dataset content —
+    // StagedSources): 12 files admitted 4 per trigger = 3 real triggers
+    // with production-like batch admission
+    val staging = StagedSources.dir("monitor-events", sfDir, "events") { p =>
+      Tables.events(spark, sfDir)
+        .select(col("user_id").cast("long").as("user_id"), col("event_type"),
+          col("value").cast("double").as("value"),
+          col("event_id").cast("long").as("event_id"))
+        .repartition(StagedSources.StagedFiles)
+        .write.mode("overwrite").parquet(p)
+    }
     val source = spark.readStream
       .schema(org.apache.spark.sql.Encoders.product[Stateful.UserEvent4].schema)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", StagedSources.filesPerTrigger)
       .parquet(staging)
     // state-store partition count is fixed by shuffle.partitions at FIRST
     // query start (then pinned by the checkpoint): size it to the op —
@@ -116,16 +121,17 @@ object MonitorStream {
           ()
         }
         .start()
-      // drain: maxFilesPerTrigger=1 → three real triggers, state carried
-      // across them by the streaming engine (not by this driver)
+      // drain: 12 files at 4 per trigger → three real triggers, state
+      // carried across them by the streaming engine (not by this driver)
       try q.processAllAvailable() finally q.stop()
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     // the restarted-trigger replay: foreachBatch is at-least-once, so a
     // crash after commit re-fires the same batchId — the tag must refuse
     // (were it applied, the fold would emit duplicate rows and the driver
-    // hash-compare would fail)
+    // hash-compare would fail). Batch 0 is committed under EVERY
+    // admission the sweep knob can pick.
     val replayed = processBatch(
-      currentTotals(spark, root), root, 1L)
+      currentTotals(spark, root), root, 0L)
     require(!replayed, "replayed micro-batch must be refused by its tag")
     currentTotals(spark, root).orderBy("user_id")
   }

@@ -21,8 +21,9 @@ import graft.store.VersionedTable
   * the commit (write job + footer-stat harvest + manifest CAS) is the
   * per-trigger fixed cost, and a two-table layout paid it twice while
   * also leaving a torn window where stats had committed but registers
-  * had not. The batch is cached for the trigger so the stats aggregate
-  * and the register melt share one source scan. [[snapshot]] folds the
+  * had not. The stats aggregate and the register melt run as two scan
+  * branches of that one commit job (uncached on purpose — see
+  * [[processBatch]]). [[snapshot]] folds the
   * log: stats by sum/sum/min/max (with the numeric-vs-lexicographic kind
   * the parts carry), registers by per-(pos, bucket) MAX — every fold is
   * order-free and idempotent, so the snapshot equals
@@ -80,23 +81,26 @@ object StreamingProfile {
       VersionedTable.latestVersion(spark, partsRoot(root)).isDefined &&
         VersionedTable.snapshot(spark, partsRoot(root)).tags.contains(tag)
     if (alreadyApplied) return
-    // cache for the trigger: the stats aggregate (eager, inside
-    // sketchParts) populates it and the register melt re-reads it — one
-    // source scan instead of two per trigger
-    val cached = batch.cache()
-    try {
-      val (stats, regs) = Profile.sketchParts(cached, quantScale)
-      // a trigger's combined part is bounded at O(cols × 2^p) rows at ANY
-      // batch size — one output file per commit, not
-      // shuffle-partition-many tiny ones (each extra file is a footer-stat
-      // read on every append and a manifest entry forever). repartition,
-      // not coalesce: coalesce would collapse the whole melt+HLL stage
-      // into one task; the extra exchange moves only the result rows
-      val unified = unifiedParts(stats, regs).repartition(1)
-      ensure(spark, partsRoot(root), unified)
-      VersionedTable.appendBatch(spark, partsRoot(root), unified, tag)
-      ()
-    } finally { cached.unpersist(); () }
+    // the stats aggregate and the register melt are two scan branches of
+    // ONE commit job. Deliberately NOT cached: for a file-stream batch the
+    // second scan re-reads a micro-batch-sized parquet slice, which
+    // measures ~3× cheaper than materializing the batch into block
+    // storage first (the r14 maxFilesPerTrigger sweep: cache cost ~0.5 s
+    // per trigger vs ~0.15 s for the extra columnar scan at sf0.1) — and
+    // the cached form holds the batch in executor memory for the whole
+    // trigger, a budget that scales with batch size while the uncached
+    // form's memory is bounded by the aggregation buffers alone
+    val (stats, regs) = Profile.sketchParts(batch, quantScale)
+    // a trigger's combined part is bounded at O(cols × 2^p) rows at ANY
+    // batch size — one output file per commit, not
+    // shuffle-partition-many tiny ones (each extra file is a footer-stat
+    // read on every append and a manifest entry forever). repartition,
+    // not coalesce: coalesce would collapse the whole melt+HLL stage
+    // into one task; the extra exchange moves only the result rows
+    val unified = unifiedParts(stats, regs).repartition(1)
+    ensure(spark, partsRoot(root), unified)
+    VersionedTable.appendBatch(spark, partsRoot(root), unified, tag)
+    ()
   }
 
   /** The current profile over everything ingested so far —
