@@ -552,6 +552,40 @@ object VersionedTable {
     } catch { case _: TagAlreadyApplied => false }
   }
 
+  /** CONDITIONAL append: commit `df` as the child of EXACTLY
+    * `expectedParent` — one CAS attempt, NO rebase-and-retry. Returns
+    * false (leaving only unreferenced files for vacuum) when the table
+    * has advanced past `expectedParent`, when another committer wins the
+    * CAS, or when `tag` is already applied.
+    *
+    * This is the read-validate-commit primitive ([[graft.store.connector.WorkQueueLedger]]'s
+    * claim waves): the caller derives `df` from its read of version
+    * `expectedParent`, so a successful commit PROVES the validation held
+    * against the exact state it was computed from — the DynamoDB
+    * `ConditionExpression` the reference's lock protocol lacked
+    * (`/root/reference/code/modifier.py:71-125`), at commit granularity.
+    * [[append]]'s rebase semantics would silently void the validation: a
+    * lost race re-parents the same rows onto a state the caller never
+    * read. Callers loop themselves: re-read, re-validate, re-attempt.
+    */
+  def appendIfVersion(spark: SparkSession, root: String, df: DataFrame,
+      expectedParent: Long, tag: Option[String] = None): Boolean = {
+    val f = fs(spark, root)
+    val head = listVersions(f, root).lastOption
+    if (!head.contains(expectedParent)) return false
+    val parent = snapshot(spark, root, Some(expectedParent))
+    if (tag.exists(parent.tags.contains)) return false
+    val files = writeData(df, root, parent.bloomCols)
+    val v = expectedParent + 1
+    val m = DeltaManifest(v, "append", parent.schema.json, files.toList,
+      Nil, tag.toList, parent.bloomCols.toList)
+    val won = casPublish(f, root, v, org.json4s.jackson.Serialization.write(m))
+    if (won && v % CheckpointInterval == 0)
+      writeCheckpoint(f, root, v, "append", parent.schema.json,
+        parent.files ++ files, parent.tags ++ tag, parent.bloomCols)
+    won
+  }
+
   /** Idempotent overwrite for exactly-once derived-state maintenance (the
     * [[Ivm]] persisted view): replaces the table contents IFF no committed
     * version already carries `tag` — checked atomically under the version
