@@ -684,22 +684,28 @@ object Dedup {
   private[graft] def collapseExactFamilies(docs: DataFrame, idCol: String,
       textCol: String): (DataFrame, DataFrame) = {
     val norm = TextAnalysis.normalized(col(textCol))
-    // grams are computed ONCE (the cut materializes them) and never travel
-    // through a fp-keyed exchange: rep election and the member map run on
-    // (fp, id) rows alone — a million-copy boilerplate family costs one
-    // map-side-combined min, not a single window task dragging a million
-    // gram arrays — and the rep rows rejoin their arrays through an
-    // id-keyed (unique, evenly distributed) join
-    val base = docs.select(col(idCol).cast("long").as("id"),
-        md5(norm).as("fp"), distinctNgramsUdf(3)(norm).as("grams"))
-      .filter(size(col("grams")) > 0)
-      .transform(graft.plans.Lineage.cut) // consumed by fams, members, reps
-    val fams = base.select(col("fp"), col("id"))
-      .groupBy("fp").agg(min(col("id")).as("rep"))
-    (base.join(fams.select(col("rep").as("id")), Seq("id"))
-        .select(col("id"), col("grams")),
-      base.select(col("fp"), col("id")).join(fams, Seq("fp"))
-        .select(col("rep"), col("id")))
+    // rep election and the member map run on (fp, id) rows alone — a
+    // million-copy boilerplate family costs one map-side-combined min,
+    // not a single window task dragging a million gram arrays (ADVICE
+    // r13) — and gram arrays are computed ONLY for representatives:
+    // every member of an fp family shares one normalized text, hence one
+    // gram set, and df/prefix/verify all run over reps. The non-null
+    // filter is exactly the old `size(grams) > 0`: [[distinctNgramsUdf]]
+    // returns empty ONLY for null input (short non-null text falls back
+    // to the whole-string singleton), so membership is unchanged.
+    val ids = docs.filter(norm.isNotNull)
+      .select(col(idCol).cast("long").as("id"), md5(norm).as("fp"))
+      .transform(graft.plans.Lineage.cut) // consumed by fams AND members
+    val fams = ids.groupBy("fp").agg(min(col("id")).as("rep"))
+    // join raw texts to the rep ids FIRST, then shingle: the UDF runs
+    // once per FAMILY, not once per doc, and no gram array ever rides an
+    // exchange (texts shuffle by unique id — evenly distributed)
+    val reps = docs
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
+      .join(fams.select(col("rep").as("id")), Seq("id"))
+      .select(col("id"),
+        distinctNgramsUdf(3)(TextAnalysis.normalized(col("__t"))).as("grams"))
+    (reps, ids.join(fams, Seq("fp")).select(col("rep"), col("id")))
   }
 
   /** Rep-level verified pairs → per-doc pairs through the member maps.
