@@ -693,19 +693,27 @@ object Dedup {
     // filter is exactly the old `size(grams) > 0`: [[distinctNgramsUdf]]
     // returns empty ONLY for null input (short non-null text falls back
     // to the whole-string singleton), so membership is unchanged.
+    // representative election runs on (fp, id) rows alone — a
+    // million-copy boilerplate family costs one map-side-combined min
+    // (ADVICE r13: the old fp-partitioned WINDOW dragged every member's
+    // gram array through a single task). Gram arrays meet the family tag
+    // through a JOIN instead: when `fams` is small Spark broadcasts it
+    // and the arrays never cross an exchange at all; at corpus scale it
+    // degrades to a shuffle join, which — unlike a window — AQE's
+    // skew-join splitting can cut, so no task ever owns a whole family.
+    // ONE materialization serves both outputs (downstream consumes reps
+    // 3× and members 2-3×; per-output cuts measured 2 extra eager jobs
+    // and per-consumer recompute measured 2.1× on the one-shot gate).
     val ids = docs.filter(norm.isNotNull)
       .select(col(idCol).cast("long").as("id"), md5(norm).as("fp"))
-      .transform(graft.plans.Lineage.cut) // consumed by fams AND members
     val fams = ids.groupBy("fp").agg(min(col("id")).as("rep"))
-    // join raw texts to the rep ids FIRST, then shingle: the UDF runs
-    // once per FAMILY, not once per doc, and no gram array ever rides an
-    // exchange (texts shuffle by unique id — evenly distributed)
-    val reps = docs
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("__t"))
-      .join(fams.select(col("rep").as("id")), Seq("id"))
-      .select(col("id"),
-        distinctNgramsUdf(3)(TextAnalysis.normalized(col("__t"))).as("grams"))
-    (reps, ids.join(fams, Seq("fp")).select(col("rep"), col("id")))
+    val tagged = docs.filter(norm.isNotNull)
+      .select(col(idCol).cast("long").as("id"), md5(norm).as("fp"),
+        distinctNgramsUdf(3)(norm).as("grams"))
+      .join(fams, Seq("fp"))
+      .transform(graft.plans.Lineage.cut)
+    (tagged.filter(col("id") === col("rep")).select(col("id"), col("grams")),
+      tagged.select(col("rep"), col("id")))
   }
 
   /** Rep-level verified pairs → per-doc pairs through the member maps.
