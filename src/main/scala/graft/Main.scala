@@ -87,7 +87,7 @@ object Main {
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|monitor|reset|delete|compact|queue-compact|dedup-index-build|dedup-index-append|dedup-index-query|dedup-index-compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
+      "usage: graft.Main <import|run|work|monitor|reset|delete|compact|queue-compact|dedup-index-build|dedup-index-append|dedup-index-query|dedup-index-compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -152,6 +152,40 @@ object Main {
       val executed = outcomes.count() // materialize (cached) before the swap
       rewriteTable(spark, table, updated)
       println(s"""{"executed": $executed}""")
+    case "work" =>
+      // continuous streaming worker over a CONNECTOR queue (--table): each
+      // micro-batch's todo items are claimed (--claims ledger | locks),
+      // executed, and committed to --results exactly once (batch-tagged).
+      // `ledger` (default) claims in wave commits — O(triggers) filesystem
+      // objects, the data-pipeline scale path; `locks` claims per-item
+      // lock files with optional --lease-ms takeover (the long-running-
+      // script deployment). --once drains the queue and exits (the CI /
+      // cron shape); otherwise the reference's poll loop
+      // (code/runner.py:144-238) runs as a live streaming query.
+      val results = flags.getOrElse("results", sys.error("--results is required"))
+      val ckpt = flags.getOrElse("checkpoint", sys.error("--checkpoint is required"))
+      val instance = flags.getOrElse("instance",
+        s"worker-${java.util.UUID.randomUUID()}")
+      val stream = graft.exec.StreamingRunner.queueWorkItems(
+        graft.exec.StreamingRunner.queueStream(spark, table,
+          flags.get("files-per-trigger").map(_.toInt), flags.get("state")))
+      val config = graft.exec.Runner.RunConfig(
+        budgetSeconds = flags.get("budget").map(_.toDouble),
+        parallelism = flags.get("parallelism").map(_.toInt).getOrElse(0))
+      val writer = flags.getOrElse("claims", "ledger") match {
+        case "ledger" =>
+          graft.exec.StreamingRunner.ledgerDispatcher(stream, results,
+            flags.getOrElse("ledger", s"$table/_ledger"), instance, config)
+        case "locks" =>
+          graft.exec.StreamingRunner.claimedDispatcher(stream, results,
+            table, instance, config, flags.get("lease-ms").map(_.toLong))
+        case other => sys.error(s"--claims must be ledger|locks, got $other")
+      }
+      val q = writer.option("checkpointLocation", ckpt).start()
+      if (flags.contains("once")) {
+        try q.processAllAvailable() finally q.stop()
+        println(s"""{"results": ${ItemStore.load(spark, results).count()}}""")
+      } else q.awaitTermination()
     case "monitor" =>
       StateQueries.itemCounter(ItemStore.load(spark, table)).show(truncate = false)
       StateQueries.progressHistogram(ItemStore.load(spark, table)).show(truncate = false)

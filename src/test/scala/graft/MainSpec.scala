@@ -91,6 +91,33 @@ class MainSpec extends SparkSpec {
     assert(staleStaging.isEmpty, staleStaging.mkString(","))
   }
 
+  test("work verb: streaming worker drains a queue with ledger claims, exactly once") {
+    import graft.store.connector.{WorkQueueLedger, WorkQueueSource}
+    val base = java.nio.file.Files.createTempDirectory("graft-cli-work").toString
+    val qdir = s"$base/q"
+    val rows = Seq("W1", "W2", "W3").toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    WorkQueueSource.append(rows.coalesce(1), qdir)
+    Main.run(spark, "work", qdir, Map(
+      "results" -> s"$base/results", "checkpoint" -> s"$base/ckpt",
+      "instance" -> "w1", "once" -> "1"))
+    val out = store.ItemStore.load(spark, s"$base/results")
+    assert(out.count() === 3)
+    assert(out.select("itemID").as[String].collect().toSet === Set("W1", "W2", "W3"))
+    // ledger lives inside the queue dir, one wave commit, no lock files
+    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 3)
+    assert(!new java.io.File(s"$qdir/locks").exists() ||
+      new java.io.File(s"$qdir/locks").list().isEmpty)
+    // a fresh worker over the same queue (new checkpoint) re-reads the
+    // files but wins nothing — the ledger remembers across processes
+    Main.run(spark, "work", qdir, Map(
+      "results" -> s"$base/results2", "checkpoint" -> s"$base/ckpt2",
+      "instance" -> "w2", "once" -> "1"))
+    assert(store.ItemStore.load(spark, s"$base/results2").count() === 0)
+    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 3)
+  }
+
   test("manifest-driven reset restarts exactly the listed items (manager.py:465-549)") {
     val table = java.nio.file.Files.createTempDirectory("graft-cli-store").toString + "/t"
     Main.run(spark, "import", table,
