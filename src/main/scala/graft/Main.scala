@@ -85,9 +85,20 @@ object Main {
     (ids, Option(parsed.select("to").head().getString(0)))
   }
 
+  /** The `work` verb's default claim identity: a pure function of the
+    * CHECKPOINT path, so a crash-restart of the same worker resumes under
+    * the same identity and replays its own claim waves (tag
+    * `$instance-batch-$n`) instead of orphaning them. Spark forbids two
+    * live queries on one checkpoint, so the path names exactly one worker.
+    */
+  private[graft] def workerIdentity(checkpoint: String): String = {
+    val canon = new java.io.File(checkpoint).getAbsolutePath
+    f"worker-${scala.util.hashing.MurmurHash3.stringHash(canon) & 0xffffffffL}%08x"
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|work|monitor|reset|delete|compact|queue-compact|dedup-index-build|dedup-index-append|dedup-index-query|dedup-index-compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
+      "usage: graft.Main <import|run|work|work-release|queue-claims|monitor|reset|delete|compact|queue-compact|dedup-index-build|dedup-index-append|dedup-index-query|dedup-index-compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -164,8 +175,15 @@ object Main {
       // (code/runner.py:144-238) runs as a live streaming query.
       val results = flags.getOrElse("results", sys.error("--results is required"))
       val ckpt = flags.getOrElse("checkpoint", sys.error("--checkpoint is required"))
-      val instance = flags.getOrElse("instance",
-        s"worker-${java.util.UUID.randomUUID()}")
+      // the claim identity MUST be stable across restarts of the same
+      // checkpoint: wave tags are `$instance-batch-$batchId`, and a
+      // per-start random identity silently orphans a crashed batch's
+      // claims on replay (new tag ⇒ the anti-join excludes the dead
+      // wave's ids ⇒ empty win set ⇒ batch marked done, items never
+      // executed — the r14 VERDICT defect). The checkpoint path IS the
+      // natural identity: Spark already forbids two live queries on one
+      // checkpoint, so it names exactly one worker.
+      val instance = flags.getOrElse("instance", workerIdentity(ckpt))
       val stream = graft.exec.StreamingRunner.queueWorkItems(
         graft.exec.StreamingRunner.queueStream(spark, table,
           flags.get("files-per-trigger").map(_.toInt), flags.get("state")))
@@ -175,7 +193,8 @@ object Main {
       val writer = flags.getOrElse("claims", "ledger") match {
         case "ledger" =>
           graft.exec.StreamingRunner.ledgerDispatcher(stream, results,
-            flags.getOrElse("ledger", s"$table/_ledger"), instance, config)
+            flags.getOrElse("ledger", s"$table/_ledger"), instance, config,
+            flags.get("done"))
         case "locks" =>
           graft.exec.StreamingRunner.claimedDispatcher(stream, results,
             table, instance, config, flags.get("lease-ms").map(_.toLong))
@@ -186,6 +205,47 @@ object Main {
         try q.processAllAvailable() finally q.stop()
         println(s"""{"results": ${ItemStore.load(spark, results).count()}}""")
       } else q.awaitTermination()
+    case "queue-claims" =>
+      // operability: what does the ledger think is IN FLIGHT, and how many
+      // items are durably done? A healthy steady-state worker shows claims
+      // ≈ one wave (or zero between triggers); claims that persist across
+      // triggers belong to a dead dispatcher — hand them back with
+      // work-release.
+      import graft.store.connector.WorkQueueLedger
+      val ledger = flags.getOrElse("ledger", s"$table/_ledger")
+      val done = flags.getOrElse("done", s"$table/_ledger_done")
+      val claims =
+        if (graft.store.VersionedTable.latestVersion(spark, ledger).isEmpty) 0L
+        else {
+          val e = WorkQueueLedger.entries(spark, ledger)
+          e.groupBy("instanceID", "tag").count()
+            .orderBy("instanceID", "tag").show(100, truncate = false)
+          e.count()
+        }
+      println(s"""{"claims": $claims, "done": ${
+        WorkQueueLedger.doneEntries(spark, done).count()}}""")
+    case "work-release" =>
+      // crashed-dispatcher recovery: hand a wedged wave (--tag) or every
+      // wave of a dead worker (--instance) back to the queue. Contract vs
+      // the lock path's leases: ledger claims never expire on their own —
+      // takeover is an OPERATOR action (this verb), deliberate because
+      // the ledger deployment is one dispatcher per queue and an
+      // automatic expiry could steal a slow-but-alive wave. Releasing an
+      // instance that is still running is safe for data (outcome commits
+      // are batch-tagged) but wastes work — stop the worker first.
+      import graft.store.connector.WorkQueueLedger
+      val ledger = flags.getOrElse("ledger", s"$table/_ledger")
+      require(graft.store.VersionedTable.latestVersion(spark, ledger).isDefined,
+        s"no ledger at $ledger")
+      val released = (flags.get("tag"), flags.get("instance")) match {
+        case (Some(t), None) => WorkQueueLedger.release(spark, ledger, t)
+        case (None, Some(i)) => WorkQueueLedger.releaseInstance(spark, ledger,
+          i, flags.getOrElse("epoch",
+            java.util.UUID.randomUUID().toString))
+        case _ => sys.error("work-release needs exactly one of --tag | --instance")
+      }
+      println(s"""{"released": $released, "claims": ${
+        WorkQueueLedger.entries(spark, ledger).count()}}""")
     case "monitor" =>
       StateQueries.itemCounter(ItemStore.load(spark, table)).show(truncate = false)
       StateQueries.progressHistogram(ItemStore.load(spark, table)).show(truncate = false)

@@ -686,24 +686,20 @@ object Dedup {
     val norm = TextAnalysis.normalized(col(textCol))
     // rep election and the member map run on (fp, id) rows alone — a
     // million-copy boilerplate family costs one map-side-combined min,
-    // not a single window task dragging a million gram arrays (ADVICE
-    // r13) — and gram arrays are computed ONLY for representatives:
-    // every member of an fp family shares one normalized text, hence one
-    // gram set, and df/prefix/verify all run over reps. The non-null
-    // filter is exactly the old `size(grams) > 0`: [[distinctNgramsUdf]]
-    // returns empty ONLY for null input (short non-null text falls back
-    // to the whole-string singleton), so membership is unchanged.
-    // representative election runs on (fp, id) rows alone — a
-    // million-copy boilerplate family costs one map-side-combined min
-    // (ADVICE r13: the old fp-partitioned WINDOW dragged every member's
-    // gram array through a single task). Gram arrays meet the family tag
-    // through a JOIN instead: when `fams` is small Spark broadcasts it
-    // and the arrays never cross an exchange at all; at corpus scale it
-    // degrades to a shuffle join, which — unlike a window — AQE's
-    // skew-join splitting can cut, so no task ever owns a whole family.
-    // ONE materialization serves both outputs (downstream consumes reps
-    // 3× and members 2-3×; per-output cuts measured 2 extra eager jobs
-    // and per-consumer recompute measured 2.1× on the one-shot gate).
+    // not a single fp-partitioned WINDOW task dragging a million gram
+    // arrays (ADVICE r13). Gram arrays are computed ONLY for
+    // representatives (an fp family shares one normalized text, hence one
+    // gram set) and meet the family tag through a JOIN: when `fams` is
+    // small Spark broadcasts it and the arrays never cross an exchange;
+    // at corpus scale it degrades to a shuffle join, which — unlike a
+    // window — AQE's skew-join splitting can cut, so no task ever owns a
+    // whole family. The non-null filter is exactly the old
+    // `size(grams) > 0`: [[distinctNgramsUdf]] returns empty ONLY for null
+    // input (short non-null text falls back to the whole-string
+    // singleton), so membership is unchanged. ONE materialization serves
+    // both outputs (downstream consumes reps 3× and members 2-3×;
+    // per-output cuts measured 2 extra eager jobs and per-consumer
+    // recompute measured 2.1× on the one-shot gate).
     val ids = docs.filter(norm.isNotNull)
       .select(col(idCol).cast("long").as("id"), md5(norm).as("fp"))
     val fams = ids.groupBy("fp").agg(min(col("id")).as("rep"))
@@ -853,6 +849,20 @@ object Dedup {
           .filter(col("doc_a") < col("doc_b"))))
   }
 
+  /** Exact-Jaccard verification of candidate rep pairs — shared by the
+    * per-doc ([[ppjoinAgainst]]) and family-level
+    * ([[ppjoinAgainstFamilyPairs]]) incremental surfaces.
+    */
+  private def ppjoinVerify(cand: DataFrame, ga: DataFrame, gb: DataFrame,
+      threshold: Double): DataFrame = cand
+    .join(ga.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
+    .join(gb.select(col("id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
+    .withColumn("jaccard",
+      size(array_intersect(col("ga"), col("gb"))) /
+        size(array_union(col("ga"), col("gb"))))
+    .filter(col("jaccard") >= threshold)
+    .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
   def ppjoinAgainst(index: PrefixIndex, batch: DataFrame, idCol: String,
       textCol: String, threshold: Double): DataFrame = {
     val (bg, bprefix, bmem) =
@@ -862,14 +872,8 @@ object Dedup {
     // [[expandFamilies]] recovers the per-doc pair set at id-row cost.
     val (cross, internal) =
       ppjoinCandidatePairs(index.prefix, bprefix, threshold)
-    def verify(cand: DataFrame, ga: DataFrame, gb: DataFrame): DataFrame = cand
-      .join(ga.select(col("id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
-      .join(gb.select(col("id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("ga"), col("gb"))) /
-          size(array_union(col("ga"), col("gb"))))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    def verify(cand: DataFrame, ga: DataFrame, gb: DataFrame): DataFrame =
+      ppjoinVerify(cand, ga, gb, threshold)
     expandFamilies(verify(cross, bg, index.grams), bmem, index.members)
       .unionByName(
         expandFamilies(verify(internal, bg, bg), bmem, bmem))
@@ -881,6 +885,41 @@ object Dedup {
       // batch-internal exact dups share one rep, invisible to the rep-level
       // candidate join — emitted directly at jaccard exactly 1.0
       .unionByName(familyPairs(bmem))
+  }
+
+  /** The family-level output contract for the INCREMENTAL surface — what
+    * [[prefixFilterJaccardFamilyPairs]] is to [[prefixFilterJaccardPairs]],
+    * applied to the daily-batch path [[ppjoinAgainst]]: one row per
+    * verified REP pair instead of the per-doc expansion, which is
+    * quadratic in family size by contract (a dirty daily batch whose 10⁵
+    * members all match one boilerplate corpus family would expand to 10⁵
+    * · n_corpus rows; this form emits ONE). `kind` separates the two pair
+    * universes: `cross` rows pair a batch family rep (`doc_a`, size
+    * `n_a`) with a CORPUS family rep (`doc_b`, size `n_b` — ids are not
+    * order-normalized across universes); `batch` rows pair two batch reps
+    * (`doc_a < doc_b`). Within-family jaccard-1.0 mass is counts in the
+    * companion batch family table ([[exactFamilySummary]] over the
+    * batch), never expanded. Exactness is inherited: candidates come from
+    * the same zero-miss prefix filter, and only verified pairs emit.
+    */
+  def ppjoinAgainstFamilyPairs(index: PrefixIndex, batch: DataFrame,
+      idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val (bg, bprefix, bmem) =
+      ppjoinBatchSide(index, batch, idCol, textCol, threshold)
+    val (cross, internal) =
+      ppjoinCandidatePairs(index.prefix, bprefix, threshold)
+    val bSizes = bmem.groupBy("rep").agg(count(lit(1)).as("n"))
+    val iSizes = index.members.groupBy("rep").agg(count(lit(1)).as("n"))
+    def sized(pairs: DataFrame, a: DataFrame, b: DataFrame,
+        kind: String): DataFrame = pairs
+      .join(a.select(col("rep").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(b.select(col("rep").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        col("n_a"), col("n_b"), lit(kind).as("kind"))
+    sized(ppjoinVerify(cross, bg, index.grams, threshold), bSizes, iSizes,
+        "cross")
+      .unionByName(sized(ppjoinVerify(internal, bg, bg, threshold),
+        bSizes, bSizes, "batch"))
   }
 
   /** Exact substring dedup (the character-level "exact substring match"

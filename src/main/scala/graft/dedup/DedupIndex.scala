@@ -296,10 +296,25 @@ object DedupIndex {
       .sortBy(_.getName)
     require(metaF.isFile || retired.nonEmpty,
       s"no dedup index published at $dir")
-    // a crashed compact left the meta retired: adopt it and finish
+    // a crashed compact left the meta retired: adopt it and finish.
+    // More than one park can survive (crash → re-run → second crash);
+    // compact never changes the meta content, so every park written by
+    // this protocol is byte-identical — adoption is well-defined only
+    // because of that invariant, so VERIFY it instead of adopting an
+    // arbitrary file and deleting the rest (ADVICE r14): disagreeing
+    // parks mean a foreign or corrupted meta landed in the dir, and
+    // picking one silently would bake the wrong geometry into the index.
     val meta =
       if (metaF.isFile) java.nio.file.Files.readString(metaF.toPath)
-      else java.nio.file.Files.readString(retired.last.toPath)
+      else {
+        val contents = retired
+          .map(f => java.nio.file.Files.readString(f.toPath)).distinct
+        require(contents.length == 1,
+          s"${retired.length} parked metas at $dir disagree — refusing to " +
+            "adopt one arbitrarily; remove the stale _meta.json.compacting-* " +
+            s"files by hand (found: ${retired.map(_.getName).mkString(", ")})")
+        contents.head
+      }
     val kind = if (meta.contains(""""kind":"band"""")) "band" else "prefix"
     def gramKey(g: org.apache.spark.sql.Column) =
       md5(to_json(sort_array(g)))
@@ -348,8 +363,11 @@ object DedupIndex {
         // fence readers for the multi-table window, then commit in the
         // re-runnable order (see scaladoc)
         if (metaF.isFile) {
+          // monotonic park names (timestamp first) so a human inspecting a
+          // twice-crashed dir sees the retirement order at a glance; the
+          // adopt path above never relies on it (content equality does)
           val park = new java.io.File(dir,
-            s"_meta.json.compacting-${java.util.UUID.randomUUID()}")
+            f"_meta.json.compacting-${System.currentTimeMillis()}%020d-${java.util.UUID.randomUUID()}")
           require(metaF.renameTo(park),
             s"cannot retire $dir/_meta.json — compact aborted before any commit")
         }

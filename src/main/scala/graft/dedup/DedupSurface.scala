@@ -326,6 +326,23 @@ object DedupSurface {
       Dedup.ppjoinAgainst(ix, incBatch(s, d), "doc_id", "text", PpjoinTau)
         .orderBy("doc_a", "doc_b")
     }),
+    // the family-level contract for the DAILY-BATCH path: verified rep
+    // pairs (cross = batch family × corpus family, batch = within-batch)
+    // with both family sizes — output-linear in families where
+    // dedup_ppjoin_incremental's per-doc expansion is quadratic in family
+    // size by contract (a dirty batch against a boilerplate corpus family
+    // emits ONE row here)
+    "dedup_ppjoin_batch_family_pairs" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val ix = Dedup.prefixIndex(docs, "doc_id", "text", PpjoinTau)
+      Dedup.ppjoinAgainstFamilyPairs(ix, incBatch(s, d), "doc_id", "text",
+        PpjoinTau).orderBy("kind", "doc_a", "doc_b")
+    }),
+    // its companion: the BATCH's exact-dup family table (rep, n_members,
+    // sample) — the within-family jaccard-1.0 mass as counts
+    "dedup_ppjoin_batch_families" -> ((s, d) =>
+      Dedup.exactFamilySummary(incBatch(s, d), "doc_id", "text")
+        .orderBy("rep")),
     // sorted-neighborhood blocking: candidates = within-5 positions in the
     // (normalized-text, id) sort order, verified at the same τ
     "dedup_snm_pairs" -> ((s, d) =>
@@ -599,6 +616,71 @@ object DedupSurface {
       |SELECT least(xa, xb) AS doc_a, greatest(xa, xb) AS doc_b, jaccard
       |FROM u WHERE jaccard >= $PpjoinTau AND xa <> xb
       |ORDER BY doc_a, doc_b""".stripMargin,
+    // the incremental FAMILY form: both sides collapsed to exact-dup reps
+    // (min id per normalized-text fingerprint), the same prefix-filter
+    // candidate construction (df over corpus reps; batch grams unseen in
+    // the corpus rank at df 0 — candidate-set differences are harmless,
+    // both sides lossless), verified rep pairs carrying both family sizes
+    "dedup_ppjoin_batch_family_pairs" -> s"""WITH $incBatchCte,
+      |craw AS (SELECT doc_id AS id, md5($ntext) AS fp,
+      |               list_distinct($gramsExpr) AS grams FROM documents),
+      |cfam AS (SELECT fp, MIN(id) AS rep, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM craw WHERE len(grams) > 0 GROUP BY fp),
+      |g AS (SELECT cfam.rep AS id, craw.grams AS grams, cfam.n AS n,
+      |             cfam.fp AS fp
+      |      FROM cfam JOIN craw ON craw.id = cfam.rep),
+      |braw AS (SELECT doc_id AS id, md5($ntext) AS fp,
+      |               list_distinct($gramsExpr) AS grams FROM incbatch),
+      |bfam AS (SELECT fp, MIN(id) AS rep, CAST(COUNT(*) AS BIGINT) AS n
+      |        FROM braw WHERE len(grams) > 0 GROUP BY fp),
+      |bt AS (SELECT bfam.rep AS id, braw.grams AS grams, bfam.n AS n
+      |      FROM bfam JOIN braw ON braw.id = bfam.rep),
+      |tg AS (SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM g),
+      |f AS (SELECT gram, CAST(COUNT(*) AS BIGINT) AS df FROM tg GROUP BY 1),
+      |cpp AS (SELECT * FROM (
+      |    SELECT id, sz, tg.gram,
+      |      row_number() OVER (PARTITION BY id ORDER BY df, tg.gram) AS rn
+      |    FROM tg JOIN f USING (gram))
+      |  WHERE (sz - rn + 1) / sz >= $PpjoinTau),
+      |bt2 AS (SELECT id, len(grams) AS sz, unnest(grams) AS gram FROM bt),
+      |bpp AS (SELECT * FROM (
+      |    SELECT id, sz, bt2.gram,
+      |      row_number() OVER (PARTITION BY id
+      |        ORDER BY COALESCE(df, 0), bt2.gram) AS rn
+      |    FROM bt2 LEFT JOIN f USING (gram))
+      |  WHERE (sz - rn + 1) / sz >= $PpjoinTau),
+      |cc AS (SELECT DISTINCT a.id AS xa, b.id AS xb
+      |  FROM bpp a JOIN cpp b ON a.gram = b.gram
+      |    AND least(a.sz, b.sz) / greatest(a.sz, b.sz) >= $PpjoinTau
+      |    AND (1 + least(a.sz - a.rn, b.sz - b.rn)) /
+      |        (a.sz + b.sz - (1 + least(a.sz - a.rn, b.sz - b.rn))) >= $PpjoinTau),
+      |ci AS (SELECT DISTINCT a.id AS xa, b.id AS xb
+      |  FROM bpp a JOIN bpp b ON a.gram = b.gram AND a.id < b.id
+      |    AND least(a.sz, b.sz) / greatest(a.sz, b.sz) >= $PpjoinTau
+      |    AND (1 + least(a.sz - a.rn, b.sz - b.rn)) /
+      |        (a.sz + b.sz - (1 + least(a.sz - a.rn, b.sz - b.rn))) >= $PpjoinTau),
+      |vx AS (SELECT xa AS doc_a, xb AS doc_b,
+      |    len(list_intersect(ba.grams, gb.grams)) /
+      |      (len(ba.grams) + len(gb.grams) - len(list_intersect(ba.grams, gb.grams))) AS jaccard,
+      |    ba.n AS n_a, gb.n AS n_b, 'cross' AS kind
+      |  FROM cc JOIN bt ba ON ba.id = xa JOIN g gb ON gb.id = xb),
+      |vi AS (SELECT xa AS doc_a, xb AS doc_b,
+      |    len(list_intersect(ba.grams, bb.grams)) /
+      |      (len(ba.grams) + len(bb.grams) - len(list_intersect(ba.grams, bb.grams))) AS jaccard,
+      |    ba.n AS n_a, bb.n AS n_b, 'batch' AS kind
+      |  FROM ci JOIN bt ba ON ba.id = xa JOIN bt bb ON bb.id = xb)
+      |SELECT doc_a, doc_b, jaccard, n_a, n_b, kind
+      |FROM (SELECT * FROM vx UNION ALL SELECT * FROM vi)
+      |WHERE jaccard >= $PpjoinTau
+      |ORDER BY kind, doc_a, doc_b""".stripMargin,
+    // the batch's family table: a plain GROUP BY over the batch's
+    // normalized-text fingerprint
+    "dedup_ppjoin_batch_families" -> s"""WITH $incBatchCte,
+      |g AS (SELECT doc_id AS id, md5($ntext) AS fp FROM incbatch
+      |      WHERE len(list_distinct($gramsExpr)) > 0)
+      |SELECT MIN(id) AS rep, CAST(COUNT(*) AS BIGINT) AS n_members,
+      |  array_to_string(list_sort(list(id))[1:3], ',') AS sample_members
+      |FROM g GROUP BY fp ORDER BY rep""".stripMargin,
     // positions via row_number over the same (text, id) total order; the
     // within-window pairing is a position range join
     "dedup_snm_pairs" -> s"""WITH $corpusCte,

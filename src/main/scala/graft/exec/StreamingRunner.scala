@@ -91,28 +91,81 @@ object StreamingRunner {
     * at the 15M-item probe). Exactly-once across contending dispatchers
     * holds through the ledger's read-validate-commit loop; replayed
     * micro-batches re-use their wave tag and win the SAME items. Leases
-    * are not part of this mode — use [[claimedDispatcher]] where
-    * crashed-worker takeover matters more than claim throughput.
+    * are not part of this mode — a crashed dispatcher's in-flight wave
+    * stays claimed until `work-release` hands it back; use
+    * [[claimedDispatcher]] where automatic crashed-worker takeover
+    * matters more than claim throughput.
+    *
+    * State lifecycle per batch (round 15 — the ledger tracks IN-FLIGHT
+    * items, not lifetime throughput): filter the batch's todo ids
+    * against the compact done set, claim the remainder as a wave,
+    * execute, commit outcomes idempotently, then retire the wave —
+    * [[graft.store.connector.WorkQueueLedger.markDone]] (one itemID-only
+    * idempotent commit) followed by a manifest-only
+    * [[graft.store.connector.WorkQueueLedger.release]]. Every step after
+    * the outcome commit is tag-idempotent, and a replayed batch that
+    * finds its outcomes already committed FINISHES the retirement
+    * instead of skipping it, so a crash in any window (after claim /
+    * after commit / between markDone and release) resumes to the same
+    * end state: outcomes exactly once, ids in the done set, ledger
+    * empty. `instanceId` must be STABLE across restarts of the same
+    * checkpoint — the wave tag is `instanceId-batch-N`, and a restart
+    * under a fresh identity would orphan the crashed wave's claims (the
+    * r14 silent-loss defect; the `work` verb now derives its default
+    * identity from the checkpoint path).
     */
   def ledgerDispatcher(
       items: DataFrame,
       resultPath: String,
       ledgerPath: String,
       instanceId: String,
-      config: Runner.RunConfig = Runner.RunConfig()): DataStreamWriter[org.apache.spark.sql.Row] =
+      config: Runner.RunConfig = Runner.RunConfig(),
+      donePath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      import graft.store.connector.WorkQueueLedger
       val spark = batch.sparkSession
-      if (!ItemStore.batchCommitted(spark, resultPath, batchId)) {
-        val won = graft.store.connector.WorkQueueLedger.claim(
-          spark, ledgerPath,
-          batch.filter(col("itemState") === "todo").select("itemID"),
-          instanceId, s"$instanceId-batch-$batchId")
+      val done = donePath.getOrElse(s"${ledgerPath}_done")
+      val tag = s"$instanceId-batch-$batchId"
+      // outcome-commit key scoped by claim identity: workers sharing one
+      // results store all number their batches from 0, and an unscoped
+      // key would make worker B's batch 0 look already-committed by A's
+      val batchKey = s"$instanceId-$batchId"
+      def retire(wave: DataFrame): Unit = {
+        WorkQueueLedger.markDone(spark, done, wave, tag)
+        WorkQueueLedger.release(spark, ledgerPath, tag)
+        // maintenance cadence: the claim/release pair adds two manifest
+        // versions per trigger, so every 64 batches the commit LOG is
+        // vacuumed back to the head (the done set keeps its data files —
+        // they ARE the record; only unreferenced versions drop) and the
+        // tag history is capped at 1024, far above the ~1-batch replay
+        // horizon. Without this the per-trigger snapshot listing and the
+        // checkpointed tag list both grow O(lifetime). Safe here because
+        // this dispatcher is the table's only committer between triggers.
+        if (batchId % 64 == 63) {
+          graft.store.VersionedTable.vacuum(spark, ledgerPath, 1, Some(1024))
+          graft.store.VersionedTable.vacuum(spark, done, 1, Some(1024))
+          ()
+        }
+      }
+      if (ItemStore.batchCommitted(spark, resultPath, batchKey)) {
+        // post-commit replay: outcomes are already exactly-once — finish
+        // retiring the wave if a crash interrupted markDone/release
+        if (graft.store.VersionedTable.latestVersion(spark, ledgerPath).isDefined) {
+          val wave = WorkQueueLedger.entries(spark, ledgerPath)
+            .filter(col("tag") === tag).select("itemID")
+          if (!wave.isEmpty) retire(wave)
+        }
+      } else {
+        val todo = batch.filter(col("itemState") === "todo").select("itemID")
+        val won = WorkQueueLedger.claim(spark, ledgerPath,
+          WorkQueueLedger.notDone(spark, done, todo), instanceId, tag)
         val claimed = batch.join(won, Seq("itemID"), "left_semi")
         val (updated, outcomes) = Runner.processItems(claimed, config)
         try ItemStore.commitBatch(
           updated.select(WorkItem.schema.fieldNames.map(col): _*),
-          resultPath, batchId)
+          resultPath, batchKey)
         finally { outcomes.unpersist(); () }
+        if (!won.isEmpty) retire(won)
         ()
       }
     }
@@ -143,9 +196,12 @@ object StreamingRunner {
       leaseMillis: Option[Long] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
+      // outcome-commit key scoped by claim identity (see ledgerDispatcher):
+      // lock-mode workers share one results store the same way
+      val batchKey = s"$instanceId-$batchId"
       // replay of a fully committed batch: its outcomes are already in the
       // result table exactly once — skip claiming and execution entirely
-      if (!ItemStore.batchCommitted(spark, resultPath, batchId)) {
+      if (!ItemStore.batchCommitted(spark, resultPath, batchKey)) {
       val lockPrefix = s"lock-$instanceId-$batchId-"
       // claim every todo item of the batch via the conditional write path
       batch.filter(col("itemState") === "todo")
@@ -201,7 +257,7 @@ object StreamingRunner {
         // batchId-idempotent commit: a replayed batch (post-append crash)
         // publishes the same deterministic file names, never a second copy
         try ItemStore.commitBatch(
-          keep.select(WorkItem.schema.fieldNames.map(col): _*), resultPath, batchId)
+          keep.select(WorkItem.schema.fieldNames.map(col): _*), resultPath, batchKey)
         finally { outcomes.unpersist(); () }
         // stop the heartbeat BEFORE pinning (a late renew would re-arm the
         // expiry), then convert every completed item's lock to non-expiring:

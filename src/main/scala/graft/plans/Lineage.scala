@@ -88,4 +88,19 @@ object Lineage {
     val n = cut.count()
     (cut, n)
   }
+
+  /** Free the storage behind a [[cut]] DataFrame NOW instead of waiting
+    * for the ContextCleaner's GC-driven sweep. `Dataset.unpersist` only
+    * consults the CacheManager and never sees a checkpoint's blocks; the
+    * persisted RDD lives inside the plan's `LogicalRDD` leaf. Retry loops
+    * that cut a fresh attempt per iteration (the ledger claim CAS) call
+    * this on each losing attempt so executor storage tracks ONE wave, not
+    * the retry count (ADVICE r14).
+    */
+  def free(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
 }

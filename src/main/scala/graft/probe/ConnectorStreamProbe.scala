@@ -92,13 +92,21 @@ object ConnectorStreamProbe {
     try q.processAllAvailable() finally q.stop()
     val wallS = (System.nanoTime() - t1) / 1e9
 
-    // 3. accounting — every bound here is an exactly-once claim
+    // 3. accounting — every bound here is an exactly-once claim. Ledger
+    // mode (round 15): finished waves are RELEASED and their ids live in
+    // the compact done set, so the durable claim record is `_done`, and
+    // the ledger itself must be EMPTY after a clean drain (asserted via
+    // ledger_left below).
     val claims =
       if (mode == "locks")
         WorkQueueSource.claimResults(spark, queue)
           .filter(col("status") === "accepted").select("itemID")
+      else graft.store.connector.WorkQueueLedger
+        .doneEntries(spark, s"${ledgerPath}_done").select("itemID")
+    val ledgerLeft =
+      if (mode == "locks") 0L
       else graft.store.connector.WorkQueueLedger.entries(spark, ledgerPath)
-        .select("itemID")
+        .count()
     val accepted = claims.count()
     val acceptedDistinct = claims.distinct().count()
     val resultRows = ItemStore.load(spark, results).count()
@@ -118,7 +126,7 @@ object ConnectorStreamProbe {
       s""""items_per_sec": ${(n / wallS).toLong}, "triggers": $triggers, """ +
       s""""accepted": $accepted, "accepted_distinct": $acceptedDistinct, """ +
       s""""result_rows": $resultRows, "lock_files": $lockFiles, """ +
-      s""""ckpt_bytes": $ckptBytes}""")
+      s""""ledger_left": $ledgerLeft, "ckpt_bytes": $ckptBytes}""")
     spark.stop()
   }
 }

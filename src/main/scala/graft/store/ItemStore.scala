@@ -77,19 +77,31 @@ object ItemStore {
     * marker landed) — a replayed batch can then skip claim + execution, not
     * just the write.
     */
-  def batchCommitted(spark: SparkSession, path: String, batchId: Long): Boolean = {
-    val marker = new Path(new Path(path), s"_graft_commits/batch-$batchId")
+  def batchCommitted(spark: SparkSession, path: String, batchId: Long): Boolean =
+    batchCommitted(spark, path, batchId.toString)
+
+  /** String-keyed form: dispatchers that share ONE outcome store across
+    * workers scope the key by claim identity (`$instance-$batchId`) —
+    * every worker's micro-batch numbering starts at 0, so an unscoped
+    * key would let worker B's batch 0 be "already committed" by worker
+    * A's, silently dropping B's outcomes. Keys must be filename-safe.
+    */
+  def batchCommitted(spark: SparkSession, path: String, batchKey: String): Boolean = {
+    val marker = new Path(new Path(path), s"_graft_commits/batch-$batchKey")
     marker.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(marker)
   }
 
-  def commitBatch(items: DataFrame, path: String, batchId: Long): Boolean = {
+  def commitBatch(items: DataFrame, path: String, batchId: Long): Boolean =
+    commitBatch(items, path, batchId.toString)
+
+  def commitBatch(items: DataFrame, path: String, batchKey: String): Boolean = {
     val spark = items.sparkSession
     val hconf = spark.sparkContext.hadoopConfiguration
     val root = new Path(path)
     val fs = root.getFileSystem(hconf)
-    val marker = new Path(root, s"_graft_commits/batch-$batchId")
+    val marker = new Path(root, s"_graft_commits/batch-$batchKey")
     if (fs.exists(marker)) return false
-    val stagingStr = s"$path.batch-$batchId.staging"
+    val stagingStr = s"$path.batch-$batchKey.staging"
     items.write.mode(SaveMode.Overwrite).partitionBy("itemState").parquet(stagingStr)
     val staging = new Path(stagingStr)
     fs.listStatus(staging)
@@ -98,12 +110,12 @@ object ItemStore {
         val dest = new Path(root, part.getPath.getName)
         fs.mkdirs(dest)
         fs.listStatus(dest)
-          .filter(_.getPath.getName.startsWith(s"batch-$batchId-"))
+          .filter(_.getPath.getName.startsWith(s"batch-$batchKey-"))
           .foreach(f => fs.delete(f.getPath, false))
         part.getPath.getFileSystem(hconf).listStatus(part.getPath)
           .map(_.getPath).filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
           .zipWithIndex.foreach { case (f, i) =>
-            require(fs.rename(f, new Path(dest, f"batch-$batchId-part-$i%05d.parquet")),
+            require(fs.rename(f, new Path(dest, f"batch-$batchKey-part-$i%05d.parquet")),
               s"failed to publish staged batch file $f")
           }
       }

@@ -72,10 +72,17 @@ object VersionedTable {
   /** `blooms`: per-column encoded [[KeyBloom]] ("m:base64"), present only
     * for the table's declared bloom columns on files small enough for the
     * manifest-size cap; absent = conservatively unprunable.
+    * `nullCounts`: per-column null totals from the parquet footers, present
+    * only when every row group reported valid statistics for the column —
+    * what lets [[deleteStringEquals]] PROVE a file pure (min == max ==
+    * value AND zero nulls ⇒ every row matches) and drop it from the
+    * manifest with no data IO. Absent (all pre-existing manifests) =
+    * conservatively impure. json4s defaults keep old manifests readable.
     */
   final case class FileEntry(path: String, rows: Long,
       mins: Map[String, String], maxs: Map[String, String],
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      nullCounts: Map[String, Long] = Map.empty)
   /** One commit's actions relative to its parent: entries added, paths
     * removed, idempotence tags added. `schema`/`bloomCols` are the (small)
     * post-commit table values, carried in full so replay needs no parent
@@ -321,8 +328,9 @@ object VersionedTable {
     val parts = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.getPath.getName.startsWith("part-"))
     def harvest(s: org.apache.hadoop.fs.FileStatus): FileEntry = {
-      val (rows, mins, maxs) = footerStats(s.getPath, conf)
-      FileEntry(s"$txn/${s.getPath.getName}", rows, mins, maxs)
+      val (rows, mins, maxs, nulls) = footerStats(s.getPath, conf)
+      FileEntry(s"$txn/${s.getPath.getName}", rows, mins, maxs,
+        nullCounts = nulls)
     }
     // single-file commits (the streaming/IVM shape) read one footer inline;
     // multi-file commits harvest footers CONCURRENTLY — on object stores
@@ -383,12 +391,15 @@ object VersionedTable {
   }
 
   /** One footer read per just-written file (bounded by files-per-commit):
-    * per-file row count + min/max for int/long/string leaf columns.
+    * per-file row count + min/max for int/long/string leaf columns, plus
+    * per-column null totals (kept only when EVERY row group reported a
+    * valid null count — a single unknown makes the column's total
+    * meaningless, so it is dropped rather than understated).
     * Strings are compared/stored as UTF-8; other types carry no stats
     * (never pruned on).
     */
   private def footerStats(p: Path,
-      conf: org.apache.hadoop.conf.Configuration): (Long, Map[String, String], Map[String, String]) = {
+      conf: org.apache.hadoop.conf.Configuration): (Long, Map[String, String], Map[String, String], Map[String, Long]) = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
     try {
       val blocks = reader.getFooter.getBlocks
@@ -396,9 +407,17 @@ object VersionedTable {
       val rows = blocks.asScala.map(_.getRowCount).sum
       val mins = scala.collection.mutable.Map.empty[String, String]
       val maxs = scala.collection.mutable.Map.empty[String, String]
+      val nulls = scala.collection.mutable.Map.empty[String, Long]
+      val nullsUnknown = scala.collection.mutable.Set.empty[String]
       for (b <- blocks.asScala; c <- b.getColumns.asScala) {
         val name = c.getPath.toDotString
         val st = c.getStatistics
+        if (st == null || st.isEmpty || !st.isNumNullsSet || st.getNumNulls < 0)
+          nullsUnknown += name
+        else nulls.updateWith(name) {
+          case Some(n) => Some(n + st.getNumNulls)
+          case None => Some(st.getNumNulls)
+        }
         if (st != null && !st.isEmpty && st.hasNonNullValue) {
           val (mn, mx) = (st.genericGetMin, st.genericGetMax) match {
             case (a: java.lang.Number, b: java.lang.Number)
@@ -424,7 +443,8 @@ object VersionedTable {
           }
         }
       }
-      (rows, mins.toMap, maxs.toMap)
+      (rows, mins.toMap, maxs.toMap,
+        (nulls -- nullsUnknown).toMap)
     } finally reader.close()
   }
 
@@ -736,6 +756,48 @@ object VersionedTable {
         .unionByName(upd)
     }
 
+  /** Stats-proved DELETE of every row whose string `column` equals
+    * `value`, idempotent under `tag` (returns false when already applied).
+    *
+    * The fast path is MANIFEST-ONLY: a file whose footer stats prove
+    * purity (min == max == value and zero nulls) is dropped from the
+    * manifest with no data IO at all. That is the claim-wave release
+    * shape ([[graft.store.connector.WorkQueueLedger]]): each wave commits
+    * its rows with a constant `tag` column into its own files, so
+    * releasing a wave is one commit-JSON write regardless of wave size —
+    * O(1) data movement per trigger where a filtering rewrite would be
+    * O(ledger) per trigger and O(N²/batch) over a worker's lifetime.
+    * Files whose [min,max] range merely ADMITS `value` (or that carry no
+    * stats — e.g. pre-nullCounts manifests) are rewritten without the
+    * matching rows; null rows are never deleted (null ≠ `value`).
+    */
+  def deleteStringEquals(spark: SparkSession, root: String, column: String,
+      value: String, tag: String): Boolean =
+    try {
+      commitLoop(spark, root, Some(tag)) { parent =>
+        val p = parent.getOrElse(sys.error(s"$root does not exist"))
+        val (pure, rest) = p.files.partition(fe =>
+          fe.mins.get(column).contains(value) &&
+            fe.maxs.get(column).contains(value) &&
+            fe.nullCounts.get(column).contains(0L))
+        val (mixed, kept) = rest.partition(fe =>
+          (fe.mins.get(column), fe.maxs.get(column)) match {
+            case (Some(mn), Some(mx)) => mn <= value && value <= mx
+            case _ => fe.rows > 0 // no stats: conservatively rewritten
+          })
+        val _ = pure // dropped purely via the manifest diff below
+        val rewritten =
+          if (mixed.isEmpty) Seq.empty
+          else writeData(
+            spark.read.schema(p.schema)
+              .parquet(mixed.map(f => s"$root/${f.path}"): _*)
+              .filter(col(column).isNull || col(column) =!= value),
+            root, p.bloomCols)
+        ("delete", kept ++ rewritten, p.schema)
+      }
+      true
+    } catch { case _: TagAlreadyApplied => false }
+
   /** Copy-on-write delete of every row whose `key` appears in `keys`. */
   def deleteByKeys(spark: SparkSession, root: String, keys: DataFrame,
       key: String): Long =
@@ -791,8 +853,21 @@ object VersionedTable {
     * every data file no surviving manifest references — including leaked
     * files of crashed or raced writers. Time travel to vacuumed versions
     * then fails cleanly (snapshot's require).
+    *
+    * `pruneTagsKeep`: cap the idempotence-tag history carried by the
+    * checkpoint this vacuum writes to the NEWEST `k` tags. Tags otherwise
+    * accumulate forever (two per micro-batch on a streaming ledger —
+    * O(lifetime) manifest growth, rewritten into every checkpoint), but a
+    * tag only has work to do while its batch can still replay, and Spark
+    * replays at most the batches since the last offsets commit. The
+    * caller owns the contract: `k` must exceed the replay horizon
+    * (dispatchers use 1024 against a horizon of ~1). Only effective when
+    * this vacuum writes a fresh checkpoint (published checkpoints are
+    * immutable); the streaming cadence always does — the head advances
+    * every batch.
     */
-  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1): Seq[String] = {
+  def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1,
+      pruneTagsKeep: Option[Int] = None): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val (versions, cps) = listLog(f, root)
@@ -808,8 +883,16 @@ object VersionedTable {
     // the checkpoint actually exists before deleting anything.
     if (!cps.contains(keep.head) && keep.head > 1L) {
       val s = snapshot(spark, root, Some(keep.head))
+      val tags = pruneTagsKeep match {
+        case Some(k) => s.tags.takeRight(k)
+        case None => s.tags
+      }
+      // (the process-local snapshot cache may still hold this version with
+      // the unpruned tag superset — harmless: tags only gate idempotence,
+      // and a superset can only refuse re-applying an OLD tag, never admit
+      // a double-apply of a new one)
       writeCheckpoint(f, root, s.version, s.op, s.schema.json, s.files,
-        s.tags, s.bloomCols)
+        tags, s.bloomCols)
       // a durable checkpoint is a FILE that parses back at the right
       // version — a bare exists() would accept a squatting directory or a
       // truncated partial

@@ -32,14 +32,26 @@ import graft.store.VersionedTable
   * `tag`: a wave whose tag is already committed returns its ORIGINAL win
   * set and appends nothing.
   *
+  * State-lifecycle (round 15): claims are IN-FLIGHT state, not a
+  * lifetime record. A dispatcher that finishes a wave moves its ids to
+  * the compact DONE SET ([[markDone]] — itemID-only rows, bloom+range
+  * indexed) and [[release]]s the wave, so the ledger's size tracks items
+  * currently executing, not total throughput, and the per-wave claim
+  * anti-join reads a wave-sized table instead of an ever-growing one.
+  * Durable exactly-once across processes (a second worker over the same
+  * queue with a fresh checkpoint) comes from the done set: [[notDone]]
+  * filters a wave's candidates against it reading only the done files
+  * whose id range/bloom can overlap the wave — with time-ordered ids
+  * that is a wave-sized slice of a lifetime-sized table.
+  *
   * Trade-offs vs the lock-file path, stated honestly: claims are
   * wave-atomic, so contending claimers serialize on the table CAS (fine
   * for dispatcher-per-queue deployments, the streaming shape; the
   * lock-file path remains the right tool for many independent workers
   * claiming single items), and leases/expiry are not implemented here —
   * a crashed ledger dispatcher's unfinished items stay claimed until
-  * [[release]] (the lock-file path's lease takeover covers the
-  * long-running-script deployment).
+  * [[release]] (exposed as the `work-release` CLI verb; the lock-file
+  * path's lease takeover covers the long-running-script deployment).
   */
 object WorkQueueLedger {
 
@@ -61,12 +73,20 @@ object WorkQueueLedger {
   /** Claim every id in `wantIds` (column `itemID`) not already claimed.
     * Returns the win set (itemID rows, materialized). `tag` makes the wave
     * idempotent: a replay returns the original wins without re-appending.
+    *
+    * A lost commit race re-reads, re-validates and retries with
+    * exponential backoff — UNBOUNDED by default (`maxRetries <= 0`): the
+    * conditional commit makes every retry safe, and a hard failure here
+    * would kill the streaming query and crash-loop it through checkpoint
+    * replay (ADVICE r14). Each losing attempt's materialized wave is
+    * freed eagerly so executor storage holds one wave, not the retry
+    * history.
     */
   def claim(spark: SparkSession, root: String, wantIds: DataFrame,
-      instanceId: String, tag: String, maxRetries: Int = 20): DataFrame = {
+      instanceId: String, tag: String, maxRetries: Int = 0): DataFrame = {
     ensure(spark, root)
     var tries = 0
-    while (tries < maxRetries) {
+    while (maxRetries <= 0 || tries < maxRetries) {
       val head = VersionedTable.snapshot(spark, root)
       if (head.tags.contains(tag))
         // replayed wave: its rows are already in the ledger, exactly once
@@ -87,20 +107,124 @@ object WorkQueueLedger {
       if (VersionedTable.appendIfVersion(spark, root, mine,
           head.version, Some(tag)))
         return mine.select("itemID")
+      // lost the race: free this attempt's blocks, back off, re-validate
+      graft.plans.Lineage.free(mine)
       tries += 1
+      val pause = math.min(25L << math.min(tries, 6), 1000L)
+      Thread.sleep(pause +
+        java.util.concurrent.ThreadLocalRandom.current().nextLong(pause))
     }
     sys.error(s"ledger claim lost the commit race $maxRetries times at $root")
   }
 
-  /** Release a finished wave's claims (the done-with-the-batch
-    * counterpart): one tagged overwrite dropping the wave's rows.
+  /** Release a finished (or wedged) wave's claims. Fast path is
+    * manifest-only: a wave's rows live in their own files with a constant
+    * `tag` column, so [[VersionedTable.deleteStringEquals]] drops them by
+    * footer-stat proof without reading or rewriting any data — O(1) data
+    * movement per wave, which is what lets the dispatcher release on
+    * EVERY committed batch (the r14 full-table-rewrite release was the
+    * O(ledger)-per-trigger term this replaces). Idempotent per tag.
     */
   def release(spark: SparkSession, root: String, tag: String): Boolean =
-    VersionedTable.overwriteBatch(spark, root,
-      VersionedTable.read(spark, root).filter(col("tag") =!= tag),
+    VersionedTable.deleteStringEquals(spark, root, "tag", tag,
       s"release-$tag")
+
+  /** Release EVERY wave a (dead) instance holds — the crashed-dispatcher
+    * takeover: its in-flight items become claimable again. Same
+    * stats-proved fast path, keyed on the `instanceID` column. The
+    * idempotence tag carries an epoch so a later takeover of a REUSED
+    * instance name is a fresh operation.
+    */
+  def releaseInstance(spark: SparkSession, root: String,
+      instanceId: String, epoch: String): Boolean =
+    VersionedTable.deleteStringEquals(spark, root, "instanceID", instanceId,
+      s"release-instance-$instanceId-$epoch")
 
   /** The full ledger (itemID, instanceID, lockID, tag). */
   def entries(spark: SparkSession, root: String): DataFrame =
     VersionedTable.read(spark, root)
+
+  // ------------------------------------------------------------- done set
+
+  private def emptyDone(spark: SparkSession): DataFrame =
+    spark.range(0).select(lit("").as("itemID"))
+
+  private def ensureDone(spark: SparkSession, root: String): Unit =
+    if (VersionedTable.latestVersion(spark, root).isEmpty)
+      try {
+        VersionedTable.create(spark, root, emptyDone(spark),
+          bloomKeys = Seq("itemID"))
+        ()
+      } catch {
+        case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("already exists") =>
+      }
+
+  /** Record a finished wave's ids in the done set — one idempotent
+    * commit per wave (`tag`-guarded, so a replayed batch appends
+    * nothing). The done set is the PERMANENT exactly-once record and the
+    * minimal one: itemID-only rows with per-file range stats and blooms,
+    * vs the ledger's full claim rows. Returns false on replay.
+    */
+  def markDone(spark: SparkSession, doneRoot: String, ids: DataFrame,
+      tag: String): Boolean = {
+    ensureDone(spark, doneRoot)
+    VersionedTable.appendBatch(spark, doneRoot, ids.select("itemID"),
+      s"done-$tag")
+  }
+
+  /** `wantIds` minus the done set. The anti-join is FILE-PRUNED in two
+    * stages, neither bounded by wave size: (1) RANGE — one min/max
+    * aggregate over the wave (a driver-safe two-value job, never a
+    * collect) drops every done file whose itemID footer range cannot
+    * overlap the wave's; (2) BLOOM — when the wave is also
+    * driver-collectable (≤ [[VersionedTable.BloomProbeMax]]) the
+    * surviving files are refined per value. With time-ordered ids a new
+    * wave's range overlaps no finished wave's files at all, so the
+    * anti-join against a lifetime-sized done set reads ZERO done files —
+    * per-trigger cost tracks the TRIGGER, not the worker's lifetime
+    * throughput (the r14 O(ledger)-per-wave term, killed structurally).
+    * Randomly-keyed ids degrade to reading the range-overlapping slice —
+    * still only the overlapping FILES, never an unconditional full scan.
+    */
+  def notDone(spark: SparkSession, doneRoot: String,
+      wantIds: DataFrame): DataFrame = {
+    if (VersionedTable.latestVersion(spark, doneRoot).isEmpty)
+      return wantIds
+    val want = wantIds.select("itemID")
+    val mm = want.agg(min(col("itemID")), max(col("itemID"))).head()
+    if (mm.isNullAt(0)) return wantIds // empty or all-null wave
+    val s = VersionedTable.snapshot(spark, doneRoot)
+    val (lo, hi) = (mm.getString(0), mm.getString(1))
+    val ranged = s.files.filter { fe =>
+      fe.rows > 0 && ((fe.mins.get("itemID"), fe.maxs.get("itemID")) match {
+        case (Some(mn), Some(mx)) => mn <= hi && lo <= mx
+        case _ => true // no stats: conservatively kept
+      })
+    }
+    if (ranged.isEmpty) return wantIds
+    val probe = want.distinct()
+      .limit(VersionedTable.BloomProbeMax + 1).collect()
+    val files =
+      if (probe.length > VersionedTable.BloomProbeMax) ranged.map(_.path)
+      else {
+        val hs = probe.map(_.getString(0)).filter(_ != null)
+          .map(graft.store.KeyBloom.stringKey)
+        ranged.filter(fe => fe.blooms.get("itemID").forall(enc =>
+          hs.exists(graft.store.KeyBloom.mightContain(enc, _)))).map(_.path)
+      }
+    if (files.isEmpty) return wantIds
+    val done = spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("itemID",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(files.map(p => s"$doneRoot/$p"): _*)
+    wantIds.join(done, Seq("itemID"), "left_anti")
+  }
+
+  /** The done set (itemID rows). */
+  def doneEntries(spark: SparkSession, doneRoot: String): DataFrame =
+    if (VersionedTable.latestVersion(spark, doneRoot).isEmpty)
+      emptyDone(spark)
+    else VersionedTable.read(spark, doneRoot)
 }

@@ -105,17 +105,83 @@ class MainSpec extends SparkSpec {
     val out = store.ItemStore.load(spark, s"$base/results")
     assert(out.count() === 3)
     assert(out.select("itemID").as[String].collect().toSet === Set("W1", "W2", "W3"))
-    // ledger lives inside the queue dir, one wave commit, no lock files
-    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 3)
+    // finished waves are RELEASED (the ledger holds in-flight items only);
+    // the compact done set is the durable record — and no lock files
+    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 0)
+    assert(WorkQueueLedger.doneEntries(spark, s"$qdir/_ledger_done")
+      .select("itemID").as[String].collect().toSet === Set("W1", "W2", "W3"))
     assert(!new java.io.File(s"$qdir/locks").exists() ||
       new java.io.File(s"$qdir/locks").list().isEmpty)
     // a fresh worker over the same queue (new checkpoint) re-reads the
-    // files but wins nothing — the ledger remembers across processes
+    // files but wins nothing — the done set remembers across processes
     Main.run(spark, "work", qdir, Map(
       "results" -> s"$base/results2", "checkpoint" -> s"$base/ckpt2",
       "instance" -> "w2", "once" -> "1"))
     assert(store.ItemStore.load(spark, s"$base/results2").count() === 0)
-    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 3)
+    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 0)
+  }
+
+  test("work verb: DEFAULT-flag restart after a claim-then-crash drains the " +
+      "queue exactly once (stable checkpoint-derived identity)") {
+    import graft.store.connector.{WorkQueueLedger, WorkQueueSource}
+    val base = java.nio.file.Files.createTempDirectory("graft-cli-restart").toString
+    val qdir = s"$base/q"
+    val rows = Seq("R1", "R2", "R3").toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    WorkQueueSource.append(rows.coalesce(1), qdir)
+    // the crashed first run: its batch-0 claim wave committed, outcomes
+    // did not. The wave tag uses the DEFAULT identity — exactly what the
+    // verb derives for this checkpoint path.
+    val ckpt = s"$base/ckpt"
+    val id = Main.workerIdentity(ckpt)
+    WorkQueueLedger.claim(spark, s"$qdir/_ledger",
+      Seq("R1", "R2", "R3").toDF("itemID"), id, s"$id-batch-0")
+    // restart with DEFAULT flags (no --instance): must replay the dead
+    // wave and execute every item — the r14 defect silently dropped all 3
+    Main.run(spark, "work", qdir, Map(
+      "results" -> s"$base/results", "checkpoint" -> ckpt, "once" -> "1"))
+    val out = store.ItemStore.load(spark, s"$base/results")
+    assert(out.count() === 3, "crashed wave's items were dropped")
+    assert(out.select("itemID").as[String].collect().toSet ===
+      Set("R1", "R2", "R3"))
+    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 0)
+  }
+
+  test("work-release + queue-claims verbs: a wedged dead worker's wave is " +
+      "operable back to a full drain") {
+    import graft.store.connector.{WorkQueueLedger, WorkQueueSource}
+    val base = java.nio.file.Files.createTempDirectory("graft-cli-release").toString
+    val qdir = s"$base/q"
+    val rows = Seq("V1", "V2", "V3").toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    WorkQueueSource.append(rows.coalesce(1), qdir)
+    // a dead dispatcher wedged V1+V2 (claimed, never executed, never to
+    // return — different identity, so no checkpoint replay will save it)
+    WorkQueueLedger.claim(spark, s"$qdir/_ledger",
+      Seq("V1", "V2").toDF("itemID"), "dead-worker", "dead-worker-batch-0")
+    // a live worker drains what it can: only the unclaimed V3
+    Main.run(spark, "work", qdir, Map(
+      "results" -> s"$base/results", "checkpoint" -> s"$base/ckpt1",
+      "once" -> "1"))
+    assert(store.ItemStore.load(spark, s"$base/results")
+      .select("itemID").as[String].collect().toSet === Set("V3"))
+    // operability: inspect, then hand the dead waves back
+    Main.run(spark, "queue-claims", qdir, Map.empty)
+    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 2)
+    Main.run(spark, "work-release", qdir, Map("instance" -> "dead-worker"))
+    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 0)
+    // re-drain into the SAME results store (fresh checkpoint → new claim
+    // identity → no batch-key collision): V1+V2 execute now, V3 is in the
+    // done set and is NOT re-executed
+    Main.run(spark, "work", qdir, Map(
+      "results" -> s"$base/results", "checkpoint" -> s"$base/ckpt2",
+      "once" -> "1"))
+    val all = store.ItemStore.load(spark, s"$base/results")
+    assert(all.count() === 3, "re-drain must add exactly V1+V2")
+    assert(all.select("itemID").as[String].collect().toSet ===
+      Set("V1", "V2", "V3"))
   }
 
   test("manifest-driven reset restarts exactly the listed items (manager.py:465-549)") {

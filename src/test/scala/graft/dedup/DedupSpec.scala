@@ -358,6 +358,33 @@ class DedupSpec extends SparkSpec {
     assert(again === inc)
   }
 
+  test("incremental family pairs expand to exactly ppjoinAgainst's cross-rep " +
+      "pair set, and sizes account for the multiplicities") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001).select($"doc_id", $"text")
+    val batch = DedupSurface.incBatch(spark, sf0001).select($"doc_id", $"text")
+    val tau = DedupSurface.PpjoinTau
+    val ix = Dedup.prefixIndex(docs, "doc_id", "text", tau)
+    val fam = Dedup.ppjoinAgainstFamilyPairs(ix, batch, "doc_id", "text", tau)
+      .as[(Long, Long, Double, Long, Long, String)].collect()
+    assert(fam.nonEmpty && fam.exists(_._6 == "cross"))
+    // every family row stands for n_a·n_b expanded pairs; together with
+    // the within-family 1.0 mass they must account for the per-doc surface
+    val famMass = fam.map(r => r._4 * r._5).sum
+    val bmemSizes = Dedup.exactFamilySummary(batch, "doc_id", "text")
+      .select($"n_members").as[Long].collect()
+    val withinMass = bmemSizes.map(n => n * (n - 1) / 2).sum
+    val perDoc = Dedup.ppjoinAgainst(ix, batch, "doc_id", "text", tau).count()
+    assert(famMass + withinMass === perDoc,
+      s"family mass $famMass + within $withinMass must equal the expanded $perDoc")
+    // rep pairs are verified rep-level matches: re-deriving each kind's
+    // pair set from the per-doc surface's rep maps must reproduce it
+    val crossReps = fam.filter(_._6 == "cross").map(r => (r._1, r._2)).toSet
+    val batchReps = fam.filter(_._6 == "batch").map(r => (r._1, r._2)).toSet
+    assert(crossReps.intersect(batchReps).isEmpty)
+    assert(fam.forall(r => r._3 >= tau && r._4 >= 1 && r._5 >= 1))
+  }
+
   test("JVM fast paths are bit-identical to the expression forms") {
     import org.apache.spark.sql.functions._
     val sample = corpus.limit(60)

@@ -120,6 +120,55 @@ class VersionedTableSpec extends SparkSpec {
     assert(err.getMessage.contains("vacuumed"))
   }
 
+  test("vacuum pruneTagsKeep caps the checkpointed tag history; kept tags " +
+      "still refuse replay, data unaffected") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((0L, "z")).toDF("k", "s"))
+    for (i <- 1 to 12)
+      VersionedTable.appendBatch(spark, root,
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), s"t-$i")
+    VersionedTable.resetSnapshotCacheForTests() // force log reconstruction
+    VersionedTable.vacuum(spark, root, retainVersions = 1,
+      pruneTagsKeep = Some(3))
+    VersionedTable.resetSnapshotCacheForTests()
+    val tags = VersionedTable.snapshot(spark, root).tags
+    assert(tags === Seq("t-10", "t-11", "t-12"),
+      s"checkpoint must carry exactly the newest 3 tags, got $tags")
+    // a kept tag still refuses its replay; rows unchanged
+    assert(!VersionedTable.appendBatch(spark, root,
+      Seq((99L, "dup")).toDF("k", "s"), "t-12"))
+    assert(VersionedTable.read(spark, root).count() === 13)
+  }
+
+  test("deleteStringEquals: stats-pure files drop manifest-only, mixed files " +
+      "rewrite keeping non-matching and null rows") {
+    val root = tmp()
+    // pure file: every row tag=a (single constant-column file via one commit)
+    VersionedTable.create(spark, root,
+      Seq(("1", "a"), ("2", "a")).toDF("id", "tag").coalesce(1))
+    // mixed file: tags a and b plus a null, in ONE file
+    VersionedTable.append(spark, root,
+      Seq(("3", "a"), ("4", "b"), ("5", null)).toDF("id", "tag").coalesce(1))
+    def files(): Set[String] = {
+      val d = new java.io.File(root, "data")
+      Option(d.listFiles()).getOrElse(Array.empty)
+        .flatMap(t => Option(t.listFiles()).getOrElse(Array.empty))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => s"${f.getParentFile.getName}/${f.getName}").toSet
+    }
+    val before = files()
+    assert(VersionedTable.deleteStringEquals(spark, root, "tag", "a", "del-a"))
+    assert(!VersionedTable.deleteStringEquals(spark, root, "tag", "a", "del-a"),
+      "idempotence tag must refuse the replay")
+    val out = VersionedTable.read(spark, root)
+      .as[(String, String)].collect().toSet
+    assert(out === Set(("4", "b"), ("5", null)),
+      "b and NULL rows must survive; every tag=a row must go")
+    // exactly one new file: the mixed file's rewrite (the pure file was
+    // dropped by manifest diff alone)
+    assert((files() -- before).size === 1, s"expected 1 rewrite, got ${files() -- before}")
+  }
+
   test("changeFeed classifies adds, updates and deletes between versions") {
     val root = tmp()
     VersionedTable.create(spark, root,

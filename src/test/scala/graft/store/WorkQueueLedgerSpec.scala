@@ -79,6 +79,60 @@ class WorkQueueLedgerSpec extends SparkSpec {
     assert(again === Set("1", "2"))
   }
 
+  private def dataFiles(root: String): Set[String] = {
+    val d = new java.io.File(root, "data")
+    Option(d.listFiles()).getOrElse(Array.empty)
+      .flatMap(t => Option(t.listFiles()).getOrElse(Array.empty))
+      .map(f => s"${f.getParentFile.getName}/${f.getName}")
+      .filterNot(_.contains("/_")).toSet
+  }
+
+  test("release is MANIFEST-ONLY for wave files: no data IO, stats-proved drop") {
+    val root = tmp()
+    WorkQueueLedger.claim(spark, root,
+      ids((1 to 50).map(_.toString): _*), "A", "a-1")
+    WorkQueueLedger.claim(spark, root, ids("x", "y"), "B", "b-1")
+    val before = dataFiles(root)
+    assert(WorkQueueLedger.release(spark, root, "a-1"))
+    val after = dataFiles(root)
+    // a releasing rewrite would CREATE files; the stats-proved drop only
+    // stops referencing some — same physical set, fewer manifest entries
+    assert((after -- before).isEmpty,
+      s"release wrote data files: ${after -- before}")
+    assert(won(WorkQueueLedger.entries(spark, root).select("itemID")) ===
+      Set("x", "y"))
+  }
+
+  test("releaseInstance hands back every wave a dead dispatcher holds") {
+    val root = tmp()
+    WorkQueueLedger.claim(spark, root, ids("1", "2"), "dead", "dead-batch-0")
+    WorkQueueLedger.claim(spark, root, ids("3"), "dead", "dead-batch-1")
+    WorkQueueLedger.claim(spark, root, ids("4"), "alive", "alive-batch-0")
+    assert(WorkQueueLedger.releaseInstance(spark, root, "dead", "e1"))
+    assert(won(WorkQueueLedger.entries(spark, root).select("itemID")) ===
+      Set("4"), "the live dispatcher's wave must survive")
+    val again = won(WorkQueueLedger.claim(spark, root,
+      ids("1", "2", "3"), "B", "b-take"))
+    assert(again === Set("1", "2", "3"))
+  }
+
+  test("done set: markDone is tag-idempotent, notDone filters and file-prunes") {
+    val root = tmp() + "-done"
+    val want = ids("1", "2", "3", "4")
+    // empty done set: everything passes through
+    assert(won(WorkQueueLedger.notDone(spark, root, want)) ===
+      Set("1", "2", "3", "4"))
+    assert(WorkQueueLedger.markDone(spark, root, ids("2", "3"), "t-0"))
+    assert(!WorkQueueLedger.markDone(spark, root, ids("2", "3"), "t-0"),
+      "a replayed wave appends nothing")
+    assert(won(WorkQueueLedger.notDone(spark, root, want)) === Set("1", "4"))
+    assert(won(WorkQueueLedger.doneEntries(spark, root).select("itemID")) ===
+      Set("2", "3"))
+    // probe ids disjoint from every done file's range: the pruned path
+    // reads NO done files and returns the want set unchanged
+    assert(won(WorkQueueLedger.notDone(spark, root, ids("zz"))) === Set("zz"))
+  }
+
   test("ledgerDispatcher end-to-end over a connector queue: exactly-once outcomes") {
     import graft.exec.StreamingRunner
     val dir = java.nio.file.Files.createTempDirectory("graft-leddisp").toFile
@@ -100,9 +154,75 @@ class WorkQueueLedgerSpec extends SparkSpec {
     val out = ItemStore.load(spark, results)
     assert(out.count() === 3)
     assert(won(out.select("itemID")) === Set("A", "B", "C"))
-    assert(WorkQueueLedger.entries(spark, ledger).count() === 3)
+    // release cadence: after the drain the ledger holds only IN-FLIGHT
+    // items (none), and the compact done set is the durable record
+    assert(WorkQueueLedger.entries(spark, ledger).count() === 0,
+      "finished waves must be released, not accumulated")
+    assert(won(WorkQueueLedger.doneEntries(spark, s"${ledger}_done")
+      .select("itemID")) === Set("A", "B", "C"))
     // no lock files anywhere: the queue dir has no per-item locks
     assert(!new java.io.File(s"$queue/locks").exists() ||
       new java.io.File(s"$queue/locks").list().isEmpty)
+  }
+
+  test("crash between claim wave and outcome commit: a STABLE-identity restart " +
+      "replays the wave and executes every item exactly once") {
+    import graft.exec.StreamingRunner
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledcrash").toFile
+    val queue = new java.io.File(dir, "queue").toString
+    val results = new java.io.File(dir, "results").toString
+    val ledger = new java.io.File(dir, "ledger").toString
+    def rows(xs: String*) = xs.toSeq.toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    WorkQueueSource.append(rows("A", "B", "C").coalesce(1), queue)
+    // simulate the r14 VERDICT crash: the dispatcher claimed batch 0's
+    // wave (ledger commit landed) and died BEFORE committing outcomes —
+    // exactly the state a checkpoint restart resumes from
+    val instance = "disp-stable"
+    WorkQueueLedger.claim(spark, ledger, ids("A", "B", "C"), instance,
+      s"$instance-batch-0")
+    assert(WorkQueueLedger.entries(spark, ledger).count() === 3)
+    // restart under the SAME identity (the work verb derives it from the
+    // checkpoint, so a default-flag restart lands here): batch 0 replays,
+    // the claim returns the ORIGINAL wave, and every item executes
+    val q = StreamingRunner.ledgerDispatcher(
+        StreamingRunner.queueWorkItems(
+          StreamingRunner.queueStream(spark, queue)),
+        results, ledger, instance)
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = ItemStore.load(spark, results)
+    assert(out.count() === 3, "the crashed wave's items must still execute")
+    assert(won(out.select("itemID")) === Set("A", "B", "C"))
+    assert(WorkQueueLedger.entries(spark, ledger).count() === 0)
+    assert(won(WorkQueueLedger.doneEntries(spark, s"${ledger}_done")
+      .select("itemID")) === Set("A", "B", "C"))
+  }
+
+  test("ledger size tracks in-flight items, not lifetime throughput") {
+    import graft.exec.StreamingRunner
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledsize").toFile
+    val queue = new java.io.File(dir, "queue").toString
+    val results = new java.io.File(dir, "results").toString
+    val ledger = new java.io.File(dir, "ledger").toString
+    def rows(xs: String*) = xs.toSeq.toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    for (b <- 0 until 4)
+      WorkQueueSource.append(rows((1 to 5).map(i => s"i$b-$i"): _*)
+        .coalesce(1), queue)
+    val q = StreamingRunner.ledgerDispatcher(
+        StreamingRunner.queueWorkItems(
+          StreamingRunner.queueStream(spark, queue, Some(1))),
+        results, ledger, "disp-n")
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(ItemStore.load(spark, results).count() === 20)
+    assert(WorkQueueLedger.entries(spark, ledger).count() === 0,
+      "after N batches the ledger must hold 0 rows, not N waves")
+    assert(WorkQueueLedger.doneEntries(spark, s"${ledger}_done").count() === 20)
   }
 }

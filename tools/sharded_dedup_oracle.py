@@ -49,6 +49,7 @@ from check_oracle import TABLES, norm  # noqa: E402
 
 PPJOIN_GATES = {"dedup_ppjoin_indexed", "dedup_ppjoin_incremental"}
 LSH_GATES = {"dedup_incremental_indexed", "dedup_incremental"}
+FAMILY_GATES = {"dedup_ppjoin_batch_family_pairs"}
 
 
 def replace_once(s, old, new):
@@ -112,6 +113,68 @@ def run_ppjoin(sf_dir, sql, nshards, memory_limit, scratch):
     return con.execute(
         "SELECT doc_a, doc_b, jaccard FROM read_parquet($1) "
         "ORDER BY doc_a, doc_b", [outs]).arrow()
+
+
+def run_family(sf_dir, sql, nshards, memory_limit, scratch):
+    """dedup_ppjoin_batch_family_pairs, corpus-sharded.
+
+    Why lossless: batch-side families are computed from the FULL batch in
+    every run (bit-identical reps/sizes). Corpus families can SPAN shards
+    (the probe's replicas land in different id ranges), so per-shard runs
+    emit the corpus family's normalized-text fingerprint alongside the
+    shard-local rep/size; the merge re-aggregates per (doc_a, fp):
+    global rep = MIN over shard reps (each is the min id within its
+    shard), global n_b = SUM over shard counts (shards partition the
+    corpus ids), and jaccard is a function of the two gram SETS alone —
+    identical in every shard that holds any member of the family.
+    Batch-internal ('batch') rows come from one extra empty-corpus run,
+    exactly like run_ppjoin.
+    """
+    cross_sql = replace_once(
+        sql, "FROM (SELECT * FROM vx UNION ALL SELECT * FROM vi)",
+        "FROM (SELECT * FROM vx)")
+    cross_sql = replace_once(
+        cross_sql, "ba.n AS n_a, gb.n AS n_b, 'cross' AS kind",
+        "ba.n AS n_a, gb.n AS n_b, 'cross' AS kind, gb.fp AS fp")
+    cross_sql = replace_once(
+        cross_sql, "SELECT doc_a, doc_b, jaccard, n_a, n_b, kind\n",
+        "SELECT doc_a, doc_b, jaccard, n_a, n_b, kind, fp\n")
+    outs = []
+    for i, (lo, hi) in enumerate(shard_ranges(sf_dir, nshards)):
+        s = replace_once(
+            cross_sql, "AS grams FROM documents)",
+            f"AS grams FROM documents WHERE doc_id >= {lo} "
+            f"AND doc_id < {hi})")
+        out = f"{scratch}/cross_{i}.parquet"
+        t0 = time.time()
+        con = connect(sf_dir, memory_limit)
+        con.execute(f"COPY ({s}) TO '{out}' (FORMAT PARQUET)")
+        con.close()
+        print(f"  shard {i} [{lo},{hi}): {time.time()-t0:.0f}s "
+              f"{pq.read_metadata(out).num_rows} family rows", flush=True)
+        outs.append(out)
+    # batch-internal rows: empty corpus range -> vx empty, vi = full
+    s = replace_once(
+        sql, "AS grams FROM documents)",
+        "AS grams FROM documents WHERE doc_id < doc_id)")
+    internal = f"{scratch}/internal.parquet"
+    t0 = time.time()
+    con = connect(sf_dir, memory_limit)
+    con.execute(f"COPY ({s}) TO '{internal}' (FORMAT PARQUET)")
+    con.close()
+    print(f"  internal: {time.time()-t0:.0f}s "
+          f"{pq.read_metadata(internal).num_rows} family rows", flush=True)
+    con = duckdb.connect()
+    return con.execute(
+        "WITH cross_merged AS ("
+        "  SELECT doc_a, MIN(doc_b) AS doc_b, MIN(jaccard) AS jaccard,"
+        "         MIN(n_a) AS n_a, CAST(SUM(n_b) AS BIGINT) AS n_b,"
+        "         'cross' AS kind"
+        "  FROM read_parquet($1) GROUP BY doc_a, fp)"
+        "SELECT doc_a, doc_b, jaccard, n_a, n_b, kind FROM cross_merged "
+        "UNION ALL "
+        "SELECT doc_a, doc_b, jaccard, n_a, n_b, kind FROM read_parquet($2) "
+        "ORDER BY kind, doc_a, doc_b", [outs, internal]).arrow()
 
 
 def run_lsh(sf_dir, sql, nshards, memory_limit, scratch):
@@ -182,6 +245,8 @@ def main():
         oracle = run_ppjoin(sf_dir, sql, nshards, memory_limit, scratch)
     elif gate in LSH_GATES:
         oracle = run_lsh(sf_dir, sql, nshards, memory_limit, scratch)
+    elif gate in FAMILY_GATES:
+        oracle = run_family(sf_dir, sql, nshards, memory_limit, scratch)
     else:
         sys.exit(f"unsupported gate {gate}")
     spark = pq.read_table(f"{out_dir}/{gate}")
