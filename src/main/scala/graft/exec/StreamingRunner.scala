@@ -166,6 +166,11 @@ object StreamingRunner {
           resultPath, batchKey)
         finally { outcomes.unpersist(); () }
         if (!won.isEmpty) retire(won)
+        // the wave is retired — free its localCheckpoint blocks NOW so
+        // executor storage holds one in-flight wave, not the trigger
+        // history (the ContextCleaner would get there eventually; a
+        // thousand-trigger worker shouldn't wait on GC pressure)
+        graft.plans.Lineage.free(won)
         ()
       }
     }

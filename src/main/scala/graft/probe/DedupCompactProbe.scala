@@ -13,13 +13,35 @@ import graft.dedup.{Dedup, DedupIndex}
   * never a hash shortcut), while duplicate representatives fold and the
   * candidate fan-out drops under the fresh-df re-rank.
   *
+  * Drift modes (VERDICT r14 task 5 added `boilerplate`):
+  *  - `dup` — day-1 appends exact duplicates of indexed docs (duplicate
+  *    representatives; the folding story). Mild df drift: every appended
+  *    gram already exists, so the frozen ranking stays roughly right.
+  *  - `boilerplate` — the boilerplate-rotation pattern, where append
+  *    drift hits FULL strength: every day-1 doc carries one shared new
+  *    paragraph, so its grams become among the most COMMON in the
+  *    updated corpus while the frozen order still ranks them df≈0, i.e.
+  *    rarest-first — straight into every appended doc's prefix AND every
+  *    boilerplate-carrying query doc's prefix. Candidates then fan out
+  *    as (carrying batch docs) × (appended docs), none of it verifiable:
+  *    the inflation the re-rank exists to cut. Only a sample of the
+  *    query batch carries the boilerplate (real batches aren't 100%
+  *    contaminated; it also keeps the pre-compact candidate join within
+  *    the box while the RELATIVE cut stays ~10³×).
+  *
   * Usage: runMain graft.probe.DedupCompactProbe <probeSfDir> [tau=0.8]
+  *          [mode=dup|boilerplate]
   */
 object DedupCompactProbe {
+
+  val Boilerplate: String =
+    " limited time rotation banner offer terms and conditions apply see" +
+      " participating store for full details while supplies last"
 
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val tau = args.lift(1).map(_.toDouble).getOrElse(0.8)
+    val mode = args.lift(2).getOrElse("dup")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -37,15 +59,35 @@ object DedupCompactProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val off = docs.agg(max("doc_id")).head().getLong(0) + 1
-    // day-1 drift: exact duplicates of every 10th doc (duplicate reps in
-    // the index) — the shape daily ingest actually produces
+    // day-1 drift: every 10th doc re-appears — in `dup` mode verbatim
+    // (duplicate reps), in `boilerplate` mode as a DISTINCT doc (id-salted
+    // tail) carrying the shared rotation paragraph. The salt matters: on
+    // the replica fixture an unsalted append is 100 exact copies per base
+    // text, and the append path's own exact-dup collapse folds them to
+    // one rep per base — absorbing the df bomb before it reaches the
+    // prefix join (measured: 50k appended → ~500 reps → candidate cut of
+    // only ~335 at 100×). Real boilerplate rotation rides on DISTINCT
+    // pages, which is exactly what the salt restores: 50k reps, every one
+    // ranking the rotation grams df≈0 under the frozen order.
     val day1 = docs.filter(col("doc_id") % 10 === 0)
-      .select((col("doc_id") + off).as("doc_id"), col("text"))
+      .select((col("doc_id") + off).as("doc_id"),
+        (if (mode == "boilerplate")
+           concat(col("text"), lit(" day one doc "), col("doc_id"),
+             lit(Boilerplate))
+         else col("text")).as("text"))
     // the probe query batch: tail-perturbed near-dups of every ...5 doc
-    // (ids disjoint from everything indexed)
+    // (ids disjoint from everything indexed); in boilerplate mode a
+    // 1-in-1000 slice ALSO carries the rotation paragraph (id-salted for
+    // the same reason) — the contaminated slice whose prefixes collide
+    // with day-1's under the stale ranking
     val batch = docs.filter(col("doc_id") % 10 === 5)
       .select((col("doc_id") + 2 * off).as("doc_id"),
-        concat(col("text"), lit(" compaction probe tail")).as("text"))
+        concat(col("text"), lit(" compaction probe tail"),
+          if (mode == "boilerplate")
+            when(col("doc_id") % 10000 === 5,
+              concat(lit(" carrier "), col("doc_id"), lit(Boilerplate)))
+              .otherwise(lit(""))
+          else lit("")).as("text"))
 
     val dir = java.nio.file.Files
       .createTempDirectory("graft-compactprobe").toString + "/ix"
@@ -76,7 +118,8 @@ object DedupCompactProbe {
     val extra = after.exceptAll(before).count()
 
     println(
-      s"""{"corpus": ${docs.count()}, "appended": ${day1.count()}, """ +
+      s"""{"mode": "$mode", """ +
+      s""""corpus": ${docs.count()}, "appended": ${day1.count()}, """ +
       s""""batch": ${batch.count()}, "tau": $tau, """ +
       s""""reps_before": ${st.repsBefore}, "reps_after": ${st.repsAfter}, """ +
       s""""pairs_before": $nBefore, "pairs_after": $nAfter, """ +
