@@ -213,7 +213,9 @@ object Main {
       // work-release.
       import graft.store.connector.WorkQueueLedger
       val ledger = flags.getOrElse("ledger", s"$table/_ledger")
-      val done = flags.getOrElse("done", s"$table/_ledger_done")
+      // same derivation as the dispatcher: the done set lives next to
+      // whatever ledger this queue actually uses
+      val done = flags.getOrElse("done", s"${ledger}_done")
       val claims =
         if (graft.store.VersionedTable.latestVersion(spark, ledger).isEmpty) 0L
         else {
@@ -230,9 +232,15 @@ object Main {
       // the lock path's leases: ledger claims never expire on their own —
       // takeover is an OPERATOR action (this verb), deliberate because
       // the ledger deployment is one dispatcher per queue and an
-      // automatic expiry could steal a slow-but-alive wave. Releasing an
-      // instance that is still running is safe for data (outcome commits
-      // are batch-tagged) but wastes work — stop the worker first.
+      // automatic expiry could steal a slow-but-alive wave. Release only
+      // waves whose worker is STOPPED: outcomes can never double-commit
+      // (batch-tagged) and done items can never re-execute (done-set
+      // check precedes every claim), but a released wave belongs to
+      // whichever worker claims it next — if the original later restarts,
+      // its replay wins nothing and commits an empty batch, so the
+      // released items complete only through the worker that re-drained
+      // them (the MainSpec e2e shape: release, then a fresh-checkpoint
+      // `work --once`).
       import graft.store.connector.WorkQueueLedger
       val ledger = flags.getOrElse("ledger", s"$table/_ledger")
       require(graft.store.VersionedTable.latestVersion(spark, ledger).isDefined,

@@ -142,6 +142,14 @@ object StreamingRunner {
         // checkpointed tag list both grow O(lifetime). Safe here because
         // this dispatcher is the table's only committer between triggers.
         if (batchId % 64 == 63) {
+          // done-set file compaction first (every 4th maintenance tick):
+          // one small file lands per trigger, and without packing both the
+          // manifest and notDone's file-pruning scan grow O(triggers).
+          // Range-sorted packing keeps per-file itemID ranges tight, so
+          // graduated files stay prunable AND carry by reference forever —
+          // each id is rewritten at most once ever.
+          if (batchId % 256 == 255)
+            graft.store.connector.WorkQueueLedger.compactDone(spark, done)
           graft.store.VersionedTable.vacuum(spark, ledgerPath, 1, Some(1024))
           graft.store.VersionedTable.vacuum(spark, done, 1, Some(1024))
           ()

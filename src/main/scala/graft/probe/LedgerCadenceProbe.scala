@@ -102,16 +102,23 @@ object LedgerCadenceProbe {
 
     import scala.jdk.CollectionConverters._
     val byBatch = trigMs.asScala.toSeq.sortBy(_._1).map(_._2)
-    def meanOf(xs: Seq[Long]): Long =
-      if (xs.isEmpty) 0L else xs.sum / xs.length
+    // MEDIAN per window, not mean: one GC stall or maintenance-tick spike
+    // inside a 50-trigger window skews a mean by hundreds of ms and fakes
+    // a drift verdict (observed: +3% total wall reported as +36% "late
+    // mean"); the median is the steady per-trigger cost. p90 is reported
+    // alongside so spikes are visible instead of silently averaged in.
+    def medianOf(xs: Seq[Long]): Long =
+      if (xs.isEmpty) 0L else xs.sorted.apply((xs.length - 1) / 2)
+    def p90Of(xs: Seq[Long]): Long =
+      if (xs.isEmpty) 0L else xs.sorted.apply(((xs.length - 1) * 9) / 10)
     val w = math.max(1, byBatch.length / 20) // 5% windows
     // skip the first few triggers (JIT + codegen warmup), then windows at
     // the start, middle and end of the run — the late/early ratio is the
     // flatness claim
-    val early = meanOf(byBatch.slice(w, 2 * w))
-    val mid = meanOf(byBatch.slice(byBatch.length / 2,
-      byBatch.length / 2 + w))
-    val late = meanOf(byBatch.takeRight(w))
+    val earlyW = byBatch.slice(w, 2 * w)
+    val midW = byBatch.slice(byBatch.length / 2, byBatch.length / 2 + w)
+    val lateW = byBatch.takeRight(w)
+    val (early, mid, late) = (medianOf(earlyW), medianOf(midW), medianOf(lateW))
     val doneCount = WorkQueueLedger
       .doneEntries(spark, s"${ledger}_done").count()
     val ledgerLeft = WorkQueueLedger.entries(spark, ledger).count()
@@ -126,6 +133,8 @@ object LedgerCadenceProbe {
       s""""build_s": ${f"$buildS%.1f"}, "wall_s": ${f"$wallS%.1f"}, """ +
       s""""items_per_sec": ${(n / wallS).toLong}, """ +
       s""""early_ms": $early, "mid_ms": $mid, "late_ms": $late, """ +
+      s""""early_p90_ms": ${p90Of(earlyW)}, "mid_p90_ms": ${p90Of(midW)}, """ +
+      s""""late_p90_ms": ${p90Of(lateW)}, """ +
       s""""late_over_early": ${f"${late.toDouble / math.max(1, early)}%.2f"}, """ +
       s""""result_rows": $resultRows, "done": $doneCount, """ +
       s""""ledger_left": $ledgerLeft, "ledger_log_files": $logFiles, """ +

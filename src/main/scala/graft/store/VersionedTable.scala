@@ -1042,9 +1042,20 @@ object VersionedTable {
     * pruning (plus any scan-side file skipping) works on either dimension.
     * Same contract as lakehouse `OPTIMIZE ... ZORDER BY`.
     */
+  /** Bin-pack small files (< `targetRows`) into target-sized ones; files
+    * already at target carry by reference, so repeated runs touch only
+    * the NEW small-file tail — each row is rewritten at most once per
+    * graduation, never per run. `sortCol` range-partitions + sorts the
+    * packed rows on one column so every packed file keeps a TIGHT footer
+    * range on it (the done-set shape: stats-pruned membership probes stay
+    * effective after compaction; an unsorted repartition would smear every
+    * file's [min,max] across the whole key space). `zorder` instead packs
+    * on a 2-column space-filling curve and rewrites the whole table.
+    */
   def optimize(spark: SparkSession, root: String, targetRows: Long,
       zorder: Option[(String, String)] = None,
-      curve: String = "zorder"): Long =
+      curve: String = "zorder",
+      sortCol: Option[String] = None): Long =
     commitLoop(spark, root) { parent =>
       val p = parent.getOrElse(sys.error(s"$root does not exist"))
       val (toRewrite, kept) = zorder match {
@@ -1055,16 +1066,24 @@ object VersionedTable {
       else {
         val rows = spark.read.schema(p.schema)
           .parquet(toRewrite.map(f => s"$root/${f.path}"): _*)
-        val nOut = math.max(1L, (toRewrite.map(_.rows).sum + targetRows - 1) / targetRows).toInt
+        // FLOOR, not ceil: ceil packs to an average of ≤ targetRows per
+        // file, so packed files sit just UNDER the graduation threshold
+        // and every later run rewrites the whole set again — O(table) per
+        // maintenance tick instead of O(new tail). Floor packs to ≥
+        // targetRows on average, so graduated files carry by reference
+        // forever and each row is rewritten at most once per graduation.
+        val nOut = math.max(1L, toRewrite.map(_.rows).sum / targetRows).toInt
         // curve choice: "zorder" (Morton tiles) or "hilbert" (connected
         // curve segments — tighter per-file boxes at the same file count;
         // see Layout's locality spec)
-        val packed = zorder match {
-          case Some((a, b)) if curve == "hilbert" =>
+        val packed = (zorder, sortCol) match {
+          case (Some((a, b)), _) if curve == "hilbert" =>
             graft.analytics.Layout.hilbertBy(rows, a, b, numFiles = nOut).drop("_h")
-          case Some((a, b)) =>
+          case (Some((a, b)), _) =>
             graft.analytics.Layout.zorderBy(rows, a, b, numFiles = nOut).drop("_z")
-          case None => rows.repartition(nOut)
+          case (None, Some(c)) =>
+            rows.repartitionByRange(nOut, col(c)).sortWithinPartitions(c)
+          case (None, None) => rows.repartition(nOut)
         }
         ("optimize", kept ++ writeData(packed, root, p.bloomCols), p.schema)
       }

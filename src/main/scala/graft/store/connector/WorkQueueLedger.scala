@@ -227,4 +227,21 @@ object WorkQueueLedger {
     if (VersionedTable.latestVersion(spark, doneRoot).isEmpty)
       emptyDone(spark)
     else VersionedTable.read(spark, doneRoot)
+
+  /** Bin-pack the done set's per-wave small files (one lands per trigger —
+    * the streaming small-file pattern) into `targetRows`-sized files,
+    * RANGE-SORTED on itemID so each packed file keeps a tight footer range
+    * and [[notDone]]'s stats pruning stays wave-sized after compaction.
+    * Already-packed files carry by reference, so each id is rewritten at
+    * most once ever — the cadence cost is O(new ids since last compact),
+    * not O(lifetime). Run from the owning dispatcher's maintenance cadence
+    * (or an operator pause window), like vacuum.
+    */
+  def compactDone(spark: SparkSession, doneRoot: String,
+      targetRows: Long = 1000000L): Unit =
+    if (VersionedTable.latestVersion(spark, doneRoot).isDefined) {
+      VersionedTable.optimize(spark, doneRoot, targetRows,
+        sortCol = Some("itemID"))
+      ()
+    }
 }

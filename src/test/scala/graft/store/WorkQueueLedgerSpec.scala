@@ -201,6 +201,84 @@ class WorkQueueLedgerSpec extends SparkSpec {
       .select("itemID")) === Set("A", "B", "C"))
   }
 
+  test("compactDone packs per-wave small files, keeps ranges tight and " +
+      "membership exact") {
+    val root = tmp() + "-cd"
+    // 6 waves of disjoint, zero-padded id ranges — one small file each
+    for (w <- 0 until 6)
+      WorkQueueLedger.markDone(spark, root,
+        ids((0 until 50).map(i => f"item-${w * 50 + i}%06d"): _*), s"w-$w")
+    val before = VersionedTable.snapshot(spark, root).files.count(_.rows > 0)
+    WorkQueueLedger.compactDone(spark, root, targetRows = 100L)
+    val after = VersionedTable.snapshot(spark, root)
+    assert(after.files.count(_.rows > 0) < before,
+      s"packing must shrink the data file count (was $before)")
+    // membership is unchanged and still exact
+    assert(WorkQueueLedger.doneEntries(spark, root).count() === 300)
+    assert(won(WorkQueueLedger.notDone(spark, root,
+      ids(f"item-${7}%06d", "zzz"))) === Set("zzz"))
+    // ranges stay TIGHT after packing (range-sorted): a probe outside the
+    // id space overlaps no packed file at all
+    val hit = after.files.filter(fe => fe.rows > 0 &&
+      ((fe.mins.get("itemID"), fe.maxs.get("itemID")) match {
+        case (Some(mn), Some(mx)) => mn <= "zzz" && "zzz" <= mx
+        case _ => true
+      }))
+    assert(hit.isEmpty, s"out-of-range probe must prune every file, hit $hit")
+    // graduated files (≥ target) carry BY REFERENCE through later compacts
+    // — only a residual under-target tail may rewrite until it graduates
+    val graduated = after.files.filter(_.rows >= 100L).map(_.path).toSet
+    assert(graduated.nonEmpty, "packing at 100 rows must graduate files")
+    WorkQueueLedger.compactDone(spark, root, targetRows = 100L)
+    val files2 = VersionedTable.snapshot(spark, root).files.map(_.path).toSet
+    assert(graduated.subsetOf(files2),
+      "graduated files must carry by reference, not rewrite")
+  }
+
+  test("post-commit replay FINISHES retirement: outcomes stay exactly-once, " +
+      "the dead wave is marked done and released") {
+    import graft.exec.{Runner, StreamingRunner}
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledretire").toFile
+    val queue = new java.io.File(dir, "queue").toString
+    val results = new java.io.File(dir, "results").toString
+    val ledger = new java.io.File(dir, "ledger").toString
+    def rows(xs: String*) = xs.toSeq.toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    WorkQueueSource.append(rows("A", "B").coalesce(1), queue)
+    // simulate a crash BETWEEN the outcome commit and retirement: wave
+    // claimed, outcomes committed under the dispatcher's batch key, no
+    // markDone/release yet
+    val instance = "ret-1"
+    WorkQueueLedger.claim(spark, ledger, ids("A", "B"), instance,
+      s"$instance-batch-0")
+    val staticBatch = StreamingRunner.queueWorkItems(
+      spark.read.format("graft.store.connector.WorkQueueSource")
+        .option("path", queue).load())
+    val (updated, outcomes) = Runner.processItems(staticBatch)
+    ItemStore.commitBatch(
+      updated.select(graft.model.WorkItem.schema.fieldNames
+        .map(org.apache.spark.sql.functions.col): _*),
+      results, s"$instance-0")
+    outcomes.unpersist()
+    assert(ItemStore.load(spark, results).count() === 2)
+    // restart: batch 0 replays, finds its outcomes committed, and must
+    // complete the retirement WITHOUT re-executing anything
+    val q = StreamingRunner.ledgerDispatcher(
+        StreamingRunner.queueWorkItems(
+          StreamingRunner.queueStream(spark, queue)),
+        results, ledger, instance)
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(ItemStore.load(spark, results).count() === 2,
+      "replay must not double-commit the batch's outcomes")
+    assert(WorkQueueLedger.entries(spark, ledger).count() === 0,
+      "the dead wave must be released by the replay")
+    assert(won(WorkQueueLedger.doneEntries(spark, s"${ledger}_done")
+      .select("itemID")) === Set("A", "B"))
+  }
+
   test("ledger size tracks in-flight items, not lifetime throughput") {
     import graft.exec.StreamingRunner
     val dir = java.nio.file.Files.createTempDirectory("graft-ledsize").toFile
