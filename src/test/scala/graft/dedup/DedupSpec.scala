@@ -480,10 +480,13 @@ class DedupSpec extends SparkSpec {
 
   test("scale-path pair generators plan as equi-joins, never nested-loop/cartesian") {
     val vecs = DedupSurface.vecs(spark, sf0001)
+    val famIx = Dedup.prefixIndex(corpus, "doc_id", "text", 0.8)
     for (df <- Seq(
         Dedup.lshCosinePairs(vecs, "vec_id", "v", 0.999, 8, 64),
         Dedup.simhashBandPairs(corpus, "doc_id", "text", "lang", 1),
-        Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5))) {
+        Dedup.lshVerifiedPairs(corpus, "doc_id", "text", 0.5),
+        Dedup.ppjoinAgainstFamilyPairs(famIx,
+          DedupSurface.incBatch(spark, sf0001), "doc_id", "text", 0.8))) {
       val plan = df.queryExecution.executedPlan.toString
       assert(!plan.contains("BroadcastNestedLoopJoin"), plan.linesIterator.take(5).mkString("\n"))
       assert(!plan.contains("CartesianProduct"), plan.linesIterator.take(5).mkString("\n"))

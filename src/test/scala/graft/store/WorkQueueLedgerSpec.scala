@@ -70,6 +70,30 @@ class WorkQueueLedgerSpec extends SparkSpec {
     assert(WorkQueueLedger.entries(spark, root).count() === 200)
   }
 
+  test("live race at 4 contenders: the unbounded backoff CAS still " +
+      "partitions every id exactly once") {
+    val root = tmp()
+    val all = (1 to 120).map(_.toString)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // overlapping (not identical) want-sets, so contenders both race on
+    // shared ids AND carry exclusive ones — the realistic multi-queue
+    // overlap shape; unbounded retry (default) must converge, not throw
+    val wants = Seq(
+      all.take(80), all.slice(20, 100), all.slice(40, 120), all)
+    val futs = wants.zipWithIndex.map { case (w, i) =>
+      Future(won(WorkQueueLedger.claim(spark, root,
+        ids(w: _*), s"W$i", s"w$i-race")))
+    }
+    val wins = futs.map(Await.result(_, Duration.Inf))
+    for (i <- wins.indices; j <- wins.indices if i < j)
+      assert((wins(i) & wins(j)) === Set.empty,
+        s"won twice by W$i and W$j: ${wins(i) & wins(j)}")
+    assert(wins.reduce(_ | _) === all.toSet, "every id claimed exactly once")
+    assert(WorkQueueLedger.entries(spark, root).count() === 120)
+  }
+
   test("release drops a wave's claims; ids become claimable again") {
     val root = tmp()
     WorkQueueLedger.claim(spark, root, ids("1", "2"), "A", "a-1")
