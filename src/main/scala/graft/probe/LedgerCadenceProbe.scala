@@ -23,12 +23,16 @@ import graft.store.connector.{WorkQueueLedger, WorkQueueSource}
   * linear in lifetime throughput.
   *
   * Usage: runMain graft.probe.LedgerCadenceProbe [triggers] [itemsPerTrigger]
+  *          [idShape=monotone|random]
   * Defaults 1000 x 15000 (15M items through one streaming query). Items
   * carry no scripts: the probe measures claim/commit machinery, not
-  * subprocess forks. Ids are zero-padded and range-partitioned one file
-  * per trigger — the append-mostly queue shape, where a new wave's id
-  * range overlaps no finished wave's done files (the notDone fast path;
-  * random ids would degrade to reading the overlapping slice only).
+  * subprocess forks. `monotone` ids are zero-padded and range-partitioned
+  * one file per trigger — the append-mostly queue shape, where a new
+  * wave's id range overlaps no finished wave's done files (the notDone
+  * fast path). `random` is the NEGATIVE CONTROL: hashed ids make every
+  * wave span the whole key space, so range pruning holds nothing back
+  * and the done-set membership probe reads O(done) per wave — the
+  * documented degradation, measured instead of asserted.
   *
   * Prints one JSON line: early/mid/late mean trigger ms (and the
   * late/early ratio — the flatness claim), items/s, exactly-once
@@ -40,6 +44,7 @@ object LedgerCadenceProbe {
   def main(args: Array[String]): Unit = {
     val triggers = args.lift(0).map(_.toInt).getOrElse(1000)
     val perTrigger = args.lift(1).map(_.toInt).getOrElse(15000)
+    val idShape = args.lift(2).getOrElse("monotone")
     val n = triggers.toLong * perTrigger
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -60,8 +65,17 @@ object LedgerCadenceProbe {
 
     // queue: one range-contiguous file per trigger, zero-padded monotone ids
     val t0 = System.nanoTime()
+    // monotone: one contiguous id range per trigger file. random: hashed
+    // ids (deterministic), every trigger file spans the whole key space —
+    // each file still holds DISTINCT ids, only their locality changes.
+    val idExpr =
+      if (idShape == "random")
+        // hashed prefix dominates ordering (random locality); the raw id
+        // suffix guarantees uniqueness against hash collisions
+        format_string("item-%016x-%d", xxhash64(col("id")), col("id"))
+      else format_string("item-%012d", col("id"))
     val items = spark.range(n).select(
-      format_string("item-%012d", col("id")).as("itemID"),
+      idExpr.as("itemID"),
       format_string("task-%012d", col("id")).as("taskID"),
       lit(null).cast("string").as("taskScript"),
       lit(null).cast(WorkItem.schema("nestedTasks").dataType).as("nestedTasks"),
@@ -74,7 +88,13 @@ object LedgerCadenceProbe {
       lit(null).cast(WorkItem.schema("log").dataType).as("log"),
       lit(0L).as("logLength"),
       lit(null).cast("long").as("nestedTaskCount"))
-      .repartitionByRange(triggers, col("itemID"))
+      // monotone: one contiguous itemID range per file. random: files cut
+      // by ARRIVAL order (taskID is monotone in the build id), so every
+      // file's itemIDs span the whole hashed key space — partitioning the
+      // random shape by itemID would hand each file a narrow hashed range
+      // and quietly restore the locality the control exists to remove
+      .repartitionByRange(triggers,
+        if (idShape == "random") col("taskID") else col("itemID"))
     WorkQueueSource.append(items, queue, "parquet")
     val buildS = (System.nanoTime() - t0) / 1e9
 
@@ -129,7 +149,7 @@ object LedgerCadenceProbe {
       .map(_.count(!_.startsWith("."))).getOrElse(0)
 
     println(
-      s"""{"triggers": ${byBatch.length}, "items": $n, """ +
+      s"""{"triggers": ${byBatch.length}, "items": $n, "ids": "$idShape", """ +
       s""""build_s": ${f"$buildS%.1f"}, "wall_s": ${f"$wallS%.1f"}, """ +
       s""""items_per_sec": ${(n / wallS).toLong}, """ +
       s""""early_ms": $early, "mid_ms": $mid, "late_ms": $late, """ +
