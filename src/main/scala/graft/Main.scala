@@ -90,15 +90,37 @@ object Main {
     * the same identity and replays its own claim waves (tag
     * `$instance-batch-$n`) instead of orphaning them. Spark forbids two
     * live queries on one checkpoint, so the path names exactly one worker.
+    *
+    * Full 128-bit digest, not a 32-bit hash (r15 ADVICE): the identity is
+    * CORRECTNESS-BEARING — two workers sharing one results store with
+    * colliding identities collide batch-commit keys, and the second
+    * worker's batch 0 reads as "already committed" by the first's,
+    * silently dropping its outcomes. ~2^-33 per pair was unlikely, but
+    * the failure is silent data loss and the wider digest is free.
+    *
+    * Upgrade note (applies equally to the r15 batch-key scoping change):
+    * an UNDRAINED pre-upgrade checkpoint resumes under a different
+    * identity, so its last in-flight wave replays as a fresh claim —
+    * which wins nothing if the old wave still holds the items (release
+    * the old instance by hand), or re-executes the batch if its outcomes
+    * committed under the old key. Drain (or discard) checkpoints when
+    * upgrading across an identity-scheme change. A legacy-marker
+    * fallback was considered and REJECTED: honoring unscoped
+    * `batch-<n>` markers would make every batch n of any NEW worker on a
+    * store with pre-upgrade markers read as already-committed — it
+    * converts a bounded one-batch duplicate risk into unbounded silent
+    * skips.
     */
   private[graft] def workerIdentity(checkpoint: String): String = {
     val canon = new java.io.File(checkpoint).getAbsolutePath
-    f"worker-${scala.util.hashing.MurmurHash3.stringHash(canon) & 0xffffffffL}%08x"
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(canon.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    "worker-" + md.map(b => f"$b%02x").mkString
   }
 
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: graft.Main <import|run|work|work-release|queue-claims|monitor|reset|delete|compact|queue-compact|dedup-index-build|dedup-index-append|dedup-index-query|dedup-index-compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
+      "usage: graft.Main <import|run|work|work-release|done-remove|queue-claims|monitor|reset|delete|compact|queue-compact|dedup-index-build|dedup-index-append|dedup-index-query|dedup-index-compact|corpus|sessions|events|graph|vectors|profile|vtable> --table PATH ...")
     val verb = args.head
     val flags = parseFlags(args.tail.toSeq)
     val table = flags.getOrElse("table", sys.error("--table is required"))
@@ -190,21 +212,43 @@ object Main {
       val config = graft.exec.Runner.RunConfig(
         budgetSeconds = flags.get("budget").map(_.toDouble),
         parallelism = flags.get("parallelism").map(_.toInt).getOrElse(0))
+      // --takeover-after MILLIS (ledger mode): release any OTHER
+      // instance's in-flight waves once its heartbeat goes stale — the
+      // opt-in automation of `work-release` for crashed dispatchers.
+      // Pick a bound in minutes: every ledger worker beats per batch AND
+      // from the daemon below, so only a truly dead process goes stale.
+      val takeover = flags.get("takeover-after").map(_.toLong)
+      val ledgerDir = flags.getOrElse("ledger", s"$table/_ledger")
+      // daemon beat (ledger mode, unconditional): a slow batch must never
+      // read as dead to a takeover-enabled contender, and the beat must
+      // exist even when THIS worker doesn't use the knob itself
+      val beater = if (flags.getOrElse("claims", "ledger") == "ledger") {
+        val ex = java.util.concurrent.Executors.newSingleThreadScheduledExecutor { r =>
+          val t = new Thread(r, s"graft-beat-$instance"); t.setDaemon(true); t
+        }
+        val period = graft.exec.StreamingRunner.HeartbeatPeriodMillis
+        ex.scheduleAtFixedRate(() =>
+          try graft.store.connector.WorkQueueLedger.beat(spark, ledgerDir, instance)
+          catch { case scala.util.control.NonFatal(_) => () },
+          0L, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+        Some(ex)
+      } else None
       val writer = flags.getOrElse("claims", "ledger") match {
         case "ledger" =>
           graft.exec.StreamingRunner.ledgerDispatcher(stream, results,
-            flags.getOrElse("ledger", s"$table/_ledger"), instance, config,
-            flags.get("done"))
+            ledgerDir, instance, config, flags.get("done"), takeover)
         case "locks" =>
           graft.exec.StreamingRunner.claimedDispatcher(stream, results,
             table, instance, config, flags.get("lease-ms").map(_.toLong))
         case other => sys.error(s"--claims must be ledger|locks, got $other")
       }
-      val q = writer.option("checkpointLocation", ckpt).start()
-      if (flags.contains("once")) {
-        try q.processAllAvailable() finally q.stop()
-        println(s"""{"results": ${ItemStore.load(spark, results).count()}}""")
-      } else q.awaitTermination()
+      try {
+        val q = writer.option("checkpointLocation", ckpt).start()
+        if (flags.contains("once")) {
+          try q.processAllAvailable() finally q.stop()
+          println(s"""{"results": ${ItemStore.load(spark, results).count()}}""")
+        } else q.awaitTermination()
+      } finally beater.foreach(_.shutdownNow())
     case "queue-claims" =>
       // operability: what does the ledger think is IN FLIGHT, and how many
       // items are durably done? A healthy steady-state worker shows claims
@@ -230,30 +274,100 @@ object Main {
       // crashed-dispatcher recovery: hand a wedged wave (--tag) or every
       // wave of a dead worker (--instance) back to the queue. Contract vs
       // the lock path's leases: ledger claims never expire on their own —
-      // takeover is an OPERATOR action (this verb), deliberate because
-      // the ledger deployment is one dispatcher per queue and an
-      // automatic expiry could steal a slow-but-alive wave. Release only
-      // waves whose worker is STOPPED: outcomes can never double-commit
-      // (batch-tagged) and done items can never re-execute (done-set
-      // check precedes every claim), but a released wave belongs to
-      // whichever worker claims it next — if the original later restarts,
-      // its replay wins nothing and commits an empty batch, so the
-      // released items complete only through the worker that re-drained
-      // them (the MainSpec e2e shape: release, then a fresh-checkpoint
-      // `work --once`).
+      // takeover is an OPERATOR action (this verb; `work --takeover-after`
+      // automates it on a heartbeat bound), deliberate because an
+      // unconditional expiry could steal a slow-but-alive wave. Release
+      // only waves whose worker is STOPPED: a released wave belongs to
+      // whichever worker claims it next (the MainSpec e2e shape: release,
+      // then a fresh-checkpoint `work --once`).
+      //
+      // OUTCOME CROSS-CHECK (r15 ADVICE #1): a wave whose worker crashed
+      // AFTER committing its outcomes must not be handed back raw — its
+      // terminal ids are durably in the results store but not yet in the
+      // done set, so a blind release would let another worker re-claim
+      // and RE-EXECUTE them (duplicate rows under a new batch key). With
+      // --results this verb FINISHES the crashed retirement instead:
+      // done-mark the wave's terminal ids from the committed batch's own
+      // files, then release (budget-skipped ids return to claimable, as
+      // the dispatcher itself would have left them). Without --results
+      // the cross-check cannot run — only release waves you know never
+      // committed (pre-execution crash), or prefer a same-identity
+      // restart, which finishes retirement through the normal replay.
       import graft.store.connector.WorkQueueLedger
       val ledger = flags.getOrElse("ledger", s"$table/_ledger")
+      val done = flags.getOrElse("done", s"${ledger}_done")
       require(graft.store.VersionedTable.latestVersion(spark, ledger).isDefined,
         s"no ledger at $ledger")
-      val released = (flags.get("tag"), flags.get("instance")) match {
-        case (Some(t), None) => WorkQueueLedger.release(spark, ledger, t)
-        case (None, Some(i)) => WorkQueueLedger.releaseInstance(spark, ledger,
-          i, flags.getOrElse("epoch",
-            java.util.UUID.randomUUID().toString))
+      val tags: Seq[String] = (flags.get("tag"), flags.get("instance")) match {
+        case (Some(t), None) => Seq(t)
+        case (None, Some(i)) => WorkQueueLedger.entries(spark, ledger)
+          .filter(col("instanceID") === i).select("tag").distinct()
+          .collect().map(_.getString(0)).toSeq
         case _ => sys.error("work-release needs exactly one of --tag | --instance")
       }
-      println(s"""{"released": $released, "claims": ${
+      var retired = 0
+      flags.get("results") match {
+        case Some(results) =>
+          tags.foreach { t =>
+            // wave tag `$instance-batch-$n` ⇒ outcome batch key `$instance-$n`
+            val idx = t.lastIndexOf("-batch-")
+            val committedKey = if (idx < 0) None else {
+              val key = t.substring(0, idx) + "-" + t.substring(idx + 7)
+              if (ItemStore.batchCommitted(spark, results, key)) Some(key)
+              else None
+            }
+            committedKey match {
+              case Some(key) =>
+                // same retirable split as the dispatcher's replay path:
+                // terminal rows, plus todo rows with no claimable task
+                // left (budget-skipped rows stay out and re-open)
+                val todoRows = ItemStore.batchRows(spark, results, key, "todo")
+                val taskless = todoRows.select("itemID").join(
+                  graft.exec.Runner.todoTasks(todoRows).toDF
+                    .select("itemID").distinct(),
+                  Seq("itemID"), "left_anti")
+                WorkQueueLedger.markDone(spark, done,
+                  ItemStore.batchItemIds(spark, results, key,
+                    Seq("done", "Wall_Time_Exceeded")).unionByName(taskless), t)
+                retired += 1
+              case None => ()
+            }
+            WorkQueueLedger.release(spark, ledger, t)
+          }
+        case None =>
+          System.err.println(
+            "work-release without --results cannot cross-check committed " +
+              "outcomes: releasing a post-commit crashed wave re-executes " +
+              "its items. Pass --results to finish retirement instead.")
+          tags.foreach(t => WorkQueueLedger.release(spark, ledger, t))
+      }
+      println(s"""{"released": ${tags.size}, "retired": $retired, "claims": ${
         WorkQueueLedger.entries(spark, ledger).count()}}""")
+    case "done-remove" =>
+      // operability pair of `reset` for the STREAMING path (r15 VERDICT
+      // "What's missing" #1): the done set is keyed by itemID forever, so
+      // a reset/re-queued item would be anti-joined out by notDone and
+      // never execute again through a worker. Deleting its done record
+      // re-opens exactly that id; the next drain (fresh checkpoint — the
+      // re-drain shape, since consumed queue offsets don't re-deliver)
+      // executes it exactly once more. Ids from --ids a,b,c or --manifest
+      // (same JSON file shape as `reset`).
+      import graft.store.connector.WorkQueueLedger
+      val ledgerD = flags.getOrElse("ledger", s"$table/_ledger")
+      val doneD = flags.getOrElse("done", s"${ledgerD}_done")
+      require(graft.store.VersionedTable.latestVersion(spark, doneD).isDefined,
+        s"no done set at $doneD")
+      val ids = (flags.get("ids"), flags.get("manifest")) match {
+        case (Some(csv), None) =>
+          spark.createDataset(csv.split(',').toSeq.filter(_.nonEmpty))(
+            org.apache.spark.sql.Encoders.STRING).toDF("itemID")
+        case (None, Some(mf)) => readManifest(spark, mf)._1
+        case _ => sys.error("done-remove needs exactly one of --ids | --manifest")
+      }
+      val before = WorkQueueLedger.doneEntries(spark, doneD).count()
+      WorkQueueLedger.removeDone(spark, doneD, ids)
+      val after = WorkQueueLedger.doneEntries(spark, doneD).count()
+      println(s"""{"removed": ${before - after}, "done": $after}""")
     case "monitor" =>
       StateQueries.itemCounter(ItemStore.load(spark, table)).show(truncate = false)
       StateQueries.progressHistogram(ItemStore.load(spark, table)).show(truncate = false)

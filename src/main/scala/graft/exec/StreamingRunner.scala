@@ -113,6 +113,38 @@ object StreamingRunner {
     * under a fresh identity would orphan the crashed wave's claims (the
     * r14 silent-loss defect; the `work` verb now derives its default
     * identity from the checkpoint path).
+    *
+    * Retirement is OUTCOME-AWARE (round 16 — the r15 VERDICT defect):
+    * [[Runner.processItems]] deliberately keeps fully budget-skipped
+    * items `todo` ("was never claimed"), so done-marking the whole win
+    * set would permanently block the unrun remainder of every
+    * budget-cut wave behind the done set. The invariant the done set
+    * actually needs is "no claimable work left", and
+    * [[Runner.todoTasks]] IS the definition of claimable work — so an
+    * id is done-marked iff its updated row yields no todo task: terminal
+    * states (`done` / `Wall_Time_Exceeded`) qualify, scriptless
+    * monitoring rows qualify (running them again is a no-op), while a
+    * budget-skipped item with its script still pending is RELEASED with
+    * the wave and returns to claimable — the reference's
+    * skip-and-leave-todo semantics (`code/runner.py:126-141`). A
+    * replayed batch recomputes the same split from the batch's own
+    * deterministically-named outcome files ([[ItemStore.batchItemIds]] /
+    * [[ItemStore.batchRows]]), so replay converges to the identical
+    * done set.
+    *
+    * `takeoverMillis` (opt-in) bounds a CRASHED contending dispatcher's
+    * wedge: every dispatcher heartbeats `<ledger>/_heartbeats/<instance>`
+    * per batch (the `work` verb adds a daemon beat every
+    * [[HeartbeatPeriodMillis]] so a slow batch never reads as dead), and
+    * a dispatcher with the knob releases any other instance's in-flight
+    * waves once that instance's heartbeat is older than the bound —
+    * BEFORE claiming, so the freed items are claimable by the very batch
+    * that carries them. Choose the bound well above the heartbeat period
+    * (minutes, not seconds): a process paused longer than the bound (GC,
+    * VM freeze) can be taken over while alive, in which case its own
+    * commit is suppressed by the pre-commit ownership check below but
+    * its already-forked scripts may have run twice — the classic lease
+    * trade-off, same as the lock-file path's `leaseMillis`.
     */
   def ledgerDispatcher(
       items: DataFrame,
@@ -120,7 +152,8 @@ object StreamingRunner {
       ledgerPath: String,
       instanceId: String,
       config: Runner.RunConfig = Runner.RunConfig(),
-      donePath: Option[String] = None): DataStreamWriter[org.apache.spark.sql.Row] =
+      donePath: Option[String] = None,
+      takeoverMillis: Option[Long] = None): DataStreamWriter[org.apache.spark.sql.Row] =
     items.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       import graft.store.connector.WorkQueueLedger
       val spark = batch.sparkSession
@@ -130,58 +163,122 @@ object StreamingRunner {
       // results store all number their batches from 0, and an unscoped
       // key would make worker B's batch 0 look already-committed by A's
       val batchKey = s"$instanceId-$batchId"
-      def retire(wave: DataFrame): Unit = {
-        WorkQueueLedger.markDone(spark, done, wave, tag)
+      val terminalStates = Seq("done", "Wall_Time_Exceeded")
+      def retire(terminalIds: DataFrame): Unit = {
+        WorkQueueLedger.markDone(spark, done, terminalIds, tag)
         WorkQueueLedger.release(spark, ledgerPath, tag)
-        // maintenance cadence: the claim/release pair adds two manifest
-        // versions per trigger, so every 64 batches the commit LOG is
-        // vacuumed back to the head (the done set keeps its data files —
-        // they ARE the record; only unreferenced versions drop) and the
-        // tag history is capped at 1024, far above the ~1-batch replay
-        // horizon. Without this the per-trigger snapshot listing and the
-        // checkpointed tag list both grow O(lifetime). Safe here because
-        // this dispatcher is the table's only committer between triggers.
-        if (batchId % 64 == 63) {
-          // done-set file compaction first (every 4th maintenance tick):
-          // one small file lands per trigger, and without packing both the
-          // manifest and notDone's file-pruning scan grow O(triggers).
-          // Range-sorted packing keeps per-file itemID ranges tight, so
-          // graduated files stay prunable AND carry by reference forever —
-          // each id is rewritten at most once ever.
-          if (batchId % 256 == 255)
-            graft.store.connector.WorkQueueLedger.compactDone(spark, done)
-          graft.store.VersionedTable.vacuum(spark, ledgerPath, 1, Some(1024))
-          graft.store.VersionedTable.vacuum(spark, done, 1, Some(1024))
-          ()
-        }
+      }
+      // maintenance cadence — OUTSIDE every win/emptiness guard (r15
+      // VERDICT #3: a dispatcher that keeps winning nothing — a contended
+      // twin, a replayed tail — still appends one empty tagged claim
+      // commit per trigger, so commit log and tag history grow with
+      // TRIGGERS, not wins). Every 64 batches the commit LOG is vacuumed
+      // back to the head (the done set keeps its data files — they ARE
+      // the record; only unreferenced versions drop) and the tag history
+      // is capped at 1024, far above the ~1-batch replay horizon. The
+      // leaked-file sweep honors a grace window so a contending
+      // dispatcher's just-written, not-yet-committed wave files are never
+      // vacuumed out from under its commit (r15 ADVICE #2).
+      def maintain(): Unit = if (batchId % 64 == 63) {
+        // done-set file compaction first (every 4th maintenance tick):
+        // one small file lands per trigger, and without packing both the
+        // manifest and notDone's file-pruning scan grow O(triggers).
+        // Range-sorted packing keeps per-file itemID ranges tight, so
+        // graduated files stay prunable AND carry by reference forever —
+        // each id is rewritten at most once ever.
+        if (batchId % 256 == 255)
+          WorkQueueLedger.compactDone(spark, done)
+        if (graft.store.VersionedTable.latestVersion(spark, ledgerPath).isDefined)
+          graft.store.VersionedTable.vacuum(spark, ledgerPath, 1, Some(1024),
+            minAgeMillis = LeakGraceMillis)
+        if (graft.store.VersionedTable.latestVersion(spark, done).isDefined)
+          graft.store.VersionedTable.vacuum(spark, done, 1, Some(1024),
+            minAgeMillis = LeakGraceMillis)
+        ()
+      }
+      WorkQueueLedger.beat(spark, ledgerPath, instanceId)
+      takeoverMillis.foreach { bound =>
+        WorkQueueLedger.takeoverStale(spark, ledgerPath, instanceId, bound, tag)
       }
       if (ItemStore.batchCommitted(spark, resultPath, batchKey)) {
         // post-commit replay: outcomes are already exactly-once — finish
-        // retiring the wave if a crash interrupted markDone/release
+        // retiring the wave if a crash interrupted markDone/release. The
+        // retirable split is recomputed from the committed batch's own
+        // files, so a replay retires exactly what the original would
+        // have: terminal-state rows, plus todo rows with no claimable
+        // task left (scriptless monitoring rows).
         if (graft.store.VersionedTable.latestVersion(spark, ledgerPath).isDefined) {
           val wave = WorkQueueLedger.entries(spark, ledgerPath)
             .filter(col("tag") === tag).select("itemID")
-          if (!wave.isEmpty) retire(wave)
+          if (!wave.isEmpty) {
+            val todoRows = ItemStore.batchRows(spark, resultPath, batchKey, "todo")
+            val taskless = todoRows.select("itemID").join(
+              Runner.todoTasks(todoRows).toDF.select("itemID").distinct(),
+              Seq("itemID"), "left_anti")
+            retire(ItemStore.batchItemIds(spark, resultPath, batchKey,
+              terminalStates).unionByName(taskless))
+          }
         }
+        maintain()
       } else {
         val todo = batch.filter(col("itemState") === "todo").select("itemID")
         val won = WorkQueueLedger.claim(spark, ledgerPath,
           WorkQueueLedger.notDone(spark, done, todo), instanceId, tag)
-        val claimed = batch.join(won, Seq("itemID"), "left_semi")
+        // post-claim done re-check: the pre-claim notDone and another
+        // dispatcher's retire can interleave (their markDone→release gap)
+        // so a just-finished id can win a fresh claim here. Once WE hold
+        // the claim nobody else can retire those ids, and any competing
+        // markDone committed BEFORE its release, which preceded our
+        // successful CAS — so a done id is always visible to this
+        // re-check, and dropping it closes the race completely. Steady
+        // state this is the zero-IO range fast path.
+        val exec = WorkQueueLedger.notDone(spark, done, won)
+        val claimed = batch.join(exec, Seq("itemID"), "left_semi")
         val (updated, outcomes) = Runner.processItems(claimed, config)
-        try ItemStore.commitBatch(
-          updated.select(WorkItem.schema.fieldNames.map(col): _*),
-          resultPath, batchKey)
-        finally { outcomes.unpersist(); () }
-        if (!won.isEmpty) retire(won)
+        // split the win set by OUTCOME while the task cache is still
+        // live (materializing after unpersist would re-fork every
+        // script): retirable = executed ids minus those whose updated
+        // row STILL yields a claimable task — i.e. budget-skipped work
+        val retirable = graft.plans.Lineage.cut(
+          exec.select("itemID").join(
+            Runner.todoTasks(updated).toDF.select("itemID").distinct(),
+            Seq("itemID"), "left_anti"))
+        try {
+          // pre-commit ownership check (takeover mode only): if a stale-
+          // heartbeat takeover released our wave while we ran, the thief
+          // owns these items' outcomes now — committing ours too would
+          // duplicate them under a second batch key
+          val stillOurs = takeoverMillis.isEmpty || won.isEmpty ||
+            WorkQueueLedger.entries(spark, ledgerPath)
+              .filter(col("tag") === tag).count() > 0
+          if (stillOurs)
+            ItemStore.commitBatch(
+              updated.select(WorkItem.schema.fieldNames.map(col): _*),
+              resultPath, batchKey)
+          if (stillOurs && !won.isEmpty) retire(retirable)
+        } finally { outcomes.unpersist(); () }
+        maintain()
         // the wave is retired — free its localCheckpoint blocks NOW so
         // executor storage holds one in-flight wave, not the trigger
         // history (the ContextCleaner would get there eventually; a
         // thousand-trigger worker shouldn't wait on GC pressure)
         graft.plans.Lineage.free(won)
+        graft.plans.Lineage.free(retirable)
         ()
       }
     }
+
+  /** Cadence heartbeat period for the `work` verb's daemon beat (the
+    * dispatcher also beats once per batch). `--takeover-after` bounds
+    * must sit WELL above this — minutes, not seconds.
+    */
+  val HeartbeatPeriodMillis: Long = 10000L
+
+  /** Grace window for the maintenance vacuum's leaked-file sweep: an
+    * unreferenced ledger data file younger than this may be a contending
+    * dispatcher's in-flight wave write racing our tick, not a leak.
+    */
+  val LeakGraceMillis: Long = 600000L
 
   /** Dispatcher that COEXISTS with external workers: before executing, the
     * batch's todo items are claimed through the connector's conditional
@@ -231,11 +328,13 @@ object StreamingRunner {
           col("lockID").startsWith(lockPrefix))
         .select("itemID")
       val claimed = batch.join(won, Seq("itemID"), "left_semi")
+      // the batch's own wins, collected once — bounded by the micro-batch
+      // size, not the table; drives the heartbeat AND the terminal-aware
+      // pin/release below
+      val wonIds = won.collect().map(_.getString(0))
       // heartbeat: keep this batch's leases alive while its scripts run
-      // (item ids collected here are the batch's OWN wins — bounded by the
-      // micro-batch size, not the table)
       val renewer = leaseMillis.map { lease =>
-        val ids = won.collect().map(_.getString(0))
+        val ids = wonIds
         // leases the heartbeat failed to renew: another worker took the item
         // over (contract of WorkQueueClaimWrite.renew — the holder must stop
         // working on it), so its results are suppressed below and renewal
@@ -267,22 +366,40 @@ object StreamingRunner {
         val keep =
           if (lostIds.isEmpty) updated
           else updated.filter(!col("itemID").isin(lostIds: _*))
+        // the ids with claimable work STILL PENDING after this run,
+        // snapshotted while the task cache is live (post-unpersist it
+        // would re-fork scripts): budget-skipped items keep itemState
+        // `todo` with their script intact and must return to claimable,
+        // not wedge behind this worker's locks (r15 VERDICT #1,
+        // locks-mode twin; same todoTasks-based rule as ledger retire)
+        val pending = Runner.todoTasks(keep).toDF
+          .select("itemID").distinct().collect().map(_.getString(0)).toSet
         // batchId-idempotent commit: a replayed batch (post-append crash)
         // publishes the same deterministic file names, never a second copy
         try ItemStore.commitBatch(
           keep.select(WorkItem.schema.fieldNames.map(col): _*), resultPath, batchKey)
         finally { outcomes.unpersist(); () }
-        // stop the heartbeat BEFORE pinning (a late renew would re-arm the
-        // expiry), then convert every completed item's lock to non-expiring:
-        // a finished item must look finished, not crashed — otherwise a
-        // replayed claim takes it over after one lease and re-executes it
-        renewer.foreach { case (ex, ids, lost) =>
+        // stop the heartbeat BEFORE the pin/release pass (a late renew
+        // would re-arm an expiry), then per surviving win: a COMPLETED
+        // item's lock converts to non-expiring — finished work must look
+        // finished, not crashed, or a replayed claim takes it over after
+        // one lease and re-executes it. A budget-skipped (non-terminal)
+        // item's lock is RELEASED outright: it was never run, and holding
+        // it (non-expiring without a lease, one lease longer with one)
+        // wedges exactly the remainder the budget knob deferred.
+        renewer.foreach { case (ex, _, _) =>
           ex.shutdownNow()
           ex.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
-          ids.filterNot(lost.contains).foreach { id =>
+        }
+        val lost = renewer.map(_._3.toArray(Array.empty[String]).toSet)
+          .getOrElse(Set.empty[String])
+        wonIds.filterNot(lost.contains).foreach { id =>
+          if (pending(id))
+            graft.store.connector.WorkQueueClaimWrite.release(
+              registryPath, id, s"$lockPrefix$id")
+          else
             graft.store.connector.WorkQueueClaimWrite.renew(
               registryPath, id, s"$lockPrefix$id", instanceId, 0L)
-          }
         }
       } finally renewer.foreach(_._1.shutdownNow())
       }

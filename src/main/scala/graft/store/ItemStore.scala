@@ -128,6 +128,61 @@ object ItemStore {
   def load(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(WorkItem.schema).parquet(path)
 
+  /** itemIDs of batch `batchKey`'s committed rows that landed in the given
+    * `states` partitions — read from the batch's own deterministically
+    * named `batch-<key>-part-*` files, so a replayed dispatcher can
+    * recompute a wave's TERMINAL subset exactly as the original commit
+    * wrote it, immune to any later mutation of the store. Empty when the
+    * batch published nothing into those states.
+    */
+  def batchItemIds(spark: SparkSession, path: String, batchKey: String,
+      states: Seq[String]): DataFrame = {
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = states.flatMap { st =>
+      val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(st)
+      val dir = new Path(root, s"itemState=$escaped")
+      if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith(s"batch-$batchKey-"))
+        .map(_.toString).toSeq
+    }
+    if (files.isEmpty)
+      spark.range(0).select(
+        org.apache.spark.sql.functions.lit("").as("itemID"))
+    else spark.read.parquet(files: _*).select("itemID")
+  }
+
+  /** Full [[WorkItem]]-shaped rows of batch `batchKey` committed under
+    * ONE `state` partition (the partition column is reconstructed from
+    * the directory, as for [[batchItemIds]]). Used by replayed
+    * dispatchers to recompute a wave's retirable split.
+    */
+  def batchRows(spark: SparkSession, path: String, batchKey: String,
+      state: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val root = new Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val escaped = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+      .escapePathName(state)
+    val dir = new Path(root, s"itemState=$escaped")
+    val files =
+      if (!fs.exists(dir)) Seq.empty[String]
+      else fs.listStatus(dir).map(_.getPath)
+        .filter(_.getName.startsWith(s"batch-$batchKey-"))
+        .map(_.toString).toSeq
+    val dataSchema = org.apache.spark.sql.types.StructType(
+      WorkItem.schema.filterNot(_.name == "itemState"))
+    val base =
+      if (files.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], dataSchema)
+      else spark.read.schema(dataSchema).parquet(files: _*)
+    base.withColumn("itemState", lit(state))
+      .select(WorkItem.schema.fieldNames.map(col): _*)
+  }
+
   /** Compact the store's data files: streaming [[commitBatch]] appends one
     * file per micro-batch per state partition, and at streaming rates the
     * partition dirs accumulate thousands of small files — the classic

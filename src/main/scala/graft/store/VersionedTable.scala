@@ -805,6 +805,51 @@ object VersionedTable {
       hitRows.join(ks.select(col(key)), Seq(key), "left_anti")
     }
 
+  /** String-key twin of [[deleteByKeys]]: copy-on-write delete pruned by
+    * the string footer ranges and per-file blooms, so deleting a handful
+    * of ids from a lifetime-sized table rewrites only the files that
+    * might hold them (every other file carries by reference). Returns
+    * the committed version.
+    */
+  def deleteByKeysString(spark: SparkSession, root: String, keys: DataFrame,
+      key: String): Long = {
+    val b = keys.select(col(key).cast("string").as(key))
+      .filter(col(key).isNotNull).distinct().cache()
+    try {
+      val head = b.agg(min(col(key)), max(col(key))).head()
+      if (head.isNullAt(0)) // empty key set: nothing to rewrite, but still
+        return commitLoop(spark, root) { parent => // a recorded commit
+          val p = parent.getOrElse(sys.error(s"$root does not exist"))
+          ("delete", p.files, p.schema)
+        }
+      val (lo, hi) = (head.getString(0), head.getString(1))
+      val probeRows = b.limit(BloomProbeMax + 1).collect()
+      val probe = if (probeRows.length > BloomProbeMax) None
+        else Some(probeRows.map(_.getString(0)))
+      commitLoop(spark, root) { parent =>
+        val p = parent.getOrElse(sys.error(s"$root does not exist"))
+        val (hits, kept) = p.files.partition { fe =>
+          fe.rows > 0 && ((fe.mins.get(key), fe.maxs.get(key)) match {
+            case (Some(mn), Some(mx)) => mn <= hi && lo <= mx
+            case _ => true // no stats: conservatively rewritten
+          }) && (probe match {
+            case Some(vals) => fe.blooms.get(key).forall(enc =>
+              vals.exists(v => KeyBloom.mightContain(enc, KeyBloom.stringKey(v))))
+            case None => true
+          })
+        }
+        val hitRows =
+          if (hits.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[Row], p.schema)
+          else spark.read.schema(p.schema)
+            .parquet(hits.map(f => s"$root/${f.path}"): _*)
+        val out = hitRows.join(b, Seq(key), "left_anti")
+          .select(p.schema.fieldNames.map(col): _*)
+        ("delete", kept ++ writeData(out, root, p.bloomCols), p.schema)
+      }
+    } finally { b.unpersist(); () }
+  }
+
   private def rewriteHits(spark: SparkSession, root: String, batch: DataFrame,
       key: String, op: String)(
       rewrite: (DataFrame, DataFrame) => DataFrame): Long = {
@@ -867,7 +912,8 @@ object VersionedTable {
     * every batch.
     */
   def vacuum(spark: SparkSession, root: String, retainVersions: Int = 1,
-      pruneTagsKeep: Option[Int] = None): Seq[String] = {
+      pruneTagsKeep: Option[Int] = None,
+      minAgeMillis: Long = 0L): Seq[String] = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val f = fs(spark, root)
     val (versions, cps) = listLog(f, root)
@@ -909,10 +955,18 @@ object VersionedTable {
       .flatMap(v => snapshot(spark, root, Some(v)).files.map(_.path)).toSet
     val dataDir = new Path(root, "data")
     val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // `minAgeMillis` guards the leaked-file sweep: an unreferenced file
+    // younger than the grace window may be a CONCURRENT writer's
+    // just-written, not-yet-committed data (a contending claimer mid-CAS)
+    // rather than a leak — deleting it would fail that commit's read side
+    // after it wins (r15 ADVICE). Files a crashed writer truly leaked age
+    // past any grace and are swept by a later vacuum.
+    val sweepBefore = System.currentTimeMillis() - minAgeMillis
     if (f.exists(dataDir)) {
       for (txn <- f.listStatus(dataDir); file <- f.listStatus(txn.getPath)) {
         val rel = s"data/${txn.getPath.getName}/${file.getPath.getName}"
-        if (!file.getPath.getName.startsWith("_") && !referenced.contains(rel)) {
+        if (!file.getPath.getName.startsWith("_") && !referenced.contains(rel)
+            && file.getModificationTime < sweepBefore) {
           f.delete(file.getPath, false)
           removed += rel
         }

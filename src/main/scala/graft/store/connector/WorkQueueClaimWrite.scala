@@ -340,6 +340,29 @@ object WorkQueueClaimWrite {
     val f = lockFileResolved(path, itemID)
     Files.exists(f) && casSwap(f, content, cur => cur._1 == lockID).isRight
   }
+
+  /** Release a lock IFF still held by `lockID` — the dispatcher's
+    * budget-skip hand-back: an item that was claimed but never run
+    * returns to claimable NOW instead of wedging (no lease) or waiting a
+    * lease out. The holder-compare runs under the same per-file JVM
+    * monitor as [[casSwap]]; the unlink itself carries the write path's
+    * existing `abort` contract (a contender blocked on the old inode's
+    * OS lock re-takes the fresh-claim path via casSwap's gone-file
+    * fallback). Returns false when the lock is absent or held by
+    * someone else.
+    */
+  def release(path: String, itemID: String, lockID: String): Boolean = {
+    val f = lockFileResolved(path, itemID)
+    if (!Files.exists(f)) return false
+    jvmLocks.computeIfAbsent(f.toAbsolutePath.toString,
+      _ => new Object).synchronized {
+      val held =
+        try parseLock(new String(Files.readAllBytes(f),
+          StandardCharsets.UTF_8))._1 == lockID
+        catch { case _: java.io.IOException => false }
+      held && Files.deleteIfExists(f)
+    }
+  }
 }
 
 final case class ClaimCommitMessage(

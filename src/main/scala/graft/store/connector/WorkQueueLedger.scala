@@ -82,6 +82,12 @@ object WorkQueueLedger {
     * freed eagerly so executor storage holds one wave, not the retry
     * history.
     */
+  /** Process-wide count of claim-commit CAS retries (lost races), for
+    * probes and operability dashboards: contention between dispatchers
+    * over one ledger shows up here long before it shows in throughput.
+    */
+  val claimRetries = new java.util.concurrent.atomic.LongAdder()
+
   def claim(spark: SparkSession, root: String, wantIds: DataFrame,
       instanceId: String, tag: String, maxRetries: Int = 0): DataFrame = {
     ensure(spark, root)
@@ -109,6 +115,7 @@ object WorkQueueLedger {
         return mine.select("itemID")
       // lost the race: free this attempt's blocks, back off, re-validate
       graft.plans.Lineage.free(mine)
+      claimRetries.increment()
       tries += 1
       val pause = math.min(25L << math.min(tries, 6), 1000L)
       Thread.sleep(pause +
@@ -173,19 +180,37 @@ object WorkQueueLedger {
       s"done-$tag")
   }
 
-  /** `wantIds` minus the done set. The anti-join is FILE-PRUNED in two
-    * stages, neither bounded by wave size: (1) RANGE — one min/max
-    * aggregate over the wave (a driver-safe two-value job, never a
-    * collect) drops every done file whose itemID footer range cannot
-    * overlap the wave's; (2) BLOOM — when the wave is also
-    * driver-collectable (≤ [[VersionedTable.BloomProbeMax]]) the
-    * surviving files are refined per value. With time-ordered ids a new
-    * wave's range overlaps no finished wave's files at all, so the
-    * anti-join against a lifetime-sized done set reads ZERO done files —
-    * per-trigger cost tracks the TRIGGER, not the worker's lifetime
-    * throughput (the r14 O(ledger)-per-wave term, killed structurally).
-    * Randomly-keyed ids degrade to reading the range-overlapping slice —
-    * still only the overlapping FILES, never an unconditional full scan.
+  /** `wantIds` minus the done set, file-pruned in three stages, none of
+    * them an unconditional scan:
+    *
+    *  1. RANGE — one min/max aggregate over the wave (a driver-safe
+    *     two-value job, never a collect) drops every done file whose
+    *     itemID footer range cannot overlap the wave's. With time-ordered
+    *     ids a new wave overlaps no finished wave's files at all, so the
+    *     anti-join against a lifetime-sized done set reads ZERO done
+    *     files — per-trigger cost tracks the TRIGGER, not lifetime
+    *     throughput (the r14 O(ledger)-per-wave term, killed
+    *     structurally).
+    *  2. DIGEST (round 16 — the r15 negative control priced the
+    *     random-id degradation at +65%): an aggregate bloom over the
+    *     WHOLE done set, broadcast and probed per wave id. Ids the
+    *     digest proves absent — the overwhelming majority of any genuine
+    *     new wave, whatever its key shape — never touch done data; only
+    *     the bloom-positive "suspects" (true re-offers plus
+    *     [[DigestFpp]] false positives) continue. File pruning for
+    *     random keys is structurally hopeless once the wave has more ids
+    *     than the done set has files (every file's range admits some id),
+    *     so the digest is the piece that makes arbitrary-key-shape waves
+    *     wave-bounded instead of done-set-bounded.
+    *  3. BLOOM/RANGE PER SUSPECT — the surviving suspects (driver-small)
+    *     prune files by footer range and per-file bloom, and only those
+    *     files are read for the exact anti-join.
+    *
+    * Exactness: the digest is a SUPERSET of the done set at the version
+    * probed (checked and advanced per call; see [[digestFor]]), so stage
+    * 2 has no false negatives; stage 3 is exact. A digest that cannot be
+    * maintained (suspect overflow, concurrent shrink) falls back to the
+    * r15 range+bloom slice path — correct, just slower for random keys.
     */
   def notDone(spark: SparkSession, doneRoot: String,
       wantIds: DataFrame): DataFrame = {
@@ -203,6 +228,23 @@ object WorkQueueLedger {
       })
     }
     if (ranged.isEmpty) return wantIds
+    digestFor(spark, doneRoot, s).foreach { digest =>
+      val bc = spark.sparkContext.broadcast(digest)
+      val suspectRows =
+        try want.distinct()
+          .filter(org.apache.spark.sql.functions.udf((id: String) =>
+            id != null && bc.value.mightContainString(id)).apply(col("itemID")))
+          .limit(VersionedTable.BloomProbeMax + 1).collect()
+        finally bc.destroy()
+      if (suspectRows.length <= VersionedTable.BloomProbeMax) {
+        val suspects = suspectRows.map(_.getString(0))
+        if (suspects.isEmpty) return wantIds
+        return wantIds.join(readOverlapping(spark, doneRoot, ranged, suspects),
+          Seq("itemID"), "left_anti")
+      }
+      // suspect overflow (a mass re-offer of finished ids): fall through
+      // to the slice path below rather than collect an unbounded set
+    }
     val probe = want.distinct()
       .limit(VersionedTable.BloomProbeMax + 1).collect()
     val files =
@@ -220,6 +262,166 @@ object WorkQueueLedger {
           org.apache.spark.sql.types.StringType))))
       .parquet(files.map(p => s"$doneRoot/$p"): _*)
     wantIds.join(done, Seq("itemID"), "left_anti")
+  }
+
+  /** Done rows from the files of `ranged` whose footer range or per-file
+    * bloom admits at least one of `ids` (a driver-small suspect set).
+    */
+  private def readOverlapping(spark: SparkSession, doneRoot: String,
+      ranged: Seq[VersionedTable.FileEntry],
+      ids: Array[String]): DataFrame = {
+    val hs = ids.filter(_ != null).map(graft.store.KeyBloom.stringKey)
+    val files = ranged.filter { fe =>
+      ((fe.mins.get("itemID"), fe.maxs.get("itemID")) match {
+        case (Some(mn), Some(mx)) => ids.exists(id => mn <= id && id <= mx)
+        case _ => true
+      }) && fe.blooms.get("itemID").forall(enc =>
+        hs.exists(graft.store.KeyBloom.mightContain(enc, _)))
+    }.map(_.path)
+    if (files.isEmpty)
+      spark.range(0).select(lit("").as("itemID"))
+    else spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("itemID",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(files.map(p => s"$doneRoot/$p"): _*)
+  }
+
+  // --------------------------------------------------------- done digest
+
+  /** Target false-positive rate of the done-set digest: at a 15k-id wave
+    * this admits ~15 false suspects, each costing one point-pruned file
+    * read — noise against the O(done) slice scan it replaces.
+    */
+  val DigestFpp: Double = 0.001
+
+  private final case class Digest(version: Long, expected: Long,
+      files: Set[String],
+      bloom: org.apache.spark.util.sketch.BloomFilter)
+
+  private val digests =
+    new java.util.concurrent.ConcurrentHashMap[String, Digest]()
+
+  /** The digest covering AT LEAST `snap`'s files, building or advancing
+    * the process-local cache as needed. Maintenance is delta-sized: a
+    * version advance folds in only the data files the cached digest has
+    * not seen (markDone's per-wave file, compaction's packed outputs —
+    * re-adding a rewritten file's ids is harmless, blooms are
+    * idempotent). A full build scans the done set once per process — and
+    * only on the first wave whose range check failed to clear, so
+    * monotone-id workloads never pay it. Rebuilds when growth exceeds
+    * the sized capacity (fpp would quietly degrade). The digest can only
+    * ever be a SUPERSET of the table at `snap.version` ([[removeDone]]
+    * deletes are deliberately not reflected): supersets cost false
+    * suspects, never false negatives, so exactly-once is never in the
+    * digest's hands.
+    */
+  private def digestFor(spark: SparkSession, doneRoot: String,
+      snap: VersionedTable.Snapshot): Option[
+        org.apache.spark.util.sketch.BloomFilter] =
+    digests.synchronized {
+      val rows = snap.files.map(_.rows).sum
+      val paths = snap.files.map(_.path).toSet
+      val cached = Option(digests.get(doneRoot))
+      cached match {
+        case Some(d) if paths.subsetOf(d.files) => Some(d.bloom)
+        case Some(d) if rows + snap.files
+            .filterNot(f => d.files(f.path)).map(_.rows).sum <= d.expected =>
+          // advance: fold ONLY the unseen files' ids into a compatible
+          // delta bloom (same sizing params ⇒ mergeable bit layout)
+          val delta = snap.files.filterNot(f => d.files(f.path)).map(_.path)
+          val deltaBloom = readDone(spark, doneRoot, delta)
+            .stat.bloomFilter("itemID", d.expected, DigestFpp)
+          d.bloom.mergeInPlace(deltaBloom)
+          digests.put(doneRoot,
+            Digest(snap.version, d.expected, d.files ++ delta, d.bloom))
+          Some(d.bloom)
+        case _ =>
+          // first build, or growth past capacity: size for 4x headroom so
+          // steady appends advance incrementally for a long time
+          val expected = math.max(1L << 16, rows * 4)
+          val bloom = readDone(spark, doneRoot, snap.files.map(_.path))
+            .stat.bloomFilter("itemID", expected, DigestFpp)
+          digests.put(doneRoot, Digest(snap.version, expected, paths, bloom))
+          Some(bloom)
+      }
+    }
+
+  private def readDone(spark: SparkSession, doneRoot: String,
+      paths: Seq[String]): DataFrame =
+    if (paths.isEmpty) spark.range(0).select(lit("").as("itemID"))
+    else spark.read
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("itemID",
+          org.apache.spark.sql.types.StringType))))
+      .parquet(paths.map(p => s"$doneRoot/$p"): _*)
+
+  private[graft] def resetDigestCacheForTests(): Unit =
+    digests.clear()
+
+  /** Delete the listed ids from the done set — the operability pair of
+    * the store's `reset` verb for the STREAMING path: done-ness is keyed
+    * by itemID forever, so a reset/re-queued item would otherwise be
+    * anti-joined out by [[notDone]] and never execute again through a
+    * worker (the reference's reset→re-run cycle,
+    * `Creating and Managing Workflows.md:300-334`). Copy-on-write over
+    * only the files whose range/bloom admit the ids; naturally
+    * idempotent (a second run finds no stats hit). The cached digest is
+    * deliberately NOT shrunk — a stale superset costs one extra suspect
+    * check, never a false negative.
+    */
+  def removeDone(spark: SparkSession, doneRoot: String,
+      ids: DataFrame): Long =
+    VersionedTable.deleteByKeysString(spark, doneRoot, ids, "itemID")
+
+  // ----------------------------------------------------------- takeover
+
+  /** Heartbeat + stale-instance takeover for LEDGER claims: each
+    * dispatcher [[beat]]s `<root>/_heartbeats/<instance>` (content = epoch
+    * millis — object-store mtimes are not trustworthy) once per batch,
+    * plus a daemon beat from the `work` verb so slow batches never read
+    * as dead. [[takeoverStale]] releases every wave of any OTHER instance
+    * whose beat is older than `boundMillis` (or that never beat at all —
+    * a claim row with no heartbeat predates its holder's first batch only
+    * transiently). The release tag carries the caller's wave tag as
+    * epoch, so a replayed batch re-issuing the same takeover is a no-op.
+    */
+  def beat(spark: SparkSession, root: String, instanceId: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_heartbeats/$instanceId")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = f.create(p, true)
+    try out.write(String.valueOf(System.currentTimeMillis())
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def lastBeat(spark: SparkSession, root: String,
+      instanceId: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_heartbeats/$instanceId")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(p)) None
+    else try {
+      val in = f.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => Some(0L) }
+  }
+
+  /** Release every in-flight wave of instances whose heartbeat is stale
+    * (older than `boundMillis`) or absent. Returns the instances taken
+    * over. The caller's own `selfInstance` is never touched.
+    */
+  def takeoverStale(spark: SparkSession, root: String, selfInstance: String,
+      boundMillis: Long, epoch: String): Seq[String] = {
+    if (VersionedTable.latestVersion(spark, root).isEmpty) return Seq.empty
+    val holders = entries(spark, root).select("instanceID").distinct()
+      .collect().map(_.getString(0)).filter(_ != selfInstance)
+    val now = System.currentTimeMillis()
+    val stale = holders.filter(h =>
+      lastBeat(spark, root, h).forall(b => now - b >= boundMillis))
+    stale.foreach(h => releaseInstance(spark, root, h, s"$epoch-$h"))
+    stale.toSeq
   }
 
   /** The done set (itemID rows). */

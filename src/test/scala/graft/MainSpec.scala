@@ -184,6 +184,98 @@ class MainSpec extends SparkSpec {
       Set("V1", "V2", "V3"))
   }
 
+  test("done-remove verb: the reset→re-run cycle works through the " +
+      "streaming path (r15 VERDICT missing #1)") {
+    import graft.store.connector.{WorkQueueLedger, WorkQueueSource}
+    val base = java.nio.file.Files.createTempDirectory("graft-cli-dr").toString
+    val qdir = s"$base/q"
+    val rows = Seq("D1", "D2").toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    WorkQueueSource.append(rows.coalesce(1), qdir)
+    Main.run(spark, "work", qdir, Map(
+      "results" -> s"$base/results", "checkpoint" -> s"$base/ckpt",
+      "once" -> "1"))
+    assert(WorkQueueLedger.doneEntries(spark, s"$qdir/_ledger_done")
+      .select("itemID").as[String].collect().toSet === Set("D1", "D2"))
+    // the operator resets D1 and re-opens it for the streaming worker
+    Main.run(spark, "done-remove", qdir, Map("ids" -> "D1"))
+    assert(WorkQueueLedger.doneEntries(spark, s"$qdir/_ledger_done")
+      .select("itemID").as[String].collect().toSet === Set("D2"))
+    // a fresh drain re-executes EXACTLY the re-opened item
+    Main.run(spark, "work", qdir, Map(
+      "results" -> s"$base/results2", "checkpoint" -> s"$base/ckpt2",
+      "once" -> "1"))
+    assert(store.ItemStore.load(spark, s"$base/results2")
+      .select("itemID").as[String].collect().toSet === Set("D1"))
+    assert(WorkQueueLedger.doneEntries(spark, s"$qdir/_ledger_done")
+      .select("itemID").as[String].collect().toSet === Set("D1", "D2"))
+    // manifest form works too (same file shape as `reset`)
+    val mf = java.io.File.createTempFile("graft-dr", ".json")
+    val wmf = new java.io.PrintWriter(mf)
+    wmf.println("""["D2"]""")
+    wmf.close()
+    Main.run(spark, "done-remove", qdir, Map("manifest" -> mf.getAbsolutePath))
+    assert(WorkQueueLedger.doneEntries(spark, s"$qdir/_ledger_done")
+      .select("itemID").as[String].collect().toSet === Set("D1"))
+  }
+
+  test("work-release --results finishes a post-commit crashed wave's " +
+      "retirement instead of re-opening it (r15 ADVICE #1)") {
+    import graft.exec.{Runner, StreamingRunner}
+    import graft.store.connector.{WorkQueueLedger, WorkQueueSource}
+    val base = java.nio.file.Files.createTempDirectory("graft-cli-rel2").toString
+    val qdir = s"$base/q"
+    val results = s"$base/results"
+    val rows = Seq("P1", "P2").toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    WorkQueueSource.append(rows.coalesce(1), qdir)
+    // simulate the post-commit crash: wave claimed, outcomes committed
+    // under the worker's batch key, retirement never ran, worker gone
+    val inst = "crashed-w"
+    WorkQueueLedger.claim(spark, s"$qdir/_ledger",
+      Seq("P1", "P2").toDF("itemID"), inst, s"$inst-batch-0")
+    val staticBatch = StreamingRunner.queueWorkItems(
+      spark.read.format("graft.store.connector.WorkQueueSource")
+        .option("path", qdir).load())
+    val (updated, outcomes) = Runner.processItems(staticBatch)
+    store.ItemStore.commitBatch(
+      updated.select(graft.model.WorkItem.schema.fieldNames
+        .map(org.apache.spark.sql.functions.col): _*),
+      results, s"$inst-0")
+    outcomes.unpersist()
+    // outcome-aware release: the committed wave is RETIRED (done-marked +
+    // released), not handed back raw
+    Main.run(spark, "work-release", qdir,
+      Map("instance" -> inst, "results" -> results))
+    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 0)
+    assert(WorkQueueLedger.doneEntries(spark, s"$qdir/_ledger_done")
+      .select("itemID").as[String].collect().toSet === Set("P1", "P2"),
+      "a committed wave's ids must land in the done set, not re-open")
+    // a re-drain must NOT re-execute them — that's the double-execution
+    // the cross-check exists to prevent
+    Main.run(spark, "work", qdir, Map(
+      "results" -> s"$base/results2", "checkpoint" -> s"$base/ckpt2",
+      "once" -> "1"))
+    assert(store.ItemStore.load(spark, s"$base/results2").count() === 0)
+  }
+
+  test("workerIdentity: 128-bit, stable per path, distinct across paths") {
+    val a = Main.workerIdentity("/tmp/ckpt-a")
+    val b = Main.workerIdentity("/tmp/ckpt-b")
+    assert(a === Main.workerIdentity("/tmp/ckpt-a"), "identity must be stable")
+    assert(a !== b, "distinct checkpoints must get distinct identities")
+    // worker- prefix + 32 hex chars = the full 128-bit digest, not a
+    // truncated word (colliding identities silently skip batches)
+    assert(a.matches("worker-[0-9a-f]{32}"), a)
+    // relative and absolute spellings of one path agree (canonicalized)
+    val rel = Main.workerIdentity("ckpt-rel")
+    val abs = Main.workerIdentity(
+      new java.io.File("ckpt-rel").getAbsolutePath)
+    assert(rel === abs)
+  }
+
   test("manifest-driven reset restarts exactly the listed items (manager.py:465-549)") {
     val table = java.nio.file.Files.createTempDirectory("graft-cli-store").toString + "/t"
     Main.run(spark, "import", table,

@@ -220,6 +220,54 @@ class StreamingRunnerSpec extends SparkSpec {
     assert(out.select($"itemState").as[String].head() === "done")
   }
 
+  test("claimed dispatcher releases budget-skipped items' locks instead of " +
+      "pinning them (r15 VERDICT #1, locks-mode twin)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-lockbudget").toFile
+    val f = new java.io.File(dir, "items.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("itemID|taskID|TaskScript|TaskArgs")
+    w.println("K1|g|echo ran|")
+    w.println("K2|g|echo ran|")
+    w.close()
+    val store = dir.toPath.resolve("store").toString
+    val results = dir.toPath.resolve("results").toString
+    val registry = dir.toPath.resolve("registry").toString
+    ItemStore.save(Importer.importFile(spark, f.getAbsolutePath, "|", Some(",")), store)
+
+    // zero budget, NO lease: the old behavior pinned every won lock
+    // non-expiring after commit — wedging the skipped items until a
+    // manual reset. Now a skipped item's lock must be RELEASED.
+    val q = StreamingRunner.claimedDispatcher(
+      StreamingRunner.itemStream(spark, store), results, registry, "worker-K",
+      Runner.RunConfig(budgetSeconds = Some(0.0)))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", dir.toPath.resolve("ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // committed rows say todo; the registry holds NO locks for them
+    val out = ItemStore.load(spark, results)
+    assert(out.filter($"itemState" === "todo").count() === 2)
+    assert(graft.store.connector.WorkQueueClaimWrite.lockState(registry, "K1").isEmpty,
+      "budget-skipped item's lock must be released")
+    assert(graft.store.connector.WorkQueueClaimWrite.lockState(registry, "K2").isEmpty)
+
+    // a second dispatcher (fresh checkpoint, no budget) claims and runs
+    // them — no wedge, exactly-once outcomes per surviving run
+    val q2 = StreamingRunner.claimedDispatcher(
+      StreamingRunner.itemStream(spark, store), s"$dir/results2", registry,
+      "worker-L")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", dir.toPath.resolve("ckpt2").toString)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    val out2 = ItemStore.load(spark, s"$dir/results2")
+    assert(out2.count() === 2)
+    assert(out2.filter($"itemState" === "done").count() === 2)
+    // completed items' locks pin non-expiring (finished must look finished)
+    val k1 = graft.store.connector.WorkQueueClaimWrite.lockState(registry, "K1")
+    assert(k1.exists(_._1.startsWith("lock-worker-L-")), s"got $k1")
+  }
+
   test("claimed dispatcher skips items an external worker already holds") {
     val dir = java.nio.file.Files.createTempDirectory("graft-srun2").toFile
     val f = new java.io.File(dir, "items.txt")

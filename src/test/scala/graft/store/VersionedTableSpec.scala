@@ -92,6 +92,54 @@ class VersionedTableSpec extends SparkSpec {
       VersionedTable.snapshot(spark, root).files.map(_.path).toSet))
   }
 
+  test("deleteByKeysString removes exactly the keyed rows, prunes disjoint " +
+      "files by string range/bloom") {
+    val root = tmp()
+    VersionedTable.create(spark, root,
+      spark.range(0, 100).select(
+        org.apache.spark.sql.functions.format_string("a-%03d", $"id").as("k"),
+        $"id".as("v")),
+      bloomKeys = Seq("k"))
+    VersionedTable.append(spark, root,
+      spark.range(0, 100).select(
+        org.apache.spark.sql.functions.format_string("z-%03d", $"id").as("k"),
+        $"id".as("v")))
+    val lowFiles = VersionedTable.snapshot(spark, root).files
+      .filter(_.maxs.get("k").exists(_ < "z")).map(_.path).toSet
+
+    VersionedTable.deleteByKeysString(spark, root,
+      Seq("z-000", "z-001", "z-002", "missing").toDF("k"), "k")
+    val after = VersionedTable.read(spark, root)
+    assert(after.count() === 197)
+    assert(after.filter($"k".isin("z-000", "z-001", "z-002")).count() === 0)
+    // files whose range cannot hold the keys carry by reference
+    assert(lowFiles.subsetOf(
+      VersionedTable.snapshot(spark, root).files.map(_.path).toSet))
+    // idempotent: a second run finds no stats hit, rows unchanged
+    VersionedTable.deleteByKeysString(spark, root,
+      Seq("z-000").toDF("k"), "k")
+    assert(VersionedTable.read(spark, root).count() === 197)
+  }
+
+  test("vacuum minAgeMillis: young unreferenced files survive the leak " +
+      "sweep (a contender's in-flight write is not a leak)") {
+    val root = tmp()
+    VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))
+    VersionedTable.overwrite(spark, root, Seq((2L, "b")).toDF("k", "s"))
+    val leakDir = s"$root/data/txn-leaked-${java.util.UUID.randomUUID()}"
+    Seq((9L, "junk")).toDF("k", "s").write.parquet(leakDir)
+    // grace window larger than the file's age: the sweep must skip it
+    val removedYoung = VersionedTable.vacuum(spark, root, retainVersions = 1,
+      minAgeMillis = 3600000L)
+    assert(!removedYoung.exists(_.contains("txn-leaked")),
+      s"young unreferenced files must survive the grace window: $removedYoung")
+    assert(new java.io.File(leakDir).exists())
+    // zero grace (the default): the same file is swept as a leak
+    val removedOld = VersionedTable.vacuum(spark, root, retainVersions = 1)
+    assert(removedOld.exists(_.contains("txn-leaked")),
+      s"aged leak must be swept: $removedOld")
+  }
+
   test("empty merge batch commits a no-op version") {
     val root = tmp()
     VersionedTable.create(spark, root, Seq((1L, "a")).toDF("k", "s"))

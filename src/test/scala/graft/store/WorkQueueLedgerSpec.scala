@@ -303,6 +303,189 @@ class WorkQueueLedgerSpec extends SparkSpec {
       .select("itemID")) === Set("A", "B"))
   }
 
+  test("budget-cut wave: skipped ids stay OUT of the done set and a " +
+      "re-drain executes them exactly once (r15 VERDICT #1)") {
+    import graft.exec.{Runner, StreamingRunner}
+    import graft.store.Importer
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledbudget").toFile
+    val f = new java.io.File(dir, "items.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("itemID|taskID|TaskScript|TaskArgs")
+    w.println("B1|g|echo ran|")
+    w.println("B2|g|echo ran|")
+    w.println("B3|g|echo ran|")
+    w.close()
+    val store = new java.io.File(dir, "store").toString
+    val results = new java.io.File(dir, "results").toString
+    val ledger = new java.io.File(dir, "ledger").toString
+    ItemStore.save(Importer.importFile(spark, f.getAbsolutePath, "|", Some(",")), store)
+    // zero budget: every item is fully skipped — Runner keeps them `todo`
+    // with their script intact (claimable work pending)
+    val q = StreamingRunner.ledgerDispatcher(
+        StreamingRunner.itemStream(spark, store),
+        results, ledger, "bud-1",
+        Runner.RunConfig(budgetSeconds = Some(0.0)))
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    // outcomes committed (rows say todo), but the done set holds NOTHING:
+    // done-marking a skipped id would permanently block it
+    val out = ItemStore.load(spark, results)
+    assert(out.count() === 3)
+    assert(out.filter($"itemState" === "todo").count() === 3,
+      "fully budget-skipped items must commit as todo")
+    assert(WorkQueueLedger.doneEntries(spark, s"${ledger}_done").count() === 0,
+      "budget-skipped ids must NOT enter the done set")
+    assert(WorkQueueLedger.entries(spark, ledger).count() === 0,
+      "the wave must still be released — skipped ids return to claimable")
+    // re-drain without a budget (fresh checkpoint): every item executes
+    // exactly once now
+    val q2 = StreamingRunner.ledgerDispatcher(
+        StreamingRunner.itemStream(spark, store),
+        results, ledger, "bud-2")
+      .option("checkpointLocation", new java.io.File(dir, "ckpt2").toString)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(WorkQueueLedger.doneEntries(spark, s"${ledger}_done")
+      .select("itemID").as[String].collect().toSet === Set("B1", "B2", "B3"))
+    // and a third drain wins nothing — the done set now blocks them
+    val q3 = StreamingRunner.ledgerDispatcher(
+        StreamingRunner.itemStream(spark, store),
+        s"$dir/results3", ledger, "bud-3")
+      .option("checkpointLocation", new java.io.File(dir, "ckpt3").toString)
+      .start()
+    try q3.processAllAvailable() finally q3.stop()
+    assert(ItemStore.load(spark, s"$dir/results3").count() === 0)
+  }
+
+  test("post-claim done re-check: an id done-marked before a successful " +
+      "claim is excluded even when the pre-claim filter raced past it") {
+    val root = tmp()
+    val done = root + "-done"
+    // another dispatcher finished X: markDone committed BEFORE its release,
+    // which preceded any claim we could win — so by the time our claim CAS
+    // succeeds, X's done-ness is durably visible to a re-check
+    WorkQueueLedger.markDone(spark, done, ids("X"), "other-retire")
+    val wave = WorkQueueLedger.claim(spark, root, ids("X", "Y"), "B", "b-race")
+    assert(won(wave) === Set("X", "Y"),
+      "the raced claim wins both (the pre-claim filter was stale)")
+    val exec = WorkQueueLedger.notDone(spark, done, wave)
+    assert(won(exec) === Set("Y"),
+      "the post-claim re-check must drop the already-done id")
+  }
+
+  test("done digest: overlapping-range waves resolve exactly, and the " +
+      "digest ADVANCES across later markDone commits") {
+    WorkQueueLedger.resetDigestCacheForTests()
+    val done = tmp() + "-dig"
+    // interleaved ids so every wave's range overlaps the done files —
+    // the shape where range pruning holds nothing back (random-id analog)
+    WorkQueueLedger.markDone(spark, done,
+      ids((0 until 200 by 2).map(i => f"id-$i%04d"): _*), "w-0")
+    val want1 = ids(f"id-${1}%04d", f"id-${2}%04d", f"id-${101}%04d",
+      f"id-${100}%04d", "id-9999")
+    assert(won(WorkQueueLedger.notDone(spark, done, want1)) ===
+      Set("id-0001", "id-0101", "id-9999"),
+      "digest path must drop exactly the done ids")
+    // advance: a LATER wave marks more ids done; a stale digest that
+    // missed them would be a false negative — the advance must fold the
+    // new files in before probing
+    WorkQueueLedger.markDone(spark, done, ids("id-0001", "id-9999"), "w-1")
+    assert(won(WorkQueueLedger.notDone(spark, done, want1)) ===
+      Set("id-0101"),
+      "the digest must cover ids done-marked after it was built")
+    // and removeDone re-opens ids without shrinking the digest (superset
+    // stays exact through the file re-check)
+    WorkQueueLedger.removeDone(spark, done, ids("id-0002"))
+    assert(won(WorkQueueLedger.notDone(spark, done, want1)) ===
+      Set("id-0101", "id-0002"),
+      "a removed id must pass notDone again (stale-superset digest is safe)")
+  }
+
+  test("removeDone deletes exactly the listed ids; disjoint done files " +
+      "carry by reference") {
+    val done = tmp() + "-rm"
+    WorkQueueLedger.markDone(spark, done,
+      ids((0 until 50).map(i => f"a-$i%03d"): _*), "w-a")
+    WorkQueueLedger.markDone(spark, done,
+      ids((0 until 50).map(i => f"z-$i%03d"): _*), "w-z")
+    val aFiles = VersionedTable.snapshot(spark, done).files
+      .filter(_.maxs.get("itemID").exists(_ < "z")).map(_.path).toSet
+    WorkQueueLedger.removeDone(spark, done, ids("z-000", "z-001"))
+    assert(WorkQueueLedger.doneEntries(spark, done).count() === 98)
+    assert(won(WorkQueueLedger.notDone(spark, done,
+      ids("z-000", "z-001", "z-002", "a-000"))) === Set("z-000", "z-001"))
+    assert(aFiles.subsetOf(
+      VersionedTable.snapshot(spark, done).files.map(_.path).toSet),
+      "files that cannot hold the removed ids must carry by reference")
+  }
+
+  test("heartbeat takeover: a stale instance's waves are released before " +
+      "the batch claims; a live-beating instance is never stolen") {
+    import graft.exec.StreamingRunner
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledtake").toFile
+    val queue = new java.io.File(dir, "queue").toString
+    val results = new java.io.File(dir, "results").toString
+    val ledger = new java.io.File(dir, "ledger").toString
+    def rows(xs: String*) = xs.toSeq.toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    WorkQueueSource.append(rows("T1", "T2", "T3", "T4").coalesce(1), queue)
+    // dead-A wedged T1+T2 (claimed, never beat — a crash predating its
+    // first heartbeat, the worst case); live-C holds T3 and beats NOW
+    WorkQueueLedger.claim(spark, ledger, ids("T1", "T2"), "dead-A",
+      "dead-A-batch-0")
+    WorkQueueLedger.claim(spark, ledger, ids("T3"), "live-C",
+      "live-C-batch-0")
+    WorkQueueLedger.beat(spark, ledger, "live-C")
+    val q = StreamingRunner.ledgerDispatcher(
+        StreamingRunner.queueWorkItems(
+          StreamingRunner.queueStream(spark, queue)),
+        results, ledger, "taker-B", takeoverMillis = Some(60000L))
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val out = ItemStore.load(spark, results)
+    assert(out.select("itemID").as[String].collect().toSet ===
+      Set("T1", "T2", "T4"),
+      "the stale wave must be taken over; the live-beating wave must not")
+    // live-C's claim survives untouched
+    assert(won(WorkQueueLedger.entries(spark, ledger).select("itemID")) ===
+      Set("T3"))
+  }
+
+  test("maintenance cadence ticks on EMPTY wins too: a starved dispatcher " +
+      "still bounds the ledger commit log (r15 VERDICT #3)") {
+    import graft.exec.StreamingRunner
+    val dir = java.nio.file.Files.createTempDirectory("graft-ledstarve").toFile
+    val queue = new java.io.File(dir, "queue").toString
+    val results = new java.io.File(dir, "results").toString
+    val ledger = new java.io.File(dir, "ledger").toString
+    def rows(xs: String*) = xs.toSeq.toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    // 70 one-item files, every id ALREADY done: the dispatcher runs 70
+    // triggers (maxFilesPerTrigger=1) and wins nothing in any of them —
+    // exactly the starved shape whose maintenance the old guard skipped
+    val all = (0 until 70).map(i => f"s-$i%03d")
+    for (id <- all) WorkQueueSource.append(rows(id).coalesce(1), queue)
+    WorkQueueLedger.markDone(spark, s"${ledger}_done", ids(all: _*), "seed")
+    val q = StreamingRunner.ledgerDispatcher(
+        StreamingRunner.queueWorkItems(
+          StreamingRunner.queueStream(spark, queue, Some(1))),
+        results, ledger, "starved-1")
+      .option("checkpointLocation", new java.io.File(dir, "ckpt").toString)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    assert(ItemStore.load(spark, results).count() === 0)
+    // 70 triggers → ≥70 empty claim commits; the batch-63 vacuum must
+    // have pruned the log back to the head (bounded, not O(triggers))
+    val logFiles = Option(new java.io.File(s"$ledger/_log").list())
+      .map(_.count(!_.startsWith("."))).getOrElse(0)
+    assert(logFiles < 40,
+      s"starved dispatcher's ledger _log must be vacuum-bounded, got $logFiles")
+  }
+
   test("ledger size tracks in-flight items, not lifetime throughput") {
     import graft.exec.StreamingRunner
     val dir = java.nio.file.Files.createTempDirectory("graft-ledsize").toFile
