@@ -190,11 +190,15 @@ object Main {
       // micro-batch's todo items are claimed (--claims ledger | locks),
       // executed, and committed to --results exactly once (batch-tagged).
       // `ledger` (default) claims in wave commits — O(triggers) filesystem
-      // objects, the data-pipeline scale path; `locks` claims per-item
-      // lock files with optional --lease-ms takeover (the long-running-
-      // script deployment). --once drains the queue and exits (the CI /
-      // cron shape); otherwise the reference's poll loop
-      // (code/runner.py:144-238) runs as a live streaming query.
+      // objects, the data-pipeline scale path, with opt-in
+      // --takeover-after MILLIS crashed-dispatcher recovery on a
+      // heartbeat bound; `locks` claims per-item lock files with optional
+      // --lease-ms takeover (the long-running-script deployment). --once
+      // drains the queue and exits (the CI / cron shape); otherwise the
+      // reference's poll loop (code/runner.py:144-238) runs as a live
+      // streaming query. --budget SECONDS caps wall time per micro-batch:
+      // items the budget skips stay todo, out of the done set, and
+      // claimable by a later drain.
       val results = flags.getOrElse("results", sys.error("--results is required"))
       val ckpt = flags.getOrElse("checkpoint", sys.error("--checkpoint is required"))
       // the claim identity MUST be stable across restarts of the same

@@ -90,11 +90,12 @@ object StreamingRunner {
     * — the measured ceiling: ~4.7k claims/s and ~60 GB of lock metadata
     * at the 15M-item probe). Exactly-once across contending dispatchers
     * holds through the ledger's read-validate-commit loop; replayed
-    * micro-batches re-use their wave tag and win the SAME items. Leases
-    * are not part of this mode — a crashed dispatcher's in-flight wave
-    * stays claimed until `work-release` hands it back; use
-    * [[claimedDispatcher]] where automatic crashed-worker takeover
-    * matters more than claim throughput.
+    * micro-batches re-use their wave tag and win the SAME items.
+    * Per-item leases are not part of this mode — a crashed dispatcher's
+    * in-flight wave stays claimed until `work-release` hands it back or
+    * a `takeoverMillis`-armed contender's heartbeat scan reclaims it;
+    * use [[claimedDispatcher]] where PER-ITEM takeover matters more
+    * than claim throughput.
     *
     * State lifecycle per batch (round 15 — the ledger tracks IN-FLIGHT
     * items, not lifetime throughput): filter the batch's todo ids
@@ -221,6 +222,12 @@ object StreamingRunner {
         }
         maintain()
       } else {
+        // done-set version BEFORE the pre-claim filter: if it hasn't
+        // advanced by the time our claim lands, no competing markDone
+        // committed in between and the post-claim re-check below is a
+        // proven no-op (zero extra jobs on the steady single-dispatcher
+        // trigger path)
+        val doneV0 = graft.store.VersionedTable.latestVersion(spark, done)
         val todo = batch.filter(col("itemState") === "todo").select("itemID")
         val won = WorkQueueLedger.claim(spark, ledgerPath,
           WorkQueueLedger.notDone(spark, done, todo), instanceId, tag)
@@ -229,20 +236,29 @@ object StreamingRunner {
         // so a just-finished id can win a fresh claim here. Once WE hold
         // the claim nobody else can retire those ids, and any competing
         // markDone committed BEFORE its release, which preceded our
-        // successful CAS — so a done id is always visible to this
-        // re-check, and dropping it closes the race completely. Steady
-        // state this is the zero-IO range fast path.
-        val exec = WorkQueueLedger.notDone(spark, done, won)
+        // successful CAS — so its done commit both advanced the done
+        // version past `doneV0` AND is visible to this re-check;
+        // dropping the id closes the race completely.
+        val exec =
+          if (graft.store.VersionedTable.latestVersion(spark, done) == doneV0)
+            won
+          else WorkQueueLedger.notDone(spark, done, won)
         val claimed = batch.join(exec, Seq("itemID"), "left_semi")
         val (updated, outcomes) = Runner.processItems(claimed, config)
         // split the win set by OUTCOME while the task cache is still
         // live (materializing after unpersist would re-fork every
         // script): retirable = executed ids minus those whose updated
-        // row STILL yields a claimable task — i.e. budget-skipped work
-        val retirable = graft.plans.Lineage.cut(
-          exec.select("itemID").join(
-            Runner.todoTasks(updated).toDF.select("itemID").distinct(),
-            Seq("itemID"), "left_anti"))
+        // row STILL yields a claimable task — i.e. budget-skipped work.
+        // Without a budget there IS no skip path (every claimed task
+        // runs to a terminal row, scriptless rows have no tasks), so the
+        // split is skipped entirely — the steady trigger path pays zero
+        // extra jobs for the budget fix.
+        val retirable =
+          if (config.budgetSeconds.isEmpty) exec
+          else graft.plans.Lineage.cut(
+            exec.select("itemID").join(
+              Runner.todoTasks(updated).toDF.select("itemID").distinct(),
+              Seq("itemID"), "left_anti"))
         try {
           // pre-commit ownership check (takeover mode only): if a stale-
           // heartbeat takeover released our wave while we ran, the thief

@@ -962,8 +962,16 @@ object VersionedTable {
     // after it wins (r15 ADVICE). Files a crashed writer truly leaked age
     // past any grace and are swept by a later vacuum.
     val sweepBefore = System.currentTimeMillis() - minAgeMillis
+    // the sweep listings tolerate CONCURRENT vacuums (contending
+    // dispatchers' maintenance ticks land together): a txn dir another
+    // sweep just removed lists as empty here instead of crashing the
+    // caller's streaming batch (first seen live in the 8-contender probe)
+    def listOrGone(p: Path): Array[org.apache.hadoop.fs.FileStatus] =
+      try f.listStatus(p)
+      catch { case _: java.io.FileNotFoundException =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
     if (f.exists(dataDir)) {
-      for (txn <- f.listStatus(dataDir); file <- f.listStatus(txn.getPath)) {
+      for (txn <- listOrGone(dataDir); file <- listOrGone(txn.getPath)) {
         val rel = s"data/${txn.getPath.getName}/${file.getPath.getName}"
         if (!file.getPath.getName.startsWith("_") && !referenced.contains(rel)
             && file.getModificationTime < sweepBefore) {
@@ -971,10 +979,16 @@ object VersionedTable {
           removed += rel
         }
       }
-      // drop now-empty txn dirs
-      for (txn <- f.listStatus(dataDir)
-           if f.listStatus(txn.getPath).forall(_.getPath.getName.startsWith("_")))
-        f.delete(txn.getPath, true)
+      // drop now-empty txn dirs (a dir emptied by a concurrent sweep
+      // lists as empty and the delete is idempotent); a YOUNG empty dir
+      // is spared — it may be a concurrent writer's just-created txn
+      // about to receive its files
+      for (txn <- listOrGone(dataDir)) {
+        val left = listOrGone(txn.getPath)
+        if (left.forall(_.getPath.getName.startsWith("_"))
+            && txn.getModificationTime < sweepBefore)
+          f.delete(txn.getPath, true)
+      }
     }
     for (v <- versions.dropRight(retainVersions)) f.delete(vPath(root, v), false)
     for (c <- cps if c < keep.head) f.delete(cpPath(root, c), false)

@@ -48,10 +48,12 @@ import graft.store.VersionedTable
   * wave-atomic, so contending claimers serialize on the table CAS (fine
   * for dispatcher-per-queue deployments, the streaming shape; the
   * lock-file path remains the right tool for many independent workers
-  * claiming single items), and leases/expiry are not implemented here —
-  * a crashed ledger dispatcher's unfinished items stay claimed until
-  * [[release]] (exposed as the `work-release` CLI verb; the lock-file
-  * path's lease takeover covers the long-running-script deployment).
+  * claiming single items — `LedgerContentionProbe` puts numbers on the
+  * contention curve). Per-ITEM leases are not implemented here; crashed-
+  * dispatcher recovery is per-WAVE: operator-driven [[release]] (the
+  * `work-release` CLI verb) or the opt-in heartbeat [[takeoverStale]]
+  * (`work --takeover-after`). The lock-file path's per-item lease
+  * takeover still covers the long-running-script deployment.
   */
 object WorkQueueLedger {
 
@@ -228,25 +230,22 @@ object WorkQueueLedger {
       })
     }
     if (ranged.isEmpty) return wantIds
-    digestFor(spark, doneRoot, s).foreach { digest =>
-      val bc = spark.sparkContext.broadcast(digest)
-      val suspectRows =
-        try want.distinct()
-          .filter(org.apache.spark.sql.functions.udf((id: String) =>
-            id != null && bc.value.mightContainString(id)).apply(col("itemID")))
-          .limit(VersionedTable.BloomProbeMax + 1).collect()
-        finally bc.destroy()
-      if (suspectRows.length <= VersionedTable.BloomProbeMax) {
-        val suspects = suspectRows.map(_.getString(0))
+    // one bounded collect serves both the digest probe and the legacy
+    // per-file bloom refinement — a wave past the cap takes the
+    // file-sliced path unconditionally
+    val probe = want.distinct()
+      .limit(VersionedTable.BloomProbeMax + 1).collect()
+    if (probe.length <= VersionedTable.BloomProbeMax) {
+      digestFor(spark, doneRoot, s).foreach { digest =>
+        // driver-side probe (the wave is already collected): no
+        // broadcast of the lifetime-sized bloom on the trigger path
+        val suspects = probe.map(_.getString(0))
+          .filter(id => id != null && digest.mightContainString(id))
         if (suspects.isEmpty) return wantIds
         return wantIds.join(readOverlapping(spark, doneRoot, ranged, suspects),
           Seq("itemID"), "left_anti")
       }
-      // suspect overflow (a mass re-offer of finished ids): fall through
-      // to the slice path below rather than collect an unbounded set
     }
-    val probe = want.distinct()
-      .limit(VersionedTable.BloomProbeMax + 1).collect()
     val files =
       if (probe.length > VersionedTable.BloomProbeMax) ranged.map(_.path)
       else {
@@ -328,20 +327,31 @@ object WorkQueueLedger {
         case Some(d) if rows + snap.files
             .filterNot(f => d.files(f.path)).map(_.rows).sum <= d.expected =>
           // advance: fold ONLY the unseen files' ids into a compatible
-          // delta bloom (same sizing params ⇒ mergeable bit layout)
-          val delta = snap.files.filterNot(f => d.files(f.path)).map(_.path)
-          val deltaBloom = readDone(spark, doneRoot, delta)
-            .stat.bloomFilter("itemID", d.expected, DigestFpp)
-          d.bloom.mergeInPlace(deltaBloom)
-          digests.put(doneRoot,
-            Digest(snap.version, d.expected, d.files ++ delta, d.bloom))
+          // delta bloom (same sizing params ⇒ mergeable bit layout).
+          // Zero-row deltas (an all-raced-out wave's empty retire commit)
+          // are tracked but never aggregated — stat.bloomFilter NPEs on
+          // an empty frame.
+          val delta = snap.files.filterNot(f => d.files(f.path))
+          val livePaths = delta.filter(_.rows > 0).map(_.path)
+          if (livePaths.nonEmpty) {
+            val deltaBloom = readDone(spark, doneRoot, livePaths)
+              .stat.bloomFilter("itemID", d.expected, DigestFpp)
+            d.bloom.mergeInPlace(deltaBloom)
+            ()
+          }
+          digests.put(doneRoot, Digest(snap.version, d.expected,
+            d.files ++ delta.map(_.path), d.bloom))
           Some(d.bloom)
         case _ =>
           // first build, or growth past capacity: size for 4x headroom so
           // steady appends advance incrementally for a long time
           val expected = math.max(1L << 16, rows * 4)
-          val bloom = readDone(spark, doneRoot, snap.files.map(_.path))
-            .stat.bloomFilter("itemID", expected, DigestFpp)
+          val livePaths = snap.files.filter(_.rows > 0).map(_.path)
+          val bloom =
+            if (livePaths.isEmpty)
+              org.apache.spark.util.sketch.BloomFilter.create(expected, DigestFpp)
+            else readDone(spark, doneRoot, livePaths)
+              .stat.bloomFilter("itemID", expected, DigestFpp)
           digests.put(doneRoot, Digest(snap.version, expected, paths, bloom))
           Some(bloom)
       }

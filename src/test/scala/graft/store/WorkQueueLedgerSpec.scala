@@ -402,6 +402,27 @@ class WorkQueueLedgerSpec extends SparkSpec {
       "a removed id must pass notDone again (stale-superset digest is safe)")
   }
 
+  test("done digest survives EMPTY retire commits (an all-raced-out " +
+      "wave's zero-row delta must not break the advance)") {
+    WorkQueueLedger.resetDigestCacheForTests()
+    val done = tmp() + "-dig0"
+    WorkQueueLedger.markDone(spark, done,
+      ids((0 until 100 by 2).map(i => f"e-$i%04d"): _*), "w-0")
+    val want = ids("e-0001", "e-0002")
+    // build the digest (overlapping range forces the digest path)
+    assert(won(WorkQueueLedger.notDone(spark, done, want)) === Set("e-0001"))
+    // a contending dispatcher whose whole win set was raced out retires
+    // an EMPTY id set — a tagged zero-row commit in the done table
+    WorkQueueLedger.markDone(spark, done,
+      Seq.empty[String].toDF("itemID"), "w-empty")
+    // the digest advance over the zero-row delta must neither throw nor
+    // lose exactness
+    assert(won(WorkQueueLedger.notDone(spark, done, want)) === Set("e-0001"))
+    // and a subsequent REAL wave still folds in
+    WorkQueueLedger.markDone(spark, done, ids("e-0001"), "w-1")
+    assert(won(WorkQueueLedger.notDone(spark, done, want)) === Set.empty)
+  }
+
   test("removeDone deletes exactly the listed ids; disjoint done files " +
       "carry by reference") {
     val done = tmp() + "-rm"
