@@ -375,7 +375,14 @@ object Main {
     case "monitor" =>
       StateQueries.itemCounter(ItemStore.load(spark, table)).show(truncate = false)
       StateQueries.progressHistogram(ItemStore.load(spark, table)).show(truncate = false)
-    case "reset" => flags.get("manifest") match {
+    case "reset" =>
+      // --keep-tasks: PARTIAL reset — flip item state but keep nested
+      // task statuses and logs, so the re-run resumes SKIP-DONE (the
+      // reference's Wall_Time_Exceeded recovery, runner.py:101-105:
+      // only tasks still `todo` execute). Default is the full wipe
+      // (restart from scratch, manager.py:465-549 semantics).
+      val keepTasks = flags.get("keep-tasks").contains("1")
+      flags.get("manifest") match {
       case Some(manifest) =>
         // manifest-driven reset (manager.py:113-119 read_jsonFile →
         // manager.py:465-549 reset_itemState over the listed ids): the file
@@ -387,7 +394,7 @@ object Main {
         val affected = old.join(ids, Seq("itemID"), "left_semi")
           .select("itemState").distinct().collect().map(_.getString(0)).toSeq
         ItemStore.replacePartitions(
-          Mutations.resetItemsJoin(old, ids, to, resetTasks = true),
+          Mutations.resetItemsJoin(old, ids, to, resetTasks = !keepTasks),
           table, (affected :+ to).distinct)
       case None =>
         val from = flags.getOrElse("state", "Wall_Time_Exceeded")
@@ -395,7 +402,7 @@ object Main {
         // a state flip touches exactly two partitions — rewrite only those
         ItemStore.replacePartitions(
           Mutations.resetItems(ItemStore.load(spark, table),
-            col("itemState") === from, to, resetTasks = true),
+            col("itemState") === from, to, resetTasks = !keepTasks),
           table, Seq(from, to).distinct)
     }
     case "delete" =>

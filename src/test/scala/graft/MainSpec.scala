@@ -261,6 +261,74 @@ class MainSpec extends SparkSpec {
     assert(store.ItemStore.load(spark, s"$base/results2").count() === 0)
   }
 
+  test("WTE recovery: reset --keep-tasks resumes a budget-cut nested item " +
+      "SKIP-DONE (runner.py:101-105 semantics)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-wte").toFile
+    val out = new java.io.File(dir, "ran.txt").getAbsolutePath
+    // both tasks sleep past the budget, then record themselves. The
+    // budget gates LAUNCHES (a running process is never killed), so with
+    // one partition the first task runs to completion (~4 s > the 3 s
+    // budget) and the second's launch check cuts it Wall_Time_Exceeded
+    // without running — deterministic whichever task the partition
+    // schedules first.
+    val sh = new java.io.File(dir, "task.sh")
+    val ws = new java.io.PrintWriter(sh)
+    ws.println("sleep 4")
+    ws.println(s"""echo "$$1" >> $out""")
+    ws.close()
+    val f = new java.io.File(dir, "items.txt")
+    val w = new java.io.PrintWriter(f)
+    w.println("itemID|taskID|TaskScript|TaskArgs")
+    w.println(s"Cut|g|sh ${sh.getAbsolutePath}|a,b")
+    w.close()
+    val table = new java.io.File(dir, "t").getAbsolutePath
+    Main.run(spark, "import", table,
+      Map("input" -> f.getAbsolutePath, "delim" -> "|", "nested-delim" -> ","))
+    Main.run(spark, "run", table, Map("budget" -> "3", "parallelism" -> "1"))
+    val afterCut = store.ItemStore.load(spark, table)
+    assert(afterCut.select($"itemState").as[String].head() === "Wall_Time_Exceeded")
+    assert(afterCut.select($"logLength").as[Long].head() === 1L)
+    val ranFirst = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(ranFirst.size === 1, s"exactly one task must have run: $ranFirst")
+    // partial reset: state back to todo, the completed task STAYS done
+    Main.run(spark, "reset", table, Map("state" -> "Wall_Time_Exceeded",
+      "to" -> "todo", "keep-tasks" -> "1"))
+    val reset = store.ItemStore.load(spark, table)
+    assert(reset.select($"itemState").as[String].head() === "todo")
+    assert(reset.select(size(org.apache.spark.sql.functions.map_filter(
+      $"nestedTasks", (_, v) => v.getField("status") === "todo"))).as[Int]
+      .head() === 1, "the completed task must survive a --keep-tasks reset")
+    // resume: ONLY the cut task executes (skip-done), item completes
+    Main.run(spark, "run", table, Map.empty)
+    val done = store.ItemStore.load(spark, table)
+    assert(done.select($"itemState").as[String].head() === "done")
+    assert(done.select($"logLength").as[Long].head() === 2L)
+    val ranAll = scala.io.Source.fromFile(out).getLines().toSeq
+    assert(ranAll.size === 2 && ranAll.toSet === Set("a", "b"),
+      s"skip-done resume must run each task exactly once, got $ranAll")
+  }
+
+  test("work --takeover-after reclaims a dead contender's wave through " +
+      "the CLI (opt-in heartbeat takeover)") {
+    import graft.store.connector.{WorkQueueLedger, WorkQueueSource}
+    val base = java.nio.file.Files.createTempDirectory("graft-cli-tk").toString
+    val qdir = s"$base/q"
+    val rows = Seq("K1", "K2", "K3").toDF("itemID")
+      .selectExpr("itemID", "itemID AS taskID", "'todo' AS itemState",
+        "CAST(0 AS LONG) AS logLength", "CAST(null AS LONG) AS nestedTaskCount")
+    WorkQueueSource.append(rows.coalesce(1), qdir)
+    // a dead dispatcher (never heartbeat) wedged K1+K2
+    WorkQueueLedger.claim(spark, s"$qdir/_ledger",
+      Seq("K1", "K2").toDF("itemID"), "dead-X", "dead-X-batch-0")
+    Main.run(spark, "work", qdir, Map(
+      "results" -> s"$base/results", "checkpoint" -> s"$base/ckpt",
+      "once" -> "1", "takeover-after" -> "60000"))
+    val out = store.ItemStore.load(spark, s"$base/results")
+    assert(out.select("itemID").as[String].collect().toSet ===
+      Set("K1", "K2", "K3"), "the stale wave must be reclaimed and drained")
+    assert(WorkQueueLedger.entries(spark, s"$qdir/_ledger").count() === 0)
+  }
+
   test("workerIdentity: 128-bit, stable per path, distinct across paths") {
     val a = Main.workerIdentity("/tmp/ckpt-a")
     val b = Main.workerIdentity("/tmp/ckpt-b")
