@@ -700,13 +700,26 @@ object Dedup {
     // both outputs (downstream consumes reps 3× and members 2-3×;
     // per-output cuts measured 2 extra eager jobs and per-consumer
     // recompute measured 2.1× on the one-shot gate).
-    val ids = docs.filter(norm.isNotNull)
+    // normalized(x) is null iff x is null, so the cheap column filter is
+    // the same membership predicate without evaluating the regex twice
+    val ids = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), md5(norm).as("fp"))
     val fams = ids.groupBy("fp").agg(min(col("id")).as("rep"))
-    val tagged = docs.filter(norm.isNotNull)
+    // grams are computed for REPRESENTATIVES ONLY: the CASE WHEN branch
+    // evaluates lazily per row, so a member row never pays the shingling
+    // UDF and the checkpoint never stores its gram array (the previous
+    // form shingled EVERY member — at the 100× probe's 100-member replica
+    // families that is ~99% wasted UDF work and checkpoint bytes; a
+    // two-job rep-only rewrite measured SLOWER at sf0.1 — the extra scan
+    // + eager cut cost more than the 9% dup-shingling it saved — so the
+    // conditional keeps the original ONE-materialization shape)
+    val tagged = docs.filter(col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("id"), md5(norm).as("fp"),
-        distinctNgramsUdf(3)(norm).as("grams"))
+        col(textCol).as("__t"))
       .join(fams, Seq("fp"))
+      .select(col("id"), col("rep"),
+        when(col("id") === col("rep"), distinctNgramsUdf(3)(
+          TextAnalysis.normalized(col("__t")))).as("grams"))
       .transform(graft.plans.Lineage.cut)
     (tagged.filter(col("id") === col("rep")).select(col("id"), col("grams")),
       tagged.select(col("rep"), col("id")))
@@ -1317,7 +1330,10 @@ object Dedup {
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("u"), greatest(col("a"), col("b")).as("v"))
       .distinct()
-      .transform(graft.plans.Lineage.cut)
+      // LAZY cut: signature() right below is the materializing action, so
+      // the round pays ONE job (agg) instead of two (eager checkpoint +
+      // agg) — at 1000 executors each avoided action is a scheduler wave
+      .transform(graft.plans.Lineage.cutLazy)
 
     def bidir(d: DataFrame): DataFrame =
       d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
@@ -1358,7 +1374,8 @@ object Dedup {
     var iter = 0
     val roundLog = graft.plans.RoundLog.timer(edges.sparkSession, "cc")
     while (!converged && iter < maxIters) {
-      val next = smallStar(largeStar(e)).transform(graft.plans.Lineage.cut)
+      // lazy cut + signature = one action per round (see `input` above)
+      val next = smallStar(largeStar(e)).transform(graft.plans.Lineage.cutLazy)
       val nextSig = signature(next)
       roundLog(iter, s"edges=${nextSig._1}")
       // release the superseded round's checkpoint blocks — otherwise every

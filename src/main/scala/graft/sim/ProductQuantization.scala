@@ -38,52 +38,60 @@ object ProductQuantization {
   /** ADC grid: subspace distances are floored to 1e-6 before summing. */
   val DistGrid = 1000000.0
 
-  private def subVec(v: Column, sub: Int, subDim: Int): Column =
-    slice(v, sub * subDim + 1, subDim)
-
-  /** (keys…, sub, sv) — each vector exploded into its m subspace slices,
-    * carrying the given key columns through.
-    */
-  private def subVectors(df: DataFrame, keyCols: Seq[String], vecCol: String,
-      m: Int, subDim: Int): DataFrame =
-    df.select(keyCols.map(col) :+ explode(array((0 until m).map { s =>
-        struct(lit(s).as("sub"), subVec(col(vecCol), s, subDim).as("sv"))
-      }: _*)).as("e"): _*)
-      .select(keyCols.map(col) :+ col("e.sub").as("sub") :+
-        col("e.sv").as("sv"): _*)
-
-  /** Collapse per-(keys…, sub, code) grid distances `d` into one 2D
-    * `lut[sub][code]` array per key tuple.
-    */
-  private def adcLut(subDists: DataFrame, keyCols: Seq[String]): DataFrame =
-    subDists
-      .groupBy((keyCols :+ "sub").map(col): _*)
-      .agg(array_sort(collect_list(struct(col("code"), col("d")))).as("p"))
-      .select(keyCols.map(col) :+ col("sub") :+
-        transform(col("p"), x => x.getField("d")).as("row"): _*)
-      .groupBy(keyCols.map(col): _*)
-      .agg(array_sort(collect_list(struct(col("sub"), col("row")))).as("q"))
-      .select(keyCols.map(col) :+
-        transform(col("q"), x => x.getField("row")).as("lut"): _*)
-
   /** ADC score: the integer sum of each code's looked-up subspace distance. */
   private def adcDist(codes: Column, lut: Column): Column =
     aggregate(
       zip_with(codes, lut, (cd, row) => element_at(row, (cd + 1).cast("int"))),
       lit(0L), (acc, x) => acc + x)
 
-  /** Nearest-centroid assignment per (vector, subspace): L2 ascending,
-    * ties to the lowest `ord` (cid during training, dense code after).
+  /** Ascending-index L2² over a slice of `v` vs a full sub-centroid — the
+    * SAME fold as [[l2Sq]] over the sliced arrays (identical operands in
+    * identical order ⇒ bit-identical doubles).
     */
-  private def assignSub(sv: DataFrame, cents: DataFrame, ord: String): DataFrame = {
-    val w = Window.partitionBy(col("id"), col("sub"))
-      .orderBy(col("ld").asc, col(ord))
-    sv.join(broadcast(cents), Seq("sub"))
-      .withColumn("ld", l2Sq(col("sv"), col("cv")))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") === 1)
-      .select(col("id"), col("sub"), col(ord))
+  private def l2SqSlice(v: Array[Double], off: Int, cv: Array[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(cv.length, math.max(v.length - off, 0))
+    while (i < n) {
+      val d = v(off + i) - cv(i)
+      acc += d * d
+      i += 1
+    }
+    acc
   }
+
+  /** Per-subspace centroid tables collected to the driver, `ords(sub)`
+    * ascending in the tiebreak column (cid during training, dense code
+    * after) — codebooks are model-sized (m·ksub rows) by contract.
+    */
+  private def collectSubCents(cents: DataFrame,
+      ord: String): Array[Array[(Long, Array[Double])]] = {
+    val rows = cents.select(col("sub").cast("int"), col(ord).cast("long"),
+        col("cv")).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getSeq[Double](2).toArray))
+    val m = if (rows.isEmpty) 0 else rows.map(_._1).max + 1
+    Array.tabulate(m)(s =>
+      rows.filter(_._1 == s).map(t => (t._2, t._3)).sortBy(_._1))
+  }
+
+  /** Argmin sub-centroid per subspace: L2 ascending, ties to the lowest
+    * ord — `Double.compare` ordering (NaN greatest), i.e. exactly the
+    * `row_number() OVER (ORDER BY ld ASC, ord)` the window form computed.
+    */
+  private def assignAllSubs(v: Array[Double], subDim: Int,
+      cents: Array[Array[(Long, Array[Double])]]): Array[Long] =
+    Array.tabulate(cents.length) { s =>
+      val cs = cents(s)
+      var best = 0
+      var bestD = l2SqSlice(v, s * subDim, cs(0)._2)
+      var i = 1
+      while (i < cs.length) {
+        val d = l2SqSlice(v, s * subDim, cs(i)._2)
+        if (java.lang.Double.compare(d, bestD) < 0) { best = i; bestD = d }
+        i += 1
+      }
+      cs(best)._1
+    }
 
   /** Train the m per-subspace codebooks with `iters` Lloyd rounds (init =
     * the subspace slices of the `ksub` lowest-id vectors; empty centroids
@@ -94,37 +102,88 @@ object ProductQuantization {
       dims: Int, m: Int, ksub: Int, iters: Int): DataFrame = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val subDim = dims / m
-    val sv = subVectors(
-      corpus.select(col(idCol).as("id"), col(vecCol).as("v")),
-      Seq("id"), "v", m, subDim).cache()
-    val donors = corpus.select(col(idCol).as("id")).orderBy("id").limit(ksub)
-    var cents = sv.join(broadcast(donors), Seq("id"))
-      .select(col("sub"), col("id").as("cid"), col("sv").as("cv"))
-      .transform(graft.plans.Lineage.cut)
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    // scale-adaptive parallelism (see Similarity.trainCentroids): spread
+    // the per-round assignment+mean over the cores when the source plan
+    // arrives under-partitioned; never coalesce down
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val dp = spark.sparkContext.defaultParallelism
+    val vecs = (if (base.rdd.getNumPartitions < dp) base.repartition(dp)
+      else base).cache()
+    // all m codebooks live driver-side (m·ksub·subDim doubles — model
+    // state); each Lloyd round is ONE job: inline per-subspace assignment
+    // feeding the quantized (sub, cid, dim) mean aggregate. The previous
+    // shape per round — subspace-exploded assignment window + join-back +
+    // mean shuffle + old/new-join checkpoint — was three jobs and two full
+    // per-(id, sub) exchanges of the corpus slices
+    var cents: Array[Array[(Long, Array[Double])]] =
+      vecs.orderBy("id").limit(ksub).collect()
+        .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+        .sortBy(_._1) match {
+        case donors => Array.tabulate(m)(s =>
+          donors.map { case (id, v) =>
+            (id, java.util.Arrays.copyOfRange(v, s * subDim, (s + 1) * subDim))
+          })
+      }
+    val typed = vecs.as[(Long, Array[Double])]
     for (_ <- 1 to iters) {
-      val assigned = assignSub(sv, cents, "cid")
-      val means = sv.join(assigned, Seq("id", "sub"))
-        .select(col("sub"), col("cid"), posexplode(col("sv")).as(Seq("dim", "x")))
-        .groupBy("sub", "cid", "dim")
-        .agg((sum(floor(col("x") * DistGrid)).cast("double") /
-          (count(lit(1)) * DistGrid)).as("mv"))
-        .groupBy("sub", "cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("mv")))).as("pairs"))
-        .select(col("sub"), col("cid"),
-          transform(col("pairs"), p => p.getField("mv")).as("cv"))
-      val next = cents.alias("old")
-        .join(means.alias("new"), Seq("sub", "cid"), "left")
-        .select(col("sub"), col("cid"),
-          coalesce(col("new.cv"), col("old.cv")).as("cv"))
-        .transform(graft.plans.Lineage.cut)
-      cents.unpersist()
-      cents = next
+      val cs = cents
+      // one NARROW job per round (see Similarity.trainCentroids): the
+      // per-(sub, centroid) quantized dim sums fold partition-locally into
+      // m·ksub·subDim longs; only those partials are collected
+      val partials = typed.mapPartitions { it =>
+        val sums = Array.fill(m, cs(0).length)(new Array[Long](subDim))
+        val counts = Array.fill(m)(new Array[Long](cs(0).length))
+        it.foreach { case (_, v) =>
+          var s = 0
+          while (s < m) {
+            val css = cs(s)
+            var best = 0
+            var bestD = l2SqSlice(v, s * subDim, css(0)._2)
+            var i = 1
+            while (i < css.length) {
+              val d = l2SqSlice(v, s * subDim, css(i)._2)
+              if (java.lang.Double.compare(d, bestD) < 0) { best = i; bestD = d }
+              i += 1
+            }
+            counts(s)(best) += 1
+            val su = sums(s)(best)
+            var j = 0
+            val n = math.min(math.max(v.length - s * subDim, 0), subDim)
+            while (j < n) {
+              su(j) += math.floor(v(s * subDim + j) * DistGrid).toLong
+              j += 1
+            }
+            s += 1
+          }
+        }
+        for {
+          s <- Iterator.range(0, m)
+          i <- Iterator.range(0, cs(s).length) if counts(s)(i) > 0
+        } yield (s, i, sums(s)(i), counts(s)(i))
+      }.collect()
+      val bySub = partials.groupBy(p => (p._1, p._2)).map { case ((s, i), ps) =>
+        val su = new Array[Long](subDim)
+        var cnt = 0L
+        ps.foreach { p =>
+          cnt += p._4
+          var j = 0
+          while (j < subDim) { su(j) += p._3(j); j += 1 }
+        }
+        (s, i) -> Array.tabulate(subDim)(j => su(j).toDouble / (cnt * DistGrid))
+      }
+      cents = Array.tabulate(m)(s => cents(s).zipWithIndex.map {
+        case ((cid, cv), i) => (cid, bySub.getOrElse((s, i), cv))
+      })
     }
-    sv.unpersist()
-    cents.withColumn("code",
-      (row_number().over(Window.partitionBy("sub").orderBy("cid")) - 1)
-        .cast("long"))
-      .select("sub", "code", "cv")
+    vecs.unpersist()
+    // dense 0-based code per sub in cid order (the arrays are cid-ascending)
+    val rows = cents.zipWithIndex.flatMap { case (cs, s) =>
+      cs.zipWithIndex.map { case ((_, cv), code) => (s, code.toLong, cv) }
+    }
+    rows.toSeq.toDF("sub", "code", "cv")
   }
 
   /** Encode each vector as its m nearest-centroid codes, ordered by
@@ -133,13 +192,12 @@ object ProductQuantization {
   def encode(vecs: DataFrame, idCol: String, vecCol: String,
       codebooks: DataFrame, dims: Int, m: Int): DataFrame = {
     val subDim = dims / m
-    val sv = subVectors(
-      vecs.select(col(idCol).as("id"), col(vecCol).as("v")),
-      Seq("id"), "v", m, subDim)
-    assignSub(sv, codebooks, "code")
-      .groupBy("id")
-      .agg(array_sort(collect_list(struct(col("sub"), col("code")))).as("p"))
-      .select(col("id"), transform(col("p"), x => x.getField("code")).as("codes"))
+    // codebooks driver-side → encoding is ONE narrow projection (the
+    // subspace-explode + assignment-window + collect_list-regroup shape
+    // this replaces paid two exchanges of the whole corpus)
+    val cb = collectSubCents(codebooks, "code")
+    val codesUdf = udf { v: Seq[Double] => assignAllSubs(v.toArray, subDim, cb) }
+    vecs.select(col(idCol).as("id"), codesUdf(col(vecCol)).as("codes"))
   }
 
   /** ADC top-k: per query one exact m×ksub distance table (grid-floored
@@ -161,15 +219,20 @@ object ProductQuantization {
   def pqSearch(queries: DataFrame, codes: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, dims: Int, m: Int, k: Int): DataFrame = {
     val subDim = dims / m
-    // lut[sub][code] as a 2D array per query — one broadcast row per query
-    val lut = adcLut(
-      subVectors(
-        queries.select(col(idCol).as("query_id"), col(vecCol).as("v")),
-        Seq("query_id"), "v", m, subDim)
-        .join(broadcast(codebooks), Seq("sub"))
-        .select(col("query_id"), col("sub"), col("code"),
-          floor(l2Sq(col("sv"), col("cv")) * DistGrid).cast("long").as("d")),
-      Seq("query_id"))
+    // lut[sub][code] as a 2D array per query, built in ONE narrow
+    // projection against the driver-collected codebooks (the explode +
+    // broadcast-join + two collect_list regroups this replaces were three
+    // extra stages per search)
+    val cb = collectSubCents(codebooks, "code")
+    val lutUdf = udf { v: Seq[Double] =>
+      val va = v.toArray
+      cb.zipWithIndex.map { case (cs, s) =>
+        cs.map { case (_, cv) =>
+          math.floor(l2SqSlice(va, s * subDim, cv) * DistGrid).toLong }
+      }
+    }
+    val lut = queries.select(col(idCol).as("query_id"),
+      lutUdf(col(vecCol)).as("lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
     codes.join(broadcast(lut), col("query_id") =!= col("neighbor_id"))
@@ -186,14 +249,28 @@ object ProductQuantization {
     */
   def residuals(vecs: DataFrame, coarse: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
-    val assigned = Similarity.ivfAssign(vecs,
-      coarse.select(col("cid").as(idCol), col("cv").as(vecCol)),
-      idCol, vecCol)
-    vecs.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .join(assigned, Seq("id"))
-      .join(broadcast(coarse), Seq("cid"))
-      .select(col("id"), col("cid"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
+    // coarse centroids driver-side: assignment AND subtraction in one
+    // narrow projection — no assignment pass + join-back-by-id + centroid
+    // join (two exchanges of the full corpus removed)
+    val cents = Similarity.collectCents(coarse, "cid", "cv")
+    val residUdf = udf { v: Seq[Double] =>
+      val va = v.toArray
+      var best = 0
+      var bestC = Similarity.cosFused(va, cents(0)._2)
+      var i = 1
+      while (i < cents.length) {
+        val c = Similarity.cosFused(va, cents(i)._2)
+        if (java.lang.Double.compare(c, bestC) > 0) { best = i; bestC = c }
+        i += 1
+      }
+      val cv = cents(best)._2
+      val rv = new Array[Double](math.min(va.length, cv.length))
+      var j = 0
+      while (j < rv.length) { rv(j) = va(j) - cv(j); j += 1 }
+      (cents(best)._1, rv)
+    }
+    vecs.select(col(idCol).as("id"), residUdf(col(vecCol)).as("r"))
+      .select(col("id"), col("r._1").as("cid"), col("r._2").as("rv"))
   }
 
   /** IVFADC (classic IVF-PQ, Jégou et al.): corpus vectors live in their
@@ -224,10 +301,15 @@ object ProductQuantization {
     */
   def encodeIvfPq(corpus: DataFrame, coarse: DataFrame, codebooks: DataFrame,
       idCol: String, vecCol: String, dims: Int, m: Int): DataFrame = {
-    val cres = residuals(corpus, coarse, idCol, vecCol)
-    encode(cres, "id", "rv", codebooks, dims, m)
-      .join(cres.select(col("id"), col("cid")), Seq("id"))
-      .select(col("id").as("neighbor_id"), col("cid"), col("codes"))
+    // residual + code assignment compose into one narrow pass — the old
+    // encode-then-join-back-by-id shuffled the corpus once more for a
+    // column (cid) the residual row already carried
+    val subDim = dims / m
+    val cb = collectSubCents(codebooks, "code")
+    val codesUdf = udf { rv: Seq[Double] => assignAllSubs(rv.toArray, subDim, cb) }
+    residuals(corpus, coarse, idCol, vecCol)
+      .select(col("id").as("neighbor_id"), col("cid"),
+        codesUdf(col("rv")).as("codes"))
   }
 
   /** The query half of [[ivfPqTopK]] over a prebuilt code table: probe the
@@ -238,21 +320,35 @@ object ProductQuantization {
       codebooks: DataFrame, idCol: String, vecCol: String,
       dims: Int, m: Int, k: Int, nprobe: Int): DataFrame = {
     val subDim = dims / m
-    val probes = Similarity.ivfAssignTop(queries,
-      coarse.select(col("cid").as(idCol), col("cv").as(vecCol)),
-      idCol, vecCol, nprobe)
-      .withColumnRenamed("id", "query_id")
-    val qres = queries.select(col(idCol).as("query_id"), col(vecCol).as("v"))
-      .join(probes, Seq("query_id"))
-      .join(broadcast(coarse), Seq("cid"))
-      .select(col("query_id"), col("cid"),
-        zip_with(col("v"), col("cv"), (x, c) => x - c).as("rv"))
-    val lut = adcLut(
-      subVectors(qres, Seq("query_id", "cid"), "rv", m, subDim)
-        .join(broadcast(codebooks), Seq("sub"))
-        .select(col("query_id"), col("cid"), col("sub"), col("code"),
-          floor(l2Sq(col("sv"), col("cv")) * DistGrid).cast("long").as("d")),
-      Seq("query_id", "cid"))
+    // probe lists, query residuals and per-(query, list) LUTs in ONE
+    // narrow projection over the (small) query side: coarse centroids and
+    // codebooks ride the closure, so the probe window, the two residual
+    // joins and the LUT's explode + regroups all collapse into this map
+    val cents = Similarity.collectCents(coarse, "cid", "cv")
+    val cb = collectSubCents(codebooks, "code")
+    val np = nprobe
+    val probeLutUdf = udf { v: Seq[Double] =>
+      val va = v.toArray
+      cents.indices
+        .map(i => (i, Similarity.cosFused(va, cents(i)._2)))
+        .sortWith((p, q) => java.lang.Double.compare(p._2, q._2) > 0)
+        .take(np)
+        .map { case (i, _) =>
+          val (cid, cv) = cents(i)
+          val rv = new Array[Double](math.min(va.length, cv.length))
+          var j = 0
+          while (j < rv.length) { rv(j) = va(j) - cv(j); j += 1 }
+          val lut = cb.zipWithIndex.map { case (cs, s) =>
+            cs.map { case (_, ccv) =>
+              math.floor(l2SqSlice(rv, s * subDim, ccv) * DistGrid).toLong }
+          }
+          (cid, lut)
+        }.toSeq
+    }
+    val lut = queries
+      .select(col(idCol).as("query_id"),
+        explode(probeLutUdf(col(vecCol))).as("pl"))
+      .select(col("query_id"), col("pl._1").as("cid"), col("pl._2").as("lut"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("adist").asc, col("neighbor_id"))
     codes.join(broadcast(lut), Seq("cid"))

@@ -93,21 +93,64 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "rank", "cos")
   }
 
+  /** Fused cosine — the SAME single loop (dot + both norms accumulated
+    * together, ascending index) as [[graft.functions.CosineSimilarity]]'s
+    * codegen, so driver-side assignment reproduces the expression form's
+    * doubles bit-for-bit.
+    */
+  private[graft] def cosFused(a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var acc = 0.0
+    var na = 0.0
+    var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a(i)
+      val y = b(i)
+      acc += x * y
+      na += x * x
+      nb += y * y
+      i += 1
+    }
+    acc / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** Collect a (cid, vector) table to the driver, ascending cid — codebooks
+    * are MODEL-sized (k rows of d doubles) by contract, the same driver
+    * budget as the BPE merge table and the Lloyd loop below.
+    */
+  private[sim] def collectCents(centroids: DataFrame, cidCol: String,
+      vecCol: String): Array[(Long, Array[Double])] =
+    centroids.select(col(cidCol).cast("long"), col(vecCol))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+
+  /** Top-n centroid ids by (cosine DESC, cid ASC). Ordering via
+    * `Double.compare` (NaN greatest) over a cid-ascending stable sort —
+    * exactly the `row_number() OVER (ORDER BY ccos DESC, cid)` semantics
+    * of the window form this replaces.
+    */
+  private def topCids(v: Array[Double], cents: Array[(Long, Array[Double])],
+      n: Int): Array[Long] =
+    cents.map { case (cid, cv) => (cid, cosFused(v, cv)) }
+      .sortWith((p, q) => java.lang.Double.compare(p._2, q._2) > 0)
+      .take(n).map(_._1)
+
   /** IVF assignment, top-n: each vector's `n` nearest centroids by cosine
-    * (ties → lowest centroid id), ranked. Centroids broadcast; assignment
-    * is a narrow scan of the input — no shuffle beyond the tiny rank
-    * window, which AQE coalesces.
+    * (ties → lowest centroid id). The centroid table is collected driver-
+    * side (model-sized by contract) and assignment is a NARROW projection —
+    * the previous broadcast-join + per-id rank window shuffled the whole
+    * input by id just to argmax over ≤k centroids (r17: one full exchange
+    * removed from every assignment pass, two per Lloyd round).
     */
   def ivfAssignTop(vecs: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, n: Int): DataFrame = {
-    val c = centroids.select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val w = Window.partitionBy(col("id")).orderBy(col("ccos").desc, col("cid"))
+    val cents = collectCents(centroids, idCol, vecCol)
+    val nn = n
+    val assignN = udf { v: Seq[Double] => topCids(v.toArray, cents, nn) }
     vecs.select(col(idCol).as("id"), col(vecCol).as("vv"))
-      .join(broadcast(c))
-      .withColumn("ccos", graft.functions.CosineSimilarity.cosineSim(col("vv"), col("cv")))
-      .withColumn("crank", row_number().over(w))
-      .filter(col("crank") <= n)
-      .select(col("id"), col("cid"))
+      .select(col("id"), explode(assignN(col("vv"))).as("cid"))
   }
 
   /** IVF home-list assignment (top-1). */
@@ -126,12 +169,16 @@ object Similarity {
   def ivfTopK(
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
-    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"))
-      .join(assigned.withColumnRenamed("id", "neighbor_id"), Seq("neighbor_id"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-      .join(ivfAssignTop(queries, centroids, idCol, vecCol, nprobe)
-        .withColumnRenamed("id", "query_id"), Seq("query_id"))
+    // centroids driver-side: corpus home lists and query probe lists are
+    // both narrow projections — no assignment window, no join-back by id
+    val cents = collectCents(centroids, idCol, vecCol)
+    val assign1 = udf { v: Seq[Double] => topCids(v.toArray, cents, 1)(0) }
+    val np = nprobe
+    val assignP = udf { v: Seq[Double] => topCids(v.toArray, cents, np) }
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
+      assign1(col(vecCol)).as("cid"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(assignP(col(vecCol))).as("cid"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("neighbor_id"))
     c.join(broadcast(q), Seq("cid"))
@@ -163,31 +210,78 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int): DataFrame = {
     val spark = corpus.sparkSession
-    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v")).cache()
-    var cents = vecs.orderBy("id").limit(k)
-      .select(col("id").as("cid"), col("v").as("cv"))
-      .transform(graft.plans.Lineage.cut)
+    import spark.implicits._
+    // scale-adaptive parallelism for the per-round mean jobs: a small
+    // corpus can arrive as ONE scan partition (sf0.1 embeddings), which
+    // would serialize every round's assignment+mean on one core; never
+    // coalesce DOWN (a 100 TB scan keeps its own, larger split count)
+    val base = corpus.select(col(idCol).cast("long").as("id"),
+      col(vecCol).as("v"))
+    val dp = spark.sparkContext.defaultParallelism
+    val vecs = (if (base.rdd.getNumPartitions < dp) base.repartition(dp)
+      else base).cache()
+    // the codebook IS driver state (k·d doubles — the BPE-merge-table
+    // budget): holding it as an array makes each Lloyd round ONE job (the
+    // quantized-mean aggregate over a narrow inline assignment) instead of
+    // three (assignment window + mean shuffle + old/new-join checkpoint) —
+    // at 1000 executors two scheduler waves per round disappear, and the
+    // full per-id exchange of the corpus (the window) goes with them
+    var cents: Array[(Long, Array[Double])] = vecs.orderBy("id").limit(k)
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+    val typed = vecs.as[(Long, Array[Double])]
     for (_ <- 1 to iters) {
-      val assigned = ivfAssign(vecs, cents.select(col("cid").as("id"), col("cv").as("v")),
-        "id", "v")
-      val means = vecs.join(assigned, Seq("id"))
-        .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cid", "dim")
-        .agg((sum(floor(col("x") * 1000000.0)).cast("double") /
-          (count(lit(1)) * 1000000.0)).as("m"))
-        .groupBy("cid")
-        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("pairs"))
-        .select(col("cid"), transform(col("pairs"), p => p.getField("m")).as("cv"))
+      val cs = cents
+      // one NARROW job per round: the per-centroid quantized dim sums
+      // (the same floor(x·1e6) BIGINT grid — order-free, bit-identical)
+      // fold partition-locally into k·d longs and only those partials are
+      // collected — no posexplode row blow-up, no mean exchange, no UDF
+      // conversion machinery (the expression form measured ~0.39 s/round
+      // of fixed overhead at sf0.1 regardless of parallelism)
+      val partials = typed.mapPartitions { it =>
+        val d = if (cs.isEmpty) 0 else cs.head._2.length
+        val sums = Array.fill(cs.length)(new Array[Long](d))
+        val counts = new Array[Long](cs.length)
+        if (cs.nonEmpty) it.foreach { case (_, v) =>
+          var best = 0
+          var bestC = cosFused(v, cs(0)._2)
+          var i = 1
+          while (i < cs.length) {
+            val c = cosFused(v, cs(i)._2)
+            if (java.lang.Double.compare(c, bestC) > 0) { best = i; bestC = c }
+            i += 1
+          }
+          counts(best) += 1
+          val s = sums(best)
+          var j = 0
+          val n = math.min(v.length, s.length)
+          while (j < n) {
+            s(j) += math.floor(v(j) * 1000000.0).toLong
+            j += 1
+          }
+        }
+        Iterator.range(0, cs.length).filter(counts(_) > 0)
+          .map(i => (i, sums(i), counts(i)))
+      }.collect()
+      val byIdx = partials.groupBy(_._1).map { case (i, ps) =>
+        val d = cs(i)._2.length
+        val s = new Array[Long](d)
+        var cnt = 0L
+        ps.foreach { p =>
+          cnt += p._3
+          var j = 0
+          while (j < d) { s(j) += p._2(j); j += 1 }
+        }
+        // same arithmetic as the old SQL mean: cast(sum as double) /
+        // (count * 1e6) with long→double promotion on the count
+        i -> Array.tabulate(d)(j => s(j).toDouble / (cnt * 1000000.0))
+      }
       // a centroid that attracted no vectors keeps its previous position
-      val next = cents.alias("old")
-        .join(means.alias("new"), Seq("cid"), "left")
-        .select(col("cid"), coalesce(col("new.cv"), col("old.cv")).as("cv"))
-        .transform(graft.plans.Lineage.cut)
-      cents.unpersist() // drop the superseded round's checkpoint blocks
-      cents = next
+      cents = cents.zipWithIndex.map { case ((cid, cv), i) =>
+        (cid, byIdx.getOrElse(i, cv))
+      }
     }
     vecs.unpersist()
-    cents
+    cents.toSeq.toDF("cid", "cv")
   }
 
   /** Assignment quality for a (cid, cv) codebook: mean cosine similarity of
