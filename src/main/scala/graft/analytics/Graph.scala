@@ -180,12 +180,16 @@ object Graph {
     // per-u constant, so carrying it on each (u, v) row turns every round's
     // `dir ⋈ ranks ⋈ deg` (two joins) into a single `dir ⋈ ranks` join —
     // half the per-round join work, and the only per-round shuffles left
-    // are the canonical Pregel pair (join on u, groupBy on v)
-    val degw = org.apache.spark.sql.expressions.Window.partitionBy(col("u"))
-    val dirDeg = dir.withColumn("outdeg", count(lit(1)).over(degw))
+    // are the canonical Pregel pair (join on u, groupBy on v).
+    // outdeg comes from a partial-agg'd groupBy joined back (AQE sees the
+    // aggregate's true runtime size and broadcasts it) — the former
+    // count-over-window forced a full exchange + sort of the edge list
+    // (22 MB sorted at sf0.1) for a value a metadata-sized join provides
+    val deg = dir.groupBy("u").agg(count(lit(1)).as("outdeg"))
+    val dirDeg = dir.join(deg, Seq("u"))
       .transform(graft.plans.Lineage.cut)
-    var ranks = dirDeg.select(col("u").as("node")).distinct()
-      .select(col("node"), lit(1.0).as("pr"))
+    // deg already holds one row per node — no separate distinct pass
+    var ranks = deg.select(col("u").as("node"), lit(1.0).as("pr"))
       .transform(graft.plans.Lineage.cut)
     val keep = rounds.toSet
     val out = scala.collection.mutable.Map.empty[Int, DataFrame]

@@ -1339,26 +1339,29 @@ object Dedup {
       d.unionByName(d.select(col("v").as("u"), col("u").as("v")))
 
     // both steps emit canonical (min, other) pairs: m ≤ u < v for
-    // large-star, m < v for small-star, so no re-canonicalization needed
-    def largeStar(d: DataFrame): DataFrame = {
-      val nb = bidir(d)
-      val mins = nb.groupBy("u").agg(min("v").as("mn"))
-        .select(col("u"), least(col("u"), col("mn")).as("m"))
-      nb.join(mins, "u")
+    // large-star, m < v for small-star, so no re-canonicalization needed.
+    // neighborhood minima via a whole-partition WINDOW MIN instead of a
+    // groupBy + join back: one exchange per star step instead of two
+    // stage waves (agg + join) — iterative rounds are stage-latency-bound
+    // (r17 profile: ~10 rounds × 5 exchanges of sub-MB data)
+    val wu = org.apache.spark.sql.expressions.Window.partitionBy("u")
+
+    def largeStar(d: DataFrame): DataFrame =
+      bidir(d)
+        .withColumn("m", least(col("u"), min(col("v")).over(wu)))
         .filter(col("v") > col("u"))
         .select(col("m").as("u"), col("v").as("v"))
       // no distinct here: duplicates ((m,v) reachable from two centers)
       // are harmless to smallStar's min aggregate and are swept by its
       // final distinct — dropping the exchange cut ~20% off each round
-    }
 
     def smallStar(d: DataFrame): DataFrame = {
       val sm = bidir(d).filter(col("v") < col("u"))
-      val mins = sm.groupBy("u").agg(min("v").as("m"))
-      sm.join(mins, "u")
-        .filter(col("v") =!= col("m"))
+        .withColumn("m", min(col("v")).over(wu))
+      sm.filter(col("v") =!= col("m"))
         .select(col("m").as("u"), col("v").as("v"))
-        .unionByName(mins.select(col("m").as("u"), col("u").as("v")))
+        // (m, u) per center u — duplicates collapse in the final distinct
+        .unionByName(sm.select(col("m").as("u"), col("u").as("v")))
         .distinct()
     }
 

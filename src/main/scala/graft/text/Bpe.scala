@@ -113,7 +113,10 @@ object Bpe {
     val spark = docs.sparkSession
     import spark.implicits._
     // lazy cut: round 1's pair collect is the materializing action, so
-    // the weighted token table costs zero extra jobs to pin
+    // the weighted token table costs zero extra jobs to pin. (A
+    // repartition-to-cores here measured 1.1 s → 2.0 s at sf0.1: the
+    // extra exchange and 32-task waves cost more than the near-serial
+    // round stages they replaced — AQE's coalescing is the right call.)
     var lastCut = docs
       .select(TextAnalysis.normalized(col(textCol)).as("ntext"))
       .filter(col("ntext").isNotNull && col("ntext") =!= "")
@@ -175,9 +178,16 @@ object Bpe {
     */
   def tokenizeWithMerges(docs: DataFrame, idCol: String, textCol: String,
       batches: Seq[Seq[(String, String)]]): DataFrame = {
-    val base = docs
-      .select(col(idCol).as("doc_id"),
-        TextAnalysis.normalized(col(textCol)).as("ntext"))
+    // scale-adaptive widening: a small corpus arrives as ONE scan
+    // partition, serializing the whole merge-apply + fingerprint chain on
+    // a single core; never repartition an already-parallel scan (at
+    // corpus scale that would be a full text shuffle)
+    val dp = docs.sparkSession.sparkContext.defaultParallelism
+    val raw = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+    val wide = if (raw.rdd.getNumPartitions < dp) raw.repartition(dp) else raw
+    val base = wide
+      .select(col("doc_id"),
+        TextAnalysis.normalized(col("__text")).as("ntext"))
       .filter(col("ntext").isNotNull && col("ntext") =!= "")
       .select(col("doc_id"), split(col("ntext"), " ").as("t"))
     batches.foldLeft(base) { case (df, batch) =>
