@@ -163,7 +163,8 @@ object Profile {
         col("s.kind").as("kind"), col("s.n_rows").as("n_rows"),
         col("s.n_nulls").as("n_nulls"), col("s.min_value").as("min_value"),
         col("s.max_value").as("max_value"))
-    val melted = df.select(posexplode(
+    val melted = df
+      .select(posexplode(
         array(fields.map(canonicalCol(_, quantScale)): _*)).as(Seq("pos", "v")))
       .filter(col("v").isNotNull)
     (stats, Hll.registers(melted, Seq("pos"), "v"))
@@ -210,7 +211,14 @@ object Profile {
     // halve the map-side cost, but md5 is what both engines can compute
     // identically, and the gate's value is the cross-engine register
     // check.)
-    val (stats, registers) = sketchParts(df, quantScale)
+    // widen before the melt (one-shot whole-table profile ONLY): the
+    // register build pays one md5 per (row, column) value — 6.6M digests
+    // at sf0.1, which the 3-split lineitem scan serialized onto 3 cores
+    // (2.15 s stage; ~0.3 s wide). The merge/streaming callers keep the
+    // raw slices: their half- and trigger-sized melts already overlap in
+    // one job, and a per-slice exchange measured as a net loss.
+    val (stats, registers) =
+      sketchParts(graft.plans.Parallelism.widen(df), quantScale)
     assembleSketch(stats, registers)
   }
 

@@ -1000,7 +1000,12 @@ object Dedup {
 
   def substringPairs(docs: DataFrame, idCol: String, textCol: String,
       l: Int): DataFrame = {
-    val grams = substringIndex(docs, idCol, textCol, l)
+    // widen the doc side before the char-gram kernel: a small corpus
+    // arrives as a few scan splits and the UDF + checkpoint then run
+    // near-serially (0.96 s on 3 tasks at sf0.1); an already-parallel
+    // scan is left untouched
+    val grams = substringIndex(graft.plans.Parallelism.widen(docs),
+        idCol, textCol, l)
       .transform(graft.plans.Lineage.cut)
     val a = grams.select(col("id").as("doc_a"), col("gram"))
     val b = grams.select(col("id").as("doc_b"), col("gram"))
