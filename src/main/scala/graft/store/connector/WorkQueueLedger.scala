@@ -397,25 +397,60 @@ object WorkQueueLedger {
     * epoch, so a replayed batch re-issuing the same takeover is a no-op.
     */
   def beat(spark: SparkSession, root: String, instanceId: String): Unit = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/_heartbeats/$instanceId")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // WRITE-NEW-THEN-DELETE-OLD (r16 VERDICT #1): the old create(p, true)
+    // truncated the live file in place, so a concurrent takeover scan
+    // could read an empty/partial beat, parse it as epoch-0-stale and
+    // steal a HEALTHY dispatcher's wave. (A rename-over fix was tried
+    // first: FileContext OVERWRITE renames are delete-then-rename on
+    // several filesystems, which re-opens an ABSENT-file window that
+    // reads as "never beat" — the concurrent hammer spec caught it.)
+    // Beats are immutable `<instance>.<millis>` files: a new beat is
+    // created (never truncating anything a reader may hold), and only
+    // after it is closed are the instance's OLDER beat files deleted —
+    // at every instant a reader either parses a complete beat or sees a
+    // not-yet-flushed sibling, which [[lastBeat]] treats as fresh.
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_heartbeats")
+    val f = dir.getFileSystem(conf)
+    val now = System.currentTimeMillis()
+    val p = new org.apache.hadoop.fs.Path(dir, s"$instanceId.$now")
     val out = f.create(p, true)
-    try out.write(String.valueOf(System.currentTimeMillis())
+    try out.write(String.valueOf(now)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // prune superseded beats (and any legacy suffix-less file)
+    try f.listStatus(dir, (pp: org.apache.hadoop.fs.Path) =>
+        pp.getName != p.getName && (pp.getName == instanceId ||
+          pp.getName.startsWith(instanceId + ".")))
+      .foreach(s => try f.delete(s.getPath, false)
+        catch { case scala.util.control.NonFatal(_) => () })
+    catch { case scala.util.control.NonFatal(_) => () }
   }
 
   private def lastBeat(spark: SparkSession, root: String,
       instanceId: String): Option[Long] = {
-    val p = new org.apache.hadoop.fs.Path(s"$root/_heartbeats/$instanceId")
-    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!f.exists(p)) None
-    else try {
-      val in = f.open(p)
-      try Some(new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
-      finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => Some(0L) }
+    val dir = new org.apache.hadoop.fs.Path(s"$root/_heartbeats")
+    val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files =
+      try f.listStatus(dir, (pp: org.apache.hadoop.fs.Path) =>
+        pp.getName == instanceId || pp.getName.startsWith(instanceId + "."))
+      catch { case scala.util.control.NonFatal(_) =>
+        Array.empty[org.apache.hadoop.fs.FileStatus] }
+    if (files.isEmpty) return None // never beat at all → takeover-eligible
+    val parsed = files.flatMap { s =>
+      try {
+        val in = f.open(s.getPath)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+        finally in.close()
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    // beats exist but none parsed: a WRITER is mid-flight (or the bytes
+    // are transiently garbled) — read as FRESH and let the next scan
+    // decide. The old code mapped this to Some(0L) = "stale since epoch"
+    // and double-executed live waves; a truly dead holder still converges
+    // once the bound elapses against its last complete beat.
+    if (parsed.isEmpty) Some(Long.MaxValue) else Some(parsed.max)
   }
 
   /** Release every in-flight wave of instances whose heartbeat is stale

@@ -531,4 +531,54 @@ class WorkQueueLedgerSpec extends SparkSpec {
       "after N batches the ledger must hold 0 rows, not N waves")
     assert(WorkQueueLedger.doneEntries(spark, s"${ledger}_done").count() === 20)
   }
+
+  test("atomic heartbeat: a live beater hammered by concurrent takeover " +
+      "scans is never stolen (r16 VERDICT #1)") {
+    val root = tmp()
+    WorkQueueLedger.claim(spark, root, ids("L1"), "live", "live-batch-0")
+    WorkQueueLedger.beat(spark, root, "live")
+    @volatile var stop = false
+    @volatile var beats = 0L
+    val beater = new Thread(() => {
+      while (!stop) { WorkQueueLedger.beat(spark, root, "live"); beats += 1 }
+    })
+    beater.setDaemon(true)
+    beater.start()
+    val stolen = scala.collection.mutable.Set.empty[String]
+    val deadline = System.currentTimeMillis() + 3000
+    var i = 0
+    try {
+      while (System.currentTimeMillis() < deadline) {
+        stolen ++= WorkQueueLedger.takeoverStale(spark, root, "taker",
+          60000L, s"hammer-$i")
+        i += 1
+      }
+    } finally { stop = true; beater.join(2000) }
+    assert(beats > 20, s"beater must actually hammer (got $beats beats)")
+    assert(stolen.isEmpty,
+      s"a live dispatcher beating every few ms was taken over: $stolen")
+    assert(won(WorkQueueLedger.entries(spark, root).select("itemID")) ===
+      Set("L1"), "the live wave must survive every scan")
+  }
+
+  test("unreadable heartbeat reads as FRESH, not stale-since-epoch " +
+      "(r16 VERDICT #1: torn read must not steal a live wave)") {
+    val root = tmp()
+    WorkQueueLedger.claim(spark, root, ids("G1"), "garbled", "g-batch-0")
+    // simulate a torn/garbled beat: the file EXISTS but does not parse
+    val hb = new java.io.File(new java.io.File(root), "_heartbeats")
+    hb.mkdirs()
+    java.nio.file.Files.write(new java.io.File(hb, "garbled").toPath,
+      "not-a-timestamp".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    assert(WorkQueueLedger.takeoverStale(spark, root, "taker", 60000L,
+      "torn-1").isEmpty,
+      "a present-but-unreadable beat means a live writer — skip this tick")
+    assert(won(WorkQueueLedger.entries(spark, root).select("itemID")) ===
+      Set("G1"))
+    // an instance with NO beat file at all is still takeover-eligible
+    // (crash before first heartbeat — the pre-existing semantics)
+    WorkQueueLedger.claim(spark, root, ids("D1"), "dead", "d-batch-0")
+    assert(WorkQueueLedger.takeoverStale(spark, root, "taker", 60000L,
+      "torn-2") === Seq("dead"))
+  }
 }
