@@ -138,13 +138,20 @@ object Bench {
     // self-report >1.5x movers with both values — no one should have to
     // diff round tails by hand. Sub-half-second queries are exempt (that
     // band is scheduling noise, not plans).
+    // default output name is stamped with core count + wall time so a later
+    // run (e.g. the driver's low-core scaling pass) never clobbers the full
+    // per-query results of an earlier one — r17's c8 run destroyed the
+    // 32-core artifact, which emptied the driver's PERF per-query table.
+    // An explicit SPARK_GRAFT_BENCH_OUT still pins the name exactly.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"bench_out_c${cpus}_${new java.text.SimpleDateFormat("yyyyMMdd-HHmmss")
+        .format(new java.util.Date())}.json")
     val prevFile: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV")
       .orElse {
         val R = "BENCH_LOCAL_r(\\d+)\\.json".r
         // this run's own output (a re-run within the round) must not be
         // its comparison base — a self-compare reports zero regressions
-        val self = new java.io.File(
-          sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")).getName
+        val self = new java.io.File(outPath).getName
         Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
           .flatMap(f => f.getName match {
             case R(n) if f.getName != self => Some(n.toInt -> f.getName)
@@ -222,7 +229,6 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val settleJson = settleTrace.map(fmt).mkString("[", ",", "]")
     val repsJson = perRep.map { case (k, v) =>
       "\"" + k + "\":" + v.map(fmt).mkString("[", ",", "]")

@@ -1,6 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.Exchange
 
 /** Scale-adaptive parallelism widening (optimization guide §2: make
   * partitioning scale-adaptive, never a constant tuned for one shape).
@@ -12,10 +13,23 @@ import org.apache.spark.sql.DataFrame
   * session default parallelism only when the plan is under-partitioned;
   * an already-parallel 100 TB scan is left untouched (repartitioning it
   * would be a full shuffle of the payload).
+  *
+  * Input contract: BATCH, scan-rooted frames (every call site passes a
+  * parquet scan or a checkpointed leaf). Guards for everything else:
+  *  - streaming frames pass through untouched (`.rdd` would throw);
+  *  - plans already containing an Exchange pass through untouched — their
+  *    downstream parallelism is the session shuffle width already, and
+  *    probing them via `.rdd` would FINALIZE the adaptive plan and execute
+  *    its shuffle stages just to read a partition count. For an
+  *    exchange-free plan `.rdd` only builds the scan RDD driver-side (no
+  *    job), so the probe is a planning-time cost, not an execution.
   */
 object Parallelism {
 
   def widen(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    if (df.queryExecution.sparkPlan.find(_.isInstanceOf[Exchange]).isDefined)
+      return df
     val dp = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
   }

@@ -146,9 +146,13 @@ object Similarity {
     */
   def ivfAssignTop(vecs: DataFrame, centroids: DataFrame, idCol: String,
       vecCol: String, n: Int): DataFrame = {
-    val cents = collectCents(centroids, idCol, vecCol)
+    // the collected table rides a BROADCAST handle, not the UDF closure:
+    // k·d doubles serialize once per executor, not once per task (ADVICE
+    // r17 — a scale regression at high task counts)
+    val cents = vecs.sparkSession.sparkContext.broadcast(
+      collectCents(centroids, idCol, vecCol))
     val nn = n
-    val assignN = udf { v: Seq[Double] => topCids(v.toArray, cents, nn) }
+    val assignN = udf { v: Seq[Double] => topCids(v.toArray, cents.value, nn) }
     vecs.select(col(idCol).as("id"), col(vecCol).as("vv"))
       .select(col("id"), explode(assignN(col("vv"))).as("cid"))
   }
@@ -170,11 +174,13 @@ object Similarity {
       queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
       idCol: String, vecCol: String, k: Int, nprobe: Int = 1): DataFrame = {
     // centroids driver-side: corpus home lists and query probe lists are
-    // both narrow projections — no assignment window, no join-back by id
-    val cents = collectCents(centroids, idCol, vecCol)
-    val assign1 = udf { v: Seq[Double] => topCids(v.toArray, cents, 1)(0) }
+    // both narrow projections — no assignment window, no join-back by id.
+    // Broadcast handle, not closure capture (ADVICE r17).
+    val cents = queries.sparkSession.sparkContext.broadcast(
+      collectCents(centroids, idCol, vecCol))
+    val assign1 = udf { v: Seq[Double] => topCids(v.toArray, cents.value, 1)(0) }
     val np = nprobe
-    val assignP = udf { v: Seq[Double] => topCids(v.toArray, cents, np) }
+    val assignP = udf { v: Seq[Double] => topCids(v.toArray, cents.value, np) }
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nv"),
       assign1(col(vecCol)).as("cid"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -217,9 +223,7 @@ object Similarity {
     // coalesce DOWN (a 100 TB scan keeps its own, larger split count)
     val base = corpus.select(col(idCol).cast("long").as("id"),
       col(vecCol).as("v"))
-    val dp = spark.sparkContext.defaultParallelism
-    val vecs = (if (base.rdd.getNumPartitions < dp) base.repartition(dp)
-      else base).cache()
+    val vecs = graft.plans.Parallelism.widen(base).cache()
     // the codebook IS driver state (k·d doubles — the BPE-merge-table
     // budget): holding it as an array makes each Lloyd round ONE job (the
     // quantized-mean aggregate over a narrow inline assignment) instead of
@@ -229,19 +233,33 @@ object Similarity {
     var cents: Array[(Long, Array[Double])] = vecs.orderBy("id").limit(k)
       .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
     val typed = vecs.as[(Long, Array[Double])]
-    for (_ <- 1 to iters) {
-      val cs = cents
+    val rdd = typed.rdd
+    // merged tree reduction instead of a flat collect of per-partition
+    // partials (r17 VERDICT #3): driver memory is O(k·d) — ONE merged
+    // (sums, counts) accumulator — never O(partitions·k·d), which at
+    // 100 TB (10⁵-10⁶ input splits) is gigabytes per Lloyd round (§5).
+    // depth is scale-adaptive on a 64-ary tree: 1 level (plain merged
+    // reduce, no extra stage, the local shape) up to 64 partitions,
+    // 2 up to 4096, 3 beyond — long sums are order-free, so the tree
+    // reassociation is bit-identical to the flat merge.
+    val depth = math.max(1, math.ceil(
+      math.log(math.max(rdd.getNumPartitions, 2).toDouble) / math.log(64.0)).toInt)
+    for (_ <- 1 to iters if cents.nonEmpty) {
+      // the codebook rides a broadcast, not the task closure: k·d doubles
+      // serialized once per executor instead of once per task (ADVICE r17)
+      val bc = spark.sparkContext.broadcast(cents)
+      val d = cents.head._2.length
+      val k = cents.length
       // one NARROW job per round: the per-centroid quantized dim sums
       // (the same floor(x·1e6) BIGINT grid — order-free, bit-identical)
-      // fold partition-locally into k·d longs and only those partials are
-      // collected — no posexplode row blow-up, no mean exchange, no UDF
-      // conversion machinery (the expression form measured ~0.39 s/round
-      // of fixed overhead at sf0.1 regardless of parallelism)
-      val partials = typed.mapPartitions { it =>
-        val d = if (cs.isEmpty) 0 else cs.head._2.length
-        val sums = Array.fill(cs.length)(new Array[Long](d))
-        val counts = new Array[Long](cs.length)
-        if (cs.nonEmpty) it.foreach { case (_, v) =>
+      // fold into k·d longs per task and merge up the tree — no posexplode
+      // row blow-up, no mean exchange, no UDF conversion machinery (the
+      // expression form measured ~0.39 s/round of fixed overhead at sf0.1
+      // regardless of parallelism)
+      val (sums, counts) = rdd.treeAggregate(
+        (Array.fill(k)(new Array[Long](d)), new Array[Long](k)))(
+        seqOp = { case (acc @ (sums, counts), (_, v)) =>
+          val cs = bc.value
           var best = 0
           var bestC = cosFused(v, cs(0)._2)
           var i = 1
@@ -258,26 +276,27 @@ object Similarity {
             s(j) += math.floor(v(j) * 1000000.0).toLong
             j += 1
           }
-        }
-        Iterator.range(0, cs.length).filter(counts(_) > 0)
-          .map(i => (i, sums(i), counts(i)))
-      }.collect()
-      val byIdx = partials.groupBy(_._1).map { case (i, ps) =>
-        val d = cs(i)._2.length
-        val s = new Array[Long](d)
-        var cnt = 0L
-        ps.foreach { p =>
-          cnt += p._3
-          var j = 0
-          while (j < d) { s(j) += p._2(j); j += 1 }
-        }
-        // same arithmetic as the old SQL mean: cast(sum as double) /
-        // (count * 1e6) with long→double promotion on the count
-        i -> Array.tabulate(d)(j => s(j).toDouble / (cnt * 1000000.0))
-      }
-      // a centroid that attracted no vectors keeps its previous position
+          acc
+        },
+        combOp = { case ((s1, c1), (s2, c2)) =>
+          var i = 0
+          while (i < c1.length) {
+            c1(i) += c2(i)
+            val a = s1(i); val b = s2(i)
+            var j = 0
+            while (j < a.length) { a(j) += b(j); j += 1 }
+            i += 1
+          }
+          (s1, c1)
+        }, depth)
+      bc.unpersist(blocking = false)
+      // a centroid that attracted no vectors keeps its previous position;
+      // same arithmetic as the old SQL mean: cast(sum as double) /
+      // (count * 1e6) with long→double promotion on the count
       cents = cents.zipWithIndex.map { case ((cid, cv), i) =>
-        (cid, byIdx.getOrElse(i, cv))
+        if (counts(i) == 0L) (cid, cv)
+        else (cid, Array.tabulate(cv.length)(j =>
+          sums(i)(j).toDouble / (counts(i) * 1000000.0)))
       }
     }
     vecs.unpersist()

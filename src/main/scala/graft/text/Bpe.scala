@@ -182,9 +182,8 @@ object Bpe {
     // partition, serializing the whole merge-apply + fingerprint chain on
     // a single core; never repartition an already-parallel scan (at
     // corpus scale that would be a full text shuffle)
-    val dp = docs.sparkSession.sparkContext.defaultParallelism
     val raw = docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-    val wide = if (raw.rdd.getNumPartitions < dp) raw.repartition(dp) else raw
+    val wide = graft.plans.Parallelism.widen(raw)
     val base = wide
       .select(col("doc_id"),
         TextAnalysis.normalized(col("__text")).as("ntext"))

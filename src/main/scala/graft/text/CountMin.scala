@@ -51,8 +51,13 @@ object CountMin {
     sketches.groupBy("r", "bucket").agg(sum("cnt").as("cnt"))
 
   /** Frequency upper bounds for `probes` (column `item`): min over the d
-    * row estimates. The probe side is tiny — d broadcast joins against the
-    * ≤d·w-cell sketch.
+    * row estimates.
+    *
+    * OUTPUT CONTRACT: one row per DISTINCT probe item (the groupBy that
+    * computes the least-of-d collapses duplicate probe rows — the pre-r17
+    * fold form returned one row per probe ROW; spec-pinned in
+    * CountMinSpec). Callers that need per-row multiplicity join the
+    * estimates back on `itemCol`.
     */
   def estimate(cms: DataFrame, probes: DataFrame, itemCol: String,
       depth: Int = GateDepth, width: Int = GateWidth): DataFrame = {
@@ -68,7 +73,10 @@ object CountMin {
             (h60(col(itemCol), r) % width).cast("int").as("bucket"))): _*))
           .as("c"))
       .select(col("__item"), col("c.r").as("r"), col("c.bucket").as("bucket"))
-    keyed.join(cms, Seq("r", "bucket"), "left")
+    // the sketch is ≤ d·w cells BY CONSTRUCTION (the groupBy bounds it):
+    // broadcast it so the probe side — arbitrarily large at 100 TB — is
+    // never shuffled for the join, whatever the stats say
+    keyed.join(broadcast(cms), Seq("r", "bucket"), "left")
       .groupBy(col("__item"))
       .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
       .select(col("__item").as(itemCol), col("est"))

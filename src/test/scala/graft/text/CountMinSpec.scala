@@ -46,6 +46,19 @@ class CountMinSpec extends SparkSpec {
     assert(direct.size <= CountMin.GateDepth * CountMin.GateWidth)
   }
 
+  test("estimate returns ONE row per DISTINCT probe item (duplicate probes collapse)") {
+    // pins the r17 contract change: the single-join + groupBy form returns
+    // per-distinct-item rows where the old per-row fold preserved probe
+    // multiplicity. Anyone feeding non-distinct probes must know this.
+    val cms = CountMin.sketch(itemsDf(Seq.fill(7)("x") ++ Seq("y")), "item")
+    val dupProbes = itemsDf(Seq("x", "x", "x", "y"))
+    val rows = CountMin.estimate(cms, dupProbes, "item")
+      .as[(String, Long)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq("x", "y"),
+      "one output row per distinct probe item")
+    assert(rows.toMap.apply("x") >= 7L && rows.toMap.apply("y") >= 1L)
+  }
+
   test("absent items estimate only collision mass, never negative") {
     val cms = CountMin.sketch(itemsDf(Seq.fill(10)("present")), "item")
     val est = CountMin.estimate(cms, itemsDf(Seq("absent-1", "absent-2")), "item")
