@@ -816,16 +816,25 @@ object VersionedTable {
     val b = keys.select(col(key).cast("string").as(key))
       .filter(col(key).isNotNull).distinct().cache()
     try {
-      val head = b.agg(min(col(key)), max(col(key))).head()
-      if (head.isNullAt(0)) // empty key set: nothing to rewrite, but still
+      // ONE bounded job instead of two (see rewriteHits). Driver-side
+      // min/max of the collected set ALSO uses the same Java/String
+      // ordering as the footer-stat comparisons below — the agg form
+      // ordered by UTF-8 bytes, which disagrees with the prune
+      // comparisons on supplementary-plane keys (identical on ASCII)
+      val probeRows = b.limit(BloomProbeMax + 1).collect()
+      if (probeRows.isEmpty) // empty key set: nothing to rewrite, but still
         return commitLoop(spark, root) { parent => // a recorded commit
           val p = parent.getOrElse(sys.error(s"$root does not exist"))
           ("delete", p.files, p.schema)
         }
-      val (lo, hi) = (head.getString(0), head.getString(1))
-      val probeRows = b.limit(BloomProbeMax + 1).collect()
       val probe = if (probeRows.length > BloomProbeMax) None
         else Some(probeRows.map(_.getString(0)))
+      val (lo, hi) = probe match {
+        case Some(ks) => (ks.min, ks.max)
+        case None =>
+          val head = b.agg(min(col(key)), max(col(key))).head()
+          (head.getString(0), head.getString(1))
+      }
       commitLoop(spark, root) { parent =>
         val p = parent.getOrElse(sys.error(s"$root does not exist"))
         val (hits, kept) = p.files.partition { fe =>
@@ -859,21 +868,30 @@ object VersionedTable {
         batch.schema(key).dataType.typeName)
     val b = batch.cache()
     try {
-      val head = b
-        .agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
-      if (head.isNullAt(0))  // empty batch: nothing to rewrite, but still
+      // ONE bounded job instead of two (guide §2.4 — every avoided action
+      // is a whole scheduler wave per mutation commit at cluster scale):
+      // collect up to BloomProbeMax+1 distinct keys; a targeted batch
+      // (the common mutation) is fully under the cap, so its min/max
+      // derive from the same collected set and the separate agg job
+      // existed only for the over-cap bulk case — which alone still pays
+      // it (and never bloom-prunes anyway)
+      val probeRows = b.select(col(key).cast("long").as("k"))
+        .filter(col("k").isNotNull).distinct()
+        .limit(BloomProbeMax + 1).collect()
+      if (probeRows.isEmpty)  // empty batch: nothing to rewrite, but still
         return commitLoop(spark, root) { parent =>  // a recorded commit
           val p = parent.getOrElse(sys.error(s"$root does not exist"))
           (op, p.files, p.schema)
         }
-      val Row(lo: Long, hi: Long) = head
-      // probe keys for bloom pruning, bounded: limit(max+1) detects "too
-      // many" without ever collecting more than the cap
-      val probeRows = b.select(col(key).cast("long").as("k"))
-        .filter(col("k").isNotNull).distinct()
-        .limit(BloomProbeMax + 1).collect()
       val probe = if (probeRows.length > BloomProbeMax) None
         else Some(probeRows.map(_.getLong(0)))
+      val (lo, hi) = probe match {
+        case Some(ks) => (ks.min, ks.max)
+        case None =>
+          val Row(l: Long, h: Long) = b
+            .agg(min(col(key).cast("long")), max(col(key).cast("long"))).head()
+          (l, h)
+      }
       commitLoop(spark, root) { parent =>
         val p = parent.getOrElse(sys.error(s"$root does not exist"))
         val (hits, kept) = p.files.partition(fe =>
