@@ -574,7 +574,16 @@ object Dedup {
     // sz − rn + 1 could still verify against a partner of the minimal
     // legal size — fl((sz−rn+1)/sz) >= τ, the verify comparison itself
     // (a qualifying pair's overlap o* has fl(o*/union) >= τ and
-    // union >= sz, so fl(o*/sz) >= τ by rounding monotonicity)
+    // union >= sz, so fl(o*/sz) >= τ by rounding monotonicity).
+    // DELIBERATELY the window form, not TopKPerKey.topKBounded (which the
+    // index/batch prefix builds use): here the ranked prefix feeds the
+    // candidate self-join IN THE SAME PLAN, and the heap operator's 40×
+    // exchange-byte cut makes AQE coalesce the fused final-merge + verify
+    // pipeline to ONE task — measured ×1.5 SLOWER end-to-end
+    // (dedup_ppjoin_family_pairs interleaved A/B min 3.32 vs 2.29 s,
+    // med 4.12 vs 2.56 s, 3 rounds × 5 reps) despite shipping 6.77 →
+    // 0.15 MB. The cut/persisted prefix paths have no such fusion and
+    // measured ×0.87 with the operator.
     val prefix = toks.join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
@@ -777,6 +786,12 @@ object Dedup {
     // consistent global order preserves the exactness lemmas, and rep-df
     // is the better selectivity signal (a million exact copies of one
     // boilerplate page shouldn't demote its discriminative grams).
+    // DELIBERATELY the window form (see prefixFilterRepPairs): gates that
+    // build the index inline consume `prefix` directly in the candidate
+    // join, and the TopKPerKey byte cut makes AQE serialize that fused
+    // stage — dedup_ppjoin_batch_family_pairs measured ×1.27 slower in
+    // two independent interleaved A/Bs with the operator here. Only the
+    // LINEAGE-CUT batch prefix ([[ppjoinBatchSide]]) keeps the operator.
     val prefix = toks.join(freq, Seq("gram"))
       .withColumn("rn", row_number().over(w))
       .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
@@ -824,11 +839,16 @@ object Dedup {
     val (bg, bmembers) = collapseExactFamilies(batch, idCol, textCol)
     val btoks = bg.select(col("id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df0"), col("gram"))
-    val bprefix = btoks.join(index.freq, Seq("gram"), "left")
-      .withColumn("df0", coalesce(col("df"), lit(0L)))
-      .withColumn("rn", row_number().over(w))
+    // same bounded TopKPerKey ranking as the one-shot prefix build; the
+    // exact rank filter below is unchanged, so the batch prefix set is
+    // bit-identical to the window form's
+    val bprefix = graft.plans.TopKPerKey.topKBounded(
+        btoks.join(index.freq, Seq("gram"), "left")
+          .withColumn("df0", coalesce(col("df"), lit(0L)))
+          .withColumn("kcap", (col("sz") - floor(lit(threshold) * col("sz"))
+            + lit(2)).cast("int")),
+        Seq("id"), Seq(("df0", true), ("gram", true)), "kcap")
+      .withColumn("rn", col("rank").cast("int"))
       .filter((col("sz") - col("rn") + 1) / col("sz") >= threshold)
       .select("id", "sz", "rn", "gram")
       .transform(graft.plans.Lineage.cut)

@@ -25,7 +25,32 @@ object Lineage {
   val ReliableKey = "spark.graft.checkpoint.reliable"
   val DirKey = "spark.graft.checkpoint.dir"
 
+  /** Dev-only per-cut plan dump (optimization-round evidence): when
+    * `spark.graft.plans.dumpDir` is set, every cut/cutLazy/cutCounted
+    * writes the UNCUT dataframe's formatted plan to `<dir>/cutNNNN.txt`
+    * BEFORE lineage is truncated — the per-round plans of iterative
+    * operators (PageRank, CC) that the FINAL plan cannot show (it sees
+    * only the last Scan ExistingRDD; r17 VERDICT #1). Default unset:
+    * one conf lookup per cut, nothing else. Dumps are pre-execution
+    * (AdaptiveSparkPlan isFinalPlan=false) — operator shape, not AQE's
+    * runtime choices.
+    */
+  val DumpDirKey = "spark.graft.plans.dumpDir"
+  private val dumpSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def dumpIfEnabled(df: DataFrame): Unit =
+    df.sparkSession.conf.getOption(DumpDirKey).foreach { dir =>
+      val n = dumpSeq.incrementAndGet()
+      val p = java.nio.file.Paths.get(dir)
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve(f"cut$n%04d.txt"),
+        df.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    }
+
   def cut(df: DataFrame): DataFrame = {
+    dumpIfEnabled(df)
     val spark = df.sparkSession
     if (spark.conf.get(ReliableKey, "false").toBoolean) {
       val sc = spark.sparkContext
@@ -47,6 +72,7 @@ object Lineage {
     * populate storage. Same reliable-mode switch as [[cut]].
     */
   def cutLazy(df: DataFrame): DataFrame = {
+    dumpIfEnabled(df)
     val spark = df.sparkSession
     if (spark.conf.get(ReliableKey, "false").toBoolean) {
       val sc = spark.sparkContext
@@ -73,6 +99,7 @@ object Lineage {
     * local-checkpoint mode.)
     */
   def cutCounted(df: DataFrame): (DataFrame, Long) = {
+    dumpIfEnabled(df)
     val spark = df.sparkSession
     val cut =
       if (spark.conf.get(ReliableKey, "false").toBoolean) {

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** Whole-operator custom plan (tier (c) of the custom-op ladder): top-k rows
   * per key — the `ROW_NUMBER() OVER (PARTITION BY ... ORDER BY ...) <= k`
@@ -31,6 +31,13 @@ import org.apache.spark.sql.types.LongType
   * operator over FULL rows: no collapsing to (id, score) pairs, no
   * re-join to recover payload columns.
   *
+  * VARIABLE k ([[TopKPerKey.topKBounded]]): k may instead come from an
+  * integer column that is CONSTANT PER KEY (evaluated on the first row
+  * seen for the key, each phase). This is the PPJoin prefix shape — every
+  * doc keeps its first `L(doc) ≈ (1−τ)·|doc|+1` grams of a global
+  * frequency order — which the window form could only express as a full
+  * per-doc sort followed by a rank filter.
+  *
   * The reference has no analog (its "top" queries are client-side Python
   * sorts); this is the billion-row-group form the 100 TB target needs.
   */
@@ -43,9 +50,26 @@ object TopKPerKey {
     */
   def topK(df: DataFrame, keys: Seq[String], orderBy: Seq[(String, Boolean)],
       k: Int): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    plan(df, keys, orderBy, k, None)
+  }
+
+  /** Top-k-per-key with PER-KEY k read from integer column `kCol`, which
+    * must be ≥ 1 and CONSTANT within each key group (it is evaluated on
+    * the first row seen for the key in each phase; a NULL or < 1 value
+    * reads as 1). Appends `rank` (1-based, LongType). The caller keeps any
+    * exact rank predicate as a filter over `rank` — the column only needs
+    * to UPPER-BOUND the ranks the caller will keep.
+    */
+  def topKBounded(df: DataFrame, keys: Seq[String],
+      orderBy: Seq[(String, Boolean)], kCol: String): DataFrame =
+    plan(df, keys, orderBy, Int.MaxValue, Some(kCol))
+
+  private def plan(df: DataFrame, keys: Seq[String],
+      orderBy: Seq[(String, Boolean)], k: Int,
+      kCol: Option[String]): DataFrame = {
     require(keys.nonEmpty, "topKPerKey needs at least one key column")
     require(orderBy.nonEmpty, "topKPerKey needs an ordering")
-    require(k > 0, s"k must be positive, got $k")
     val spark = df.sparkSession
     ensureStrategy(spark)
     val child = df.queryExecution.analyzed
@@ -55,8 +79,14 @@ object TopKPerKey {
     val sortOrder = orderBy.map { case (name, asc) =>
       SortOrder(attr(name), if (asc) Ascending else Descending)
     }
+    val kExpr = kCol.map { c =>
+      val a = attr(c)
+      require(a.dataType == IntegerType,
+        s"per-key k column $c must be INT, got ${a.dataType.simpleString}")
+      a
+    }
     val node = TopKPerKeyNode(keys.map(attr), sortOrder, k,
-      AttributeReference("rank", LongType, nullable = false)(), child)
+      AttributeReference("rank", LongType, nullable = false)(), child, kExpr)
     org.apache.spark.sql.graftshim.PlanShim.ofRows(spark, node)
   }
 
@@ -75,7 +105,8 @@ final case class TopKPerKeyNode(
     sortOrder: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: LogicalPlan) extends UnaryNode {
+    child: LogicalPlan,
+    kExpr: Option[Attribute] = None) extends UnaryNode {
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
   override def maxRows: Option[Long] = child.maxRows
@@ -85,17 +116,19 @@ final case class TopKPerKeyNode(
 
 object TopKPerKeyStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case TopKPerKeyNode(keys, sortOrder, k, rankAttr, child) =>
+    case TopKPerKeyNode(keys, sortOrder, k, rankAttr, child, kExpr) =>
       TopKPerKeyFinalExec(keys, sortOrder, k, rankAttr,
-        TopKPerKeyPartialExec(keys, sortOrder, k, planLater(child))) :: Nil
+        TopKPerKeyPartialExec(keys, sortOrder, k, planLater(child), kExpr),
+        kExpr) :: Nil
     case _ => Nil
   }
 }
 
-/** Shared per-partition heap pass: retain at most k rows per key, ordered by
-  * `sortOrder`. The heap is a max-heap on the WORST retained row (reverse of
-  * the ranking order), so eviction is O(log k) and a full group never
-  * materializes.
+/** Shared per-partition heap pass: retain at most k(key) rows per key,
+  * ordered by `sortOrder`. The heap is a max-heap on the WORST retained row
+  * (reverse of the ranking order), so eviction is O(log k) and a full group
+  * never materializes. `kFor` reads the per-key capacity from the FIRST row
+  * seen for the key (static k = a constant function).
   */
 private[plans] object TopKHeaps {
 
@@ -107,38 +140,43 @@ private[plans] object TopKHeaps {
     */
   val PartialFlushRows: Int = 4 << 20
 
+  private final class Slot(val cap: Int,
+    val heap: java.util.PriorityQueue[InternalRow])
+
   def partitionTopK(
       it: Iterator[InternalRow],
       keyProj: UnsafeProjection,
       ordering: Ordering[InternalRow],
-      k: Int,
+      kFor: InternalRow => Int,
       flushEvery: Int = Int.MaxValue): Iterator[(UnsafeRow, java.util.PriorityQueue[InternalRow])] = {
     import scala.jdk.CollectionConverters._
-    var heaps = new java.util.LinkedHashMap[UnsafeRow, java.util.PriorityQueue[InternalRow]]()
+    var heaps = new java.util.LinkedHashMap[UnsafeRow, Slot]()
     val reverse = ordering.reverse // head = worst retained
     var held = 0L
     var flushed: Iterator[(UnsafeRow, java.util.PriorityQueue[InternalRow])] = Iterator.empty
     while (it.hasNext) {
       val row = it.next()
       val key = keyProj(row)
-      var heap = heaps.get(key)
-      if (heap == null) {
-        heap = new java.util.PriorityQueue[InternalRow](k + 1, reverse)
-        heaps.put(key.copy(), heap)
+      var slot = heaps.get(key)
+      if (slot == null) {
+        slot = new Slot(math.max(1, kFor(row)),
+          new java.util.PriorityQueue[InternalRow](16, reverse))
+        heaps.put(key.copy(), slot)
       }
-      if (heap.size() < k) { heap.add(row.copy()); held += 1 }
-      else if (ordering.compare(row, heap.peek()) < 0) {
-        heap.poll()
-        heap.add(row.copy())
+      if (slot.heap.size() < slot.cap) { slot.heap.add(row.copy()); held += 1 }
+      else if (ordering.compare(row, slot.heap.peek()) < 0) {
+        slot.heap.poll()
+        slot.heap.add(row.copy())
       }
       if (held >= flushEvery) {
         flushed = flushed ++ heaps.entrySet().asScala.toArray
-          .iterator.map(e => (e.getKey, e.getValue))
+          .iterator.map(e => (e.getKey, e.getValue.heap))
         heaps = new java.util.LinkedHashMap()
         held = 0
       }
     }
-    flushed ++ heaps.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+    flushed ++ heaps.entrySet().iterator().asScala
+      .map(e => (e.getKey, e.getValue.heap))
   }
 
   /** Drain a heap into ranking order (best first). */
@@ -149,6 +187,20 @@ private[plans] object TopKHeaps {
     while (i >= 0) { arr(i) = heap.poll(); i -= 1 } // poll yields worst-first
     arr
   }
+
+  /** Per-key capacity reader: the bound column on the first row of the
+    * key, clamped to ≥ 1 (NULL reads as 1); static k otherwise.
+    */
+  def capReader(kExpr: Option[Attribute], childOutput: Seq[Attribute],
+      k: Int): InternalRow => Int = kExpr match {
+    case Some(e) =>
+      val proj = UnsafeProjection.create(Seq(e), childOutput)
+      row => {
+        val r = proj(row)
+        if (r.isNullAt(0)) 1 else math.max(1, r.getInt(0))
+      }
+    case None => _ => k
+  }
 }
 
 /** Pre-shuffle phase: bounded top-k per key within each input partition. */
@@ -156,7 +208,8 @@ final case class TopKPerKeyPartialExec(
     keys: Seq[Attribute],
     sortOrder: Seq[SortOrder],
     k: Int,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    kExpr: Option[Attribute] = None) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output
   override def outputPartitioning: org.apache.spark.sql.catalyst.plans.physical.Partitioning =
@@ -169,12 +222,14 @@ final case class TopKPerKeyPartialExec(
     val keyExprs = keys
     val so = sortOrder
     val kk = k
+    val ke = kExpr
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = RowOrdering.create(so, childOutput)
+      val kFor = TopKHeaps.capReader(ke, childOutput, kk)
       // bounded memory even on high-cardinality keys: flush heaps
       // downstream periodically (extra partial rows re-merge at final)
-      TopKHeaps.partitionTopK(it, keyProj, ordering, kk,
+      TopKHeaps.partitionTopK(it, keyProj, ordering, kFor,
           TopKHeaps.PartialFlushRows).flatMap { case (_, heap) =>
         TopKHeaps.drain(heap, ordering).iterator
       }
@@ -188,7 +243,8 @@ final case class TopKPerKeyFinalExec(
     sortOrder: Seq[SortOrder],
     k: Int,
     rankAttr: Attribute,
-    child: SparkPlan) extends UnaryExecNode {
+    child: SparkPlan,
+    kExpr: Option[Attribute] = None) extends UnaryExecNode {
 
   override def output: Seq[Attribute] = child.output :+ rankAttr
   override def producedAttributes: AttributeSet = AttributeSet(rankAttr)
@@ -206,16 +262,18 @@ final case class TopKPerKeyFinalExec(
     val keyExprs = keys
     val so = sortOrder
     val kk = k
+    val ke = kExpr
     child.execute().mapPartitions({ it =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = RowOrdering.create(so, childOutput)
       val proj = UnsafeProjection.create(fullOutput, fullOutput)
       val joined = new JoinedRow
       val rankRow = new GenericInternalRow(1)
+      val kFor = TopKHeaps.capReader(ke, childOutput, kk)
       // row_number-rewritten plans carry an IntegerType rank attribute;
       // the explicit API creates LongType — emit whichever the attr declares
       val rankIsInt = rankAttrIsInt
-      TopKHeaps.partitionTopK(it, keyProj, ordering, kk).flatMap { case (_, heap) =>
+      TopKHeaps.partitionTopK(it, keyProj, ordering, kFor).flatMap { case (_, heap) =>
         TopKHeaps.drain(heap, ordering).iterator.zipWithIndex.map { case (row, i) =>
           rankRow.update(0, if (rankIsInt) i + 1 else (i + 1).toLong)
           proj(joined(row, rankRow)).copy(): InternalRow

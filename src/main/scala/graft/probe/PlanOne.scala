@@ -29,11 +29,18 @@ object PlanOne {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
+    // optional 5th arg "rounds": also dump every per-round (pre-cut) plan
+    // of iterative operators via the Lineage dump hook — the final plan of
+    // a checkpointing loop shows only the last Scan ExistingRDD
+    val rounds = args.lift(4).contains("rounds")
     gates.foreach { gate =>
       val fn = graft.SparkEntry.queries.getOrElse(gate,
         sys.error(s"unknown gate $gate"))
+      if (rounds) spark.conf.set(graft.plans.Lineage.DumpDirKey,
+        s"$outDir/${gate}_${suffix}_rounds")
       val df = fn(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
+      if (rounds) spark.conf.unset(graft.plans.Lineage.DumpDirKey)
       val txt = df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode)
       java.nio.file.Files.write(

@@ -98,6 +98,36 @@ class TopKPerKeySpec extends SparkSpec {
     }
   }
 
+  test("variable-k (topKBounded): per-key capacity column bounds each group " +
+      "exactly like a per-group row_number rank filter") {
+    // per-key k = (l_orderkey % 3) + 1 — constant within a key, varying
+    // across keys (the PPJoin prefix shape: k is a function of the doc)
+    val withCap = scored.withColumn("kcap",
+      (($"l_orderkey" % 3) + 1).cast("int"))
+    val got = TopKPerKey.topKBounded(withCap, Seq("l_orderkey"),
+        Seq(("score", false), ("l_partkey", true), ("l_linenumber", true)),
+        "kcap")
+      .filter($"rank" <= $"kcap")
+      .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"l_orderkey")
+      .orderBy($"score".desc, $"l_partkey", $"l_linenumber")
+    val expected = withCap
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter($"rank" <= $"kcap")
+      .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"rank")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // over-capacity emission is impossible: no rank beyond the key's cap
+    val overCap = TopKPerKey.topKBounded(withCap, Seq("l_orderkey"),
+        Seq(("score", false), ("l_partkey", true), ("l_linenumber", true)),
+        "kcap")
+      .filter($"rank" > $"kcap").count()
+    assert(overCap === 0L)
+  }
+
   test("strategy resolves through SparkSessionExtensions injection too") {
     // the extensions path registers the same strategy object
     val ext = new org.apache.spark.sql.SparkSessionExtensions
