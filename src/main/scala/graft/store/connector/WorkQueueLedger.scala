@@ -420,12 +420,30 @@ object WorkQueueLedger {
     finally out.close()
     // prune superseded beats (and any legacy suffix-less file)
     try f.listStatus(dir, (pp: org.apache.hadoop.fs.Path) =>
-        pp.getName != p.getName && (pp.getName == instanceId ||
-          pp.getName.startsWith(instanceId + ".")))
+        pp.getName != p.getName && isBeatOf(pp.getName, instanceId))
       .foreach(s => try f.delete(s.getPath, false)
         catch { case scala.util.control.NonFatal(_) => () })
     catch { case scala.util.control.NonFatal(_) => () }
   }
+
+  /** Is `name` a beat file OF `instanceId`? Either the legacy suffix-less
+    * form (`name == instanceId`) or `<instanceId>.<digits>`. The
+    * digits-only suffix check is what keeps dot-nested instance ids apart
+    * (r17 ADVICE): with a bare `startsWith(id + ".")`, instance "host.a"
+    * would match (and its beat() would DELETE) the live
+    * `host.a.b.<millis>` beats of sibling instance "host.a.b" — the
+    * sibling then lists as never-beat and its healthy waves get stolen.
+    * Residual edge, documented: an all-digit instance id that extends a
+    * sibling id (`host.1` vs `host`) still collides through the sibling's
+    * LEGACY suffix-less file — new beats are always millis-suffixed, so
+    * the window closes at the sibling's first post-upgrade beat.
+    */
+  private def isBeatOf(name: String, instanceId: String): Boolean =
+    name == instanceId || {
+      name.length > instanceId.length + 1 &&
+      name.startsWith(instanceId + ".") &&
+      name.substring(instanceId.length + 1).forall(_.isDigit)
+    }
 
   private def lastBeat(spark: SparkSession, root: String,
       instanceId: String): Option[Long] = {
@@ -433,7 +451,7 @@ object WorkQueueLedger {
     val f = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files =
       try f.listStatus(dir, (pp: org.apache.hadoop.fs.Path) =>
-        pp.getName == instanceId || pp.getName.startsWith(instanceId + "."))
+        isBeatOf(pp.getName, instanceId))
       catch { case scala.util.control.NonFatal(_) =>
         Array.empty[org.apache.hadoop.fs.FileStatus] }
     if (files.isEmpty) return None // never beat at all → takeover-eligible
@@ -445,12 +463,25 @@ object WorkQueueLedger {
         finally in.close()
       } catch { case scala.util.control.NonFatal(_) => None }
     }
-    // beats exist but none parsed: a WRITER is mid-flight (or the bytes
-    // are transiently garbled) — read as FRESH and let the next scan
-    // decide. The old code mapped this to Some(0L) = "stale since epoch"
-    // and double-executed live waves; a truly dead holder still converges
-    // once the bound elapses against its last complete beat.
-    if (parsed.isEmpty) Some(Long.MaxValue) else Some(parsed.max)
+    // beats exist but none parsed: a WRITER may be mid-flight (or the
+    // bytes transiently garbled) — read as fresh-as-of-the-file-stamp and
+    // let the bound decide. The pre-r17 code mapped this to Some(0L) =
+    // "stale since epoch" and double-executed live waves; r17's first fix
+    // read Some(Long.MaxValue) = fresh FOREVER, which turned a dispatcher
+    // crashing between beat-file create and write into a PERMANENT
+    // work-queue stall (r17 ADVICE — the exact crash takeover exists
+    // for). The epoch-millis embedded in the `<instance>.<millis>` name
+    // is stamped before any byte is written; legacy suffix-less files
+    // fall back to the filesystem mtime. A torn beat therefore reads
+    // fresh exactly until the staleness bound elapses, then converges.
+    if (parsed.nonEmpty) Some(parsed.max)
+    else Some(files.map { s =>
+      val name = s.getPath.getName
+      val suffix = name.drop(instanceId.length + 1)
+      if (name.startsWith(instanceId + ".") && suffix.nonEmpty &&
+          suffix.length < 19 && suffix.forall(_.isDigit)) suffix.toLong
+      else s.getModificationTime
+    }.max)
   }
 
   /** Release every in-flight wave of instances whose heartbeat is stale

@@ -561,6 +561,49 @@ class WorkQueueLedgerSpec extends SparkSpec {
       Set("L1"), "the live wave must survive every scan")
   }
 
+  test("a dispatcher crashing between beat-file create and first write is " +
+      "reclaimable once the bound elapses (r17 ADVICE: no permanent stall)") {
+    val root = tmp()
+    WorkQueueLedger.claim(spark, root, ids("C1"), "crashed", "c-batch-0")
+    val hb = new java.io.File(new java.io.File(root), "_heartbeats")
+    hb.mkdirs()
+    // the worst case the fix targets: the beat FILE exists (name stamped
+    // before any byte lands) but is permanently empty — the old
+    // Long.MaxValue fallback read it as fresh FOREVER
+    val stamp = System.currentTimeMillis() - 120000L
+    java.nio.file.Files.write(
+      new java.io.File(hb, s"crashed.$stamp").toPath, Array.empty[Byte])
+    // within the bound the torn beat still reads fresh (a live writer
+    // mid-flight must not be stolen)
+    assert(WorkQueueLedger.takeoverStale(spark, root, "taker", 600000L,
+      "stall-0").isEmpty, "inside the bound a torn beat reads fresh")
+    // past the bound (filename stamp is 120 s old) the wave is reclaimed
+    assert(WorkQueueLedger.takeoverStale(spark, root, "taker", 60000L,
+      "stall-1") === Seq("crashed"),
+      "an empty beat file must not stall takeover forever")
+  }
+
+  test("dot-prefix sibling instances never cross-delete or cross-read " +
+      "beats (r17 ADVICE: host.a vs host.a.b)") {
+    val root = tmp()
+    WorkQueueLedger.claim(spark, root, ids("A1"), "host.a", "a-batch-0")
+    WorkQueueLedger.claim(spark, root, ids("B1"), "host.a.b", "b-batch-0")
+    WorkQueueLedger.beat(spark, root, "host.a.b")
+    // hammer the SHORTER sibling's beat: with bare prefix matching its
+    // prune pass deleted host.a.b's live beats, so host.a.b then listed
+    // as never-beat and its healthy wave was takeover-eligible
+    (1 to 3).foreach(_ => WorkQueueLedger.beat(spark, root, "host.a"))
+    val hb = new java.io.File(new java.io.File(root), "_heartbeats")
+    assert(Option(hb.list()).getOrElse(Array.empty[String])
+      .exists(_.startsWith("host.a.b.")),
+      "host.a's beat prune must not delete host.a.b's beat files")
+    assert(WorkQueueLedger.takeoverStale(spark, root, "taker", 60000L,
+      "sib-0").isEmpty,
+      "both live siblings must survive the takeover scan")
+    assert(won(WorkQueueLedger.entries(spark, root).select("itemID")) ===
+      Set("A1", "B1"))
+  }
+
   test("unreadable heartbeat reads as FRESH, not stale-since-epoch " +
       "(r16 VERDICT #1: torn read must not steal a live wave)") {
     val root = tmp()
