@@ -74,6 +74,16 @@ object Graph {
   }
 
   private def groupPairs(df: DataFrame, keyCol: String, itemCol: String): DataFrame = {
+    // NO Parallelism.widen here, deliberately (r18): widening the
+    // projected (k, i) rows before the group collect was tried — the
+    // groupBy's map side runs at the scan's 3 splits at sf0.1 (2.0 s
+    // stage) — and measured ×1.25 SLOWER end-to-end
+    // (graph_substrate_build 3.86 → 4.82 s min-of-3, interleaved A/B):
+    // a keyless repartition first pays a local sort of its input
+    // (sortBeforeRepartition, guide §2.5) and a full extra exchange of
+    // every row, which costs more than the under-parallelized partial
+    // collect it spreads. Unlike the profile/substring kernels (pure
+    // per-row CPU), this stage's work is the shuffle write itself.
     val grouped = df.select(col(keyCol).as("k"), col(itemCol).as("i"))
       .groupBy("k").agg(sort_array(collect_set(col("i"))).as("items"))
     df.schema(itemCol).dataType match {

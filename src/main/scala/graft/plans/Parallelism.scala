@@ -1,7 +1,6 @@
 package graft.plans
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.execution.exchange.Exchange
 
 /** Scale-adaptive parallelism widening (optimization guide §2: make
   * partitioning scale-adaptive, never a constant tuned for one shape).
@@ -28,8 +27,16 @@ object Parallelism {
 
   def widen(df: DataFrame): DataFrame = {
     if (df.isStreaming) return df
-    if (df.queryExecution.sparkPlan.find(_.isInstanceOf[Exchange]).isDefined)
-      return df
+    // the guard reads the RENDERED initial plan, not sparkPlan: under AQE
+    // exchanges are inserted by the preparation rules (EnsureRequirements
+    // runs inside AdaptiveSparkPlanExec), so sparkPlan never shows them —
+    // while explainString renders the prepared initial plan WITHOUT
+    // finalizing or executing anything. Matching the substring also
+    // catches BroadcastExchange: any joined/aggregated input is beyond
+    // widen's scan-rooted contract and passes through conservatively.
+    val shape = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("simple"))
+    if (shape.contains("Exchange")) return df
     val dp = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < dp) df.repartition(dp) else df
   }
